@@ -1,13 +1,442 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Metric, RangeFilter, Tables, TermFilter, TermMode}
+import graft.operators.{Filters, Knn, TopK}
+import graft.table.Crud
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
+  *
+  * Conventions keeping Spark and DuckDB hash-comparable:
+  *  - every computed column is aliased identically on both sides;
+  *  - float32 vectors are cast to double before arithmetic on both sides,
+  *    and both engines accumulate sequentially → results agree to << 1e-6;
+  *    computed scores are rounded to 6 decimals (money to 2);
+  *  - ties in any top-k are broken by an id column on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Query vectors for KNN oracles: first 8 embeddings. */
+  private def knnQueries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .filter(col("qid") < 8)
+
+  /** Flagship query on sf=0.001: filtered exact KNN — the minimum
+    * end-to-end slice of SURVEY.md §7.3.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.prepare(spark)
+    val dir = "/root/testdata/sf0.001"
+    Knn.flatSearch(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      knnQueries(spark, dir), "qid", "qvec",
+      k = 10, metric = Metric.L2)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A7/A2 — group-by aggregation (gamma has only count-style aggs; this is
+    // the built-in coverage entry).
+    "q_agg_group" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+    }),
+
+    // S5/P2 — full scan + numeric range filter with inclusive bounds.
+    "q_scan_range" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs
+        .filter(Filters.range(RangeFilter("n_chars", Some(100), Some(300))))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // P2 — range filter, exclusive bound variant + date range.
+    "q_filter_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(
+          Filters.range(RangeFilter("l_quantity", Some(10), Some(20), includeUpper = false)) &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // P3 — term filter, union mode over tokenized string.
+    "q_term_union" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("tokens", split(col("p_name"), " "))
+      p.filter(Filters.term(TermFilter("tokens", Seq("red", "blue")), p))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // P4 — term filter, all-of mode.
+    "q_term_all" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("tokens", split(col("p_name"), " "))
+      p.filter(Filters.term(TermFilter("tokens", Seq("small", "ring"), TermMode.All), p))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // P5/U3 — term filter, NOT-IN (complement) mode.
+    "q_term_notin" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("tokens", split(col("p_name"), " "))
+      p.filter(Filters.term(TermFilter("tokens", Seq("green", "hot"), TermMode.NotIn), p))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // P6/U1/U2 — conjunction/disjunction/complement of predicates.
+    "q_setops_pred" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          (col("l_quantity") < 5 || col("l_quantity") > 45) &&
+            !(col("l_returnflag") === "A"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+    }),
+
+    // S3 — point lookup by key.
+    "q_point_lookup" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") === 100)
+    }),
+
+    // A2 — count of matches for a filter conjunction.
+    "q_count_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // J3 — broadcast hash join + aggregation.
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // J2/J3 — semi join (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // U3/J3 — anti join (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // A1/O1/O4 — global top-k (ORDER BY ... LIMIT k → TakeOrdered).
+    "q_topk_global" -> ((s, dir) => {
+      TopK.global(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", ascending = false, k = 100, tieBreak = Seq("o_orderkey"))
+    }),
+
+    // P9/A1 — per-group best row (window dedup).
+    "q_window_dedup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // V1/F1/A1 — exact KNN, L2 metric.
+    "q_knn_l2" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.L2)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // V1/F2/O1 — exact KNN, inner-product metric (descending).
+    "q_knn_ip" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.InnerProduct)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // F2 variant — cosine similarity KNN.
+    "q_knn_cosine" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.Cosine)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // P2+V1 — filtered KNN (scalar filter pushed before the scan, the
+    // reference's filter-then-search path, search/gamma_engine.cc:359-372).
+    "q_knn_filtered" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.L2,
+        filter = Some(col("label").isin(1, 3, 5, 7)))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // O6 — l2_sqrt response transform.
+    "q_knn_l2sqrt" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.L2,
+        l2Sqrt = true)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // J1/A4/O2 — multi-vector merge: two vector queries intersected on id,
+    // boosted score sum, re-ranked (vector/vector_manager.cc:501-576).
+    "q_vec_fusion" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val qa = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .filter(col("qid") === 0)
+      val qb = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .filter(col("qid") === 1)
+      val ra = Knn.flatSearch(emb, "vec_id", "embedding", qa, "qid", "qvec",
+        k = 100, metric = Metric.L2).select(col("id"), col("score").as("score_a"))
+      val rb = Knn.flatSearch(emb, "vec_id", "embedding", qb, "qid", "qvec",
+        k = 100, metric = Metric.L2).select(col("id"), col("score").as("score_b"))
+      val fused = ra.join(rb, Seq("id"))
+        .withColumn("fused", col("score_a") * 0.7 + col("score_b") * 0.3)
+      TopK.global(fused, "fused", ascending = true, k = 10, tieBreak = Seq("id"))
+        .select(col("id"), round(col("fused"), 6).as("fused"))
+    }),
+
+    // R1/R2 — batch upsert (MERGE): updated + fresh keys, state compare.
+    "q_upsert_state" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val updates = part.filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          lit("Brand#UP").as("p_brand"),
+          (col("p_size") + 100).as("p_size"),
+          round(col("p_retailprice") * 2, 2).as("p_retailprice"))
+      val inserts = part.filter(col("p_partkey") % 13 === 0)
+        .select(
+          (col("p_partkey") + 100000).as("p_partkey"),
+          lit("Brand#NEW").as("p_brand"),
+          col("p_size"),
+          col("p_retailprice"))
+      val base = part.select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      Crud.upsert(base, updates.unionByName(inserts), "p_partkey")
+    }),
+
+    // R3 — delete by key set.
+    "q_delete_by_key" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val keys = part.filter(col("p_partkey") % 11 === 0).select(col("p_partkey"))
+      Crud.deleteByKeys(part, keys, "p_partkey").select(col("p_partkey"), col("p_brand"))
+    }),
+
+    // R4 — delete by query; surviving state.
+    "q_delete_by_query" -> ((s, dir) => {
+      Crud.deleteWhere(
+          t(s, dir, "part"),
+          col("p_size").between(10, 20) && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_size"), col("p_type"))
+    }),
+
+    // A3 — live-doc count after logical deletes.
+    "q_live_count" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .withColumn("_deleted", col("p_partkey") % 5 === 0)
+      part.filter(!col("_deleted")).agg(count(lit(1)).as("live"))
+    }),
+
+    // A7 — windowed event aggregation (built-in coverage; also the batch
+    // shape of the streaming pipeline R5).
+    "q_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB equivalents over the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_scan_range" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 100 AND 300""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity < 20
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "q_term_union" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE list_has_any(string_split(p_name, ' '), ['red', 'blue'])""".stripMargin,
+
+    "q_term_all" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE list_has_all(string_split(p_name, ' '), ['small', 'ring'])""".stripMargin,
+
+    "q_term_notin" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT list_has_any(string_split(p_name, ' '), ['green', 'hot'])""".stripMargin,
+
+    "q_setops_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE (l_quantity < 5 OR l_quantity > 45) AND NOT (l_returnflag = 'A')""".stripMargin,
+
+    "q_point_lookup" ->
+      "SELECT * FROM part WHERE p_partkey = 100",
+
+    "q_count_filter" ->
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 100000""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "q_knn_l2" -> knnOracle(metric = "l2", k = 10, asc = true),
+    "q_knn_ip" -> knnOracle(metric = "ip", k = 10, asc = false),
+    "q_knn_cosine" -> knnOracle(metric = "cos", k = 10, asc = false),
+    "q_knn_filtered" -> knnOracle(metric = "l2", k = 10, asc = true,
+      docFilter = "WHERE label IN (1, 3, 5, 7)"),
+    "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
+
+    "q_vec_fusion" ->
+      """WITH qa AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |     qb AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |     da AS (SELECT vec_id AS id,
+        |                   list_sum(list_transform(range(1, 65),
+        |                     i -> (CAST(embedding[i] AS DOUBLE) - CAST(qa.qv[i] AS DOUBLE))
+        |                        * (CAST(embedding[i] AS DOUBLE) - CAST(qa.qv[i] AS DOUBLE)))) AS score_a
+        |            FROM embeddings, qa),
+        |     db AS (SELECT vec_id AS id,
+        |                   list_sum(list_transform(range(1, 65),
+        |                     i -> (CAST(embedding[i] AS DOUBLE) - CAST(qb.qv[i] AS DOUBLE))
+        |                        * (CAST(embedding[i] AS DOUBLE) - CAST(qb.qv[i] AS DOUBLE)))) AS score_b
+        |            FROM embeddings, qb),
+        |     ta AS (SELECT * FROM da ORDER BY score_a, id LIMIT 100),
+        |     tb AS (SELECT * FROM db ORDER BY score_b, id LIMIT 100)
+        |SELECT ta.id AS id, round(score_a * 0.7 + score_b * 0.3, 6) AS fused
+        |FROM ta JOIN tb ON ta.id = tb.id
+        |ORDER BY score_a * 0.7 + score_b * 0.3, ta.id LIMIT 10""".stripMargin,
+
+    "q_upsert_state" ->
+      """WITH updates AS (
+        |  SELECT p_partkey, 'Brand#UP' AS p_brand, p_size + 100 AS p_size,
+        |         round(p_retailprice * 2, 2) AS p_retailprice
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |inserts AS (
+        |  SELECT p_partkey + 100000 AS p_partkey, 'Brand#NEW' AS p_brand,
+        |         p_size, p_retailprice
+        |  FROM part WHERE p_partkey % 13 = 0),
+        |delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        |SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+        |WHERE p_partkey NOT IN (SELECT p_partkey FROM delta)
+        |UNION ALL SELECT * FROM delta""".stripMargin,
+
+    "q_delete_by_key" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT p_partkey FROM part WHERE p_partkey % 11 = 0)""".stripMargin,
+
+    "q_delete_by_query" ->
+      """SELECT p_partkey, p_size, p_type FROM part
+        |WHERE NOT (p_size BETWEEN 10 AND 20 AND p_type = 'PROMO')""".stripMargin,
+
+    "q_live_count" ->
+      "SELECT count(*) AS live FROM part WHERE NOT (p_partkey % 5 = 0)",
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** Shared KNN oracle template: 8 query vectors (vec_id < 8) against all
+    * embeddings, per-query top-k with id tie-break, all math in double.
+    */
+  private def knnOracle(
+      metric: String, k: Int, asc: Boolean, docFilter: String = ""): String = {
+    val distExpr = metric match {
+      case "l2" | "l2sqrt" =>
+        """list_sum(list_transform(range(1, 65),
+          |  i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+          |     * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))""".stripMargin
+      case "ip" =>
+        """list_sum(list_transform(range(1, 65),
+          |  i -> CAST(d.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))""".stripMargin
+      case "cos" =>
+        """(list_sum(list_transform(range(1, 65),
+          |    i -> CAST(d.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+          | / (sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(d.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE))))
+          |  * sqrt(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))))""".stripMargin
+    }
+    val scoreSel = if (metric == "l2sqrt") "sqrt(dist)" else "dist"
+    val ord = if (asc) "dist ASC" else "dist DESC"
+    s"""WITH s AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS id, $distExpr AS dist
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q,
+       |       (SELECT * FROM embeddings $docFilter) d),
+       |r AS (SELECT qid, id, $scoreSel AS score,
+       |             row_number() OVER (PARTITION BY qid ORDER BY $ord, id) AS rn
+       |      FROM s)
+       |SELECT qid, id, round(score, 6) AS score FROM r WHERE rn <= $k""".stripMargin
+  }
 }

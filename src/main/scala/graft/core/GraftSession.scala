@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + test-table loader for the graft engine.
+  *
+  * The reference engine (vearch/gamma) is single-node and owns its own
+  * storage (search/gamma_engine.cc:243-297); here a SparkSession plays the
+  * role of the engine runtime and tables are plain parquet/DataFrames.
+  */
+object GraftSession {
+
+  /** Local session tuned for the test harness (local[N], AQE on,
+    * shuffle.partitions sized to cores instead of the 200 default).
+    */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+    spark
+  }
+
+  /** Ensure graft SQL functions are present on an externally-built session. */
+  def prepare(spark: SparkSession): SparkSession = {
+    graft.functions.registerAll(spark)
+    spark
+  }
+}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects; read nanos as long and convert to a microsecond timestamp.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.expr
+      // integer division: ns-since-epoch ~1.7e18 exceeds double precision
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register all tables as temp views so spark.sql can address them by the
+    * same names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+
+/** Column-level API for graft's custom kernels, plus SQL registration so
+  * `spark.sql("SELECT l2_sq(a, b) ...")` works too.
+  */
+package object functions {
+
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Squared L2 distance between two float/double array columns. */
+  def l2_sq(a: Column, b: Column): Column = col(L2SqDistance(expr(a), expr(b)))
+
+  /** Euclidean (sqrt'd) L2 distance — the reference's optional `l2_sqrt`
+    * response transform (idl/fbs/request.fbs:39).
+    */
+  def l2(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.sqrt(l2_sq(a, b))
+
+  /** Inner product of two vector columns. */
+  def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
+
+  /** Cosine similarity of two vector columns (0.0 on zero norm). */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Hamming distance between two binary (packed-bit) columns. */
+  def hamming(a: Column, b: Column): Column = col(HammingDistance(expr(a), expr(b)))
+
+  /** Register the kernels in the session's function registry for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("l2_sq", es => L2SqDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("inner_product_vec", es => InnerProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming", es => HammingDistance(es.head, es(1)), "scala_udf")
+  }
+}
