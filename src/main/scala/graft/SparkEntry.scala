@@ -266,6 +266,34 @@ object SparkEntry {
       part.filter(!col("_deleted")).agg(count(lit(1)).as("live"))
     }),
 
+    // S2/R1-R4/S3/V1 — full GammaTable lifecycle: create from a doc batch,
+    // upsert a delta, delete-by-query, then filtered KNN search over the
+    // resulting state (the reference E2E flow, tests/README.md:10-22).
+    "q_table_e2e" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "e2e", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      tbl.addOrUpdate(delta)
+      tbl.deleteByQuery(col("p_size").between(10, 12))
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      tbl.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+          rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // A7 — windowed event aggregation (built-in coverage; also the batch
     // shape of the streaming pipeline R5).
     "q_events_window" -> ((s, dir) => {
@@ -400,6 +428,26 @@ object SparkEntry {
 
     "q_live_count" ->
       "SELECT count(*) AS live FROM part WHERE NOT (p_partkey % 5 = 0)",
+
+    "q_table_e2e" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 10 = 3),
+        |docs1 AS (
+        |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12)),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT _id, list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |       * (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+        |  FROM docs2, q WHERE p_size BETWEEN 1 AND 40),
+        |r AS (SELECT _id, dist,
+        |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+        |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,

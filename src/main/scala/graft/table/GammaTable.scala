@@ -1,0 +1,335 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core.{Metric, SearchRequest}
+import graft.operators.{Filters, Knn, TopK}
+
+/** Vector-field declaration (reference idl/fbs/table.fbs:22-32
+  * `VectorInfo{name, dimension, retrieval_type, ...}`).
+  */
+case class VectorFieldDef(
+    name: String,
+    dim: Int,
+    metric: String = "L2", // L2 | InnerProduct | Cosine | Hamming
+    retrievalType: String = "FLAT")
+
+/** Table metadata persisted alongside the data (the reference's `.schema`
+  * file + engine counters, search/gamma_engine.cc:607-612, 651-657).
+  * `bucketVersions` is the manifest: current data version per key-bucket.
+  */
+case class TableMeta(
+    name: String,
+    keyField: String,
+    nBuckets: Int,
+    maxDocid: Long,
+    version: Long,
+    bucketVersions: Map[String, Long],
+    vectorFields: Seq[VectorFieldDef],
+    indexStatus: String) // UNINDEXED | INDEXING | INDEXED (reference gamma_engine.h:28)
+
+/** A gamma "table" re-expressed Spark-first: one parquet dataset of
+  * scalar+vector documents, hash-bucketed by primary key with a per-bucket
+  * version manifest.
+  *
+  * Reference mapping (search/gamma_engine.h:146-147 single-table engine):
+  *  - `_id` primary key (table/table.cc:40,123-126) -> `keyField` column
+  *  - dense docid (gamma_engine.cc:651-657)         -> `_docid` long column,
+  *    preserved across updates like the reference's in-place update
+  *  - delete bitmap (util/bitmap_manager.h)         -> `_deleted` boolean
+  *  - segment store + dump dirs (storage/, gamma_engine.cc:1101-1146)
+  *      -> parquet under `root/data/b<bucket>/v<version>/`
+  *
+  * Scale design: documents hash to `pmod(xxhash64(key), nBuckets)` buckets.
+  * A write (upsert/delete) reads ONLY affected buckets at their current
+  * versions, writes NEW version dirs for those buckets, then commits by
+  * swapping the manifest — no self-overwrite, no rewriting of untouched
+  * data, old versions remain readable until GC. A small delta against a
+  * 100 TB table costs O(delta buckets), and key lookups prune to one
+  * bucket's files. `nBuckets` should give ~1 GB buckets at scale; local
+  * tests use a small count.
+  */
+class GammaTable private (
+    val spark: SparkSession,
+    val root: String,
+    @volatile private var meta0: TableMeta) {
+
+  import GammaTable._
+
+  def meta: TableMeta = meta0
+
+  private def bucketPath(b: Long, v: Long) = s"$root/data/b$b/v$v"
+
+  private def currentPaths(buckets: Seq[Long] = Nil): Seq[String] = {
+    val bv = meta0.bucketVersions
+    val sel = if (buckets.isEmpty) bv.keys.map(_.toLong).toSeq else buckets
+    sel.flatMap(b => bv.get(b.toString).map(v => bucketPath(b, v)))
+  }
+
+  /** All documents, including logically-deleted ones. */
+  def allDocs: DataFrame = {
+    val paths = currentPaths()
+    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+  }
+
+  /** Live documents (every reference read path filters the delete bitmap,
+    * common/gamma_common_data.h:99-108).
+    */
+  def docs: DataFrame = allDocs.filter(!col(DeletedCol))
+
+  private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
+    val paths = currentPaths(buckets)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Write per-bucket data as version `v`, return buckets written. */
+  private def writeVersion(df: DataFrame, buckets: Seq[Long], v: Long): Unit =
+    buckets.foreach { b =>
+      df.filter(col(BucketCol) === b)
+        .write.mode(SaveMode.Overwrite).parquet(bucketPath(b, v))
+    }
+
+  private def commit(buckets: Seq[Long], v: Long, newDocs: Long = 0): Unit = {
+    meta0 = meta0.copy(
+      maxDocid = meta0.maxDocid + newDocs,
+      version = v,
+      bucketVersions = meta0.bucketVersions ++ buckets.map(_.toString -> v))
+    writeMeta()
+  }
+
+  // ------------------------------------------------------------------ CRUD
+
+  /** Add-or-update a batch (R1/R2, reference search/gamma_engine.cc:619-800):
+    * existing keys are updated in place keeping their `_docid`; fresh keys
+    * append with new dense docids. In-batch duplicate keys: last write wins
+    * when `orderCol` is given.
+    */
+  def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
+    val key = meta0.keyField
+    val d0 = Crud.dedupLastWins(delta, key, orderCol)
+    val d = orderCol.foldLeft(d0)(_.drop(_))
+      .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
+    val affected = d.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+
+    val (merged, newCount) = readBuckets(affected) match {
+      case None => (withDenseDocids(d, meta0.maxDocid).withColumn(DeletedCol, lit(false)), -1L)
+      case Some(existing) =>
+        val oldIds = existing.select(col(key), col(DocidCol))
+        val joined = d.join(oldIds, Seq(key), "left")
+        val fresh = joined.filter(col(DocidCol).isNull).drop(DocidCol)
+        val kept = joined.filter(col(DocidCol).isNotNull)
+        val freshIds = withDenseDocids(fresh, meta0.maxDocid)
+        val m = existing
+          .join(d.select(key), Seq(key), "left_anti")
+          .unionByName(kept.withColumn(DeletedCol, lit(false)), allowMissingColumns = true)
+          .unionByName(freshIds.withColumn(DeletedCol, lit(false)), allowMissingColumns = true)
+        (m, freshIds.count())
+    }
+    val n = if (newCount < 0) merged.count() else newCount
+    val v = meta0.version + 1
+    // localCheckpoint: cut lineage so the merge isn't recomputed per bucket
+    val mat = merged.localCheckpoint(true)
+    writeVersion(mat, affected, v)
+    commit(affected, v, n)
+  }
+
+  /** Logical delete by key set (R3, reference gamma_engine.cc:802-824). */
+  def delete(keys: DataFrame): Unit = {
+    val key = meta0.keyField
+    val k = keys.select(col(keys.columns.head).as(key)).distinct()
+      .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
+    val affected = k.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+    readBuckets(affected).foreach { existing =>
+      val marked = existing
+        .join(k.select(key).withColumn("__del", lit(true)), Seq(key), "left")
+        .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
+        .drop("__del")
+      val v = meta0.version + 1
+      writeVersion(marked.localCheckpoint(true), affected, v)
+      commit(affected, v)
+    }
+  }
+
+  /** Delete by predicate, returning deleted keys (R4, reference
+    * gamma_engine.cc:826-949 returns the deleted ids).
+    */
+  def deleteByQuery(pred: Column): Array[String] = {
+    val key = meta0.keyField
+    val keys = docs.filter(pred).select(col(key).cast("string")).collect().map(_.getString(0))
+    if (keys.nonEmpty) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.toSeq.map(Row(_))),
+        StructType(Seq(StructField(key, StringType))))
+      delete(df)
+    }
+    keys
+  }
+
+  /** Point lookup by key (S3) — reads exactly one bucket's files. */
+  def get(keyValue: Any): DataFrame = {
+    val key = meta0.keyField
+    val b = spark.range(1).select(bucketOf(lit(keyValue), meta0.nBuckets)).head().getLong(0)
+    readBuckets(Seq(b)) match {
+      case None     => docs.limit(0)
+      case Some(df) => df.filter(!col(DeletedCol) && col(key) === lit(keyValue))
+    }
+  }
+
+  /** Physical compaction of tombstones (reference compacts buckets on
+    * delete ratio, realtime/realtime_mem_data.cc:98-142).
+    */
+  def compact(): Unit = {
+    val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
+    val v = meta0.version + 1
+    writeVersion(docs.localCheckpoint(true), buckets, v)
+    commit(buckets, v)
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** The reference's read path (search/gamma_engine.cc:299-464): scalar
+    * filters first, then per-vector-field KNN, multi-field docid
+    * intersection with boosted score fusion (vector_manager.cc:501-576),
+    * projection of requested fields. Returns (qid, key, score, fields...).
+    */
+  def search(req: SearchRequest): DataFrame = {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    val key = meta0.keyField
+    val base = docs
+    val pred = Filters.predicate(base, req.termFilters, req.rangeFilters)
+
+    if (req.vecQueries.isEmpty) {
+      // filter-only path (reference gamma_engine.cc:405-457)
+      val out = base.filter(pred).orderBy(col(DocidCol).asc).limit(req.topn)
+      return project(out.withColumn("qid", lit(0)).withColumn("score", lit(0.0)), req)
+    }
+
+    val metric = req.metric
+    val perField = req.vecQueries.zipWithIndex.map { case (vq, i) =>
+      val q = Seq((0, vq.vector.toSeq)).toDF("qid", "qvec")
+      val hits = Knn.flatSearch(
+        base.filter(pred), key, vq.field, q, "qid", "qvec",
+        k = math.max(req.topn * CandidateFactor, req.topn),
+        metric = metric, l2Sqrt = req.l2Sqrt && req.vecQueries.size == 1,
+        minScore = vq.minScore, maxScore = vq.maxScore)
+      val boosted = vq.boost match {
+        case Some(b) => hits.withColumn("score", col("score") * b)
+        case None    => hits
+      }
+      boosted.select(col("qid"), col("id").as(key), col("score").as(s"score_$i"))
+    }
+
+    val joined = perField.reduce((a, b) => a.join(b.drop("qid"), Seq(key)))
+    val fused = joined.withColumn(
+      "score", perField.indices.map(i => col(s"score_$i")).reduce(_ + _))
+    val ranked =
+      if (req.multiVectorRank || req.vecQueries.size == 1)
+        TopK.perGroup(fused, "qid", "score", Metric.ascending(metric), req.topn, Seq(key))
+      else fused.limit(req.topn)
+    project(ranked, req)
+  }
+
+  private def project(hits: DataFrame, req: SearchRequest): DataFrame = {
+    val key = meta0.keyField
+    if (req.fields.isEmpty) hits
+    else hits.join(docs.select((key +: req.fields).distinct.map(col): _*), Seq(key), "left")
+  }
+
+  // ------------------------------------------------------------- lifecycle
+
+  /** Dump (S8): snapshot data+meta into `dir` + `dump.done` marker
+    * (reference gamma_engine.cc:1101-1146).
+    */
+  def dump(dir: String): Unit = {
+    allDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    import spark.implicits._
+    Seq(meta0).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$dir/meta")
+    touchMarker(s"$dir/dump.done")
+  }
+
+  private def writeMeta(): Unit = {
+    import spark.implicits._
+    Seq(meta0).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$root/meta")
+  }
+
+  private def touchMarker(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(path, true).close()
+  }
+}
+
+object GammaTable {
+  val DocidCol = "_docid"
+  val DeletedCol = "_deleted"
+  val BucketCol = "_bucket"
+
+  /** Extra exact candidates per vector field before multi-field
+    * intersection (the reference over-fetches via `recall_num`,
+    * index/impl/gamma_index_ivfpq.h:633).
+    */
+  val CandidateFactor = 4
+
+  private[table] def bucketOf(keyCol: Column, n: Int): Column =
+    pmod(xxhash64(keyCol), lit(n.toLong))
+
+  /** Create a table from an initial document batch (S2 + first add). */
+  def create(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      keyField: String,
+      initial: DataFrame,
+      vectorFields: Seq[VectorFieldDef] = Nil,
+      nBuckets: Int = 16): GammaTable = {
+    val t = new GammaTable(spark, root,
+      TableMeta(name, keyField, nBuckets, 0L, 0L, Map.empty, vectorFields, "UNINDEXED"))
+    t.addOrUpdate(initial)
+    t
+  }
+
+  /** Restore a table from its root or a dump dir (S9, reference
+    * gamma_engine.cc:1175-1262). A dump dir (flat `data/` + `dump.done`)
+    * is re-imported as a fresh single-version table.
+    */
+  def load(spark: SparkSession, root: String): GammaTable = {
+    new GammaTable(spark, root, readMeta(spark, s"$root/meta"))
+  }
+
+  /** json-infer would read the bucket map as a struct; force the encoder
+    * schema.
+    */
+  private def readMeta(spark: SparkSession, path: String): TableMeta = {
+    import spark.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
+    spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+  }
+
+  /** Restore from a dump produced by [[GammaTable.dump]] into `newRoot`. */
+  def restore(spark: SparkSession, dumpDir: String, newRoot: String): GammaTable = {
+    val fs = new org.apache.hadoop.fs.Path(dumpDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dumpDir/dump.done")),
+      s"no completed dump at $dumpDir (missing dump.done)")
+    val meta = readMeta(spark, s"$dumpDir/meta")
+    val data = spark.read.parquet(s"$dumpDir/data")
+    val t = new GammaTable(spark, newRoot, meta.copy(bucketVersions = Map.empty, version = 0L))
+    val buckets = meta.bucketVersions.keys.map(_.toLong).toSeq
+    t.writeVersion(data, buckets, 1L)
+    t.commit(buckets, 1L)
+    t
+  }
+
+  /** Dense docid assignment (reference `max_docid_` counter,
+    * gamma_engine.cc:651-657). Distributed zipWithIndex — no global sort,
+    * no driver collect.
+    */
+  private[table] def withDenseDocids(df: DataFrame, startAt: Long): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(DocidCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + startAt)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, RangeFilter, SearchRequest, TermFilter, VecQuery}
+import graft.table.{GammaTable, VectorFieldDef}
+
+/** E2E lifecycle mirroring the reference harness flow
+  * Init→CreateTable→Add→Search→Upsert→Delete→Dump→Load→Search
+  * (reference tests/README.md:10-22, tests/test.h:899-1070).
+  */
+class GammaTableSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_tbl").toString
+
+  /** part-derived doc table with a deterministic embedding per key. */
+  private def docTable(): org.apache.spark.sql.DataFrame = {
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    spark.read.parquet(s"$sf0/part.parquet")
+      .filter($"p_partkey" < 500)
+      .join(emb, $"p_partkey" === $"vec_id")
+      .select(
+        $"p_partkey".cast("string").as("_id"),
+        split($"p_name", " ").as("tokens"),
+        $"p_size", $"p_retailprice",
+        $"embedding".as("vec"))
+  }
+
+  test("create → search with filters → get → upsert → delete → dump → restore") {
+    val root = tmp()
+    val n = docTable().count()
+    val t = GammaTable.create(spark, root, "parts", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 8)
+
+    assert(t.docs.count() === n)
+    assert(t.meta.maxDocid === n)
+    // docids dense and unique
+    val ids = t.docs.select("_docid").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until n))
+
+    // --- search: filtered KNN
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val req = SearchRequest(
+      topn = 5,
+      vecQueries = Seq(VecQuery("vec", qvec)),
+      rangeFilters = Seq(RangeFilter("p_size", Some(1), Some(40))),
+      metric = Metric.L2)
+    val res = t.search(req)
+    assert(res.count() === 5)
+    // all hits obey the filter
+    val hitSizes = res.join(t.docs, Seq("_id")).select("p_size").as[Int].collect()
+    assert(hitSizes.forall(s => s >= 1 && s <= 40))
+
+    // filter-only search path
+    val fOnly = t.search(SearchRequest(topn = 10,
+      termFilters = Seq(TermFilter("tokens", Seq("red")))))
+    assert(fOnly.count() > 0 && fOnly.count() <= 10)
+
+    // --- point get prunes to one bucket
+    assert(t.get("42").count() === 1)
+
+    // --- upsert: update 1 key, insert 1 fresh key
+    val up = Seq(("42", Seq("updated", "doc"), 999, 1.0, qvec.toSeq),
+                 ("9999", Seq("fresh", "doc"), 1, 2.0, qvec.toSeq))
+      .toDF("_id", "tokens", "p_size", "p_retailprice", "vec")
+    val docid42 = t.get("42").select("_docid").as[Long].head()
+    t.addOrUpdate(up)
+    assert(t.docs.count() === n + 1)
+    assert(t.get("42").select("p_size").as[Int].head() === 999)
+    // update kept its docid (reference in-place update semantics)
+    assert(t.get("42").select("_docid").as[Long].head() === docid42)
+    assert(t.get("9999").select("_docid").as[Long].head() === n)
+
+    // --- delete by key + by query
+    t.delete(Seq("7").toDF("_id"))
+    assert(t.get("7").count() === 0)
+    assert(t.docs.count() === n)
+    val deleted = t.deleteByQuery(col("p_size") === 999)
+    assert(deleted.toSeq === Seq("42"))
+    assert(t.get("42").count() === 0)
+
+    // deleted docs excluded from search
+    val res2 = t.search(req)
+    assert(!res2.select("_id").as[String].collect().contains("42"))
+
+    // --- dump + restore
+    val dumpDir = tmp(); val newRoot = tmp()
+    t.dump(dumpDir)
+    val t2 = GammaTable.restore(spark, dumpDir, newRoot)
+    assert(t2.docs.count() === t.docs.count())
+    assert(t2.get("7").count() === 0) // tombstones survive the dump
+    assert(t2.search(req).select("_id").collect().toSet ===
+      t.search(req).select("_id").collect().toSet)
+
+    // --- compact drops tombstones physically
+    val before = t.allDocs.count()
+    t.compact()
+    assert(t.allDocs.count() === before - 2 && t.docs.count() === n - 1)
+  }
+
+  test("multi-vector fusion search intersects fields and fuses scores") {
+    val root = tmp()
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs = emb.select(
+      $"vec_id".cast("string").as("_id"),
+      $"embedding".as("vec_a"),
+      reverse($"embedding").as("vec_b"))
+    val t = GammaTable.create(spark, root, "mv", "_id", docs,
+      Seq(VectorFieldDef("vec_a", 64), VectorFieldDef("vec_b", 64)), nBuckets = 4)
+    val q = emb.filter($"vec_id" === 3).select("embedding").as[Array[Float]].head()
+    val res = t.search(SearchRequest(
+      topn = 5,
+      vecQueries = Seq(
+        VecQuery("vec_a", q, boost = Some(0.7)),
+        VecQuery("vec_b", q.reverse, boost = Some(0.3)))))
+    assert(res.count() === 5)
+    // self doc must win: both fields at distance 0
+    assert(res.orderBy($"score".asc).select("_id").as[String].head() === "3")
+  }
+}
