@@ -29,6 +29,12 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .filter(col("qid") < 8)
 
+  /** Same query batch collected driver-side (the AnnIndex request shape). */
+  private def collectQueries(s: SparkSession, dir: String): Seq[(Long, Array[Float])] = {
+    import s.implicits._
+    knnQueries(s, dir).as[(Long, Array[Float])].collect().toSeq
+  }
+
   /** Flagship query on sf=0.001: filtered exact KNN — the minimum
     * end-to-end slice of SURVEY.md §7.3.
     */
@@ -266,6 +272,40 @@ object SparkEntry {
       part.filter(!col("_deleted")).agg(count(lit(1)).as("live"))
     }),
 
+    // V3/T4 — IVFFLAT with full probe set: exercises coarse quantize +
+    // partition-pruned list scan; equals exact search, so oracle-checkable.
+    "q_ivfflat_fullprobe" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.IndexRegistry.build("IVFFLAT", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 16))
+      idx.search(collectQueries(s, dir), k = 10, nprobe = Some(16))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // V2/F4/T5/T6 — IVFPQ pipeline (residual PQ codes + ADC LUT scan +
+    // exact re-rank); recall_num >= ndocs makes the re-rank exhaustive so
+    // the result is exact and oracle-checkable end-to-end.
+    "q_ivfpq_exactrank" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.IndexRegistry.build("IVFPQ", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000))
+      idx.search(collectQueries(s, dir), k = 10, nprobe = Some(8))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
+    // V2 at realistic ANN settings (approximate: rows-only check; recall
+    // floor asserted in IndexSpec).
+    "q_ivfpq_ann" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.IndexRegistry.build("IVFPQ", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 16, nsubvector = 8, recallNum = 50))
+      idx.search(collectQueries(s, dir), k = 10, nprobe = Some(4))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // S2/R1-R4/S3/V1 — full GammaTable lifecycle: create from a doc batch,
     // upsert a delta, delete-by-query, then filtered KNN search over the
     // resulting state (the reference E2E flow, tests/README.md:10-22).
@@ -382,6 +422,9 @@ object SparkEntry {
     "q_knn_cosine" -> knnOracle(metric = "cos", k = 10, asc = false),
     "q_knn_filtered" -> knnOracle(metric = "l2", k = 10, asc = true,
       docFilter = "WHERE label IN (1, 3, 5, 7)"),
+    "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
+    "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
+    // q_ivfpq_ann intentionally has no oracle (approximate; rows-only check)
     "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
 
     "q_vec_fusion" ->

@@ -30,6 +30,11 @@ package object functions {
   /** Hamming distance between two binary (packed-bit) columns. */
   def hamming(a: Column, b: Column): Column = col(HammingDistance(expr(a), expr(b)))
 
+  /** PQ asymmetric distance: codes (array<int>) against a flattened
+    * query LUT (array<double> of m*ksub).
+    */
+  def pq_adc(codes: Column, lut: Column): Column = col(PqAdcDistance(expr(codes), expr(lut)))
+
   /** Register the kernels in the session's function registry for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

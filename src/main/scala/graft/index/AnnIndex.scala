@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable retrieval-model surface — the Spark analog of the reference's
+  * `RetrievalModel` ABI + name registry
+  * (reference index/retrieval_model.h:218-310, index/reflector.h:17-68).
+  *
+  * A built index answers batched top-k queries (the reference batches
+  * `req_num` queries per call, idl/fbs/request.fbs:28). `allowedIds` is the
+  * filter-pushdown hook: the reference pushes an `IsValid(docid)` callback
+  * into the index scan (index/retrieval_model.h:77-103); here a small
+  * allowed-key set is semi-joined into the candidate stream BEFORE distance
+  * evaluation, which is the same "filter inside the scan" shape.
+  */
+trait AnnIndex {
+  def retrievalType: String
+
+  def search(
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Option[Int] = None,
+      allowedIds: Option[DataFrame] = None): DataFrame
+}
+
+/** Name -> builder registry (reference `REGISTER_MODEL` reflector,
+  * index/reflector.h). Keys mirror the reference model names
+  * (index/impl/gamma_index_flat.cc:28 etc.).
+  */
+object IndexRegistry {
+  import org.apache.spark.sql.SparkSession
+
+  type Builder = (SparkSession, DataFrame, String, String, IndexParams) => AnnIndex
+
+  private val builders = scala.collection.concurrent.TrieMap[String, Builder](
+    "FLAT" -> ((s, docs, id, vec, p) => FlatIndex(s, docs, id, vec, p)),
+    "IVFFLAT" -> ((s, docs, id, vec, p) => IvfFlatIndex.build(s, docs, id, vec, p)),
+    "IVFPQ" -> ((s, docs, id, vec, p) => IvfPqIndex.build(s, docs, id, vec, p)))
+
+  def register(name: String, b: Builder): Unit = builders.put(name, b)
+
+  def build(
+      name: String,
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: IndexParams = IndexParams()): AnnIndex =
+    builders.getOrElse(name.toUpperCase,
+      throw new IllegalArgumentException(
+        s"unknown retrieval type $name; known: ${builders.keys.mkString(",")}"))(
+      spark, docs, idCol, vecCol, params)
+}
+
+/** Index hyper-parameters; defaults follow the reference's engine defaults
+  * (ncentroids=2048 scaled down by table size, nprobe=80, nsubvector=64,
+  * nbits=8, recall_num=100 — reference index/impl/gamma_index_ivfpq.h:633,
+  * 690-705). `ncentroids <= 0` means auto: ~sqrt(n) capped to [4, 2048].
+  */
+case class IndexParams(
+    metric: graft.core.Metric.Value = graft.core.Metric.L2,
+    ncentroids: Int = -1,
+    nprobe: Int = 80,
+    nsubvector: Int = 8,
+    nbits: Int = 8,
+    recallNum: Int = 100,
+    hasRank: Boolean = true,
+    trainSampleRows: Int = 200000,
+    seed: Long = 42L)

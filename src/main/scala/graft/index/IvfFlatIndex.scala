@@ -1,0 +1,167 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.operators.{Knn, TopK}
+
+/** FLAT = exact brute force (reference index/impl/gamma_index_flat.cc) —
+  * the trivial AnnIndex so the registry covers the brute-force override
+  * path (V9).
+  */
+case class FlatIndex(
+    spark: SparkSession,
+    docs: DataFrame,
+    idCol: String,
+    vecCol: String,
+    params: IndexParams) extends AnnIndex {
+  override def retrievalType: String = "FLAT"
+
+  override def search(
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Option[Int],
+      allowedIds: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val base = allowedIds match {
+      case Some(ids) => docs.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case None      => docs
+    }
+    Knn.flatSearch(base, idCol, vecCol, q, "qid", "qvec", k, params.metric)
+  }
+}
+
+/** Shared coarse-quantizer machinery for the IVF family — the Spark
+  * re-expression of the reference's faiss coarse k-means + inverted lists
+  * (reference index/impl/gamma_index_ivfflat.cc:380-470,
+  * gamma_index_ivfpq.cc:272-330).
+  *
+  * Scale design: the index "inverted lists" are a DataFrame keyed by
+  * `centroid_id`. Persisted with `partitionBy(centroid_id)`, a query that
+  * probes `nprobe` of `ncentroids` lists prunes the parquet scan to
+  * nprobe/ncentroids of the data (T4 — the reference's probe pruning).
+  * Centroids are tiny (ncentroids x dim) and live driver-side, exactly like
+  * the reference keeps the coarse quantizer in memory.
+  */
+object Ivf {
+
+  /** Auto centroid count: ~sqrt(n), clamped — mirrors the reference's
+    * sample clamp spirit (39*nlist..256*nlist, retrieval_model.h:303).
+    */
+  def autoNcentroids(n: Long, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(4, math.min(2048, math.sqrt(n.toDouble).toInt))
+
+  /** Train coarse centroids on a bounded sample. */
+  def trainCoarse(
+      docs: DataFrame, vecCol: String, ncentroids: Int,
+      sampleRows: Int, seed: Long): KMeansModel = {
+    val train = docs.select(array_to_vector(col(vecCol)).as("features"))
+      .limit(sampleRows)
+    new KMeans()
+      .setK(ncentroids).setSeed(seed).setMaxIter(20).setTol(1e-4)
+      .fit(train)
+  }
+
+  /** Assign every doc to its nearest centroid. */
+  def assign(model: KMeansModel, docs: DataFrame, vecCol: String): DataFrame =
+    model
+      .setFeaturesCol("__features").setPredictionCol("centroid_id")
+      .transform(docs.withColumn("__features", array_to_vector(col(vecCol))))
+      .drop("__features")
+
+  /** Driver-side probe selection: top-nprobe centroids by L2 for each
+    * query (the reference's coarse quantizer search,
+    * gamma_index_ivfpq.cc:547-561).
+    */
+  def probes(
+      centers: Array[Array[Double]],
+      q: Array[Float],
+      nprobe: Int): Seq[Int] = {
+    val d = centers.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length && i < q.length) { val t = c(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }.take(nprobe).map(_._2).toSeq
+  }
+}
+
+/** IVFFLAT (reference V3, index/impl/gamma_index_ivfflat.cc): coarse
+  * quantize, then exact distances within the probed lists.
+  */
+class IvfFlatIndex(
+    val spark: SparkSession,
+    val data: DataFrame, // idCol, vecCol, centroid_id
+    val idCol: String,
+    val vecCol: String,
+    val centers: Array[Array[Double]],
+    val params: IndexParams) extends AnnIndex {
+
+  override def retrievalType: String = "IVFFLAT"
+
+  override def search(
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Option[Int],
+      allowedIds: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
+    // (qid, qvec, centroid_id) probe tuples — small, broadcast
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      Ivf.probes(centers, qv, np).map(c => (qid, qv.toSeq, c))
+    }
+    val probeDf = probeRows.toDF("qid", "qvec", "centroid_id")
+    val probedCentroids = probeRows.map(_._3).distinct
+    // partition-pruned list scan (T4), then per-(qid,centroid) candidates
+    val lists = data.filter(col("centroid_id").isin(probedCentroids: _*))
+    val filtered = allowedIds match {
+      case Some(ids) => lists.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case None      => lists
+    }
+    val scored = filtered
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .select(col("qid"), col(idCol).as("id"),
+        Knn.score(params.metric, col(vecCol), col("qvec")).as("score"))
+    TopK.perGroup(scored, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+  }
+
+  /** Persist inverted lists partitioned by centroid_id so probe filters
+    * prune files (T4).
+    */
+  def save(path: String): Unit = {
+    data.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+}
+
+object IvfFlatIndex {
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: IndexParams): IvfFlatIndex = {
+    val n = docs.count()
+    val k = Ivf.autoNcentroids(n, params.ncentroids)
+    val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+    val data = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol)
+    new IvfFlatIndex(spark, data, idCol, vecCol,
+      model.clusterCenters.map(_.toArray), params)
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String,
+      params: IndexParams): IvfFlatIndex = {
+    val data = spark.read.parquet(s"$path/lists")
+    val centers = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    new IvfFlatIndex(spark, data, idCol, vecCol, centers, params)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.pq_adc
+import graft.operators.{Knn, TopK}
+
+/** IVFPQ (reference V2, index/impl/gamma_index_ivfpq.cc): coarse quantize,
+  * product-quantize the residuals, scan probed lists with the ADC LUT, then
+  * exact re-rank of the top `recall_num` candidates from raw vectors
+  * (reference two-stage rank, gamma_index_ivfpq.cc:642-697).
+  *
+  * Faithful to faiss conventions the reference relies on: residual encoding
+  * (x - coarse_centroid), per-subspace k-means codebooks of 2^nbits entries,
+  * asymmetric distance = Σ_j ||r_j - cb_j[code_j]||².
+  *
+  * Scale design: codes are ~dim·4/nsubvector× smaller than raw vectors, so
+  * the probed-list scan reads a fraction of the raw data; the LUT
+  * (nprobe x m x ksub doubles per query) is computed driver-side and
+  * broadcast; re-rank joins only nq x recall_num rows back to raw vectors.
+  */
+class IvfPqIndex(
+    val spark: SparkSession,
+    val codes: DataFrame, // idCol, centroid_id, pq_codes array<int>
+    val rawDocs: DataFrame, // idCol, vecCol — re-rank source
+    val idCol: String,
+    val vecCol: String,
+    val centers: Array[Array[Double]],
+    val codebooks: Array[Array[Array[Double]]], // [m][ksub][dsub]
+    val params: IndexParams) extends AnnIndex {
+
+  override def retrievalType: String = "IVFPQ"
+
+  private val m = codebooks.length
+  private val ksub = codebooks.headOption.map(_.length).getOrElse(0)
+
+  /** Query LUT for one probed centroid: flattened m x ksub squared
+    * sub-distances of the query residual to every codebook entry
+    * (reference sim_table precompute, gamma_index_ivfpq.h:561-601).
+    */
+  private def lut(q: Array[Float], centroid: Array[Double]): Array[Double] = {
+    val dsub = centroid.length / m
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var c = 0
+      while (c < ksub) {
+        val cb = codebooks(j)(c)
+        var s = 0.0; var i = 0
+        while (i < dsub) {
+          val r = q(base + i) - centroid(base + i) // query residual component
+          val t = r - cb(i)
+          s += t * t; i += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  override def search(
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Option[Int],
+      allowedIds: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
+    val luts = queries.flatMap { case (qid, qv) =>
+      Ivf.probes(centers, qv, np).map(c => (qid, c, lut(qv, centers(c)).toSeq))
+    }.toDF("qid", "centroid_id", "lut")
+    val probed = luts.select("centroid_id").distinct().as[Int].collect()
+
+    val lists = codes.filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+    val filtered = allowedIds match {
+      case Some(ids) => lists.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case None      => lists
+    }
+    val adc = filtered
+      .join(broadcast(luts), Seq("centroid_id"))
+      .select(col("qid"), col(idCol).as("id"), pq_adc(col("pq_codes"), col("lut")).as("score"))
+
+    if (!params.hasRank) {
+      return TopK.perGroup(adc, "qid", "score", ascending = true, k, Seq("id"))
+    }
+    // stage 1: recall_num candidates by ADC; stage 2: exact re-rank
+    val cands = TopK.perGroup(adc, "qid", "score", ascending = true,
+      math.max(params.recallNum, k), Seq("id")).select(col("qid"), col("id"))
+    val qdf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = cands
+      .join(rawDocs.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+      .join(broadcast(qdf), Seq("qid"))
+      .select(col("qid"), col("id"),
+        Knn.score(params.metric, col(vecCol), col("qvec")).as("score"))
+    TopK.perGroup(exact, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+  }
+
+  def save(path: String): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+}
+
+object IvfPqIndex {
+
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: IndexParams): IvfPqIndex = {
+    import spark.implicits._
+    val n = docs.count()
+    val ncent = Ivf.autoNcentroids(n, params.ncentroids)
+    val m = params.nsubvector
+    val ksub = math.min(1 << params.nbits, math.max(2, n.toInt))
+
+    val model = Ivf.trainCoarse(docs, vecCol, ncent, params.trainSampleRows, params.seed)
+    val assigned = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol)
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // residual = vec - coarse_centroid (faiss by_residual convention)
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "cvec")
+    val withRes = assigned
+      .join(broadcast(centersDf), Seq("centroid_id"))
+      .withColumn("residual",
+        zip_with(col(vecCol), col("cvec"), (a, b) => a.cast("double") - b))
+      .drop("cvec")
+
+    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by nsubvector $m")
+    val dsub = dim / m
+
+    // per-subspace codebooks + codes (reference PQ training,
+    // gamma_index_ivfpq.cc:272-330 via faiss ProductQuantizer)
+    var cur = withRes
+    val codebooks = new Array[Array[Array[Double]]](m)
+    for (j <- 0 until m) {
+      val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
+      val train = cur.select(array_to_vector(sliceCol).as("features"))
+        .limit(params.trainSampleRows)
+      val km = new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(15).setTol(1e-4)
+        .fit(train)
+      codebooks(j) = km.clusterCenters.map(_.toArray)
+      cur = km.setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
+        .transform(cur.withColumn(s"__f$j", array_to_vector(sliceCol)))
+        .drop(s"__f$j")
+    }
+    val codesDf = cur
+      .withColumn("pq_codes", array((0 until m).map(j => col(s"__c$j")): _*))
+      .select(col(idCol), col("centroid_id"), col("pq_codes"))
+      .localCheckpoint(true) // m chained KMeans transforms: cut the lineage
+
+    new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
+      idCol, vecCol, centers, codebooks, params)
+  }
+}

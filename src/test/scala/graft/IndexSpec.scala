@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.index.{IndexParams, IndexRegistry, IvfFlatIndex, IvfPqIndex}
+import graft.operators.Knn
+
+/** Recall tests in the spirit of the reference benchmark method: ANN
+  * results measured against exact (FLAT) ground truth
+  * (reference benchs/README.md:5).
+  */
+class IndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+  private lazy val queries: Seq[(Long, Array[Float])] =
+    emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+
+  private def groundTruth(k: Int): Map[Long, Set[Long]] = {
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", k, Metric.L2)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  private def recallAt(res: org.apache.spark.sql.DataFrame, truth: Map[Long, Set[Long]]): Double = {
+    val got = res.select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+    per.sum / per.size
+  }
+
+  test("IVFFLAT with full probes equals exact search") {
+    val idx = IndexRegistry.build("IVFFLAT", spark, emb, "vec_id", "embedding",
+      IndexParams(ncentroids = 8))
+    val res = idx.search(queries, k = 10, nprobe = Some(8))
+    assert(recallAt(res, groundTruth(10)) === 1.0)
+  }
+
+  test("IVFFLAT partial probes reach recall plateau (reference nprobe sweep)") {
+    val idx = IndexRegistry.build("IVFFLAT", spark, emb, "vec_id", "embedding",
+      IndexParams(ncentroids = 16))
+    val truth = groundTruth(10)
+    val r4 = recallAt(idx.search(queries, 10, Some(4)), truth)
+    val r8 = recallAt(idx.search(queries, 10, Some(8)), truth)
+    // synthetic embeddings are near-uniform (much harder for IVF than the
+    // clustered SIFT/VGG sets of BASELINE.md) — plateau shape is what we
+    // assert, not absolute SIFT-level recall
+    assert(r4 >= 0.6, s"recall@10 with nprobe=4 was $r4")
+    assert(r8 >= r4 - 1e-9)
+    assert(r8 >= 0.8, s"recall@10 with nprobe=8 was $r8")
+  }
+
+  test("IVFPQ with re-rank reaches recall target; ADC-only is weaker but sane") {
+    val p = IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100)
+    val idx = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding", p)
+    val truth = groundTruth(10)
+    val ranked = recallAt(idx.search(queries, 10, Some(8)), truth)
+    assert(ranked >= 0.95, s"IVFPQ(rerank) recall@10 was $ranked")
+    val adcOnly = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+      p.copy(hasRank = false)).search(queries, 10, Some(8))
+    val adcRecall = recallAt(adcOnly, truth)
+    assert(adcRecall >= 0.5, s"IVFPQ(adc) recall@10 was $adcRecall")
+  }
+
+  test("filter pushdown into index scan (allowedIds semi-join)") {
+    val allowed = emb.filter($"label".isin(1, 3, 5, 7)).select($"vec_id")
+    val idx = IndexRegistry.build("IVFFLAT", spark, emb, "vec_id", "embedding",
+      IndexParams(ncentroids = 8))
+    val res = idx.search(queries, 10, Some(8), allowedIds = Some(allowed))
+    val okIds = allowed.as[Long].collect().toSet
+    assert(res.select("id").as[Long].collect().forall(okIds))
+    // matches exact filtered search
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = Knn.flatSearch(emb.filter($"label".isin(1, 3, 5, 7)),
+      "vec_id", "embedding", q, "qid", "qvec", 10, Metric.L2)
+    assert(recallAt(res, exact.select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap) === 1.0)
+  }
+
+  test("save/load round-trip preserves results (IVFFLAT)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val idx = IvfFlatIndex.build(spark, emb, "vec_id", "embedding", IndexParams(ncentroids = 8))
+    idx.save(root)
+    val re = IvfFlatIndex.load(spark, root, "vec_id", "embedding", IndexParams(ncentroids = 8))
+    val a = idx.search(queries, 5, Some(4)).select("qid", "id").collect().toSet
+    val b = re.search(queries, 5, Some(4)).select("qid", "id").collect().toSet
+    assert(a === b)
+  }
+}
