@@ -334,6 +334,88 @@ object SparkEntry {
         .select(col("_id"), round(col("score"), 6).as("score"))
     }),
 
+    // ------------- training-data pipeline operators (dedup / text / media)
+
+    // E-dedup: exact content-hash groups.
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.dedup.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text", minGroup = 1)
+    }),
+
+    // MinHash+LSH near-dup: shingle -> minhash -> band -> bucket-join ->
+    // exact-Jaccard verify.
+    "q_dedup_minhash" -> ((s, dir) => {
+      graft.dedup.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+    }),
+
+    // SimHash near-dup: 60-bit signature, 4x15-bit block candidates,
+    // hamming verify.
+    "q_dedup_simhash" -> ((s, dir) => {
+      graft.dedup.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
+    // n-gram Jaccard brute-force pairs.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.4)
+    }),
+
+    // Embedding-cosine near-dup, exact baseline.
+    "q_embed_neardup" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      graft.dedup.Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    }),
+
+    // Embedding near-dup via random-hyperplane LSH buckets (approximate:
+    // rows-only check; recall vs brute force asserted in DedupSpec).
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      graft.dedup.Dedup.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+    }),
+
+    // Text stats: token counting (whitespace + BPE-ish), length stats.
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.text.TextOps.subwordCount(col("text")).as("n_subwords"),
+        round(graft.text.TextOps.avgTokenLen(col("text")), 6).as("avg_len"),
+        round(graft.text.TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))
+    }),
+
+    // Quality scoring.
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language-ID heuristic (marker-vocabulary argmax).
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.langPred(col("text")).as("lang_pred"),
+        graft.text.TextOps.langHits(col("text")).as("hits"))
+    }),
+
+    // Rolling-hash document fingerprint.
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata (decode
+    // itself is stubbed — see graft.media.MediaOps).
+    "q_media_meta" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("nbytes"),
+        md5(col("text")).as("sig"))
+    }),
+
     // A7 — windowed event aggregation (built-in coverage; also the batch
     // shape of the streaming pipeline R5).
     "q_events_window" -> ((s, dir) => {
@@ -492,11 +574,149 @@ object SparkEntry {
         |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
         |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $ShingleCte,
+         |hs AS (SELECT doc_id,
+         |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
+         |  FROM toks),
+         |sig AS (SELECT doc_id, list_transform(range(0,16),
+         |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+         |    v -> CAST(v AS VARCHAR)), '_') AS bkey
+         |  FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ver AS (SELECT a, b,
+         |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN toks ta ON ta.doc_id = a JOIN toks tb ON tb.doc_id = b)
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $ShingleCte,
+         |hs AS (SELECT doc_id,
+         |  list_transform(toks, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs FROM toks),
+         |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), j ->
+         |    CASE WHEN CAST(list_sum(list_transform(hs, h ->
+         |        CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sh FROM hs),
+         |blk AS (SELECT doc_id, sh, t.b AS blk, (sh >> CAST(t.b*15 AS INTEGER)) & 32767 AS bkey
+         |  FROM sh, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hdist
+         |  FROM blk x JOIN blk y
+         |  ON x.blk = y.blk AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT a, b, hdist FROM cand WHERE hdist <= 3""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+         |j AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS DOUBLE) AS jaccard
+         |  FROM toks x JOIN toks y ON x.doc_id < y.doc_id)
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT a, b, round(c, 6) AS cos FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS c
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+        |WHERE c >= 0.45""".stripMargin,
+
+    // q_embed_neardup_lsh intentionally has no oracle (approximate)
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> 1 + CAST(floor(CAST(len(t) AS DOUBLE) / 6.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> len(t))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_len,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> CASE WHEN list_contains(['the','a','and','of','to','in'], t)
+        |         THEN 1 ELSE 0 END)) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, round(
+        |  least(CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100 AS DOUBLE),
+        |        CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |  + (CAST(1 AS DOUBLE) -
+        |     CAST(list_sum(list_transform(string_split(text,' '),
+        |       t -> CASE WHEN list_contains(['the','a','and','of','to','in'], t)
+        |            THEN 1 ELSE 0 END)) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |  + least((CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE)) / CAST(8 AS DOUBLE),
+        |       CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE),
+        |  6) AS quality
+        |FROM documents""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['table','window','row','batch'])) AS s_de,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['the','a','fast','slow'])) AS s_en,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['scan','sort','merge','order'])) AS s_es,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['join','group','filter','query'])) AS s_fr,
+        |    len(list_intersect(list_distinct(string_split(text,' ')),
+        |        ['hash','key','vector','data'])) AS s_zh
+        |  FROM documents),
+        |enc AS (SELECT doc_id,
+        |  greatest(s_de*8+1, s_en*8+2, s_es*8+3, s_fr*8+4, s_zh*8+5) AS e,
+        |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS hits FROM sc)
+        |SELECT doc_id,
+        |  (['de','en','es','fr','zh'])[e % 8] AS lang_pred,
+        |  CAST(hits AS BIGINT) AS hits
+        |FROM enc""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+        |      t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647)),
+        |    (a, b) -> (a*31 + b) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
+        |       md5(text) AS sig
+        |FROM documents""".stripMargin,
+
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Shared shingle CTE (distinct word 3-grams) used by the dedup oracles —
+    * the DuckDB mirror of TextOps.shingles(text, 3).
+    */
+  private val ShingleCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))
+      |    ELSE [] END AS toks
+      |  FROM documents)""".stripMargin
 
   /** Shared KNN oracle template: 8 query vectors (vec_id < 8) against all
     * embeddings, per-query top-k with id tie-break, all math in double.

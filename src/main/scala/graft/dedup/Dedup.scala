@@ -1,0 +1,208 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design notes (the whole point of these ops is the 100 TB case):
+  *  - exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, not
+  *    on the document text;
+  *  - MinHash/SimHash candidate generation shuffles (id, band-key) pairs —
+  *    constant size per doc — and only candidate PAIRS (not all O(n^2)
+  *    combinations) are verified;
+  *  - every hash is md5-derived so the DuckDB oracle reproduces results
+  *    bit-for-bit; modular arithmetic stays under 2^63 (see TextOps.P).
+  */
+object Dedup {
+
+  import TextOps.P
+
+  // ------------------------------------------------------------- exact (E1)
+
+  /** Exact duplicate groups by content digest: keeper = min id per digest.
+    * Returns (digest, keeper, dups) for groups of size >= minGroup.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String, minGroup: Int = 2): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
+      .filter(col("dups") >= minGroup)
+
+  /** Exact-dedup projection: keep one row per distinct content. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol)).as("__digest")).agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature (H hashes) over distinct word n-gram shingles.
+    * h_i(x) = ((37i+101)(x mod P) + (91i+17)) mod P over 32-bit token
+    * hashes — a standard universal-hash family with literal coefficients so
+    * the oracle can mirror it.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+    val xs = transform(TextOps.shingles(text, shingleN), s => TextOps.tokenHash32(s) % P)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(xs, x => ((lit(37L) * i + 101L) * x + (lit(91L) * i + 17L)) % P)))
+  }
+
+  /** LSH banding: candidate pairs sharing at least one of `bands` bands of
+    * the signature (rows-per-band = numHashes/bands). Output
+    * (a, b) with a < b, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            array_join(transform(slice(col("sig"), b * r + 1, r),
+              x => x.cast("string")), "_").as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard
+    * verification at `threshold`. Returns (a, b, jaccard).
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleN).as("toks"))
+    cands
+      .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash over distinct word n-gram shingles: bit j is set when
+    * the sum over shingles of ±1 (by bit j of the 60-bit token hash) is
+    * positive.
+    */
+  def simhash(text: Column, shingleN: Int = 3, bits: Int = 60): Column = {
+    val hs = transform(TextOps.shingles(text, shingleN), s => TextOps.tokenHash60(s))
+    (0 until bits).map { j =>
+      val mask = lit(1L << j)
+      when(
+        aggregate(hs, lit(0L),
+          (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L)) > 0,
+        mask).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: candidates share one of 4 15-bit blocks
+    * (standard simhash blocking — a pair within hamming distance r<=3 of 60
+    * bits must agree on at least one of 4 blocks), verified by
+    * bit_count(xor) <= maxHamming. Returns (a, b, hdist).
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol), shingleN).as("sh"))
+    val blocked = sigs.select(col("id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), b * 15).bitwiseAND(32767L).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.blk"), col("bk.key"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hdist"))
+      .distinct()
+      .filter(col("hdist") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Brute n-gram Jaccard pairs with optional blocking column (e.g. lang):
+    * at scale pass a blocking key so the self-join is per-block.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      blockCol: Option[String] = None): DataFrame = {
+    val t = df.select(
+      (col(idCol).as("id") +: TextOps.shingles(col(textCol), shingleN).as("toks") +:
+        blockCol.map(col).toSeq): _*)
+    val cond = blockCol
+      .map(b => col(s"x.$b") === col(s"y.$b") && col("x.id") < col("y.id"))
+      .getOrElse(col("x.id") < col("y.id"))
+    t.as("x").join(t.as("y"), cond)
+      .withColumn("jaccard",
+        size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+          size(array_union(col("x.toks"), col("y.toks"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Brute-force cosine near-dup pairs (the exact baseline). O(n^2) — use
+    * [[cosineLshPairs]] at scale.
+    */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    t.as("x").join(t.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cos", graft.functions.cosine_sim(col("x.v"), col("y.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH variant with OR-amplification: `tables`
+    * independent hash tables, each bucketing by the sign pattern of
+    * `planes` deterministic pseudo-random hyperplanes (seeded,
+    * reproducible). A pair at angle θ collides in one table with
+    * prob (1-θ/π)^planes; missing all tables has prob
+    * (1-(1-θ/π)^planes)^tables, so recall is tuned by (planes, tables).
+    * Only within-bucket pairs are verified — the O(n^2) self-join becomes
+    * per-bucket joins.
+    */
+  def cosineLshPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, tables: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val buckets = (0 until tables).map { tbl =>
+      val planeVecs = Array.fill(planes, dim)(rng.nextGaussian().toFloat)
+      val sig = planeVecs.zipWithIndex.map { case (p, i) =>
+        when(graft.functions.inner_product(col(vecCol), array(p.map(lit(_)): _*)) >= 0,
+          shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(tbl).as("tbl"), sig.as("sig"))
+    }
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(buckets: _*)).as("bucket"))
+    t.as("x").join(t.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .withColumn("cos", graft.functions.cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+}

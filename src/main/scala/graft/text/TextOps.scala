@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure Column expressions (codegen'd,
+  * no UDFs) and every formula is mirrored 1:1 by a DuckDB oracle in
+  * SparkEntry — hence the explicit double casts and the md5-based token
+  * hash (md5 is the one hash both engines compute identically).
+  */
+object TextOps {
+
+  /** Modulus for all token-hash arithmetic: 2^31-1 (Mersenne prime).
+    * Keeps every product below 2^63 so Spark and DuckDB (which errors on
+    * int64 overflow) agree.
+    */
+  val P: Long = 2147483647L
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 32-bit token hash both engines can compute: first 8 hex chars of md5.
+    * DuckDB mirror: ('0x' || substr(md5(t),1,8))::BIGINT
+    */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit token hash (15 hex chars) for simhash bit sampling. */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles ("w1 w2 w3"). Empty when the doc has
+    * fewer than n words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count proxy: words + extra tokens for long words
+    * (every 6 chars beyond the first 6 adds one), the usual ~chars/4 shape
+    * without a vocab. Deterministic and oracle-mirrorable.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + floor(length(t).cast("double") / 6.0).cast("long"))
+
+  /** Mean token length in chars (0.0 for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stop = array(Stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(array_contains(stop, t), 1L).otherwise(0L))
+        .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length target + non-stopword mass +
+    * word-length target. The components mirror common pretraining-data
+    * heuristics (length/punct/stopword ratios).
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - stopwordRatio(text)) * 0.3 +
+        least(avgTokenLen(text) / 8.0, lit(1.0)) * 0.3,
+      6)
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * (The synthetic corpus is English-ish for every `lang` label; the
+    * operator demonstrates the mechanism — per-language marker hit counts
+    * with deterministic argmax.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "window", "row", "batch"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("scan", "sort", "merge", "order"),
+    "fr" -> Seq("join", "group", "filter", "query"),
+    "zh" -> Seq("hash", "key", "vector", "data"))
+
+  /** Per-language marker hit counts (distinct-token intersection sizes). */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toksD = array_distinct(tokens(text))
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toksD, array(markers.map(lit): _*)))
+    }
+  }
+
+  /** Argmax language as an integer encoding `hits*8 + (rank+1)` (ranks are
+    * alphabetical) — max hits, ties broken by the later language. A plain
+    * `greatest` over small ints, so DuckDB mirrors it exactly.
+    */
+  def langIdEncoded(text: Column): Column =
+    greatest(langScores(text).zipWithIndex.map { case ((_, s), i) =>
+      s * 8 + (i + 1)
+    }: _*)
+
+  /** Predicted language label from the encoding. */
+  def langPred(text: Column): Column =
+    element_at(
+      array(LangMarkers.map { case (l, _) => lit(l) }: _*),
+      pmod(langIdEncoded(text), lit(8)))
+
+  /** Winning hit count. */
+  def langHits(text: Column): Column =
+    greatest(langScores(text).map(_._2): _*).cast("long")
+
+  /** Polynomial rolling-hash fingerprint over the token-hash stream:
+    * fold(0, (acc, h) -> (acc*31 + h) % P). Order-sensitive, so
+    * permutations fingerprint differently (unlike a bag-of-words hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => tokenHash32(t) % P),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % P)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.media.MediaOps
+import graft.text.TextOps
+
+class DedupTextSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+
+  test("minhash LSH candidates contain every true high-jaccard pair") {
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // at j >= 0.5 with 4 bands of 4 rows the detection probability is ~1;
+    // the planted near-dups have j >= 0.5
+    assert(brute.nonEmpty)
+    assert(brute.subsetOf(lsh) || (brute -- lsh).size <= brute.size / 10,
+      s"LSH missed ${(brute -- lsh).size} of ${brute.size} true pairs")
+    // verification step means no false positives above threshold
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("identical texts collapse: simhash distance 0, fingerprint equal, exact group") {
+    val dup = docs.limit(3).select($"doc_id" + 100000, $"text")
+      .toDF("doc_id", "text")
+    val both = docs.select($"doc_id", $"text").unionByName(dup)
+    val groups = Dedup.exactGroups(both, "doc_id", "text")
+    assert(groups.count() === 3)
+    val sh = Dedup.simhashPairs(both, "doc_id", "text", maxHamming = 0)
+    val zero = sh.filter($"b" === $"a" + 100000).count()
+    assert(zero === 3)
+    val fps = both.select(TextOps.fingerprint($"text").as("fp"), $"doc_id")
+    val fpDup = fps.groupBy("fp").count().filter($"count" >= 2).count()
+    assert(fpDup >= 3)
+  }
+
+  test("cosine LSH pairs trade recall for candidate reduction") {
+    val brute = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosineLshPairs(emb, "vec_id", "embedding", 0.45)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // verify step: no false positives
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.3,
+      s"LSH recall ${lsh.size}/${brute.size}")
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) !== fps(1))
+  }
+
+  test("media plumbing: payload, features, frame sampling keep schema + determinism") {
+    val m = MediaOps.withPayload(docs.limit(50), "text", kind = "video")
+    assert(m.schema("bytes").dataType === org.apache.spark.sql.types.BinaryType)
+    val f1 = MediaOps.extractFeaturesStub(m).select("doc_id", "features")
+    val f2 = MediaOps.extractFeaturesStub(m.repartition(7)).select("doc_id", "features")
+    // deterministic regardless of partitioning
+    assert(f1.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet ===
+      f2.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet)
+    val frames = MediaOps.frameSampleStub(m, 4)
+    assert(frames.count() === 200)
+    assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) === 4)
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = docs.select(TextOps.qualityScore($"text").as("q")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
