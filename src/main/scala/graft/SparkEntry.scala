@@ -334,6 +334,25 @@ object SparkEntry {
         .select(col("_id"), round(col("score"), 6).as("score"))
     }),
 
+    // R1/R2/R5 streaming shape — replay events as 5 sequential microbatch
+    // upserts (last write wins per key); final state must equal the
+    // latest-event-per-user oracle.
+    "q_stream_upsert" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("string").as("_id"),
+        col("event_id"), col("event_type"), col("value"))
+      val n = ev.agg(max("event_id")).head().getLong(0) + 1
+      val step = (n + 4) / 5
+      def batch(i: Int) = ev
+        .filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+        .withColumn("_seq", col("event_id"))
+      val tbl = graft.table.GammaTable.create(s, root, "se", "_id",
+        Crud.dedupLastWins(batch(0), "_id", Some("_seq")).drop("_seq"), nBuckets = 8)
+      (1 until 5).foreach(i => tbl.addOrUpdate(batch(i), Some("_seq")))
+      tbl.docs.select(col("_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
     // ------------- training-data pipeline operators (dedup / text / media)
 
     // E-dedup: exact content-hash groups.
@@ -573,6 +592,13 @@ object SparkEntry {
         |r AS (SELECT _id, dist,
         |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
         |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_stream_upsert" ->
+      """SELECT CAST(user_id AS VARCHAR) AS _id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS dups

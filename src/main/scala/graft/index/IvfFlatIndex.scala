@@ -74,6 +74,34 @@ object Ivf {
       .transform(docs.withColumn("__features", array_to_vector(col(vecCol))))
       .drop("__features")
 
+  /** Nearest-centroid assignment against FIXED driver-side centroids (no
+    * model object) — used by incremental index appends, where the reference
+    * likewise feeds new vectors to the already-trained quantizer without
+    * retraining (gamma_engine.cc:996-1043).
+    */
+  def assignWithCenters(
+      df: DataFrame, vecCol: String, centers: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema.add("centroid_id", org.apache.spark.sql.types.IntegerType)
+    val bc = df.sparkSession.sparkContext.broadcast(centers)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    df.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { r =>
+        val v = r.getSeq[Float](vecIdx)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cv = cs(c); var s = 0.0; var i = 0
+          val n = math.min(cv.length, v.length)
+          while (i < n) { val t = cv(i) - v(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        Row.fromSeq(r.toSeq :+ best)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Driver-side probe selection: top-nprobe centroids by L2 for each
     * query (the reference's coarse quantizer search,
     * gamma_index_ivfpq.cc:547-561).

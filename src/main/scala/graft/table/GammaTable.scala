@@ -108,13 +108,18 @@ class GammaTable private (
     */
   def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
     val key = meta0.keyField
+    val v = meta0.version + 1
     val d0 = Crud.dedupLastWins(delta, key, orderCol)
     val d = orderCol.foldLeft(d0)(_.drop(_))
       .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
     val affected = d.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
 
+    // rows written/updated in this commit are stamped _version = v so
+    // incremental index maintenance can find the changed tail cheaply
     val (merged, newCount) = readBuckets(affected) match {
-      case None => (withDenseDocids(d, meta0.maxDocid).withColumn(DeletedCol, lit(false)), -1L)
+      case None =>
+        (withDenseDocids(d, meta0.maxDocid)
+          .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)), -1L)
       case Some(existing) =>
         val oldIds = existing.select(col(key), col(DocidCol))
         val joined = d.join(oldIds, Seq(key), "left")
@@ -123,16 +128,25 @@ class GammaTable private (
         val freshIds = withDenseDocids(fresh, meta0.maxDocid)
         val m = existing
           .join(d.select(key), Seq(key), "left_anti")
-          .unionByName(kept.withColumn(DeletedCol, lit(false)), allowMissingColumns = true)
-          .unionByName(freshIds.withColumn(DeletedCol, lit(false)), allowMissingColumns = true)
+          .unionByName(
+            kept.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
+            allowMissingColumns = true)
+          .unionByName(
+            freshIds.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
+            allowMissingColumns = true)
         (m, freshIds.count())
     }
     val n = if (newCount < 0) merged.count() else newCount
-    val v = meta0.version + 1
     // localCheckpoint: cut lineage so the merge isn't recomputed per bucket
     val mat = merged.localCheckpoint(true)
     writeVersion(mat, affected, v)
     commit(affected, v, n)
+  }
+
+  /** Index status FSM (R9, reference gamma_engine.h:28). */
+  def setIndexStatus(s: String): Unit = {
+    meta0 = meta0.copy(indexStatus = s)
+    writeMeta()
   }
 
   /** Logical delete by key set (R3, reference gamma_engine.cc:802-824). */
@@ -266,6 +280,7 @@ object GammaTable {
   val DocidCol = "_docid"
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
+  val VersionCol = "_version"
 
   /** Extra exact candidates per vector field before multi-field
     * intersection (the reference over-fetches via `recall_num`,

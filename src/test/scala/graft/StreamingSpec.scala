@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Metric
+import graft.index.IndexParams
+import graft.operators.Knn
+import graft.streaming.{IncrementalIndexer, StreamingIngest}
+import graft.table.GammaTable
+
+case class StreamDoc(_id: String, vec: Seq[Float], tag: Int)
+
+/** R5-R9: incremental indexing + streaming ingest. Ground truth for every
+  * search is exact FLAT over the CURRENT table state (the reference's own
+  * correctness contract: index + raw tail must equal brute force).
+  */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_stream").toString
+
+  private lazy val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+
+  private def docsSlice(lo: Int, hi: Int) =
+    emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"))
+
+  private def queries: Seq[(Long, Array[Float])] =
+    emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+
+  private def flatTruth(t: GammaTable, k: Int) = {
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    Knn.flatSearch(t.docs, "_id", "vec", q, "qid", "qvec", k, Metric.L2)
+      .select($"qid", $"id").as[(Long, String)].collect().toSet
+  }
+
+  test("batch-driven incremental indexing: FSM, append, update, delete, tail merge") {
+    val t = GammaTable.create(spark, tmp(), "s", "_id", docsSlice(0, 300), nBuckets = 4)
+    val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 8), indexingSize = 0)
+    assert(ix.status === "UNINDEXED")
+    // brute-force path while unindexed (V9)
+    assert(ix.search(queries, 5).count() === 25)
+
+    ix.refresh()
+    assert(ix.status === "INDEXED")
+    // full probes -> index search must equal exact search
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    // append new docs WITHOUT refresh: tail union keeps results exact
+    t.addOrUpdate(docsSlice(300, 400))
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    // refresh absorbs the tail into the index (R5) — still exact
+    ix.refresh()
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    // update vectors of 20 docs (stale index entries must not leak — R6/T11)
+    val upd = docsSlice(0, 20).withColumn("vec", reverse($"vec"))
+    t.addOrUpdate(upd)
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    // delete some docs; tombstones must be excluded pre-refresh
+    t.delete(Seq("3", "4", "5").toDF("_id"))
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    ix.refresh()
+    assert(ix.search(queries, 5, Some(8)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+  }
+
+  test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
+    val t = GammaTable.create(spark, tmp(), "s2", "_id", docsSlice(0, 100), nBuckets = 4)
+    val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 4), indexingSize = 0)
+    ix.refresh()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val q = StreamingIngest.start(
+      stream.toDF().drop("tag"), t, indexer = Some(ix),
+      trigger = Trigger.ProcessingTime("100 milliseconds"), checkpointDir = Some(tmp()))
+
+    val batch1 = emb.filter($"vec_id" >= 100 && $"vec_id" < 150)
+      .select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"), lit(1).as("tag"))
+      .as[StreamDoc].collect().toSeq
+    stream.addData(batch1)
+    q.processAllAvailable()
+    assert(t.docs.count() === 150)
+
+    // second microbatch updates 10 existing keys (last write wins)
+    val batch2 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".cast("string").as("_id"), reverse($"embedding").as("vec"), lit(2).as("tag"))
+      .as[StreamDoc].collect().toSeq
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(t.docs.count() === 150)
+    assert(ix.status === "INDEXED")
+    // post-stream search equals exact search over final state
+    assert(ix.search(queries, 5, Some(4)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+  }
+}
