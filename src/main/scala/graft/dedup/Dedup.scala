@@ -39,15 +39,26 @@ object Dedup {
 
   // -------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signature (H hashes) over distinct word n-gram shingles.
+  /** MinHash signatures (H hashes) over distinct word n-gram shingles:
     * h_i(x) = ((37i+101)(x mod P) + (91i+17)) mod P over 32-bit token
     * hashes — a standard universal-hash family with literal coefficients so
-    * the oracle can mirror it.
+    * the oracle can mirror it. Computed by the [[ShingleHash]] partition
+    * kernel (the equivalent 16-way expression tree stalls janino).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val xs = transform(TextOps.shingles(text, shingleN), s => TextOps.tokenHash32(s) % P)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(xs, x => ((lit(37L) * i + 101L) * x + (lit(91L) * i + 17L)) % P)))
+  private def withMinhashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val schema = StructType(Seq(
+      in.schema("id"),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(0), ShingleHash.minhashSignature(r.getString(1), numHashes, shingleN).toSeq)
+      }
+    }(Encoders.row(schema))
   }
 
   /** LSH banding: candidate pairs sharing at least one of `bands` bands of
@@ -58,8 +69,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val sig = withMinhashSignature(df, idCol, textCol, numHashes, shingleN)
     val banded = sig.select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -98,17 +108,17 @@ object Dedup {
 
   /** 60-bit SimHash over distinct word n-gram shingles: bit j is set when
     * the sum over shingles of ±1 (by bit j of the 60-bit token hash) is
-    * positive.
+    * positive. Computed by the [[ShingleHash]] partition kernel.
     */
-  def simhash(text: Column, shingleN: Int = 3, bits: Int = 60): Column = {
-    val hs = transform(TextOps.shingles(text, shingleN), s => TextOps.tokenHash60(s))
-    (0 until bits).map { j =>
-      val mask = lit(1L << j)
-      when(
-        aggregate(hs, lit(0L),
-          (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L)) > 0,
-        mask).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def withSimhash(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val schema = StructType(Seq(in.schema("id"), StructField("sh", LongType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map(r => Row(r.get(0), ShingleHash.simhash(r.getString(1), shingleN)))
+    }(Encoders.row(schema))
   }
 
   /** SimHash near-dup pairs: candidates share one of 4 15-bit blocks
@@ -119,7 +129,7 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol), shingleN).as("sh"))
+    val sigs = withSimhash(df, idCol, textCol, shingleN)
     val blocked = sigs.select(col("id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),

@@ -60,11 +60,14 @@ object Ivf {
   def trainCoarse(
       docs: DataFrame, vecCol: String, ncentroids: Int,
       sampleRows: Int, seed: Long): KMeansModel = {
+    // bounded sample in few partitions: k-means iterations are scheduler-
+    // bound when a small sample is spread over many partitions
     val train = docs.select(array_to_vector(col(vecCol)).as("features"))
-      .limit(sampleRows)
-    new KMeans()
+      .limit(sampleRows).coalesce(8).cache()
+    try new KMeans()
       .setK(ncentroids).setSeed(seed).setMaxIter(20).setTol(1e-4)
       .fit(train)
+    finally train.unpersist()
   }
 
   /** Assign every doc to its nearest centroid. */

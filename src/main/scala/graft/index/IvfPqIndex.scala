@@ -146,14 +146,16 @@ object IvfPqIndex {
 
     // per-subspace codebooks + codes (reference PQ training,
     // gamma_index_ivfpq.cc:272-330 via faiss ProductQuantizer)
-    var cur = withRes
+    var cur = withRes.localCheckpoint(true) // residuals reused by m trainings
     val codebooks = new Array[Array[Array[Double]]](m)
     for (j <- 0 until m) {
       val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
       val train = cur.select(array_to_vector(sliceCol).as("features"))
-        .limit(params.trainSampleRows)
-      val km = new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(15).setTol(1e-4)
-        .fit(train)
+        .limit(params.trainSampleRows).coalesce(8).cache()
+      val km = try {
+        new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(15).setTol(1e-4)
+          .fit(train)
+      } finally train.unpersist()
       codebooks(j) = km.clusterCenters.map(_.toArray)
       cur = km.setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
         .transform(cur.withColumn(s"__f$j", array_to_vector(sliceCol)))

@@ -16,11 +16,19 @@ import graft.core.{RangeFilter, TermFilter, TermMode}
   */
 object Filters {
 
-  /** Range filter with inclusive/exclusive bounds (P2). */
+  /** Range filter with inclusive/exclusive bounds (P2).
+    *
+    * Integral bounds become long literals: comparing an integer column to a
+    * DOUBLE literal makes Catalyst cast the COLUMN side, which blocks
+    * parquet predicate pushdown — at 100 TB that is a full scan instead of
+    * a stats-pruned one.
+    */
   def range(f: RangeFilter): Column = {
     val c = col(f.field)
-    val lo = f.lower.map(v => if (f.includeLower) c >= v else c > v)
-    val hi = f.upper.map(v => if (f.includeUpper) c <= v else c < v)
+    def bound(v: Double): Column =
+      if (v == math.floor(v) && !v.isInfinite) lit(v.toLong) else lit(v)
+    val lo = f.lower.map(v => if (f.includeLower) c >= bound(v) else c > bound(v))
+    val hi = f.upper.map(v => if (f.includeUpper) c <= bound(v) else c < bound(v))
     (lo, hi) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None)    => a

@@ -84,18 +84,36 @@ class GammaTable private (
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
-  /** Write per-bucket data as version `v`, return buckets written. */
-  private def writeVersion(df: DataFrame, buckets: Seq[Long], v: Long): Unit =
-    buckets.foreach { b =>
-      df.filter(col(BucketCol) === b)
-        .write.mode(SaveMode.Overwrite).parquet(bucketPath(b, v))
+  /** Write per-bucket data as version `v` in ONE Spark job: partitionBy
+    * into a staging dir, then filesystem-rename each bucket partition into
+    * its version path. Returns the buckets that actually contain rows
+    * (a fully-emptied bucket drops out of the manifest).
+    */
+  private def writeVersion(df: DataFrame, buckets: Seq[Long], v: Long): Seq[Long] = {
+    val staging = new org.apache.hadoop.fs.Path(s"$root/data/.staging_v$v")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.withColumn("_bp", col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
+    val written = buckets.filter { b =>
+      val part = new org.apache.hadoop.fs.Path(staging, s"_bp=$b")
+      if (fs.exists(part)) {
+        val dest = new org.apache.hadoop.fs.Path(bucketPath(b, v))
+        fs.mkdirs(dest.getParent)
+        fs.rename(part, dest)
+      } else false
     }
+    fs.delete(staging, true)
+    written
+  }
 
-  private def commit(buckets: Seq[Long], v: Long, newDocs: Long = 0): Unit = {
+  private def commit(
+      buckets: Seq[Long], written: Seq[Long], v: Long, newDocs: Long = 0): Unit = {
+    val emptied = (buckets.toSet -- written.toSet).map(_.toString)
     meta0 = meta0.copy(
       maxDocid = meta0.maxDocid + newDocs,
       version = v,
-      bucketVersions = meta0.bucketVersions ++ buckets.map(_.toString -> v))
+      bucketVersions =
+        meta0.bucketVersions -- emptied ++ written.map(_.toString -> v))
     writeMeta()
   }
 
@@ -134,13 +152,16 @@ class GammaTable private (
           .unionByName(
             freshIds.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
             allowMissingColumns = true)
-        (m, freshIds.count())
+        (m, -2L)
     }
-    val n = if (newCount < 0) merged.count() else newCount
-    // localCheckpoint: cut lineage so the merge isn't recomputed per bucket
+    // localCheckpoint: cut lineage so the merge isn't recomputed downstream
     val mat = merged.localCheckpoint(true)
-    writeVersion(mat, affected, v)
-    commit(affected, v, n)
+    // count new docids off the materialized data — no extra pre-write job
+    val n =
+      if (newCount == -1L) mat.count()
+      else mat.filter(col(VersionCol) === v && col(DocidCol) >= meta0.maxDocid).count()
+    val written = writeVersion(mat, affected, v)
+    commit(affected, written, v, n)
   }
 
   /** Index status FSM (R9, reference gamma_engine.h:28). */
@@ -161,8 +182,8 @@ class GammaTable private (
         .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
         .drop("__del")
       val v = meta0.version + 1
-      writeVersion(marked.localCheckpoint(true), affected, v)
-      commit(affected, v)
+      val written = writeVersion(marked.localCheckpoint(true), affected, v)
+      commit(affected, written, v)
     }
   }
 
@@ -197,8 +218,8 @@ class GammaTable private (
   def compact(): Unit = {
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
     val v = meta0.version + 1
-    writeVersion(docs.localCheckpoint(true), buckets, v)
-    commit(buckets, v)
+    val written = writeVersion(docs.localCheckpoint(true), buckets, v)
+    commit(buckets, written, v)
   }
 
   // ---------------------------------------------------------------- search
@@ -333,8 +354,8 @@ object GammaTable {
     val data = spark.read.parquet(s"$dumpDir/data")
     val t = new GammaTable(spark, newRoot, meta.copy(bucketVersions = Map.empty, version = 0L))
     val buckets = meta.bucketVersions.keys.map(_.toLong).toSeq
-    t.writeVersion(data, buckets, 1L)
-    t.commit(buckets, 1L)
+    val written = t.writeVersion(data, buckets, 1L)
+    t.commit(buckets, written, 1L)
     t
   }
 
