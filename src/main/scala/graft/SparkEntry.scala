@@ -202,6 +202,21 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // F3/V6 — Hamming-distance KNN over packed binary codes (the BINARYIVF
+    // metric); codes derived deterministically as md5(text) bytes.
+    "q_knn_hamming" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("code"))
+      val q = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("code").as("qcode"))
+      val scored = docs.crossJoin(broadcast(q)).select(
+        col("qid"), col("doc_id").as("id"),
+        graft.functions.hamming(col("code"), col("qcode")).as("hdist"))
+      graft.operators.TopK.perGroup(scored, "qid", "hdist",
+        ascending = true, k = 10, tieBreak = Seq("id"))
+    }),
+
     // O6 — l2_sqrt response transform.
     "q_knn_l2sqrt" -> ((s, dir) => {
       GraftSession.prepare(s)
@@ -523,6 +538,19 @@ object SparkEntry {
     "q_knn_cosine" -> knnOracle(metric = "cos", k = 10, asc = false),
     "q_knn_filtered" -> knnOracle(metric = "l2", k = 10, asc = true,
       docFilter = "WHERE label IN (1, 3, 5, 7)"),
+    "q_knn_hamming" ->
+      """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |q AS (SELECT doc_id AS qid, h AS qh FROM c WHERE doc_id < 3),
+        |s AS (SELECT qid, c.doc_id AS id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> bit_count(xor(('0x' || substr(c.h, i, 1))::BIGINT,
+        |                       ('0x' || substr(q.qh, i, 1))::BIGINT)))) AS INTEGER) AS hdist
+        |  FROM c, q),
+        |r AS (SELECT qid, id, hdist,
+        |             row_number() OVER (PARTITION BY qid ORDER BY hdist, id) AS rn
+        |      FROM s)
+        |SELECT qid, id, hdist FROM r WHERE rn <= 10""".stripMargin,
+
     "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
     // q_ivfpq_ann intentionally has no oracle (approximate; rows-only check)

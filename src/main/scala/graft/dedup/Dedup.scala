@@ -84,6 +84,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingle sets via the partition kernel. Materializing these BEFORE any
+    * self-join matters: as a Column expression, Catalyst may collapse the
+    * shingle projection into the join output and recompute md5-shingling
+    * per PAIR instead of per doc — O(n^2) hash work.
+    */
+  private def withShingles(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // repartition: a small parquet file arrives as ONE partition, which
+    // would serialize the downstream pair join into a single task
+    val in = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val schema = StructType(Seq(
+      in.schema("id"), StructField("toks", ArrayType(StringType, containsNull = false))))
+    in.mapPartitions { rows =>
+      rows.map(r => Row(r.get(0), ShingleHash.shingles(r.getString(1), shingleN).toSeq))
+    }(Encoders.row(schema))
+  }
+
+  /** Pairwise Jaccard over joined sorted-shingle rows, as a partition
+    * kernel: `array_intersect`/`array_union` fall out of codegen here and
+    * build a hash set PER PAIR (milliseconds each); the sorted linear merge
+    * is ~100 comparisons.
+    */
+  private def pairJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = pairs.select(col("a"), col("b"), col("ta"), col("tb"))
+    val schema = StructType(Seq(
+      in.schema("a"), in.schema("b"), StructField("jaccard", DoubleType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val j = ShingleHash.jaccardSorted(r.getSeq[String](2), r.getSeq[String](3))
+        // BigDecimal HALF_UP == Spark round() == DuckDB round() for x >= 0
+        if (j >= threshold) Some(Row(r.get(0), r.get(1),
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard
     * verification at `threshold`. Returns (a, b, jaccard).
     */
@@ -92,16 +134,11 @@ object Dedup {
       threshold: Double, numHashes: Int = 16, bands: Int = 4,
       shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val toks = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleN).as("toks"))
-    cands
+    val toks = withShingles(df, idCol, textCol, shingleN)
+    val pairs = cands
       .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
       .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    pairJaccard(pairs, threshold)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -154,18 +191,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       blockCol: Option[String] = None): DataFrame = {
-    val t = df.select(
-      (col(idCol).as("id") +: TextOps.shingles(col(textCol), shingleN).as("toks") +:
-        blockCol.map(col).toSeq): _*)
+    val shingled = withShingles(df, idCol, textCol, shingleN)
+    val t = blockCol match {
+      case Some(b) => shingled.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
+      case None    => shingled
+    }
     val cond = blockCol
       .map(b => col(s"x.$b") === col(s"y.$b") && col("x.id") < col("y.id"))
       .getOrElse(col("x.id") < col("y.id"))
-    t.as("x").join(t.as("y"), cond)
-      .withColumn("jaccard",
-        size(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
-          size(array_union(col("x.toks"), col("y.toks"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("jaccard"), 6).as("jaccard"))
+    val pairs = t.as("x").join(t.as("y"), cond)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.toks").as("ta"), col("y.toks").as("tb"))
+    pairJaccard(pairs, threshold)
   }
 
   // ------------------------------------------- embedding cosine near-dup

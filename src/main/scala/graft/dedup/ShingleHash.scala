@@ -39,7 +39,10 @@ object ShingleHash {
   /** = ('0x' || substr(md5(t),1,15))::BIGINT */
   def tokenHash60(t: String): Long = md5HexPrefix(t, 15)
 
-  /** Distinct word n-gram shingles — same set as TextOps.shingles. */
+  /** Distinct word n-gram shingles — same SET as TextOps.shingles, sorted
+    * so pairwise Jaccard can run as a linear merge instead of per-pair
+    * hash-set builds.
+    */
   def shingles(text: String, n: Int): Array[String] = {
     val toks = text.split(" ", -1)
     if (toks.length < n) Array.empty
@@ -50,8 +53,23 @@ object ShingleHash {
         out += toks.slice(i, i + n).mkString(" ")
         i += 1
       }
-      out.toArray
+      val arr = out.toArray
+      java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+      arr
     }
+  }
+
+  /** Jaccard of two SORTED distinct arrays via linear merge. */
+  def jaccardSorted(a: Seq[String], b: Seq[String]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /** MinHash signature, identical to the Column/DuckDB formula. */

@@ -36,7 +36,10 @@ class IvfPqIndex(
   override def retrievalType: String = "IVFPQ"
 
   private val m = codebooks.length
-  private val ksub = codebooks.headOption.map(_.length).getOrElse(0)
+  // k-means may return fewer than 2^nbits distinct centers per subspace;
+  // the LUT layout pads every subspace to the max so pq_adc's uniform
+  // lut.length/m stride stays valid (padded slots are never referenced)
+  private val ksub = codebooks.map(_.length).max
 
   /** Query LUT for one probed centroid: flattened m x ksub squared
     * sub-distances of the query residual to every codebook entry
@@ -49,7 +52,8 @@ class IvfPqIndex(
     while (j < m) {
       val base = j * dsub
       var c = 0
-      while (c < ksub) {
+      val kj = codebooks(j).length
+      while (c < kj) {
         val cb = codebooks(j)(c)
         var s = 0.0; var i = 0
         while (i < dsub) {
@@ -152,8 +156,11 @@ object IvfPqIndex {
       val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
       val train = cur.select(array_to_vector(sliceCol).as("features"))
         .limit(params.trainSampleRows).coalesce(8).cache()
+      // random init: k-means|| costs several extra passes per subspace and
+      // sub-codebook quality is recovered by the exact re-rank stage anyway
       val km = try {
-        new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(15).setTol(1e-4)
+        new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(10).setTol(1e-4)
+          .setInitMode("random")
           .fit(train)
       } finally train.unpersist()
       codebooks(j) = km.clusterCenters.map(_.toArray)

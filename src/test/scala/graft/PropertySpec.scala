@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{RangeFilter, TermFilter, TermMode}
+import graft.operators.Filters
+import graft.table.Crud
+
+/** Property tests from SURVEY.md §5 (seeded-random trials): filter algebra
+  * (NOT-IN complement, AND/OR conjunction semantics of the reference's
+  * MultiRangeQueryResults::Has, range_query_result.h:169-179), upsert
+  * idempotence, docid-merge == inner join.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val vocab = Seq("a", "b", "c", "d", "e")
+
+  private def trials(n: Int)(body: scala.util.Random => Unit): Unit =
+    (1 to n).foreach(i => body(new scala.util.Random(42L + i)))
+
+  private def rowsOf(rng: scala.util.Random) =
+    (0 until 40).map(i => (i, rng.nextInt(101), Seq.fill(3)(vocab(rng.nextInt(5)))))
+      .toDF("id", "x", "tags")
+
+  test("property: NOT-IN is the exact complement of union term filter") {
+    trials(8) { rng =>
+      val df = rowsOf(rng)
+      val vals = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(5))).distinct
+      val in = df.filter(Filters.term(TermFilter("tags", vals), df))
+        .select("id").as[Int].collect().toSet
+      val out = df.filter(Filters.term(TermFilter("tags", vals, TermMode.NotIn), df))
+        .select("id").as[Int].collect().toSet
+      assert((in & out).isEmpty)
+      assert(in.size + out.size === 40)
+    }
+  }
+
+  test("property: All-mode term filter == intersection of single-value filters") {
+    trials(6) { rng =>
+      val df = rowsOf(rng)
+      val vals = Seq.fill(2)(vocab(rng.nextInt(3))).distinct
+      val all = df.filter(Filters.term(TermFilter("tags", vals, TermMode.All), df))
+        .select("id").as[Int].collect().toSet
+      val byIntersection = vals
+        .map(v => df.filter(Filters.term(TermFilter("tags", Seq(v)), df))
+          .select("id").as[Int].collect().toSet)
+        .reduce(_ & _)
+      assert(all === byIntersection)
+    }
+  }
+
+  test("property: range filter conjunction == Has() AND semantics") {
+    trials(6) { rng =>
+      val df = rowsOf(rng)
+      val lo = rng.nextInt(51); val hi = 50 + rng.nextInt(51)
+      val conj = df.filter(Filters.predicate(df, Nil,
+          Seq(RangeFilter("x", Some(lo), None), RangeFilter("x", None, Some(hi)))))
+        .select("id").as[Int].collect().toSet
+      val single = df.filter(Filters.range(RangeFilter("x", Some(lo), Some(hi))))
+        .select("id").as[Int].collect().toSet
+      assert(conj === single)
+    }
+  }
+
+  test("property: upsert is idempotent and last-write-wins") {
+    trials(5) { rng =>
+      val kvs = (0 until 20).map(_ => (rng.nextInt(9), rng.nextInt(1000)))
+      val base = Seq((0, -1), (1, -1)).toDF("k", "v")
+      val delta = kvs.zipWithIndex.map { case ((k, v), seq) => (k, v, seq.toLong) }
+        .toDF("k", "v", "seq")
+      val once = Crud.upsert(base, delta, "k", Some("seq"))
+      val twice = Crud.upsert(once, delta, "k", Some("seq"))
+      val a = once.as[(Int, Int)].collect().toSet
+      val b = twice.as[(Int, Int)].collect().toSet
+      assert(a === b)
+      val expect = kvs.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+      expect.foreach { case (k, v) => assert(a.contains((k, v))) }
+    }
+  }
+
+  test("property: multi-list docid merge == inner join on id (J1)") {
+    trials(6) { rng =>
+      val as = Seq.fill(30)(rng.nextInt(16))
+      val bs = Seq.fill(30)(rng.nextInt(16))
+      val la = as.distinct.map(i => (i.toLong, i * 1.5)).toDF("id", "score_a")
+      val lb = bs.distinct.map(i => (i.toLong, i * 0.5)).toDF("id", "score_b")
+      val merged = la.join(lb, Seq("id"))
+        .withColumn("score", col("score_a") + col("score_b"))
+        .select("id").as[Long].collect().toSet
+      assert(merged === (as.toSet & bs.toSet).map(_.toLong))
+    }
+  }
+}
