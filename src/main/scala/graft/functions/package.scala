@@ -35,6 +35,12 @@ package object functions {
     */
   def pq_adc(codes: Column, lut: Column): Column = col(PqAdcDistance(expr(codes), expr(lut)))
 
+  /** Bounded top-k heap aggregate over struct rows ordered by the struct's
+    * leading fields; returns the k smallest as a sorted array.
+    */
+  def topk_rows(structCol: Column, k: Int, numSortFields: Int = 0): Column =
+    col(TopKRows(expr(structCol), k, numSortFields).toAggregateExpression())
+
   /** Register the kernels in the session's function registry for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

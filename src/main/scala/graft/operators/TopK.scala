@@ -37,6 +37,28 @@ object TopK {
       ascending: Boolean,
       k: Int,
       tieBreak: Seq[String]): DataFrame = {
+    // sort key first (negated when descending so the heap's lexicographic
+    // "smallest" order matches), then tie-breaks, then the full payload
+    val sortKey = if (ascending) col(scoreCol) else negate(col(scoreCol))
+    val fields = struct(
+      (sortKey.as("__sk") +: tieBreak.map(col) :+ struct(df.columns.map(col): _*).as("__p")): _*)
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.topk_rows(fields, k, 1 + tieBreak.length).as("__top"))
+      .select(explode(col("__top")).as("__r"))
+      .select(df.columns.map(c => col(s"__r.__p.$c")): _*)
+  }
+
+  /** Window-based reference implementation of [[perGroup]] (kept for
+    * equivalence testing; the heap aggregate shuffles k-bounded buffers
+    * instead of every candidate row).
+    */
+  def perGroupWindow(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      ascending: Boolean,
+      k: Int,
+      tieBreak: Seq[String]): DataFrame = {
     val reduced = partialPerPartition(df, groupCol, scoreCol, ascending, k, tieBreak)
     val order = orderCols(scoreCol, ascending, tieBreak)
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
