@@ -202,6 +202,17 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // P8 — score-range predicate applied before ranking (reference
+    // min_score/max_score, common/gamma_common_data.h:95-97).
+    "q_knn_scorerange" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      Knn.flatSearch(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, metric = Metric.L2,
+        minScore = Some(2.0), maxScore = Some(8.0))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // F3/V6 — Hamming-distance KNN over packed binary codes (the BINARYIVF
     // metric); codes derived deterministically as md5(text) bytes.
     "q_knn_hamming" -> ((s, dir) => {
@@ -538,6 +549,9 @@ object SparkEntry {
     "q_knn_cosine" -> knnOracle(metric = "cos", k = 10, asc = false),
     "q_knn_filtered" -> knnOracle(metric = "l2", k = 10, asc = true,
       docFilter = "WHERE label IN (1, 3, 5, 7)"),
+    "q_knn_scorerange" -> knnOracle(metric = "l2", k = 10, asc = true,
+      scoreFilter = "WHERE dist BETWEEN 2.0 AND 8.0"),
+
     "q_knn_hamming" ->
       """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
         |q AS (SELECT doc_id AS qid, h AS qh FROM c WHERE doc_id < 3),
@@ -647,10 +661,12 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
+         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
          |ver AS (SELECT a, b,
-         |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
-         |  FROM cand JOIN toks ta ON ta.doc_id = a JOIN toks tb ON tb.doc_id = b)
+         |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
 
     "q_dedup_simhash" ->
@@ -671,10 +687,12 @@ object SparkEntry {
 
     "q_ngram_jaccard" ->
       s"""WITH $ShingleCte,
+         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
+         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
          |j AS (SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS DOUBLE) AS jaccard
-         |  FROM toks x JOIN toks y ON x.doc_id < y.doc_id)
+         |  CAST(len(list_intersect(x.htoks, y.htoks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(x.htoks, y.htoks))) AS DOUBLE) AS jaccard
+         |  FROM ht x JOIN ht y ON x.doc_id < y.doc_id)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4""".stripMargin,
 
     "q_embed_neardup" ->
@@ -776,7 +794,8 @@ object SparkEntry {
     * embeddings, per-query top-k with id tie-break, all math in double.
     */
   private def knnOracle(
-      metric: String, k: Int, asc: Boolean, docFilter: String = ""): String = {
+      metric: String, k: Int, asc: Boolean, docFilter: String = "",
+      scoreFilter: String = ""): String = {
     val distExpr = metric match {
       case "l2" | "l2sqrt" =>
         """list_sum(list_transform(range(1, 65),
@@ -795,10 +814,11 @@ object SparkEntry {
     }
     val scoreSel = if (metric == "l2sqrt") "sqrt(dist)" else "dist"
     val ord = if (asc) "dist ASC" else "dist DESC"
-    s"""WITH s AS (
+    s"""WITH s0 AS (
        |  SELECT q.vec_id AS qid, d.vec_id AS id, $distExpr AS dist
        |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q,
        |       (SELECT * FROM embeddings $docFilter) d),
+       |s AS (SELECT * FROM s0 $scoreFilter),
        |r AS (SELECT qid, id, $scoreSel AS score,
        |             row_number() OVER (PARTITION BY qid ORDER BY $ord, id) AS rn
        |      FROM s)

@@ -84,10 +84,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Shingle sets via the partition kernel. Materializing these BEFORE any
-    * self-join matters: as a Column expression, Catalyst may collapse the
-    * shingle projection into the join output and recompute md5-shingling
-    * per PAIR instead of per doc — O(n^2) hash work.
+  /** Sorted hashed-shingle sets via the partition kernel. Materializing
+    * BEFORE any self-join matters: as a Column expression, Catalyst may
+    * collapse the shingle projection into the join output and recompute
+    * md5-shingling per PAIR instead of per doc. Hashing to 32-bit ids also
+    * shrinks the pair-join payload ~6x; Jaccard over the hashed sets equals
+    * string-set Jaccard up to md5-prefix collisions, which are identical in
+    * the DuckDB oracle (same hash).
     */
   private def withShingles(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
@@ -98,9 +101,9 @@ object Dedup {
     val in = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val schema = StructType(Seq(
-      in.schema("id"), StructField("toks", ArrayType(StringType, containsNull = false))))
+      in.schema("id"), StructField("toks", ArrayType(LongType, containsNull = false))))
     in.mapPartitions { rows =>
-      rows.map(r => Row(r.get(0), ShingleHash.shingles(r.getString(1), shingleN).toSeq))
+      rows.map(r => Row(r.get(0), ShingleHash.hashedShingles(r.getString(1), shingleN).toSeq))
     }(Encoders.row(schema))
   }
 
@@ -117,7 +120,7 @@ object Dedup {
       in.schema("a"), in.schema("b"), StructField("jaccard", DoubleType, nullable = false)))
     in.mapPartitions { rows =>
       rows.flatMap { r =>
-        val j = ShingleHash.jaccardSorted(r.getSeq[String](2), r.getSeq[String](3))
+        val j = ShingleHash.jaccardSortedLong(r.getSeq[Long](2), r.getSeq[Long](3))
         // BigDecimal HALF_UP == Spark round() == DuckDB round() for x >= 0
         if (j >= threshold) Some(Row(r.get(0), r.get(1),
           BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

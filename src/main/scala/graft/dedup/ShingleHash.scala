@@ -72,6 +72,29 @@ object ShingleHash {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Sorted distinct 32-bit hashes of the shingle set — the set-identity
+    * payload for pair joins (8 bytes/shingle instead of a ~25-char string).
+    */
+  def hashedShingles(text: String, n: Int): Array[Long] = {
+    val hs = shingles(text, n).map(tokenHash32)
+    val d = hs.distinct
+    java.util.Arrays.sort(d)
+    d
+  }
+
+  /** Jaccard of two SORTED distinct long arrays via linear merge. */
+  def jaccardSortedLong(a: Seq[Long], b: Seq[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** MinHash signature, identical to the Column/DuckDB formula. */
   def minhashSignature(text: String, numHashes: Int, shingleN: Int): Array[Long] = {
     val xs = shingles(text, shingleN).map(s => tokenHash32(s) % P)

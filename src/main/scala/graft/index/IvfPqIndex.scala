@@ -149,31 +149,64 @@ object IvfPqIndex {
     val dsub = dim / m
 
     // per-subspace codebooks + codes (reference PQ training,
-    // gamma_index_ivfpq.cc:272-330 via faiss ProductQuantizer)
-    var cur = withRes.localCheckpoint(true) // residuals reused by m trainings
-    val codebooks = new Array[Array[Array[Double]]](m)
-    for (j <- 0 until m) {
-      val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
-      val train = cur.select(array_to_vector(sliceCol).as("features"))
-        .limit(params.trainSampleRows).coalesce(8).cache()
-      // random init: k-means|| costs several extra passes per subspace and
-      // sub-codebook quality is recovered by the exact re-rank stage anyway
-      val km = try {
+    // gamma_index_ivfpq.cc:272-330 via faiss ProductQuantizer).
+    // The m sub-trainings are independent — submit them CONCURRENTLY so the
+    // cluster isn't serialized through m small k-means fits; encoding is
+    // then a single broadcast-codebook kernel pass instead of m transforms.
+    val cur = withRes.localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebookFutures = (0 until m).map { j =>
+      Future {
+        val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
+        val train = cur.select(array_to_vector(sliceCol).as("features"))
+          .limit(params.trainSampleRows)
+        // random init: k-means|| costs several extra passes per subspace and
+        // sub-codebook quality is recovered by the exact re-rank stage anyway
         new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(10).setTol(1e-4)
           .setInitMode("random")
           .fit(train)
-      } finally train.unpersist()
-      codebooks(j) = km.clusterCenters.map(_.toArray)
-      cur = km.setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
-        .transform(cur.withColumn(s"__f$j", array_to_vector(sliceCol)))
-        .drop(s"__f$j")
+          .clusterCenters.map(_.toArray)
+      }
     }
-    val codesDf = cur
-      .withColumn("pq_codes", array((0 until m).map(j => col(s"__c$j")): _*))
-      .select(col(idCol), col("centroid_id"), col("pq_codes"))
-      .localCheckpoint(true) // m chained KMeans transforms: cut the lineage
+    val codebooks = codebookFutures.map(Await.result(_, Duration.Inf)).toArray
 
+    val codesDf = encodeCodes(cur, idCol, codebooks, dsub).localCheckpoint(true)
     new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
       idCol, vecCol, centers, codebooks, params)
+  }
+
+  /** One-pass PQ encoding: nearest sub-codebook entry per subspace, with
+    * broadcast codebooks (no per-subspace model transform chain).
+    */
+  private def encodeCodes(
+      withResiduals: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = withResiduals.select(col(idCol), col("centroid_id"), col("residual"))
+    val schema = StructType(Seq(
+      in.schema(idCol), in.schema("centroid_id"),
+      StructField("pq_codes", ArrayType(IntegerType, containsNull = false))))
+    val bc = in.sparkSession.sparkContext.broadcast(codebooks)
+    in.mapPartitions { rows =>
+      val cbs = bc.value
+      rows.map { r =>
+        val res = r.getSeq[Double](2)
+        val codes = Array.tabulate(cbs.length) { j =>
+          val cb = cbs(j); val base = j * dsub
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var i = 0
+            while (i < dsub) { val t = res(base + i) - cb(c)(i); s += t * t; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          best
+        }
+        Row(r.get(0), r.get(1), codes.toSeq)
+      }
+    }(Encoders.row(schema))
   }
 }

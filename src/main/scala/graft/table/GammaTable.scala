@@ -170,6 +170,23 @@ class GammaTable private (
     writeMeta()
   }
 
+  /** Build (and return) an incremental ANN index over a declared vector
+    * field — the facade's `BuildIndex` (reference c_api/gamma_api.h:131,
+    * gamma_engine.cc:996-1010). Keep the returned indexer and call
+    * `refresh()` after writes (or let StreamingIngest do it); its
+    * `search()` unions the index with the unindexed tail.
+    */
+  def buildIndex(
+      vecField: String,
+      params: graft.index.IndexParams = graft.index.IndexParams(),
+      indexingSize: Long = 0L): graft.streaming.IncrementalIndexer = {
+    require(meta0.vectorFields.exists(_.name == vecField) ||
+      docs.columns.contains(vecField), s"unknown vector field $vecField")
+    val ix = new graft.streaming.IncrementalIndexer(this, vecField, params, indexingSize)
+    ix.refresh()
+    ix
+  }
+
   /** Logical delete by key set (R3, reference gamma_engine.cc:802-824). */
   def delete(keys: DataFrame): Unit = {
     val key = meta0.keyField
@@ -280,15 +297,13 @@ class GammaTable private (
     */
   def dump(dir: String): Unit = {
     allDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
-    import spark.implicits._
-    Seq(meta0).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$dir/meta")
+    GammaTable.writeMetaTo(spark, s"$dir/meta", meta0)
     touchMarker(s"$dir/dump.done")
   }
 
-  private def writeMeta(): Unit = {
-    import spark.implicits._
-    Seq(meta0).toDS().coalesce(1).write.mode(SaveMode.Overwrite).json(s"$root/meta")
-  }
+  // metadata is a driver-side file op, not a Spark job (the reference
+  // writes its .schema file directly too, search/gamma_engine.cc:607-612)
+  private def writeMeta(): Unit = GammaTable.writeMetaTo(spark, s"$root/meta", meta0)
 
   private def touchMarker(p: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -342,6 +357,30 @@ object GammaTable {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
     spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+  }
+
+  /** Driver-side single-file JSON write (readable by `spark.read.json`). */
+  private[table] def writeMetaTo(spark: SparkSession, dir: String, m: TableMeta): Unit = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val bv = m.bucketVersions.toSeq.sortBy(_._1.toLong)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val vf = m.vectorFields.map(f =>
+      s"""{"name":${q(f.name)},"dim":${f.dim},"metric":${q(f.metric)},""" +
+        s""""retrievalType":${q(f.retrievalType)}}""").mkString("[", ",", "]")
+    val json =
+      s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
+        s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
+        s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)}}"""
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true) // stale multi-file spark-written meta would double-read
+    fs.mkdirs(dirPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, "meta.json"), true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
   }
 
   /** Restore from a dump produced by [[GammaTable.dump]] into `newRoot`. */

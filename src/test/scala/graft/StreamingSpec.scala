@@ -78,6 +78,14 @@ class StreamingSpec extends GraftSuite {
       .as[(Long, String)].collect().toSet === flatTruth(t, 5))
   }
 
+  test("GammaTable.buildIndex facade: INDEXED status and exact full-probe results") {
+    val t = GammaTable.create(spark, tmp(), "bi", "_id", docsSlice(0, 200), nBuckets = 4)
+    val ix = t.buildIndex("vec", IndexParams(ncentroids = 4))
+    assert(ix.status === "INDEXED")
+    assert(ix.search(queries, 5, Some(4)).select($"qid", $"id")
+      .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+  }
+
   test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
     val t = GammaTable.create(spark, tmp(), "s2", "_id", docsSlice(0, 100), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 4), indexingSize = 0)
