@@ -332,6 +332,21 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // V6 — BINARYIVF: binary-code inverted lists + Hamming probes; full
+    // probe set makes it exact, so the hamming oracle applies.
+    "q_binaryivf_fullprobe" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(md5(col("text"))).as("code"))
+      val idx = graft.index.BinaryIvfIndex.build(s, docs, "doc_id", "code",
+        graft.index.IndexParams(ncentroids = 8))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("code")).as[(Long, Array[Byte])].collect().toSeq
+      idx.search(qs, k = 10, nprobe = Some(8))
+        .select(col("qid"), col("id"), col("hdist"))
+    }),
+
     // S2/R1-R4/S3/V1 — full GammaTable lifecycle: create from a doc batch,
     // upsert a delta, delete-by-query, then filtered KNN search over the
     // resulting state (the reference E2E flow, tests/README.md:10-22).
@@ -553,6 +568,19 @@ object SparkEntry {
       scoreFilter = "WHERE dist BETWEEN 2.0 AND 8.0"),
 
     "q_knn_hamming" ->
+      """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |q AS (SELECT doc_id AS qid, h AS qh FROM c WHERE doc_id < 3),
+        |s AS (SELECT qid, c.doc_id AS id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> bit_count(xor(('0x' || substr(c.h, i, 1))::BIGINT,
+        |                       ('0x' || substr(q.qh, i, 1))::BIGINT)))) AS INTEGER) AS hdist
+        |  FROM c, q),
+        |r AS (SELECT qid, id, hdist,
+        |             row_number() OVER (PARTITION BY qid ORDER BY hdist, id) AS rn
+        |      FROM s)
+        |SELECT qid, id, hdist FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_binaryivf_fullprobe" ->
       """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
         |q AS (SELECT doc_id AS qid, h AS qh FROM c WHERE doc_id < 3),
         |s AS (SELECT qid, c.doc_id AS id,

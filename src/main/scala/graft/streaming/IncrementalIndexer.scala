@@ -77,18 +77,26 @@ class IncrementalIndexer(
     }
   }
 
-  /** Search merging indexed data + exact scan of the unindexed tail. */
+  /** Search merging indexed data + exact scan of the unindexed tail.
+    * `allowedIds` pushes a scalar-filter key set into BOTH scans (X2).
+    */
   def search(
       queries: Seq[(Long, Array[Float])],
       k: Int,
-      nprobe: Option[Int] = None): DataFrame = {
+      nprobe: Option[Int] = None,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
     val qDf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    def restrict(df: DataFrame): DataFrame = allowedIds match {
+      case Some(ids) =>
+        df.join(org.apache.spark.sql.functions.broadcast(ids.toDF(key)), Seq(key), "left_semi")
+      case None => df
+    }
     index match {
       case None =>
         // V9: brute force while UNINDEXED
-        Knn.flatSearch(table.docs, key, vecCol, qDf, "qid", "qvec", k, params.metric)
+        Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric)
       case Some(idx) =>
         // ids whose index entry is stale (updated after build) or dead
         val invalid = table.allDocs
@@ -96,8 +104,8 @@ class IncrementalIndexer(
           .select(col(key))
         val cleanIdx = new IvfFlatIndex(spark,
           idx.data.join(invalid, Seq(key), "left_anti"), key, vecCol, idx.centers, params)
-        val fromIndex = cleanIdx.search(queries, k, nprobe)
-        val tail = table.docs.filter(col(VersionCol) > builtVersion)
+        val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds)
+        val tail = restrict(table.docs.filter(col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric)
         TopK.perGroup(fromIndex.unionByName(fromTail), "qid", "score",
           Metric.ascending(params.metric), k, Seq("id"))

@@ -184,8 +184,19 @@ class GammaTable private (
       docs.columns.contains(vecField), s"unknown vector field $vecField")
     val ix = new graft.streaming.IncrementalIndexer(this, vecField, params, indexingSize)
     ix.refresh()
+    indexers.put(vecField, ix)
     ix
   }
+
+  /** Per-field attached indexes (the reference's VectorManager registry,
+    * vector/vector_manager.cc:161-195). `search()` routes vector queries
+    * through these unless `bruteForce` is set (V9 override).
+    */
+  private val indexers =
+    scala.collection.concurrent.TrieMap.empty[String, graft.streaming.IncrementalIndexer]
+
+  def attachedIndex(field: String): Option[graft.streaming.IncrementalIndexer] =
+    indexers.get(field)
 
   /** Logical delete by key set (R3, reference gamma_engine.cc:802-824). */
   def delete(keys: DataFrame): Unit = {
@@ -260,13 +271,32 @@ class GammaTable private (
     }
 
     val metric = req.metric
+    val hasFilters = req.termFilters.nonEmpty || req.rangeFilters.nonEmpty
+    val allowed = if (hasFilters) Some(base.filter(pred).select(key)) else None
+    val kCand = math.max(req.topn * CandidateFactor, req.topn)
     val perField = req.vecQueries.zipWithIndex.map { case (vq, i) =>
-      val q = Seq((0, vq.vector.toSeq)).toDF("qid", "qvec")
-      val hits = Knn.flatSearch(
-        base.filter(pred), key, vq.field, q, "qid", "qvec",
-        k = math.max(req.topn * CandidateFactor, req.topn),
-        metric = metric, l2Sqrt = req.l2Sqrt && req.vecQueries.size == 1,
-        minScore = vq.minScore, maxScore = vq.maxScore)
+      // route through an attached ANN index unless brute-force is forced
+      // (V9 override) or the index serves a different metric
+      val hits = indexers.get(vq.field) match {
+        case Some(ix) if !req.bruteForce && ix.params.metric == metric =>
+          val h0 = ix.search(Seq((0L, vq.vector)), kCand, None, allowed)
+          val h1 = if (req.l2Sqrt && metric == Metric.L2 && req.vecQueries.size == 1)
+            h0.withColumn("score", sqrt(col("score"))) else h0
+          (vq.minScore, vq.maxScore) match {
+            case (None, None) => h1
+            case (lo, hi) =>
+              val lower = lo.map(col("score") >= _).getOrElse(lit(true))
+              val upper = hi.map(col("score") <= _).getOrElse(lit(true))
+              h1.filter(lower && upper)
+          }
+        case _ =>
+          val q = Seq((0, vq.vector.toSeq)).toDF("qid", "qvec")
+          Knn.flatSearch(
+            base.filter(pred), key, vq.field, q, "qid", "qvec",
+            k = kCand,
+            metric = metric, l2Sqrt = req.l2Sqrt && req.vecQueries.size == 1,
+            minScore = vq.minScore, maxScore = vq.maxScore)
+      }
       val boosted = vq.boost match {
         case Some(b) => hits.withColumn("score", col("score") * b)
         case None    => hits

@@ -80,6 +80,29 @@ class IndexSpec extends GraftSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap) === 1.0)
   }
 
+  test("BINARYIVF: full probes equal exact hamming search; partial probes sane") {
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id", unhex(md5($"text")).as("code"))
+    val idx = graft.index.BinaryIvfIndex.build(spark, docs, "doc_id", "code",
+      IndexParams(ncentroids = 8))
+    val qs = docs.filter($"doc_id" < 5)
+      .select($"doc_id", $"code").as[(Long, Array[Byte])].collect().toSeq
+    val full = idx.search(qs, 10, Some(8)).select($"qid", $"id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact ground truth via brute-force hamming
+    val q = qs.map { case (i, c) => (i, c) }.toDF("qid", "qcode")
+    val exact = graft.operators.TopK.perGroup(
+        docs.crossJoin(broadcast(q)).select($"qid", $"doc_id".as("id"),
+          graft.functions.hamming($"code", $"qcode").as("hdist")),
+        "qid", "hdist", ascending = true, k = 10, tieBreak = Seq("id"))
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full === exact)
+    // self-doc always hits at distance 0 even with partial probes
+    val partial = idx.search(qs, 3, Some(2))
+    assert(partial.filter($"qid" === $"id").count() === 5)
+  }
+
   test("save/load round-trip preserves results (IVFFLAT)") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val idx = IvfFlatIndex.build(spark, emb, "vec_id", "embedding", IndexParams(ncentroids = 8))

@@ -80,10 +80,21 @@ class StreamingSpec extends GraftSuite {
 
   test("GammaTable.buildIndex facade: INDEXED status and exact full-probe results") {
     val t = GammaTable.create(spark, tmp(), "bi", "_id", docsSlice(0, 200), nBuckets = 4)
-    val ix = t.buildIndex("vec", IndexParams(ncentroids = 4))
+    val ix = t.buildIndex("vec", IndexParams(ncentroids = 4, nprobe = 4))
     assert(ix.status === "INDEXED")
     assert(ix.search(queries, 5, Some(4)).select($"qid", $"id")
       .as[(Long, String)].collect().toSet === flatTruth(t, 5))
+
+    // table.search() routes through the attached index; with full probes it
+    // must equal the brute-force path, filters pushed into the index scan
+    val qv = queries.head._2
+    val req = graft.core.SearchRequest(
+      topn = 5,
+      vecQueries = Seq(graft.core.VecQuery("vec", qv)),
+      termFilters = Nil, rangeFilters = Nil)
+    val viaIndex = t.search(req).select($"_id").as[String].collect().toSet
+    val brute = t.search(req.copy(bruteForce = true)).select($"_id").as[String].collect().toSet
+    assert(viaIndex === brute)
   }
 
   test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
