@@ -332,6 +332,20 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // P9/§1.1 — multi-vector-per-doc: two vids per doc (embedding and its
+    // reverse), best-vid-per-doc collapse BEFORE the top-k limit
+    // (vector_manager.cc:396-417 ordering contract).
+    "q_multivid" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val docs = emb.select(col("vec_id"),
+        array(col("embedding"), reverse(col("embedding"))).as("vids"))
+      graft.operators.MultiVec.search(
+          docs, "vec_id", "vids", knnQueries(s, dir), "qid", "qvec",
+          k = 10, metric = Metric.L2)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // V6 — BINARYIVF: binary-code inverted lists + Hamming probes; full
     // probe set makes it exact, so the hamming oracle applies.
     "q_binaryivf_fullprobe" -> ((s, dir) => {
@@ -579,6 +593,23 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY qid ORDER BY hdist, id) AS rn
         |      FROM s)
         |SELECT qid, id, hdist FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_multivid" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id AS id, embedding AS e0,
+        |             list_reverse(embedding) AS e1 FROM embeddings),
+        |s AS (SELECT qid, id, least(
+        |  list_sum(list_transform(range(1,65),
+        |    i -> (CAST(e0[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |       * (CAST(e0[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))),
+        |  list_sum(list_transform(range(1,65),
+        |    i -> (CAST(e1[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |       * (CAST(e1[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))))) AS dist
+        |  FROM d, q),
+        |r AS (SELECT qid, id, dist,
+        |             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |      FROM s)
+        |SELECT qid, id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
     "q_binaryivf_fullprobe" ->
       """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -97,6 +97,33 @@ class StreamingSpec extends GraftSuite {
     assert(viaIndex === brute)
   }
 
+  test("watermarked windowed streaming aggregation over the events table") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.core.Tables.load(spark, sf0, "events")
+      .select($"ts", $"event_type", $"value")
+      .orderBy($"ts").limit(500).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = stream.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_agg")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      stream.addData(rows.take(250).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.drop(250).toSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*), sum(cnt) FROM ev_agg").head()
+      // every ingested row lands in exactly one (window, type) bucket
+      assert(got.getLong(1) === 500L)
+      assert(got.getLong(0) > 0)
+    } finally q.stop()
+  }
+
   test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
     val t = GammaTable.create(spark, tmp(), "s2", "_id", docsSlice(0, 100), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 4), indexingSize = 0)
