@@ -154,13 +154,15 @@ class GammaTable private (
             allowMissingColumns = true)
         (m, -2L)
     }
-    // localCheckpoint: cut lineage so the merge isn't recomputed downstream
-    val mat = merged.localCheckpoint(true)
-    // count new docids off the materialized data — no extra pre-write job
+    // single evaluation: write the merge, then count new docids from the
+    // written files (parquet-pushdown count — no checkpoint job)
+    val written = writeVersion(merged, affected, v)
+    val writtenDf =
+      if (written.isEmpty) merged.limit(0)
+      else spark.read.parquet(written.map(b => bucketPath(b, v)): _*)
     val n =
-      if (newCount == -1L) mat.count()
-      else mat.filter(col(VersionCol) === v && col(DocidCol) >= meta0.maxDocid).count()
-    val written = writeVersion(mat, affected, v)
+      if (newCount == -1L) writtenDf.count()
+      else writtenDf.filter(col(VersionCol) === v && col(DocidCol) >= meta0.maxDocid).count()
     commit(affected, written, v, n)
   }
 
@@ -210,7 +212,7 @@ class GammaTable private (
         .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
         .drop("__del")
       val v = meta0.version + 1
-      val written = writeVersion(marked.localCheckpoint(true), affected, v)
+      val written = writeVersion(marked, affected, v)
       commit(affected, written, v)
     }
   }
@@ -246,7 +248,7 @@ class GammaTable private (
   def compact(): Unit = {
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
     val v = meta0.version + 1
-    val written = writeVersion(docs.localCheckpoint(true), buckets, v)
+    val written = writeVersion(docs, buckets, v)
     commit(buckets, written, v)
   }
 
