@@ -30,9 +30,13 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s rows=$n")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
