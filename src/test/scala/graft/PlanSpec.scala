@@ -57,6 +57,22 @@ class PlanSpec extends GraftSuite {
     assert(p2.contains("BroadcastHashJoin") || p2.contains("Broadcast"), p2)
   }
 
+  test("persisted IVF lists prune parquet partitions on probed centroids (T4)") {
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val idx = graft.index.IvfFlatIndex.build(spark, emb, "vec_id", "embedding",
+      graft.index.IndexParams(ncentroids = 8))
+    idx.save(root)
+    val re = graft.index.IvfFlatIndex.load(spark, root, "vec_id", "embedding",
+      graft.index.IndexParams(ncentroids = 8))
+    val probed = re.data.filter(col("centroid_id").isin(0, 3))
+    val p = plan(probed)
+    // probe filter must land in PartitionFilters (file pruning), not a
+    // post-scan Filter over all lists
+    assert(p.contains("PartitionFilters: [") && p.contains("centroid_id"), p)
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("point lookup prunes to pushed equality filter") {
     val p = plan(SparkEntry.queries("q_point_lookup")(spark, sf0))
     assert(p.contains("EqualTo(p_partkey,100)"), p)
