@@ -16,11 +16,35 @@ import org.apache.spark.sql.DataFrame
 trait AnnIndex {
   def retrievalType: String
 
+  /** `minScore`/`maxScore` is the score-range predicate (P8) applied to
+    * scored candidates BEFORE the top-k heap, like the reference's
+    * `IsSimilarScoreValid` callback inside the scan
+    * (common/gamma_common_data.h:95-97) — out-of-range hits must not
+    * consume the candidate budget.
+    */
   def search(
       queries: Seq[(Long, Array[Float])],
       k: Int,
       nprobe: Option[Int] = None,
-      allowedIds: Option[DataFrame] = None): DataFrame
+      allowedIds: Option[DataFrame] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame
+}
+
+object AnnIndex {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Score-range filter on a scored candidate frame (before ranking). */
+  private[index] def scoreRange(
+      df: DataFrame, scoreCol: String,
+      minScore: Option[Double], maxScore: Option[Double]): DataFrame =
+    (minScore, maxScore) match {
+      case (None, None) => df
+      case (lo, hi) =>
+        val lower = lo.map(col(scoreCol) >= _).getOrElse(lit(true))
+        val upper = hi.map(col(scoreCol) <= _).getOrElse(lit(true))
+        df.filter(lower && upper)
+    }
 }
 
 /** Name -> builder registry (reference `REGISTER_MODEL` reflector,

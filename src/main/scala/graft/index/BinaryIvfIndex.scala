@@ -43,7 +43,9 @@ class BinaryIvfIndex(
       queries: Seq[(Long, Array[Byte])],
       k: Int,
       nprobe: Option[Int] = None,
-      allowedIds: Option[DataFrame] = None): DataFrame = {
+      allowedIds: Option[DataFrame] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val np = math.min(nprobe.getOrElse(params.nprobe), centroids.length)
     val probeDf = queries.flatMap { case (qid, q) =>
@@ -59,7 +61,8 @@ class BinaryIvfIndex(
       .join(broadcast(probeDf), Seq("centroid_id"))
       .select(col("qid"), col(idCol).as("id"),
         hamming(col(codeCol), col("qcode")).as("hdist"))
-    TopK.perGroup(scored, "qid", "hdist", ascending = true, k, Seq("id"))
+    val ranged = AnnIndex.scoreRange(scored, "hdist", minScore, maxScore)
+    TopK.perGroup(ranged, "qid", "hdist", ascending = true, k, Seq("id"))
   }
 }
 

@@ -24,14 +24,17 @@ case class FlatIndex(
       queries: Seq[(Long, Array[Float])],
       k: Int,
       nprobe: Option[Int],
-      allowedIds: Option[DataFrame]): DataFrame = {
+      allowedIds: Option[DataFrame],
+      minScore: Option[Double],
+      maxScore: Option[Double]): DataFrame = {
     import spark.implicits._
     val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
     val base = allowedIds match {
       case Some(ids) => docs.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
       case None      => docs
     }
-    Knn.flatSearch(base, idCol, vecCol, q, "qid", "qvec", k, params.metric)
+    Knn.flatSearch(base, idCol, vecCol, q, "qid", "qvec", k, params.metric,
+      minScore = minScore, maxScore = maxScore)
   }
 }
 
@@ -105,18 +108,32 @@ object Ivf {
     }(Encoders.row(schema))
   }
 
-  /** Driver-side probe selection: top-nprobe centroids by L2 for each
-    * query (the reference's coarse quantizer search,
-    * gamma_index_ivfpq.cc:547-561).
+  /** Driver-side probe selection: top-nprobe centroids per query, by the
+    * index metric (the reference's coarse quantizer search runs under the
+    * index's own metric, gamma_index_ivfpq.cc:547-561 — probing by L2 for
+    * an inner-product index would rank the WRONG lists first).
     */
   def probes(
       centers: Array[Array[Double]],
       q: Array[Float],
-      nprobe: Int): Seq[Int] = {
+      nprobe: Int,
+      metric: graft.core.Metric.Value = graft.core.Metric.L2): Seq[Int] = {
+    import graft.core.Metric
     val d = centers.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length && i < q.length) { val t = c(i) - q(i); s += t * t; i += 1 }
-      s
+      val n = math.min(c.length, q.length)
+      metric match {
+        case Metric.InnerProduct | Metric.Cosine =>
+          // rank lists by centroid similarity, negated so take-smallest works;
+          // cosine uses the same dot ordering (doc norms vary within a list
+          // anyway — the in-list scoring is what decides the final metric)
+          var s = 0.0; var i = 0
+          while (i < n) { s += c(i) * q(i); i += 1 }
+          -s
+        case _ =>
+          var s = 0.0; var i = 0
+          while (i < n) { val t = c(i) - q(i); s += t * t; i += 1 }
+          s
+      }
     }
     d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }.take(nprobe).map(_._2).toSeq
   }
@@ -139,12 +156,14 @@ class IvfFlatIndex(
       queries: Seq[(Long, Array[Float])],
       k: Int,
       nprobe: Option[Int],
-      allowedIds: Option[DataFrame]): DataFrame = {
+      allowedIds: Option[DataFrame],
+      minScore: Option[Double],
+      maxScore: Option[Double]): DataFrame = {
     import spark.implicits._
     val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
     // (qid, qvec, centroid_id) probe tuples — small, broadcast
     val probeRows = queries.flatMap { case (qid, qv) =>
-      Ivf.probes(centers, qv, np).map(c => (qid, qv.toSeq, c))
+      Ivf.probes(centers, qv, np, params.metric).map(c => (qid, qv.toSeq, c))
     }
     val probeDf = probeRows.toDF("qid", "qvec", "centroid_id")
     val probedCentroids = probeRows.map(_._3).distinct
@@ -158,7 +177,8 @@ class IvfFlatIndex(
       .join(broadcast(probeDf), Seq("centroid_id"))
       .select(col("qid"), col(idCol).as("id"),
         Knn.score(params.metric, col(vecCol), col("qvec")).as("score"))
-    TopK.perGroup(scored, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+    val ranged = AnnIndex.scoreRange(scored, "score", minScore, maxScore)
+    TopK.perGroup(ranged, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
   }
 
   /** Persist inverted lists partitioned by centroid_id so probe filters

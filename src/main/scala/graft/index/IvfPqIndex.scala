@@ -35,18 +35,36 @@ class IvfPqIndex(
 
   override def retrievalType: String = "IVFPQ"
 
+  // The ADC LUT is exact for L2 and InnerProduct; the reference's kernels
+  // implement exactly those two (index/retrieval_model.h:20 declares Cosine
+  // but e.g. gamma_index_ivfpq.cc:744-750 dispatches IP|L2 only). Cosine
+  // callers normalize vectors upstream and use InnerProduct.
+  require(params.metric == Metric.L2 || params.metric == Metric.InnerProduct,
+    s"IVFPQ supports L2 and InnerProduct (got ${params.metric}); " +
+      "normalize vectors and use InnerProduct for cosine")
+
   private val m = codebooks.length
   // k-means may return fewer than 2^nbits distinct centers per subspace;
   // the LUT layout pads every subspace to the max so pq_adc's uniform
   // lut.length/m stride stays valid (padded slots are never referenced)
   private val ksub = codebooks.map(_.length).max
 
-  /** Query LUT for one probed centroid: flattened m x ksub squared
-    * sub-distances of the query residual to every codebook entry
-    * (reference sim_table precompute, gamma_index_ivfpq.h:561-601).
+  /** Query LUT for one probed centroid, flattened m x ksub
+    * (reference sim_table precompute, gamma_index_ivfpq.h:561-601):
+    *  - L2: squared sub-distance of the query residual to each codebook
+    *    entry, so Σ_j lut[code_j] = ||q - (centroid + code)||² (ascending);
+    *  - InnerProduct: dot(q_j, cb_j[c]) + dot(q, centroid)/m, so the sum
+    *    telescopes to dot(q, centroid + code) ≈ IP(q, x) (descending).
     */
   private def lut(q: Array[Float], centroid: Array[Double]): Array[Double] = {
     val dsub = centroid.length / m
+    val ip = params.metric == Metric.InnerProduct
+    val qDotCentroidShare = if (ip) {
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, centroid.length)
+      while (i < n) { s += q(i) * centroid(i); i += 1 }
+      s / m
+    } else 0.0
     val out = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -56,10 +74,15 @@ class IvfPqIndex(
       while (c < kj) {
         val cb = codebooks(j)(c)
         var s = 0.0; var i = 0
-        while (i < dsub) {
-          val r = q(base + i) - centroid(base + i) // query residual component
-          val t = r - cb(i)
-          s += t * t; i += 1
+        if (ip) {
+          while (i < dsub) { s += q(base + i) * cb(i); i += 1 }
+          s += qDotCentroidShare
+        } else {
+          while (i < dsub) {
+            val r = q(base + i) - centroid(base + i) // query residual component
+            val t = r - cb(i)
+            s += t * t; i += 1
+          }
         }
         out(j * ksub + c) = s
         c += 1
@@ -73,11 +96,15 @@ class IvfPqIndex(
       queries: Seq[(Long, Array[Float])],
       k: Int,
       nprobe: Option[Int],
-      allowedIds: Option[DataFrame]): DataFrame = {
+      allowedIds: Option[DataFrame],
+      minScore: Option[Double],
+      maxScore: Option[Double]): DataFrame = {
     import spark.implicits._
+    val asc = Metric.ascending(params.metric)
     val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
     val luts = queries.flatMap { case (qid, qv) =>
-      Ivf.probes(centers, qv, np).map(c => (qid, c, lut(qv, centers(c)).toSeq))
+      Ivf.probes(centers, qv, np, params.metric)
+        .map(c => (qid, c, lut(qv, centers(c)).toSeq))
     }.toDF("qid", "centroid_id", "lut")
     val probed = luts.select("centroid_id").distinct().as[Int].collect()
 
@@ -91,10 +118,15 @@ class IvfPqIndex(
       .select(col("qid"), col(idCol).as("id"), pq_adc(col("pq_codes"), col("lut")).as("score"))
 
     if (!params.hasRank) {
-      return TopK.perGroup(adc, "qid", "score", ascending = true, k, Seq("id"))
+      // the ADC value IS the returned score — the range predicate applies
+      // to it directly, and the heap order follows the metric
+      val ranged = AnnIndex.scoreRange(adc, "score", minScore, maxScore)
+      return TopK.perGroup(ranged, "qid", "score", asc, k, Seq("id"))
     }
-    // stage 1: recall_num candidates by ADC; stage 2: exact re-rank
-    val cands = TopK.perGroup(adc, "qid", "score", ascending = true,
+    // stage 1: recall_num candidates by ADC (metric order — ADC scores are
+    // approximate, so the range predicate waits for the exact stage);
+    // stage 2: exact re-rank with the range filter before the final heap
+    val cands = TopK.perGroup(adc, "qid", "score", asc,
       math.max(params.recallNum, k), Seq("id")).select(col("qid"), col("id"))
     val qdf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
     val exact = cands
@@ -102,7 +134,8 @@ class IvfPqIndex(
       .join(broadcast(qdf), Seq("qid"))
       .select(col("qid"), col("id"),
         Knn.score(params.metric, col(vecCol), col("qvec")).as("score"))
-    TopK.perGroup(exact, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+    val ranged = AnnIndex.scoreRange(exact, "score", minScore, maxScore)
+    TopK.perGroup(ranged, "qid", "score", asc, k, Seq("id"))
   }
 
   def save(path: String): Unit = {
@@ -129,7 +162,9 @@ object IvfPqIndex {
     val n = docs.count()
     val ncent = Ivf.autoNcentroids(n, params.ncentroids)
     val m = params.nsubvector
-    val ksub = math.min(1 << params.nbits, math.max(2, n.toInt))
+    // clamp in Long math: n.toInt would overflow past 2^31 rows and
+    // silently collapse every codebook to 2 entries
+    val ksub = math.min(1L << params.nbits, math.max(2L, n)).toInt
 
     val model = Ivf.trainCoarse(docs, vecCol, ncent, params.trainSampleRows, params.seed)
     val assigned = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol)

@@ -78,13 +78,19 @@ class IncrementalIndexer(
   }
 
   /** Search merging indexed data + exact scan of the unindexed tail.
-    * `allowedIds` pushes a scalar-filter key set into BOTH scans (X2).
+    * `allowedIds` pushes a scalar-filter key set into BOTH scans (X2);
+    * `minScore`/`maxScore` is the score-range predicate (P8), filtered
+    * inside every scan BEFORE its top-k heap (the reference's
+    * `IsSimilarScoreValid` callback) so out-of-range hits never consume
+    * the candidate budget.
     */
   def search(
       queries: Seq[(Long, Array[Float])],
       k: Int,
       nprobe: Option[Int] = None,
-      allowedIds: Option[DataFrame] = None): DataFrame = {
+      allowedIds: Option[DataFrame] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
     val qDf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
@@ -96,7 +102,8 @@ class IncrementalIndexer(
     index match {
       case None =>
         // V9: brute force while UNINDEXED
-        Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric)
+        Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
+          minScore = minScore, maxScore = maxScore)
       case Some(idx) =>
         // ids whose index entry is stale (updated after build) or dead
         val invalid = table.allDocs
@@ -104,9 +111,10 @@ class IncrementalIndexer(
           .select(col(key))
         val cleanIdx = new IvfFlatIndex(spark,
           idx.data.join(invalid, Seq(key), "left_anti"), key, vecCol, idx.centers, params)
-        val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds)
+        val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)
         val tail = restrict(table.docs.filter(col(VersionCol) > builtVersion))
-        val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric)
+        val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,
+          minScore = minScore, maxScore = maxScore)
         TopK.perGroup(fromIndex.unionByName(fromTail), "qid", "score",
           Metric.ascending(params.metric), k, Seq("id"))
     }

@@ -99,7 +99,15 @@ class GammaTable private (
       if (fs.exists(part)) {
         val dest = new org.apache.hadoop.fs.Path(bucketPath(b, v))
         fs.mkdirs(dest.getParent)
-        fs.rename(part, dest)
+        // 'partition absent' and 'rename failed' are different outcomes: a
+        // false rename (e.g. dest left behind by a crash between rename and
+        // the manifest write, where the retry reuses the same v) must not
+        // silently drop the bucket from the manifest
+        if (fs.exists(dest) && !fs.delete(dest, true))
+          throw new java.io.IOException(s"cannot clear stale $dest")
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"rename $part -> $dest failed")
+        true
       } else false
     }
     fs.delete(staging, true)
@@ -281,16 +289,20 @@ class GammaTable private (
       // (V9 override) or the index serves a different metric
       val hits = indexers.get(vq.field) match {
         case Some(ix) if !req.bruteForce && ix.params.metric == metric =>
-          val h0 = ix.search(Seq((0L, vq.vector)), kCand, None, allowed)
-          val h1 = if (req.l2Sqrt && metric == Metric.L2 && req.vecQueries.size == 1)
-            h0.withColumn("score", sqrt(col("score"))) else h0
-          (vq.minScore, vq.maxScore) match {
-            case (None, None) => h1
-            case (lo, hi) =>
-              val lower = lo.map(col("score") >= _).getOrElse(lit(true))
-              val upper = hi.map(col("score") <= _).getOrElse(lit(true))
-              h1.filter(lower && upper)
-          }
+          // the score range is pushed INTO the index scan (filter before
+          // the top-k heap, like flatSearch and the reference's
+          // IsSimilarScoreValid) so out-of-range hits don't eat the
+          // candidate budget; with l2Sqrt the user's bounds are in sqrt
+          // space while the index scores L2² — square them (clamped: sqrt
+          // scores are never negative)
+          val wantSqrt = req.l2Sqrt && metric == Metric.L2 && req.vecQueries.size == 1
+          val (pushLo, pushHi) =
+            if (wantSqrt)
+              (vq.minScore.map(x => { val c = math.max(x, 0.0); c * c }),
+                vq.maxScore.map(x => if (x < 0) -1.0 else x * x))
+            else (vq.minScore, vq.maxScore)
+          val h0 = ix.search(Seq((0L, vq.vector)), kCand, None, allowed, pushLo, pushHi)
+          if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
           val q = Seq((0, vq.vector.toSeq)).toDF("qid", "qvec")
           Knn.flatSearch(
@@ -312,7 +324,12 @@ class GammaTable private (
     val ranked =
       if (req.multiVectorRank || req.vecQueries.size == 1)
         TopK.perGroup(fused, "qid", "score", Metric.ascending(metric), req.topn, Seq(key))
-      else fused.limit(req.topn)
+      else
+        // rank fusion off: the reference still returns the docid-ordered
+        // merge of the per-field lists (vector_manager.cc:562-576 skips
+        // only the score re-sort) — order by key so the topn cut is
+        // deterministic, not an arbitrary limit
+        TopK.global(fused, key, ascending = true, req.topn, Nil)
     project(ranked, req)
   }
 

@@ -102,6 +102,70 @@ class GammaTableSpec extends GraftSuite {
     assert(t.allDocs.count() === before - 2 && t.docs.count() === n - 1)
   }
 
+  test("attached-index score-range matches the brute-force path") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "sr", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    // 2 lists, default nprobe=80 probes both -> still exact
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 2))
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    // bounds from the actual distance distribution: the 60 nearest docs are
+    // OUT of range, so without in-scan filtering they would eat the whole
+    // kCand=40 candidate budget and the index path would come up short
+    // (ADVICE r1 finding)
+    val dists = t.search(SearchRequest(topn = 200,
+        vecQueries = Seq(VecQuery("vec", qvec)), bruteForce = true))
+      .select("score").as[Double].collect().sorted
+    val (lo, hi) = (dists(60), dists(160))
+    val req = SearchRequest(topn = 10,
+      vecQueries = Seq(VecQuery("vec", qvec, minScore = Some(lo), maxScore = Some(hi))))
+    val viaIndex = t.search(req).select("_id", "score").as[(String, Double)].collect().toSet
+    val viaBrute = t.search(req.copy(bruteForce = true))
+      .select("_id", "score").as[(String, Double)].collect().toSet
+    assert(viaIndex === viaBrute)
+    assert(viaIndex.size === 10)
+    assert(viaIndex.forall { case (_, s) => s >= lo && s <= hi })
+  }
+
+  test("multiVectorRank=false still returns a deterministic key-ordered cut") {
+    val root = tmp()
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs = emb.select(
+      $"vec_id".cast("string").as("_id"),
+      $"embedding".as("vec_a"), reverse($"embedding").as("vec_b"))
+    val t = GammaTable.create(spark, root, "mvr", "_id", docs,
+      Seq(VectorFieldDef("vec_a", 64), VectorFieldDef("vec_b", 64)), nBuckets = 4)
+    val q = emb.filter($"vec_id" === 3).select("embedding").as[Array[Float]].head()
+    val req = SearchRequest(topn = 5, multiVectorRank = false,
+      vecQueries = Seq(VecQuery("vec_a", q), VecQuery("vec_b", q.reverse)))
+    val a = t.search(req).select("_id").as[String].collect().toSeq
+    val b = t.search(req).select("_id").as[String].collect().toSeq
+    assert(a === b) // was an arbitrary limit() — nondeterministic
+    assert(a === a.sorted) // docid(key)-ordered merge like the reference
+  }
+
+  test("writeVersion clears stale destination dirs instead of losing buckets") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "stale", "_id", docTable(), Nil, nBuckets = 4)
+    val n = t.docs.count()
+    // simulate a crash between rename and manifest write: the NEXT version's
+    // dest dirs already exist with junk
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = t.meta.version + 1
+    (0 until 4).foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/data/b$b/v$v/junk")
+      fs.mkdirs(d)
+      fs.create(new org.apache.hadoop.fs.Path(d, "part-junk.parquet"), true).close()
+    }
+    val up = Seq(("42", Seq("x"), 7, 1.0, Seq.fill(64)(0f))).toDF(
+      "_id", "tokens", "p_size", "p_retailprice", "vec")
+    t.addOrUpdate(up) // must not throw, must not drop the touched bucket
+    assert(t.docs.count() === n)
+    assert(t.get("42").select("p_size").as[Int].head() === 7)
+  }
+
   test("multi-vector fusion search intersects fields and fuses scores") {
     val root = tmp()
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")

@@ -103,6 +103,53 @@ class IndexSpec extends GraftSuite {
     assert(partial.filter($"qid" === $"id").count() === 5)
   }
 
+  test("score range filters inside the scan, before the top-k heap") {
+    // full probes = exact, so the index result must equal flatSearch with
+    // the same range: out-of-range near hits must NOT consume the budget
+    // (reference IsSimilarScoreValid inside the scan, gamma_common_data.h:96)
+    val idx = IndexRegistry.build("IVFFLAT", spark, emb, "vec_id", "embedding",
+      IndexParams(ncentroids = 8))
+    val res = idx.search(queries, 10, Some(8), minScore = Some(2.0), maxScore = Some(8.0))
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", 10,
+      Metric.L2, minScore = Some(2.0), maxScore = Some(8.0))
+    assert(res.select("qid", "id").collect().toSet === exact.select("qid", "id").collect().toSet)
+    val scores = res.select("score").as[Double].collect()
+    assert(scores.forall(s => s >= 2.0 && s <= 8.0))
+    // and the same through IVFPQ's exact re-rank stage
+    val pq = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+      IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000))
+    val pqRes = pq.search(queries, 10, Some(8), minScore = Some(2.0), maxScore = Some(8.0))
+    assert(pqRes.select("qid", "id").collect().toSet ===
+      exact.select("qid", "id").collect().toSet)
+  }
+
+  test("IVFPQ inner-product: IP LUT ordering and metric-aware probes") {
+    val ipTruth = {
+      val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+      Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", 10, Metric.InnerProduct)
+        .select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val p = IndexParams(metric = Metric.InnerProduct,
+      ncentroids = 8, nsubvector = 8, recallNum = 100000)
+    // re-rank path: exhaustive recall_num + full probes = exact
+    val ranked = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding", p)
+      .search(queries, 10, Some(8))
+    assert(recallAt(ranked, ipTruth) === 1.0)
+    // ADC-only path: descending scores, sane recall (was unordered garbage
+    // before the IP LUT — the ascending-L2 heap returned the WORST hits)
+    val adc = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+      p.copy(hasRank = false)).search(queries, 10, Some(8))
+    val adcRecall = recallAt(adc, ipTruth)
+    assert(adcRecall >= 0.5, s"IVFPQ(adc,ip) recall@10 was $adcRecall")
+    // cosine is rejected without re-rank support
+    intercept[IllegalArgumentException] {
+      IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+        p.copy(metric = Metric.Cosine))
+    }
+  }
+
   test("save/load round-trip preserves results (IVFFLAT)") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val idx = IvfFlatIndex.build(spark, emb, "vec_id", "embedding", IndexParams(ncentroids = 8))
