@@ -187,24 +187,41 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Brute n-gram Jaccard pairs with optional blocking column (e.g. lang):
-    * at scale pass a blocking key so the self-join is per-block.
+  /** Exact n-gram Jaccard pairs at `threshold` via AllPairs prefix
+    * filtering (Bayardo et al., WWW'07): with token sets sorted in a global
+    * order, J(x,y) >= t implies overlap >= ceil(t*|x|), so the smallest
+    * COMMON token sits within the first |x| - ceil(t*|x|) + 1 tokens of x
+    * (and symmetrically of y). Candidates therefore come from an EQUI-join
+    * on prefix tokens — no false negatives, identical results to the brute
+    * pair join the oracle computes.
+    *
+    * Scale design: the O(n^2) theta-join (which also ships both token
+    * arrays through every pair) becomes |docs| x prefix exploded rows,
+    * shuffled by token; only verified candidates rejoin the full arrays.
+    * `blockCol` (e.g. lang) additionally scopes candidates per block.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       blockCol: Option[String] = None): DataFrame = {
-    val shingled = withShingles(df, idCol, textCol, shingleN)
-    val t = blockCol match {
-      case Some(b) => shingled.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
-      case None    => shingled
+    val toks = withShingles(df, idCol, textCol, shingleN)
+    // toks are sorted ascending (ShingleHash contract) = the global order
+    val prefLen = greatest(lit(1),
+      (size(col("toks")) - ceil(size(col("toks")) * threshold) + 1).cast("int"))
+    val prefBase = toks.select(col("id"), explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val pref = blockCol match {
+      case Some(b) => prefBase.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
+      case None    => prefBase
     }
-    val cond = blockCol
-      .map(b => col(s"x.$b") === col(s"y.$b") && col("x.id") < col("y.id"))
-      .getOrElse(col("x.id") < col("y.id"))
-    val pairs = t.as("x").join(t.as("y"), cond)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.toks").as("ta"), col("y.toks").as("tb"))
+    val joinCond = blockCol
+      .map(b => col("x.tok") === col("y.tok") && col(s"x.$b") === col(s"y.$b"))
+      .getOrElse(col("x.tok") === col("y.tok")) && col("x.id") < col("y.id")
+    val cands = pref.as("x").join(pref.as("y"), joinCond)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val pairs = cands
+      .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
     pairJaccard(pairs, threshold)
   }
 

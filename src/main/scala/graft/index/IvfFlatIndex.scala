@@ -59,16 +59,27 @@ object Ivf {
     if (requested > 0) requested
     else math.max(4, math.min(2048, math.sqrt(n.toDouble).toInt))
 
-  /** Train coarse centroids on a bounded sample. */
+  /** Train coarse centroids on a bounded sample, clamped to 256 points per
+    * centroid like the reference's faiss training
+    * (gamma_index_ivfpq.cc:280-296 clamps to [39·nlist, 256·nlist]) —
+    * training on more buys no list quality and multiplies k-means cost.
+    */
   def trainCoarse(
       docs: DataFrame, vecCol: String, ncentroids: Int,
       sampleRows: Int, seed: Long): KMeansModel = {
+    val cap = math.min(sampleRows, math.max(39 * ncentroids, 256 * ncentroids))
     // bounded sample in few partitions: k-means iterations are scheduler-
     // bound when a small sample is spread over many partitions
     val train = docs.select(array_to_vector(col(vecCol)).as("features"))
-      .limit(sampleRows).coalesce(8).cache()
+      .limit(cap).coalesce(8).cache()
+    // the coarse quantizer only partitions the space (list ASSIGNMENT is
+    // exact, list quality is recovered by nprobe), so convergence beyond
+    // ~12 iterations buys no recall — the reference's faiss training makes
+    // the same tradeoff via bounded sample clamps (retrieval_model.h:303);
+    // k-means|| init is kept: its few extra passes run on the small cached
+    // sample and matter for recall on near-uniform data
     try new KMeans()
-      .setK(ncentroids).setSeed(seed).setMaxIter(20).setTol(1e-4)
+      .setK(ncentroids).setSeed(seed).setMaxIter(12).setTol(1e-3)
       .fit(train)
     finally train.unpersist()
   }

@@ -192,11 +192,14 @@ object IvfPqIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // 256 training points per codebook entry (the faiss PQ training clamp
+    // the reference inherits) — more sample multiplies cost, not quality
+    val pqCap = math.min(params.trainSampleRows, 256 * ksub)
     val codebookFutures = (0 until m).map { j =>
       Future {
         val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
         val train = cur.select(array_to_vector(sliceCol).as("features"))
-          .limit(params.trainSampleRows)
+          .limit(pqCap)
         // random init: k-means|| costs several extra passes per subspace and
         // sub-codebook quality is recovered by the exact re-rank stage anyway
         new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(10).setTol(1e-4)

@@ -92,7 +92,11 @@ class GammaTable private (
   private def writeVersion(df: DataFrame, buckets: Seq[Long], v: Long): Seq[Long] = {
     val staging = new org.apache.hadoop.fs.Path(s"$root/data/.staging_v$v")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // repartition by bucket so each bucket dir gets ~1 file instead of one
+    // per upstream shuffle partition (shuffle-partitions x buckets tiny
+    // files per version is a small-files problem at any scale)
     df.withColumn("_bp", col(BucketCol))
+      .repartition(col("_bp"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
     val written = buckets.filter { b =>
       val part = new org.apache.hadoop.fs.Path(staging, s"_bp=$b")
@@ -136,23 +140,29 @@ class GammaTable private (
     val key = meta0.keyField
     val v = meta0.version + 1
     val d0 = Crud.dedupLastWins(delta, key, orderCol)
+    // materialize the (O(delta)-sized) batch once: it is consumed three
+    // times below — affected-bucket collect, docid assignment's
+    // zipWithIndex count pass, and the write job — and recomputing an
+    // arbitrary upstream plan for each would triple the commit cost
     val d = orderCol.foldLeft(d0)(_.drop(_))
       .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
+      .localCheckpoint(true)
     val affected = d.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
 
     // rows written/updated in this commit are stamped _version = v so
     // incremental index maintenance can find the changed tail cheaply
-    val (merged, newCount) = readBuckets(affected) match {
+    val merged = readBuckets(affected) match {
       case None =>
-        (withDenseDocids(d, meta0.maxDocid)
-          .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)), -1L)
+        withDenseDocids(d, meta0.maxDocid)
+          .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v))
       case Some(existing) =>
         val oldIds = existing.select(col(key), col(DocidCol))
-        val joined = d.join(oldIds, Seq(key), "left")
+        // also O(delta); read by the docid count pass and the write job
+        val joined = d.join(oldIds, Seq(key), "left").localCheckpoint(true)
         val fresh = joined.filter(col(DocidCol).isNull).drop(DocidCol)
         val kept = joined.filter(col(DocidCol).isNotNull)
         val freshIds = withDenseDocids(fresh, meta0.maxDocid)
-        val m = existing
+        existing
           .join(d.select(key), Seq(key), "left_anti")
           .unionByName(
             kept.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
@@ -160,17 +170,17 @@ class GammaTable private (
           .unionByName(
             freshIds.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
             allowMissingColumns = true)
-        (m, -2L)
     }
-    // single evaluation: write the merge, then count new docids from the
-    // written files (parquet-pushdown count — no checkpoint job)
-    val written = writeVersion(merged, affected, v)
-    val writtenDf =
-      if (written.isEmpty) merged.limit(0)
-      else spark.read.parquet(written.map(b => bucketPath(b, v)): _*)
+    // single evaluation: fresh keys are exactly the rows whose dense docid
+    // is >= the pre-commit high-water mark, counted by an observe() metric
+    // DURING the write job — no read-back of the written files
+    val obs = new org.apache.spark.sql.Observation(s"commit_${meta0.name}_v$v")
+    val observed = merged.observe(obs,
+      sum(when(col(DocidCol) >= meta0.maxDocid, 1L).otherwise(0L)).as("fresh"))
+    val written = writeVersion(observed, affected, v)
     val n =
-      if (newCount == -1L) writtenDf.count()
-      else writtenDf.filter(col(VersionCol) === v && col(DocidCol) >= meta0.maxDocid).count()
+      if (written.isEmpty) 0L
+      else Option(obs.get("fresh")).map(_.asInstanceOf[Long]).getOrElse(0L)
     commit(affected, written, v, n)
   }
 
