@@ -389,6 +389,41 @@ object SparkEntry {
         .select(col("_id"), round(col("score"), 6).as("score"))
     }),
 
+    // S8/S9/R5/T4 — persisted-index lifecycle: build the IVF index AT REST
+    // (parquet lists partitioned by centroid_id), upsert + refresh
+    // (append-only delta + supersede log), delete, then RELOAD table and
+    // index from disk and search through the persisted lists. Full probes
+    // + exact in-list scoring keep it oracle-checkable (same state as
+    // q_table_e2e).
+    "q_table_persisted" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_persist").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "persisted", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+      val ix = tbl.buildIndex("vec",
+        graft.index.IndexParams(ncentroids = 4), persist = true)
+      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      tbl.addOrUpdate(delta)
+      ix.refresh()
+      tbl.deleteByQuery(col("p_size").between(10, 12))
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      val reloaded = graft.table.GammaTable.load(s, root)
+      reloaded.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+          rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // R1/R2/R5 streaming shape — replay events as 5 sequential microbatch
     // upserts (last write wins per key); final state must equal the
     // latest-event-per-user oracle.
@@ -674,25 +709,11 @@ object SparkEntry {
     "q_live_count" ->
       "SELECT count(*) AS live FROM part WHERE NOT (p_partkey % 5 = 0)",
 
-    "q_table_e2e" ->
-      """WITH docs0 AS (
-        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
-        |  FROM part JOIN embeddings ON p_partkey = vec_id),
-        |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
-        |       WHERE CAST(_id AS BIGINT) % 10 = 3),
-        |docs1 AS (
-        |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
-        |  UNION ALL SELECT * FROM up),
-        |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12)),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |s AS (
-        |  SELECT _id, list_sum(list_transform(range(1, 65),
-        |    i -> (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
-        |       * (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
-        |  FROM docs2, q WHERE p_size BETWEEN 1 AND 40),
-        |r AS (SELECT _id, dist,
-        |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
-        |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
+    "q_table_e2e" -> oracleSqlTableE2e,
+
+    // same document state transitions as q_table_e2e, searched through the
+    // persisted index after a disk reload — the oracle is identical
+    "q_table_persisted" -> oracleSqlTableE2e,
 
     "q_stream_upsert" ->
       """SELECT CAST(user_id AS VARCHAR) AS _id, event_id, event_type, value
@@ -836,6 +857,31 @@ object SparkEntry {
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Shared oracle for the table-lifecycle queries (q_table_e2e and
+    * q_table_persisted apply identical upsert/delete transitions; only the
+    * search path differs — brute-force vs persisted index — so the result
+    * must be identical too).
+    */
+  private val oracleSqlTableE2e: String =
+    """WITH docs0 AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
+      |  FROM part JOIN embeddings ON p_partkey = vec_id),
+      |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
+      |       WHERE CAST(_id AS BIGINT) % 10 = 3),
+      |docs1 AS (
+      |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
+      |  UNION ALL SELECT * FROM up),
+      |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12)),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT _id, list_sum(list_transform(range(1, 65),
+      |    i -> (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+      |       * (CAST(vec[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+      |  FROM docs2, q WHERE p_size BETWEEN 1 AND 40),
+      |r AS (SELECT _id, dist,
+      |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+      |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin
 
   /** Shared shingle CTE (distinct word 3-grams) used by the dedup oracles —
     * the DuckDB mirror of TextOps.shingles(text, 3).

@@ -152,6 +152,29 @@ class IvfPqIndex(
 
 object IvfPqIndex {
 
+  /** Restore a saved index. `rawDocs` re-supplies the exact re-rank source
+    * (the reference reloads raw vectors alongside dumped codes,
+    * gamma_engine.cc:1175-1262); the codes read stays lazy, so probe
+    * filters prune the partitioned parquet at rest (T4).
+    */
+  def load(
+      spark: SparkSession,
+      path: String,
+      rawDocs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: IndexParams): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val centers = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code").collect()
+    val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }.toArray
+    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks, params)
+  }
+
   def build(
       spark: SparkSession,
       docs: DataFrame,

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
@@ -17,7 +18,7 @@ import graft.table.GammaTable
   *    gamma_engine.h:28);
   *  - per refresh, APPEND new vectors to the existing centroids without
   *    retraining (R5 — the reference feeds raw vectors into the trained
-  *    index in chunks, gamma_engine.cc:996-1043) and REPLACE re-written
+  *    index in chunks, gamma_engine.cc:996-1043) and supersede re-written
   *    vectors (R6 — the updated-vid queue, vector_manager.cc:355-380);
   *  - at query time, stale/deleted entries are anti-joined out of the
   *    index scan (the reference's bitmap `IsValid` check inside the scan,
@@ -25,27 +26,79 @@ import graft.table.GammaTable
   *    union-merged (the reference searches index + raw memory tail; V9
   *    brute-force fallback when no index exists).
   *
+  * Two storage modes:
+  *
+  *  - **in-memory** (default): inverted lists live as a localCheckpoint —
+  *    the reference's resident realtime index;
+  *  - **persisted** (`persist = true`): lists live AT REST as parquet under
+  *    `<table.root>/index/<field>/lists/v<N>/`, partitioned by
+  *    `centroid_id` so probe filters prune files (T4). Refreshes APPEND
+  *    delta rows (stamped `_ixv` = their table `_version`) plus a
+  *    `replaced/` log of superseded keys; a query-time anti-join
+  *    (`lists._ixv < replaced.ixv`) hides stale entries — the analog of
+  *    the reference's bit-63 tombstones in realtime lists
+  *    (realtime/realtime_mem_data.h:26-27). [[compactIndex]] rewrites the
+  *    lists minus tombstones into `v<N+1>` and swaps the manifest — the
+  *    reference's bucket compaction (R8, realtime_mem_data.cc:98-142).
+  *
   * Scale design: each refresh touches only rows with `_version >` the
-  * index's build version (an O(delta) filter thanks to version stamping),
-  * and the tail stays small as long as refreshes keep pace with ingest —
-  * exactly the reference's 1 s indexing cadence contract.
+  * index's build version (an O(delta) filter thanks to version stamping);
+  * a persisted refresh writes O(delta) files and never rewrites resident
+  * lists; `replaced/` is O(churn-since-compaction) and broadcast into the
+  * anti-join.
   */
 class IncrementalIndexer(
     val table: GammaTable,
     val vecCol: String,
     val params: IndexParams = IndexParams(),
-    val indexingSize: Long = 0L) {
+    val indexingSize: Long = 0L,
+    val persist: Boolean = false) {
 
   import GammaTable.{DeletedCol, VersionCol}
+  import IncrementalIndexer.{IxvCol, IndexState}
 
   private val spark = table.spark
   private val key = table.meta.keyField
+  private val indexRoot = s"${table.root}/index/$vecCol"
 
   @volatile private var index: Option[IvfFlatIndex] = None
   @volatile private var builtVersion: Long = -1L
+  @volatile private var listsVersion: Long = 0L
 
   def status: String = table.meta.indexStatus
   def currentIndex: Option[IvfFlatIndex] = index
+
+  private def fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def listsPath = s"$indexRoot/lists/v$listsVersion"
+  private def replacedPath = s"$indexRoot/replaced/v$listsVersion"
+
+  /** Persisted lists minus superseded entries: an index row is stale iff a
+    * later version of its key was appended (`_ixv < replaced.ixv`).
+    */
+  private def persistedData(): DataFrame = {
+    val lists = spark.read.parquet(listsPath)
+    val stale =
+      if (fs.exists(new Path(replacedPath))) {
+        val replaced = spark.read.parquet(replacedPath)
+        lists.join(broadcast(replaced),
+          lists(key) === replaced("__rk") && lists(IxvCol) < replaced("__rv"),
+          "left_anti")
+      } else lists
+    stale
+  }
+
+  private def writeMeta(): Unit =
+    IncrementalIndexer.writeState(spark, s"$indexRoot/meta",
+      IndexState(builtVersion, listsVersion, params.metric.toString, params.ncentroids,
+        params.nprobe, params.nsubvector, params.nbits, params.recallNum,
+        params.hasRank, params.trainSampleRows, params.seed))
+
+  private def saveCentroids(centers: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "center")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexRoot/centroids")
+  }
 
   /** Build or incrementally extend the index (R5/R6). Call after each
     * ingest microbatch (the streaming wrapper does).
@@ -55,25 +108,66 @@ class IncrementalIndexer(
       case None =>
         if (table.meta.maxDocid >= indexingSize) {
           table.setIndexStatus("INDEXING")
-          val built = IvfFlatIndex.build(spark, table.docs, key, vecCol, params)
-          index = Some(new IvfFlatIndex(spark, built.data.localCheckpoint(true),
-            key, vecCol, built.centers, params))
+          val docs = table.docs.select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
+          val n = docs.count()
+          val k = Ivf.autoNcentroids(n, params.ncentroids)
+          val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+          val assigned = Ivf.assign(model, docs, vecCol)
+          val centers = model.clusterCenters.map(_.toArray)
+          val data =
+            if (persist) {
+              assigned.repartition(col("centroid_id"))
+                .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(listsPath)
+              saveCentroids(centers)
+              persistedData()
+            } else assigned.localCheckpoint(true)
+          index = Some(new IvfFlatIndex(spark, data, key, vecCol, centers, params))
           builtVersion = table.meta.version
+          if (persist) writeMeta()
           table.setIndexStatus("INDEXED")
         }
       case Some(idx) =>
         val delta = table.docs.filter(col(VersionCol) > builtVersion)
-          .select(col(key), col(vecCol))
+          .select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
         if (!delta.isEmpty) {
           // assign with the EXISTING centroids — no retrain (R5)
           val assigned = Ivf.assignWithCenters(delta, vecCol, idx.centers)
-          val newData = idx.data
-            .join(delta.select(key), Seq(key), "left_anti") // R6: replace updated
-            .unionByName(assigned)
-            .localCheckpoint(true)
+          val newData =
+            if (persist) {
+              assigned.write.mode(SaveMode.Append).partitionBy("centroid_id").parquet(listsPath)
+              // supersede log: any older entry of these keys is now stale
+              delta.select(col(key).as("__rk"), col(IxvCol).as("__rv"))
+                .write.mode(SaveMode.Append).parquet(replacedPath)
+              persistedData()
+            } else
+              idx.data
+                .join(delta.select(key), Seq(key), "left_anti") // R6: replace updated
+                .unionByName(assigned)
+                .localCheckpoint(true)
           index = Some(new IvfFlatIndex(spark, newData, key, vecCol, idx.centers, params))
         }
         builtVersion = table.meta.version
+        if (persist) writeMeta()
+    }
+  }
+
+  /** Rewrite persisted lists minus superseded entries into a fresh version
+    * dir and swap (reference bucket compaction, R8).
+    */
+  def compactIndex(): Unit = synchronized {
+    require(persist, "compactIndex applies to persisted indexes")
+    index.foreach { idx =>
+      val clean = persistedData()
+      val nextLists = s"$indexRoot/lists/v${listsVersion + 1}"
+      clean.repartition(col("centroid_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(nextLists)
+      val old = listsVersion
+      listsVersion += 1
+      writeMeta()
+      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+      fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
+      index = Some(new IvfFlatIndex(spark,
+        persistedData(), key, vecCol, idx.centers, params))
     }
   }
 
@@ -120,4 +214,71 @@ class IncrementalIndexer(
     }
   }
 
+}
+
+object IncrementalIndexer {
+
+  /** Version stamp carried on every persisted index row: the table
+    * `_version` of the doc state it encodes.
+    */
+  val IxvCol = "_ixv"
+
+  /** Persisted index manifest (the reference dumps per-model meta next to
+    * its lists, gamma_engine.cc:1101-1146).
+    */
+  case class IndexState(
+      builtVersion: Long,
+      listsVersion: Long,
+      metric: String,
+      ncentroids: Int,
+      nprobe: Int,
+      nsubvector: Int,
+      nbits: Int,
+      recallNum: Int,
+      hasRank: Boolean,
+      trainSampleRows: Int,
+      seed: Long)
+
+  private[streaming] def writeState(
+      spark: org.apache.spark.sql.SparkSession, dir: String, s: IndexState): Unit = {
+    val json =
+      s"""{"builtVersion":${s.builtVersion},"listsVersion":${s.listsVersion},""" +
+        s""""metric":"${s.metric}","ncentroids":${s.ncentroids},"nprobe":${s.nprobe},""" +
+        s""""nsubvector":${s.nsubvector},"nbits":${s.nbits},"recallNum":${s.recallNum},""" +
+        s""""hasRank":${s.hasRank},"trainSampleRows":${s.trainSampleRows},"seed":${s.seed}}"""
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val out = fs.create(new Path(dirPath, "meta.json"), true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IndexState = {
+    import spark.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[IndexState]]
+    spark.read.schema(enc.schema).json(dir).as[IndexState].head()
+  }
+
+  /** Restore a persisted index from `<table.root>/index/<vecCol>` — the
+    * load half of the dump/load lifecycle (S9). The restored index reads
+    * its lists lazily from parquet, so probe filters prune files at rest.
+    */
+  def load(table: GammaTable, vecCol: String): IncrementalIndexer = {
+    val spark = table.spark
+    val root = s"${table.root}/index/$vecCol"
+    val st = readState(spark, s"$root/meta")
+    val params = IndexParams(Metric.withName(st.metric), st.ncentroids, st.nprobe,
+      st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed)
+    val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true)
+    ix.listsVersion = st.listsVersion
+    ix.builtVersion = st.builtVersion
+    val centers = spark.read.parquet(s"$root/centroids")
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+    ix.index = Some(new IvfFlatIndex(spark, ix.persistedData(),
+      table.meta.keyField, vecCol, centers, params))
+    ix
+  }
 }

@@ -199,10 +199,11 @@ class GammaTable private (
   def buildIndex(
       vecField: String,
       params: graft.index.IndexParams = graft.index.IndexParams(),
-      indexingSize: Long = 0L): graft.streaming.IncrementalIndexer = {
+      indexingSize: Long = 0L,
+      persist: Boolean = false): graft.streaming.IncrementalIndexer = {
     require(meta0.vectorFields.exists(_.name == vecField) ||
       docs.columns.contains(vecField), s"unknown vector field $vecField")
-    val ix = new graft.streaming.IncrementalIndexer(this, vecField, params, indexingSize)
+    val ix = new graft.streaming.IncrementalIndexer(this, vecField, params, indexingSize, persist)
     ix.refresh()
     indexers.put(vecField, ix)
     ix
@@ -401,12 +402,21 @@ object GammaTable {
     t
   }
 
-  /** Restore a table from its root or a dump dir (S9, reference
-    * gamma_engine.cc:1175-1262). A dump dir (flat `data/` + `dump.done`)
-    * is re-imported as a fresh single-version table.
+  /** Restore a table from its root (S9, reference gamma_engine.cc:1175-1262),
+    * re-attaching any persisted ANN indexes found under `root/index/<field>`
+    * (the reference replays its newest `dump.done` index dirs on Load).
     */
   def load(spark: SparkSession, root: String): GammaTable = {
-    new GammaTable(spark, root, readMeta(spark, s"$root/meta"))
+    val t = new GammaTable(spark, root, readMeta(spark, s"$root/meta"))
+    val ixRoot = new org.apache.hadoop.fs.Path(s"$root/index")
+    val fs = ixRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ixRoot)) {
+      fs.listStatus(ixRoot).filter(_.isDirectory).foreach { st =>
+        val field = st.getPath.getName
+        t.indexers.put(field, graft.streaming.IncrementalIndexer.load(t, field))
+      }
+    }
+    t
   }
 
   /** json-infer would read the bucket map as a struct; force the encoder

@@ -97,6 +97,48 @@ class StreamingSpec extends GraftSuite {
     assert(viaIndex === brute)
   }
 
+  test("persisted index at rest: append refresh, supersede, reload, compact, prune") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "p", "_id", docsSlice(0, 300), nBuckets = 4)
+    val ix = t.buildIndex("vec", IndexParams(ncentroids = 8), persist = true)
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // upsert: 50 fresh + 20 rewritten (shifted vectors) -> append + supersede
+    val rewrites = docsSlice(0, 20)
+      .select($"_id", transform($"vec", x => x + 10.0f).as("vec"))
+    t.addOrUpdate(docsSlice(300, 350).unionByName(rewrites))
+    ix.refresh()
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // delete a few keys: runtime anti-join hides them without any index write
+    t.delete(Seq("5", "6").toDF("_id"))
+    val afterDel = ix.search(queries, 5)
+    assert(!afterDel.select("id").as[String].collect().exists(Set("5", "6")))
+
+    // reload table + index purely from disk — results identical
+    val t2 = GammaTable.load(spark, root)
+    val ix2 = t2.attachedIndex("vec").get
+    assert(ix2.persist && ix2.currentIndex.isDefined)
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+
+    // compaction rewrites lists minus superseded entries, same results
+    val before = spark.read.parquet(s"$root/index/vec/lists/v0").count()
+    ix2.compactIndex()
+    val after = spark.read.parquet(s"$root/index/vec/lists/v1").count()
+    assert(after === before - 20) // the 20 rewritten keys' stale rows dropped
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+
+    // probe filters prune the partitioned parquet at rest (T4)
+    val plan = ix2.currentIndex.get
+      .search(queries.take(1), 5, nprobe = Some(2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+  }
+
   test("watermarked windowed streaming aggregation over the events table") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
