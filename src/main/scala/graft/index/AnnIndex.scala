@@ -16,6 +16,9 @@ import org.apache.spark.sql.DataFrame
 trait AnnIndex {
   def retrievalType: String
 
+  /** Hyper-parameters (incl. the metric this index serves). */
+  def params: IndexParams
+
   /** `minScore`/`maxScore` is the score-range predicate (P8) applied to
     * scored candidates BEFORE the top-k heap, like the reference's
     * `IsSimilarScoreValid` callback inside the scan

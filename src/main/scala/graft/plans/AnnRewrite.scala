@@ -1,0 +1,185 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.core.Metric
+import graft.functions.{CosineSimilarity, InnerProduct, L2SqDistance}
+import graft.index.AnnIndex
+
+/** Catalyst rewrite of exact-KNN plans into the ANN index path — the
+  * optimizer half of the reference's planner behavior where an available
+  * trained index serves the query and brute force is only the fallback
+  * (reference search/gamma_engine.cc:327-340, V9).
+  *
+  * `ORDER BY l2_sq(vec, <literal qvec>) LIMIT k` (or `inner_product`/
+  * `cosine_sim` with DESC) over a parquet relation registered in
+  * [[IndexCatalog]] is rewritten into the registered index's probe-pruned
+  * search plan. Opt-in by `SET spark.graft.ann.rewrite=true` because the
+  * rewrite trades exactness for probe-pruned latency when nprobe <
+  * ncentroids — exactly the trade the reference makes the moment an index
+  * reaches INDEXED state.
+  */
+case class RegisteredIndex(
+    index: AnnIndex,
+    docs: DataFrame, // join-back source for projected columns
+    idCol: String,
+    vecCol: String)
+
+/** Path-keyed registry mirroring the reference's `(name, retrieval_type)`
+  * index registry (vector/vector_manager.cc:447-459): the relation's root
+  * path identifies the table, the entry carries the serving index.
+  */
+object IndexCatalog {
+  private val byPath = TrieMap.empty[String, RegisteredIndex]
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  def register(path: String, ri: RegisteredIndex): Unit = byPath.put(norm(path), ri)
+  def unregister(path: String): Unit = byPath.remove(norm(path))
+  def clear(): Unit = byPath.clear()
+
+  def lookup(rootPaths: Seq[Path]): Option[RegisteredIndex] =
+    rootPaths.headOption.flatMap(p => byPath.get(norm(p.toString)))
+}
+
+case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.ann.rewrite", "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case lim @ Limit(IntegerLiteral(k),
+          Sort(Seq(SortOrder(orderExpr, direction, _, _)), true, child, _)) =>
+        tryRewrite(orderExpr, direction, k, child).getOrElse(lim)
+    }
+
+  /** (distance expression, required direction) -> metric. */
+  private def metricOf(e: Expression, d: SortDirection): Option[Metric.Value] = e match {
+    case _: L2SqDistance if d == Ascending      => Some(Metric.L2)
+    case _: InnerProduct if d == Descending     => Some(Metric.InnerProduct)
+    case _: CosineSimilarity if d == Descending => Some(Metric.Cosine)
+    case _                                      => None
+  }
+
+  private def queryVector(e: Expression): Option[Array[Float]] =
+    if (!e.foldable) None
+    else e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, _) =>
+            Some(a.toFloatArray())
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) =>
+            Some(a.toDoubleArray().map(_.toFloat))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def relationPaths(p: LogicalPlan): Option[Seq[Path]] = p match {
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths)
+        case _                    => None
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(
+      orderExpr: Expression,
+      direction: SortDirection,
+      k: Int,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // peel an optional Project, resolving a sort on a projected alias back
+    // to the underlying distance expression
+    val (scan, projList, resolvedOrder) = child match {
+      case Project(pl, inner) =>
+        val resolved = orderExpr match {
+          case ar: AttributeReference =>
+            pl.collectFirst { case a: Alias if a.exprId == ar.exprId => a.child }
+              .getOrElse(orderExpr)
+          case other => other
+        }
+        (inner, Some(pl), resolved)
+      case other => (other, None, orderExpr)
+    }
+    for {
+      paths <- relationPaths(scan)
+      ri <- IndexCatalog.lookup(paths)
+      metric <- metricOf(resolvedOrder, direction)
+      if ri.index.params.metric == metric
+      dist = resolvedOrder.asInstanceOf[BinaryExpression]
+      vecArg = dist.left
+      if vecArg.isInstanceOf[AttributeReference] &&
+        vecArg.asInstanceOf[AttributeReference].name == ri.vecCol
+      qvec <- queryVector(dist.right)
+    } yield {
+      val hits = ri.index.search(Seq((0L, qvec)), k)
+        .select(col("id"), col("score"))
+      // reproduce the original output columns: id/score straight from the
+      // index result, anything else joined back from the doc table (the
+      // reference likewise packs scalar fields from the table after the
+      // index returns docids, gamma_response.cc:228-261)
+      val origOutput = child.output
+      val scoreIds: Set[ExprId] = projList
+        .map(_.collect {
+          case a: Alias if a.child.semanticEquals(resolvedOrder) => a.exprId
+        }.toSet)
+        .getOrElse(Set.empty)
+      val needsJoin = origOutput.exists(o =>
+        !scoreIds.contains(o.exprId) && o.name != ri.idCol)
+      val base =
+        if (needsJoin)
+          hits.join(broadcast(ri.docs.withColumnRenamed(ri.idCol, "id")), Seq("id"))
+        else hits
+      val cols = origOutput.map { o =>
+        if (scoreIds.contains(o.exprId)) col("score").as(o.name)
+        else if (o.name == ri.idCol) col("id").cast(o.dataType).as(o.name)
+        else col(o.name)
+      }
+      val asc = Metric.ascending(metric)
+      val ordered = base
+        .orderBy((if (asc) col("score").asc else col("score").desc), col("id").asc)
+        .limit(k)
+        .select(cols: _*)
+      val newPlan = ordered.queryExecution.optimizedPlan
+      // graft the original attribute ids onto the replacement's output so
+      // parent operators keep resolving
+      Project(
+        origOutput.zip(newPlan.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        },
+        newPlan)
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: build sessions with
+  * `.withExtensions(new GraftSparkExtensions)` (or the
+  * `spark.sql.extensions` conf) to install the rewrite. For an existing
+  * session use [[AnnRewrite.install]].
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(sess => AnnTopKRewrite(sess))
+}
+
+object AnnRewrite {
+  /** Install on an already-built session via experimental methods. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[AnnTopKRewrite]))
+      spark.experimental.extraOptimizations = cur :+ AnnTopKRewrite(spark)
+  }
+}

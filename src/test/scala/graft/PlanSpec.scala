@@ -77,4 +77,40 @@ class PlanSpec extends GraftSuite {
     val p = plan(SparkEntry.queries("q_point_lookup")(spark, sf0))
     assert(p.contains("EqualTo(p_partkey,100)"), p)
   }
+
+  test("Catalyst rule rewrites ORDER BY l2_sq LIMIT k into the index path (M7)") {
+    import spark.implicits._
+    graft.plans.AnnRewrite.install(spark)
+    graft.functions.registerAll(spark)
+    val path = s"$sf0/embeddings.parquet"
+    val emb = spark.read.parquet(path)
+    val idx = graft.index.IndexRegistry.build("IVFFLAT", spark, emb,
+      "vec_id", "embedding", graft.index.IndexParams(ncentroids = 8))
+    graft.plans.IndexCatalog.register(path,
+      graft.plans.RegisteredIndex(idx, emb, "vec_id", "embedding"))
+    emb.createOrReplaceTempView("emb_ann")
+    val qvec = emb.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    val sql = s"SELECT vec_id, l2_sq(embedding, $qLit) AS score FROM emb_ann " +
+      "ORDER BY score LIMIT 10"
+    try {
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      val df = spark.sql(sql)
+      val p = plan(df)
+      assert(p.contains("centroid_id"), p) // index lists scanned, not raw docs
+      // full probes (nprobe=80 > 8 lists) -> identical to the exact answer
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val expect = idx.search(Seq((0L, qvec)), 10)
+        .select($"id", $"score").as[(Long, Double)].collect().toSet
+      assert(got === expect)
+
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val pOff = plan(spark.sql(sql))
+      assert(!pOff.contains("centroid_id"), pOff) // exact TakeOrdered path
+      assert(pOff.contains("TakeOrderedAndProject"), pOff)
+    } finally {
+      spark.conf.unset("spark.graft.ann.rewrite")
+      graft.plans.IndexCatalog.clear()
+    }
+  }
 }
