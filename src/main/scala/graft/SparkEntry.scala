@@ -332,6 +332,17 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // V5 — HNSW per-partition graphs (approximate: rows-only check; recall
+    // floor vs FLAT asserted in IndexSpec).
+    "q_hnsw_ann" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.IndexRegistry.build("HNSW", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64))
+      idx.search(collectQueries(s, dir), k = 10)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // P9/§1.1 — multi-vector-per-doc: two vids per doc (embedding and its
     // reverse), best-vid-per-doc collapse BEFORE the top-k limit
     // (vector_manager.cc:396-417 ordering contract).

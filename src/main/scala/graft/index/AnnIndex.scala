@@ -62,7 +62,8 @@ object IndexRegistry {
   private val builders = scala.collection.concurrent.TrieMap[String, Builder](
     "FLAT" -> ((s, docs, id, vec, p) => FlatIndex(s, docs, id, vec, p)),
     "IVFFLAT" -> ((s, docs, id, vec, p) => IvfFlatIndex.build(s, docs, id, vec, p)),
-    "IVFPQ" -> ((s, docs, id, vec, p) => IvfPqIndex.build(s, docs, id, vec, p)))
+    "IVFPQ" -> ((s, docs, id, vec, p) => IvfPqIndex.build(s, docs, id, vec, p)),
+    "HNSW" -> ((s, docs, id, vec, p) => HnswIndex.build(s, docs, id, vec, p)))
 
   def register(name: String, b: Builder): Unit = builders.put(name, b)
 
@@ -82,7 +83,9 @@ object IndexRegistry {
 /** Index hyper-parameters; defaults follow the reference's engine defaults
   * (ncentroids=2048 scaled down by table size, nprobe=80, nsubvector=64,
   * nbits=8, recall_num=100 — reference index/impl/gamma_index_ivfpq.h:633,
-  * 690-705). `ncentroids <= 0` means auto: ~sqrt(n) capped to [4, 2048].
+  * 690-705; HNSW nlinks=32, efConstruction=200, efSearch=64 —
+  * gamma_index_ivfpq.h:692-694, hnswlib/gamma_index_hnswlib.cc:29-37).
+  * `ncentroids <= 0` means auto: ~sqrt(n) capped to [4, 2048].
   */
 case class IndexParams(
     metric: graft.core.Metric.Value = graft.core.Metric.L2,
@@ -93,4 +96,7 @@ case class IndexParams(
     recallNum: Int = 100,
     hasRank: Boolean = true,
     trainSampleRows: Int = 200000,
-    seed: Long = 42L)
+    seed: Long = 42L,
+    nlinks: Int = 32,
+    efConstruction: Int = 200,
+    efSearch: Int = 64)

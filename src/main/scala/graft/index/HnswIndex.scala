@@ -1,0 +1,265 @@
+package graft.index
+
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+import graft.core.Metric
+import graft.operators.TopK
+
+/** A single Hierarchical-Navigable-Small-World graph — from-scratch Scala
+  * re-expression of the algorithm the reference embeds via hnswlib (V5,
+  * reference index/impl/hnswlib/gamma_index_hnswlib.cc:316-384,
+  * hnswalg.h): geometric level assignment, greedy descent through upper
+  * layers, best-first beam (`ef`) search at layer 0, bidirectional links
+  * pruned to `m` (2m at layer 0).
+  *
+  * Determinism: a node's level derives from a splitmix of its id, not a
+  * shared RNG, so graphs are reproducible per partition regardless of
+  * insertion interleaving.
+  */
+private[index] final class HnswGraph(
+    val m: Int,
+    val efConstruction: Int,
+    metricName: String) extends Serializable {
+
+  private val maxM0 = 2 * m
+  private val mL = 1.0 / math.log(m.toDouble)
+
+  private val ids = new ArrayBuffer[Long]
+  private val vecs = new ArrayBuffer[Array[Float]]
+  private val levels = new ArrayBuffer[Int]
+  // links(node)(level) = neighbor node indices
+  private val links = new ArrayBuffer[Array[ArrayBuffer[Int]]]
+  private var entry = -1
+  private var topLevel = -1
+
+  def size: Int = ids.length
+
+  /** Internal distance: smaller is better for every metric. */
+  private def dist(a: Array[Float], b: Array[Float]): Double = metricName match {
+    case "InnerProduct" =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      -s
+    case "Cosine" =>
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else -(dp / (math.sqrt(na) * math.sqrt(nb)))
+    case _ =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i); s += t * t; i += 1 }
+      s
+  }
+
+  /** Engine-facing score from the internal distance. */
+  def score(d: Double): Double = metricName match {
+    case "InnerProduct" | "Cosine" => -d
+    case _                         => d
+  }
+
+  private def levelOf(id: Long): Int = {
+    // splitmix64 of the id -> uniform in (0,1) -> geometric level
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    (-math.log(u) * mL).toInt
+  }
+
+  /** Best-first beam search within one level; returns up to `ef` closest
+    * (dist, node) pairs.
+    */
+  private def searchLayer(
+      q: Array[Float], ep: Int, ef: Int, level: Int): ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.HashSet[Integer]
+    val cand = new JPriorityQueue[(Double, Int)](
+      (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
+    val res = new JPriorityQueue[(Double, Int)](
+      (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(y._1, x._1))
+    val d0 = dist(q, vecs(ep))
+    cand.add((d0, ep)); res.add((d0, ep)); visited.add(ep)
+    while (!cand.isEmpty) {
+      val (dc, c) = cand.poll()
+      if (dc > res.peek()._1 && res.size() >= ef) {
+        cand.clear()
+      } else {
+        val nbrs = links(c)(level)
+        var i = 0
+        while (i < nbrs.length) {
+          val n = nbrs(i)
+          if (!visited.contains(n)) {
+            visited.add(n)
+            val dn = dist(q, vecs(n))
+            if (res.size() < ef || dn < res.peek()._1) {
+              cand.add((dn, n)); res.add((dn, n))
+              if (res.size() > ef) res.poll()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new ArrayBuffer[(Double, Int)](res.size())
+    while (!res.isEmpty) out += res.poll()
+    out.sortInPlace()(Ordering.by(_._1))
+  }
+
+  private def capOf(level: Int): Int = if (level == 0) maxM0 else m
+
+  /** Keep the `cap` closest links (the simple selection heuristic; the
+    * reference's hnswlib default heuristic additionally diversifies, which
+    * affects constants, not correctness).
+    */
+  private def shrink(node: Int, level: Int): Unit = {
+    val l = links(node)(level)
+    if (l.length > capOf(level)) {
+      val v = vecs(node)
+      val sorted = l.map(n => (dist(v, vecs(n)), n)).sortInPlace()(Ordering.by(_._1))
+      links(node)(level) = sorted.take(capOf(level)).map(_._2)
+    }
+  }
+
+  def add(id: Long, v: Array[Float]): Unit = {
+    val node = ids.length
+    val lvl = levelOf(id)
+    ids += id; vecs += v; levels += lvl
+    links += Array.fill(lvl + 1)(new ArrayBuffer[Int](m + 1))
+    if (entry < 0) { entry = node; topLevel = lvl; return }
+
+    var ep = entry
+    var level = topLevel
+    while (level > lvl) { // greedy descent above the node's level
+      ep = searchLayer(v, ep, 1, level).head._2
+      level -= 1
+    }
+    while (level >= 0) { // connect at each level the node participates in
+      val w = searchLayer(v, ep, efConstruction, level)
+      val neighbors = w.take(capOf(level))
+      neighbors.foreach { case (_, n) =>
+        links(node)(level) += n
+        links(n)(level) += node
+        shrink(n, level)
+      }
+      ep = w.head._2
+      level -= 1
+    }
+    if (lvl > topLevel) { entry = node; topLevel = lvl }
+  }
+
+  /** Top-k by the engine score convention. `allowed` filters RESULT
+    * collection only — traversal is unrestricted, exactly the reference's
+    * filter callback inside the graph walk (hnswalg.h:312-313).
+    */
+  def search(
+      q: Array[Float], k: Int, ef: Int,
+      allowed: Long => Boolean = _ => true): Seq[(Long, Double)] = {
+    if (entry < 0) return Nil
+    var ep = entry
+    var level = topLevel
+    while (level > 0) {
+      ep = searchLayer(q, ep, 1, level).head._2
+      level -= 1
+    }
+    searchLayer(q, ep, math.max(ef, k), 0)
+      .filter { case (_, n) => allowed(ids(n)) }
+      .take(k)
+      .map { case (d, n) => (ids(n), score(d)) }
+      .toSeq
+  }
+}
+
+/** HNSW as a Spark index: one graph per partition, built executor-side in a
+  * single `mapPartitions` pass, serialized into a binary column. A query
+  * broadcast-fans over every partition graph and the per-graph top-k merge
+  * through the bounded [[TopK.perGroup]] heap — the segment-graph shape
+  * (each of P partitions answers from its local graph; merge cost is
+  * P x k rows, independent of table size).
+  *
+  * Reference: V5, index/impl/hnswlib/gamma_index_hnswlib.cc (nlinks=32,
+  * efConstruction=200 creation, efSearch=64 query defaults).
+  */
+class HnswIndex(
+    val spark: SparkSession,
+    val graphs: DataFrame, // single binary column "graph"
+    val idCol: String,
+    val vecCol: String,
+    val params: IndexParams) extends AnnIndex {
+
+  override def retrievalType: String = "HNSW"
+
+  /** `nprobe` is reused as an efSearch override (HNSW has no probes). */
+  override def search(
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Option[Int],
+      allowedIds: Option[DataFrame],
+      minScore: Option[Double],
+      maxScore: Option[Double]): DataFrame = {
+    import spark.implicits._
+    val ef = nprobe.getOrElse(params.efSearch)
+    val qs = spark.sparkContext.broadcast(queries.toArray)
+    val allowedSet = allowedIds.map(df =>
+      spark.sparkContext.broadcast(
+        df.select(df.columns.head).as[Long].collect().toSet))
+    val hits = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
+      val allowed: Long => Boolean = allowedSet match {
+        case Some(b) => b.value
+        case None    => _ => true
+      }
+      rows.flatMap { bytes =>
+        val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+        val g = in.readObject().asInstanceOf[HnswGraph]
+        qs.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef, allowed).map { case (id, s) => (qid, id, s) }
+        }
+      }
+    }.toDF("qid", "id", "score")
+    val ranged = AnnIndex.scoreRange(hits, "score", minScore, maxScore)
+    TopK.perGroup(ranged, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+  }
+
+  def save(path: String): Unit =
+    graphs.write.mode("overwrite").parquet(s"$path/graphs")
+}
+
+object HnswIndex {
+
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: IndexParams): HnswIndex = {
+    val in = docs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val schema = StructType(Seq(StructField("graph", BinaryType, nullable = false)))
+    val m = params.nlinks
+    val efC = params.efConstruction
+    val metricName = params.metric.toString
+    val graphs = in.mapPartitions { rows =>
+      val g = new HnswGraph(m, efC, metricName)
+      rows.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+      if (g.size == 0) Iterator.empty
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.ObjectOutputStream(bos)
+        out.writeObject(g); out.close()
+        Iterator(Row(bos.toByteArray))
+      }
+    }(Encoders.row(schema)).localCheckpoint(true)
+    new HnswIndex(spark, graphs, idCol, vecCol, params)
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String,
+      params: IndexParams): HnswIndex =
+    new HnswIndex(spark, spark.read.parquet(s"$path/graphs"), idCol, vecCol, params)
+}

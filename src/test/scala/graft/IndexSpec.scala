@@ -150,6 +150,30 @@ class IndexSpec extends GraftSuite {
     }
   }
 
+  test("HNSW per-partition graphs: recall floor, filter pushdown, determinism") {
+    val p = IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64)
+    val idx = IndexRegistry.build("HNSW", spark, emb, "vec_id", "embedding", p)
+    val truth = groundTruth(10)
+    val r = recallAt(idx.search(queries, 10), truth)
+    assert(r >= 0.9, s"HNSW recall@10 was $r")
+    // self-doc always found at distance 0
+    assert(idx.search(queries, 1).filter($"qid" === $"id").count() === queries.size)
+    // filter callback inside the walk (X2): results obey the allowed set
+    val allowed = emb.filter($"label".isin(2, 4)).select($"vec_id")
+    val okIds = allowed.as[Long].collect().toSet
+    val filtered = idx.search(queries, 10, allowedIds = Some(allowed))
+    assert(filtered.select("id").as[Long].collect().forall(okIds))
+    // deterministic across two searches (id-derived levels, fixed merge)
+    val a = idx.search(queries, 10).select("qid", "id").collect().toSet
+    val b = idx.search(queries, 10).select("qid", "id").collect().toSet
+    assert(a === b)
+    // save/load round trip
+    val root = java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+    idx.asInstanceOf[graft.index.HnswIndex].save(root)
+    val re = graft.index.HnswIndex.load(spark, root, "vec_id", "embedding", p)
+    assert(re.search(queries, 10).select("qid", "id").collect().toSet === a)
+  }
+
   test("save/load round-trip preserves results (IVFFLAT)") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val idx = IvfFlatIndex.build(spark, emb, "vec_id", "embedding", IndexParams(ncentroids = 8))
