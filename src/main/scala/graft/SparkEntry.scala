@@ -321,6 +321,19 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // V2+OPQ — learned orthonormal rotation before PQ (reference's OPQ
+    // variants); rotation preserves L2 and the exhaustive re-rank stays in
+    // original space, so the exact-KNN oracle still applies end-to-end.
+    "q_ivfpq_opq_exactrank" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.IndexRegistry.build("IVFPQ", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000,
+          opq = true))
+      idx.search(collectQueries(s, dir), k = 10, nprobe = Some(8))
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // V2 at realistic ANN settings (approximate: rows-only check; recall
     // floor asserted in IndexSpec).
     "q_ivfpq_ann" -> ((s, dir) => {
@@ -672,6 +685,7 @@ object SparkEntry {
 
     "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
+    "q_ivfpq_opq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
     // q_ivfpq_ann intentionally has no oracle (approximate; rows-only check)
     "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
 

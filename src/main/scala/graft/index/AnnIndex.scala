@@ -99,4 +99,6 @@ case class IndexParams(
     seed: Long = 42L,
     nlinks: Int = 32,
     efConstruction: Int = 200,
-    efSearch: Int = 64)
+    efSearch: Int = 64,
+    opq: Boolean = false,
+    opqIters: Int = 5)

@@ -26,12 +26,13 @@ import graft.operators.{Knn, TopK}
 class IvfPqIndex(
     val spark: SparkSession,
     val codes: DataFrame, // idCol, centroid_id, pq_codes array<int>
-    val rawDocs: DataFrame, // idCol, vecCol — re-rank source
+    val rawDocs: DataFrame, // idCol, vecCol — re-rank source (UNrotated)
     val idCol: String,
     val vecCol: String,
-    val centers: Array[Array[Double]],
+    val centers: Array[Array[Double]], // in rotated space when OPQ is on
     val codebooks: Array[Array[Array[Double]]], // [m][ksub][dsub]
-    val params: IndexParams) extends AnnIndex {
+    val params: IndexParams,
+    val rotation: Option[Array[Array[Double]]] = None) extends AnnIndex {
 
   override def retrievalType: String = "IVFPQ"
 
@@ -102,7 +103,11 @@ class IvfPqIndex(
     import spark.implicits._
     val asc = Metric.ascending(params.metric)
     val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
-    val luts = queries.flatMap { case (qid, qv) =>
+    // probes + ADC happen in the (possibly OPQ-rotated) code space; the
+    // exact re-rank below stays in the original space, so rotation never
+    // touches final scores
+    val luts = queries.flatMap { case (qid, qv0) =>
+      val qv = rotation.map(Opq.rotate(_, qv0)).getOrElse(qv0)
       Ivf.probes(centers, qv, np, params.metric)
         .map(c => (qid, c, lut(qv, centers(c)).toSeq))
     }.toDF("qid", "centroid_id", "lut")
@@ -147,6 +152,10 @@ class IvfPqIndex(
       cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
     }.toSeq.toDF("subspace", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    rotation.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq.toDF("i", "r")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
   }
 }
 
@@ -172,7 +181,14 @@ object IvfPqIndex {
     val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
       rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }.toArray
-    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks, params)
+    val rotPath = new org.apache.hadoop.fs.Path(s"$path/rotation")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rotation =
+      if (fs.exists(rotPath))
+        Some(spark.read.parquet(rotPath.toString).orderBy("i").collect()
+          .map(_.getSeq[Double](1).toArray))
+      else None
+    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks, params, rotation)
   }
 
   def build(
@@ -189,8 +205,24 @@ object IvfPqIndex {
     // silently collapse every codebook to 2 entries
     val ksub = math.min(1L << params.nbits, math.max(2L, n)).toInt
 
-    val model = Ivf.trainCoarse(docs, vecCol, ncent, params.trainSampleRows, params.seed)
-    val assigned = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol)
+    // OPQ: learn an orthonormal rotation on a driver-side sample and build
+    // the whole code space (coarse + PQ) in rotated coordinates; L2 is
+    // rotation-invariant so probes stay geometrically correct and the
+    // exact re-rank uses the untouched originals
+    val rotation =
+      if (!params.opq) None
+      else {
+        val sample = docs.select(col(vecCol)).limit(2048)
+          .collect().map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+        Some(Opq.trainRotation(sample, m, ksub, params.opqIters, params.seed))
+      }
+    val work = rotation match {
+      case Some(r) => rotateVecCol(docs.select(col(idCol), col(vecCol)), vecCol, r)
+      case None    => docs.select(col(idCol), col(vecCol))
+    }
+
+    val model = Ivf.trainCoarse(work, vecCol, ncent, params.trainSampleRows, params.seed)
+    val assigned = Ivf.assign(model, work, vecCol)
     val centers = model.clusterCenters.map(_.toArray)
 
     // residual = vec - coarse_centroid (faiss by_residual convention)
@@ -235,7 +267,23 @@ object IvfPqIndex {
 
     val codesDf = encodeCodes(cur, idCol, codebooks, dsub).localCheckpoint(true)
     new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
-      idCol, vecCol, centers, codebooks, params)
+      idCol, vecCol, centers, codebooks, params, rotation)
+  }
+
+  /** Apply the OPQ rotation to a vector column (broadcast matrix kernel). */
+  private def rotateVecCol(
+      df: DataFrame, vecCol: String, r: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema
+    val idx = schema.fieldIndex(vecCol)
+    val bc = df.sparkSession.sparkContext.broadcast(r)
+    df.mapPartitions { rows =>
+      val rr = bc.value
+      rows.map { row =>
+        val v = row.getSeq[Float](idx).toArray
+        Row.fromSeq(row.toSeq.updated(idx, Opq.rotate(rr, v).toSeq))
+      }
+    }(Encoders.row(schema))
   }
 
   /** One-pass PQ encoding: nearest sub-codebook entry per subspace, with

@@ -150,6 +150,34 @@ class IndexSpec extends GraftSuite {
     }
   }
 
+  test("OPQ rotation: orthonormal, exact-rerank unchanged, ADC still sane") {
+    val p = IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000, opq = true)
+    val idx = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding", p)
+      .asInstanceOf[IvfPqIndex]
+    // rotation is orthonormal: R R^T = I
+    val r = idx.rotation.get
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8, s"RR^T($i,$j)=$dot")
+    }
+    // exhaustive re-rank in original space -> exact despite rotation
+    assert(recallAt(idx.search(queries, 10, Some(8)), groundTruth(10)) === 1.0)
+    // ADC-only in rotated space still functions as a recall stage
+    val adc = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+      p.copy(hasRank = false, recallNum = 100)).search(queries, 10, Some(8))
+    val adcRecall = recallAt(adc, groundTruth(10))
+    assert(adcRecall >= 0.5, s"OPQ ADC recall@10 was $adcRecall")
+    // rotation survives save/load
+    val root = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    idx.save(root)
+    val re = IvfPqIndex.load(spark, root, emb.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", p)
+    assert(re.rotation.isDefined)
+    assert(re.search(queries, 10, Some(8)).select("qid", "id").collect().toSet ===
+      idx.search(queries, 10, Some(8)).select("qid", "id").collect().toSet)
+  }
+
   test("HNSW per-partition graphs: recall floor, filter pushdown, determinism") {
     val p = IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64)
     val idx = IndexRegistry.build("HNSW", spark, emb, "vec_id", "embedding", p)
