@@ -549,6 +549,15 @@ object SparkEntry {
         md5(col("text")).as("sig"))
     }),
 
+    // T8-at-scale — salted two-stage aggregation for skewed group keys:
+    // identical result to the plain GROUP BY (associative aggs), uniform
+    // shuffle under hot keys.
+    "q_agg_salted" -> ((s, dir) => {
+      graft.operators.SkewAgg.saltedSumCount(
+          t(s, dir, "events"), Seq("event_type"), "value", saltFrom = "user_id")
+        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"), col("cnt"))
+    }),
+
     // A7 — windowed event aggregation (built-in coverage; also the batch
     // shape of the streaming pipeline R5).
     "q_events_window" -> ((s, dir) => {
@@ -876,6 +885,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,

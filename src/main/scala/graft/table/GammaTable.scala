@@ -350,6 +350,21 @@ class GammaTable private (
     else hits.join(docs.select((key +: req.fields).distinct.map(col): _*), Seq(key), "left")
   }
 
+  /** Engine-status rollup (A5, reference `GetEngineStatus`,
+    * search/gamma_engine.cc:1071-1099 + idl/fbs/engine_status.fbs):
+    * doc counters from the manifest, live/deleted from one pushdown-count
+    * pass, index FSM state.
+    */
+  def status: DataFrame = {
+    import spark.implicits._
+    val live = docs.count()
+    val total = allDocs.count()
+    Seq((meta0.name, meta0.maxDocid, meta0.version, live, total - live,
+      meta0.bucketVersions.size.toLong, meta0.indexStatus))
+      .toDF("name", "max_docid", "version", "live_docs", "deleted_docs",
+        "buckets", "index_status")
+  }
+
   // ------------------------------------------------------------- lifecycle
 
   /** Dump (S8): snapshot data+meta into `dir` + `dump.done` marker

@@ -87,6 +87,12 @@ class GammaTableSpec extends GraftSuite {
     val res2 = t.search(req)
     assert(!res2.select("_id").as[String].collect().contains("42"))
 
+    // engine-status rollup (A5)
+    val st = t.status.head()
+    assert(st.getAs[Long]("live_docs") === n - 1)
+    assert(st.getAs[Long]("deleted_docs") === 2)
+    assert(st.getAs[String]("index_status") === "UNINDEXED")
+
     // --- dump + restore
     val dumpDir = tmp(); val newRoot = tmp()
     t.dump(dumpDir)
