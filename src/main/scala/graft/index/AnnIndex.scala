@@ -101,4 +101,4 @@ case class IndexParams(
     efConstruction: Int = 200,
     efSearch: Int = 64,
     opq: Boolean = false,
-    opqIters: Int = 5)
+    opqIters: Int = 3)

@@ -212,7 +212,7 @@ object IvfPqIndex {
     val rotation =
       if (!params.opq) None
       else {
-        val sample = docs.select(col(vecCol)).limit(2048)
+        val sample = docs.select(col(vecCol)).limit(1024)
           .collect().map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
         Some(Opq.trainRotation(sample, m, ksub, params.opqIters, params.seed))
       }

@@ -45,7 +45,7 @@ object Opq {
       while (j < m) {
         val rows = j * dsub until (j + 1) * dsub
         val sub = Array.tabulate(n)(c => Array.tabulate(dsub)(i => y(j * dsub + i, c)))
-        val centers = localKmeans(sub, k, 6, seed + it * 31 + j)
+        val centers = localKmeans(sub, k, 4, seed + it * 31 + j)
         var c = 0
         while (c < n) {
           val code = nearest(centers, sub(c))

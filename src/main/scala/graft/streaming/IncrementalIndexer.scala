@@ -134,7 +134,8 @@ class IncrementalIndexer(
           val assigned = Ivf.assignWithCenters(delta, vecCol, idx.centers)
           val newData =
             if (persist) {
-              assigned.write.mode(SaveMode.Append).partitionBy("centroid_id").parquet(listsPath)
+              assigned.repartition(col("centroid_id"))
+                .write.mode(SaveMode.Append).partitionBy("centroid_id").parquet(listsPath)
               // supersede log: any older entry of these keys is now stale
               delta.select(col(key).as("__rk"), col(IxvCol).as("__rv"))
                 .write.mode(SaveMode.Append).parquet(replacedPath)
