@@ -345,6 +345,37 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // M7 — the Catalyst rewrite surface: plain SQL `WHERE ... ORDER BY
+    // l2_sq(...) LIMIT k` routed through the registered index by
+    // AnnTopKRewrite. Full probes keep it exact, so the filtered single-
+    // query KNN oracle applies; results are identical with the rule off.
+    "q_sql_ann_rewrite" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      graft.plans.AnnRewrite.install(s)
+      import s.implicits._
+      val path = s"$dir/embeddings.parquet"
+      val emb = s.read.parquet(path)
+      val idx = graft.index.IndexRegistry.build("IVFFLAT", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 8)) // nprobe default 80 -> full probe
+      graft.plans.IndexCatalog.register(path,
+        graft.plans.RegisteredIndex(idx, emb, "vec_id", "embedding"))
+      emb.createOrReplaceTempView("embeddings_sql")
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+      try {
+        s.conf.set("spark.graft.ann.rewrite", "true")
+        val df = s.sql(
+          s"SELECT vec_id, l2_sq(embedding, $qLit) AS score FROM embeddings_sql " +
+            "WHERE label IN (1, 3, 5, 7) ORDER BY score LIMIT 10")
+        df.queryExecution.executedPlan // force optimization while the rule is on
+        df.select(col("vec_id").as("id"), round(col("score"), 6).as("score"))
+      } finally {
+        s.conf.set("spark.graft.ann.rewrite", "false")
+        graft.plans.IndexCatalog.unregister(path)
+      }
+    }),
+
     // V5 — HNSW per-partition graphs (approximate: rows-only check; recall
     // floor vs FLAT asserted in IndexSpec).
     "q_hnsw_ann" -> ((s, dir) => {
@@ -695,6 +726,16 @@ object SparkEntry {
     "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_opq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
+
+    "q_sql_ann_rewrite" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT d.vec_id AS id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings d, q WHERE d.label IN (1, 3, 5, 7)),
+        |r AS (SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn FROM s)
+        |SELECT id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
     // q_ivfpq_ann intentionally has no oracle (approximate; rows-only check)
     "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
 

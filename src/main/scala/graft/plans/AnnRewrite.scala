@@ -60,7 +60,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformDown {
       case lim @ Limit(IntegerLiteral(k),
           Sort(Seq(SortOrder(orderExpr, direction, _, _)), true, child, _)) =>
-        tryRewrite(orderExpr, direction, k, child).getOrElse(lim)
+        // an unresolvable rewrite (unexpected shape, missing column) must
+        // degrade to the exact plan, never fail the query
+        scala.util.Try(tryRewrite(orderExpr, direction, k, child))
+          .toOption.flatten.getOrElse(lim)
     }
 
   /** (distance expression, required direction) -> metric. */
@@ -103,7 +106,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       child: LogicalPlan): Option[LogicalPlan] = {
     // peel an optional Project, resolving a sort on a projected alias back
     // to the underlying distance expression
-    val (scan, projList, resolvedOrder) = child match {
+    val (afterProj, projList, resolvedOrder) = child match {
       case Project(pl, inner) =>
         val resolved = orderExpr match {
           case ar: AttributeReference =>
@@ -113,6 +116,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         (inner, Some(pl), resolved)
       case other => (other, None, orderExpr)
+    }
+    // peel an optional scalar Filter: it becomes the allowedIds pushdown
+    // into the index scan (X2 — the reference's IsValid callback), which
+    // preserves WHERE-before-ORDER BY semantics exactly
+    val (scan, filterCond) = afterProj match {
+      case Filter(cond, inner) if cond.deterministic => (inner, Some(cond))
+      case other                                     => (other, None)
     }
     for {
       paths <- relationPaths(scan)
@@ -125,7 +135,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         vecArg.asInstanceOf[AttributeReference].name == ri.vecCol
       qvec <- queryVector(dist.right)
     } yield {
-      val hits = ri.index.search(Seq((0L, qvec)), k)
+      // re-anchor the peeled filter's attributes onto the registered doc
+      // table by name and push the surviving key set into the index scan
+      val allowed = filterCond.map { cond =>
+        val unresolved = cond.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+        }
+        ri.docs.filter(org.apache.spark.sql.graft.Bridge.column(unresolved))
+          .select(col(ri.idCol))
+      }
+      val hits = ri.index.search(Seq((0L, qvec)), k, allowedIds = allowed)
         .select(col("id"), col("score"))
       // reproduce the original output columns: id/score straight from the
       // index result, anything else joined back from the doc table (the

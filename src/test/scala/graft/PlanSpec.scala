@@ -104,6 +104,20 @@ class PlanSpec extends GraftSuite {
         .select($"id", $"score").as[(Long, Double)].collect().toSet
       assert(got === expect)
 
+      // WHERE clause pushes into the index scan as allowedIds (X2)
+      val sqlF = s"SELECT vec_id, l2_sq(embedding, $qLit) AS score FROM emb_ann " +
+        "WHERE label IN (1, 3, 5, 7) ORDER BY score LIMIT 10"
+      val dfF = spark.sql(sqlF)
+      assert(plan(dfF).contains("centroid_id"), plan(dfF))
+      val okIds = emb.filter($"label".isin(1, 3, 5, 7))
+        .select($"vec_id").as[Long].collect().toSet
+      val gotF = dfF.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotF.forall { case (id, _) => okIds(id) })
+      val exactF = idx.search(Seq((0L, qvec)), 10,
+          allowedIds = Some(emb.filter($"label".isin(1, 3, 5, 7)).select($"vec_id")))
+        .select($"id", $"score").as[(Long, Double)].collect().toSet
+      assert(gotF.toSet === exactF)
+
       spark.conf.set("spark.graft.ann.rewrite", "false")
       val pOff = plan(spark.sql(sql))
       assert(!pOff.contains("centroid_id"), pOff) // exact TakeOrdered path
