@@ -143,9 +143,27 @@ class IvfPqIndex(
     TopK.perGroup(ranged, "qid", "score", asc, k, Seq("id"))
   }
 
+  /** Encode a delta batch with the ALREADY-TRAINED quantizers — the
+    * reference's incremental re-encode of new/updated vectors through the
+    * existing index (R5/R6, vector/vector_manager.cc:355-380): rotate (if
+    * OPQ), assign to the nearest coarse centroid, PQ-encode the residual.
+    * One kernel pass, no retraining. `keepCols` are carried through
+    * (e.g. a version stamp).
+    */
+  def encodeDelta(delta: DataFrame, keepCols: Seq[String] = Nil): DataFrame =
+    IvfPqIndex.encodeAll(delta, idCol, vecCol, centers, codebooks, rotation, keepCols)
+
   def save(path: String): Unit = {
-    import spark.implicits._
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    saveQuantizers(path)
+  }
+
+  /** Persist the trained quantizers only (coarse centroids, PQ codebooks,
+    * OPQ rotation) — for callers that manage the code lists themselves
+    * (the persisted incremental indexer).
+    */
+  def saveQuantizers(path: String): Unit = {
+    import spark.implicits._
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
@@ -174,6 +192,13 @@ object IvfPqIndex {
       vecCol: String,
       params: IndexParams): IvfPqIndex = {
     val codes = spark.read.parquet(s"$path/codes")
+    val (centers, codebooks, rotation) = loadQuantizers(spark, path)
+    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks, params, rotation)
+  }
+
+  /** Counterpart of [[IvfPqIndex.saveQuantizers]]. */
+  def loadQuantizers(spark: SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Array[Array[Double]]]) = {
     val centers = spark.read.parquet(s"$path/centroids")
       .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
     val cbRows = spark.read.parquet(s"$path/codebooks")
@@ -188,7 +213,7 @@ object IvfPqIndex {
         Some(spark.read.parquet(rotPath.toString).orderBy("i").collect()
           .map(_.getSeq[Double](1).toArray))
       else None
-    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks, params, rotation)
+    (centers, codebooks, rotation)
   }
 
   def build(
@@ -268,6 +293,62 @@ object IvfPqIndex {
     val codesDf = encodeCodes(cur, idCol, codebooks, dsub).localCheckpoint(true)
     new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
       idCol, vecCol, centers, codebooks, params, rotation)
+  }
+
+  /** Single-pass encode of (id, vec, keep...) rows into
+    * (id, centroid_id, pq_codes, keep...) with broadcast quantizers:
+    * optional OPQ rotation, nearest-centroid assignment (strict-< tie
+    * break, same as MLlib predict), residual PQ codes.
+    */
+  private[index] def encodeAll(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      rotation: Option[Array[Array[Double]]],
+      keepCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = docs.select((col(idCol) +: col(vecCol) +: keepCols.map(col)): _*)
+    val schema = StructType(
+      in.schema(idCol) +:
+        StructField("centroid_id", IntegerType, nullable = false) +:
+        StructField("pq_codes", ArrayType(IntegerType, containsNull = false)) +:
+        keepCols.map(in.schema(_)))
+    val bc = in.sparkSession.sparkContext.broadcast((centers, codebooks, rotation))
+    val m = codebooks.length
+    in.mapPartitions { rows =>
+      val (cs, cbs, rot) = bc.value
+      val dsub = cs.head.length / m
+      rows.map { r =>
+        val raw = r.getSeq[Float](1).toArray
+        val v = rot.map(Opq.rotate(_, raw)).getOrElse(raw)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cv = cs(c); var s = 0.0; var i = 0
+          while (i < cv.length) { val t = cv(i) - v(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        val cen = cs(best)
+        val codes = Array.tabulate(m) { j =>
+          val cb = cbs(j); val base = j * dsub
+          var bc2 = 0; var bd = Double.MaxValue; var cc = 0
+          while (cc < cb.length) {
+            var s = 0.0; var i = 0
+            while (i < dsub) {
+              val t = (v(base + i) - cen(base + i)) - cb(cc)(i)
+              s += t * t; i += 1
+            }
+            if (s < bd) { bd = s; bc2 = cc }
+            cc += 1
+          }
+          bc2
+        }
+        Row.fromSeq(r.get(0) +: best +: codes.toSeq +: (2 until r.length).map(r.get))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Apply the OPQ rotation to a vector column (broadcast matrix kernel). */

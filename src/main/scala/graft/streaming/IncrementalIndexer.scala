@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.index.{IndexParams, Ivf, IvfFlatIndex}
+import graft.index.{AnnIndex, IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
 import graft.operators.{Knn, TopK}
 import graft.table.GammaTable
 
@@ -52,7 +52,8 @@ class IncrementalIndexer(
     val vecCol: String,
     val params: IndexParams = IndexParams(),
     val indexingSize: Long = 0L,
-    val persist: Boolean = false) {
+    val persist: Boolean = false,
+    val retrievalType: String = "IVFFLAT") {
 
   import GammaTable.{DeletedCol, VersionCol}
   import IncrementalIndexer.{IxvCol, IndexState}
@@ -61,12 +62,31 @@ class IncrementalIndexer(
   private val key = table.meta.keyField
   private val indexRoot = s"${table.root}/index/$vecCol"
 
-  @volatile private var index: Option[IvfFlatIndex] = None
+  @volatile private var index: Option[AnnIndex] = None
   @volatile private var builtVersion: Long = -1L
   @volatile private var listsVersion: Long = 0L
 
   def status: String = table.meta.indexStatus
-  def currentIndex: Option[IvfFlatIndex] = index
+  def currentIndex: Option[AnnIndex] = index
+
+  /** Same quantizers, different code lists — used by the stale-filter,
+    * refresh, compaction, and load paths. The IVFPQ re-rank source is the
+    * CURRENT doc table, so re-ranked scores always reflect live vectors.
+    */
+  private def rebuilt(proto: AnnIndex, data: DataFrame): AnnIndex = proto match {
+    case f: IvfFlatIndex =>
+      new IvfFlatIndex(spark, data, key, vecCol, f.centers, params)
+    case p: IvfPqIndex =>
+      new IvfPqIndex(spark, data, table.docs.select(col(key), col(vecCol)),
+        key, vecCol, p.centers, p.codebooks, p.params, p.rotation)
+    case other => other
+  }
+
+  private def listsOf(idx: AnnIndex): DataFrame = idx match {
+    case f: IvfFlatIndex => f.data
+    case p: IvfPqIndex   => p.codes
+    case other => throw new IllegalStateException(s"unsupported ${other.retrievalType}")
+  }
 
   private def fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def listsPath = s"$indexRoot/lists/v$listsVersion"
@@ -91,7 +111,7 @@ class IncrementalIndexer(
     IncrementalIndexer.writeState(spark, s"$indexRoot/meta",
       IndexState(builtVersion, listsVersion, params.metric.toString, params.ncentroids,
         params.nprobe, params.nsubvector, params.nbits, params.recallNum,
-        params.hasRank, params.trainSampleRows, params.seed))
+        params.hasRank, params.trainSampleRows, params.seed, retrievalType))
 
   private def saveCentroids(centers: Array[Array[Double]]): Unit = {
     import spark.implicits._
@@ -109,19 +129,35 @@ class IncrementalIndexer(
         if (table.meta.maxDocid >= indexingSize) {
           table.setIndexStatus("INDEXING")
           val docs = table.docs.select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
-          val n = docs.count()
-          val k = Ivf.autoNcentroids(n, params.ncentroids)
-          val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
-          val assigned = Ivf.assign(model, docs, vecCol)
-          val centers = model.clusterCenters.map(_.toArray)
+          val proto: AnnIndex = retrievalType.toUpperCase match {
+            case "IVFPQ" =>
+              // train quantizers on the current docs, then stamp the code
+              // lists with row versions via the delta-encode kernel
+              IvfPqIndex.build(spark, table.docs, key, vecCol, params)
+            case _ =>
+              val n = docs.count()
+              val k = Ivf.autoNcentroids(n, params.ncentroids)
+              val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+              new IvfFlatIndex(spark, Ivf.assign(model, docs, vecCol),
+                key, vecCol, model.clusterCenters.map(_.toArray), params)
+          }
+          val assigned = proto match {
+            case p: IvfPqIndex => p.encodeDelta(docs, keepCols = Seq(IxvCol))
+            case f: IvfFlatIndex => f.data
+            case other => throw new IllegalStateException(other.retrievalType)
+          }
           val data =
             if (persist) {
               assigned.repartition(col("centroid_id"))
                 .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(listsPath)
-              saveCentroids(centers)
+              proto match {
+                case p: IvfPqIndex   => p.saveQuantizers(indexRoot)
+                case f: IvfFlatIndex => saveCentroids(f.centers)
+                case _               => ()
+              }
               persistedData()
             } else assigned.localCheckpoint(true)
-          index = Some(new IvfFlatIndex(spark, data, key, vecCol, centers, params))
+          index = Some(rebuilt(proto, data))
           builtVersion = table.meta.version
           if (persist) writeMeta()
           table.setIndexStatus("INDEXED")
@@ -130,8 +166,12 @@ class IncrementalIndexer(
         val delta = table.docs.filter(col(VersionCol) > builtVersion)
           .select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
         if (!delta.isEmpty) {
-          // assign with the EXISTING centroids — no retrain (R5)
-          val assigned = Ivf.assignWithCenters(delta, vecCol, idx.centers)
+          // encode with the EXISTING quantizers — no retrain (R5/R6)
+          val assigned = idx match {
+            case p: IvfPqIndex => p.encodeDelta(delta, keepCols = Seq(IxvCol))
+            case f: IvfFlatIndex => Ivf.assignWithCenters(delta, vecCol, f.centers)
+            case other => throw new IllegalStateException(other.retrievalType)
+          }
           val newData =
             if (persist) {
               assigned.repartition(col("centroid_id"))
@@ -141,11 +181,11 @@ class IncrementalIndexer(
                 .write.mode(SaveMode.Append).parquet(replacedPath)
               persistedData()
             } else
-              idx.data
+              listsOf(idx)
                 .join(delta.select(key), Seq(key), "left_anti") // R6: replace updated
                 .unionByName(assigned)
                 .localCheckpoint(true)
-          index = Some(new IvfFlatIndex(spark, newData, key, vecCol, idx.centers, params))
+          index = Some(rebuilt(idx, newData))
         }
         builtVersion = table.meta.version
         if (persist) writeMeta()
@@ -167,8 +207,7 @@ class IncrementalIndexer(
       writeMeta()
       fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
       fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
-      index = Some(new IvfFlatIndex(spark,
-        persistedData(), key, vecCol, idx.centers, params))
+      index = Some(rebuilt(idx, persistedData()))
     }
   }
 
@@ -204,8 +243,7 @@ class IncrementalIndexer(
         val invalid = table.allDocs
           .filter(col(VersionCol) > builtVersion || col(DeletedCol))
           .select(col(key))
-        val cleanIdx = new IvfFlatIndex(spark,
-          idx.data.join(invalid, Seq(key), "left_anti"), key, vecCol, idx.centers, params)
+        val cleanIdx = rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
         val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)
         val tail = restrict(table.docs.filter(col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,
@@ -238,7 +276,8 @@ object IncrementalIndexer {
       recallNum: Int,
       hasRank: Boolean,
       trainSampleRows: Int,
-      seed: Long)
+      seed: Long,
+      retrievalType: String)
 
   private[streaming] def writeState(
       spark: org.apache.spark.sql.SparkSession, dir: String, s: IndexState): Unit = {
@@ -246,7 +285,8 @@ object IncrementalIndexer {
       s"""{"builtVersion":${s.builtVersion},"listsVersion":${s.listsVersion},""" +
         s""""metric":"${s.metric}","ncentroids":${s.ncentroids},"nprobe":${s.nprobe},""" +
         s""""nsubvector":${s.nsubvector},"nbits":${s.nbits},"recallNum":${s.recallNum},""" +
-        s""""hasRank":${s.hasRank},"trainSampleRows":${s.trainSampleRows},"seed":${s.seed}}"""
+        s""""hasRank":${s.hasRank},"trainSampleRows":${s.trainSampleRows},""" +
+        s""""seed":${s.seed},"retrievalType":"${s.retrievalType}"}"""
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dirPath, true)
@@ -273,13 +313,23 @@ object IncrementalIndexer {
     val st = readState(spark, s"$root/meta")
     val params = IndexParams(Metric.withName(st.metric), st.ncentroids, st.nprobe,
       st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed)
-    val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true)
+    val rt = Option(st.retrievalType).getOrElse("IVFFLAT") // pre-r2 metas lack it
+    val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true, rt)
     ix.listsVersion = st.listsVersion
     ix.builtVersion = st.builtVersion
-    val centers = spark.read.parquet(s"$root/centroids")
-      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
-    ix.index = Some(new IvfFlatIndex(spark, ix.persistedData(),
-      table.meta.keyField, vecCol, centers, params))
+    val key = table.meta.keyField
+    ix.index = Some(rt.toUpperCase match {
+      case "IVFPQ" =>
+        val (centers, codebooks, rotation) = IvfPqIndex.loadQuantizers(spark, root)
+        new IvfPqIndex(spark, ix.persistedData(),
+          table.docs.select(org.apache.spark.sql.functions.col(key),
+            org.apache.spark.sql.functions.col(vecCol)),
+          key, vecCol, centers, codebooks, params, rotation)
+      case _ =>
+        val centers = spark.read.parquet(s"$root/centroids")
+          .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+        new IvfFlatIndex(spark, ix.persistedData(), key, vecCol, centers, params)
+    })
     ix
   }
 }

@@ -200,10 +200,12 @@ class GammaTable private (
       vecField: String,
       params: graft.index.IndexParams = graft.index.IndexParams(),
       indexingSize: Long = 0L,
-      persist: Boolean = false): graft.streaming.IncrementalIndexer = {
+      persist: Boolean = false,
+      retrievalType: String = "IVFFLAT"): graft.streaming.IncrementalIndexer = {
     require(meta0.vectorFields.exists(_.name == vecField) ||
       docs.columns.contains(vecField), s"unknown vector field $vecField")
-    val ix = new graft.streaming.IncrementalIndexer(this, vecField, params, indexingSize, persist)
+    val ix = new graft.streaming.IncrementalIndexer(
+      this, vecField, params, indexingSize, persist, retrievalType)
     ix.refresh()
     indexers.put(vecField, ix)
     ix

@@ -139,6 +139,39 @@ class StreamingSpec extends GraftSuite {
     assert(plan.contains("PartitionFilters: [centroid_id"), plan)
   }
 
+  test("persisted incremental IVFPQ: delta re-encode through trained codebooks") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "pq", "_id", docsSlice(0, 300), nBuckets = 4)
+    // exhaustive re-rank + full probes -> exact, so flatTruth is the oracle
+    val ix = t.buildIndex("vec",
+      IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000),
+      persist = true, retrievalType = "IVFPQ")
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // fresh + rewritten keys re-encode with the EXISTING codebooks (R6)
+    val rewrites = docsSlice(0, 20)
+      .select($"_id", transform($"vec", x => x + 10.0f).as("vec"))
+    t.addOrUpdate(docsSlice(300, 350).unionByName(rewrites))
+    ix.refresh()
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    t.delete(Seq("7").toDF("_id"))
+    assert(!ix.search(queries, 5).select("id").as[String].collect().contains("7"))
+
+    // reload from disk: quantizers + stamped code lists + supersede log
+    val t2 = GammaTable.load(spark, root)
+    val ix2 = t2.attachedIndex("vec").get
+    assert(ix2.retrievalType === "IVFPQ")
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+
+    ix2.compactIndex()
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+  }
+
   test("watermarked windowed streaming aggregation over the events table") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val sqlCtx = spark.sqlContext
