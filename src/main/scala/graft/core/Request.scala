@@ -35,13 +35,23 @@ case class RangeFilter(
     includeLower: Boolean = true,
     includeUpper: Boolean = true)
 
-/** One vector query against a named vector field (request.fbs:17-25). */
+/** One vector query against a named vector field (request.fbs:17-25).
+  * `vectors` carries a batch of `req_num` query vectors (request.fbs:28 —
+  * the reference packs req_num vectors into one VectorQuery buffer); when
+  * empty, `vector` is the single query. Results carry `qid` = position in
+  * the batch.
+  */
 case class VecQuery(
     field: String,
-    vector: Array[Float],
+    vector: Array[Float] = Array.empty,
     boost: Option[Double] = None,
     minScore: Option[Double] = None,
-    maxScore: Option[Double] = None)
+    maxScore: Option[Double] = None,
+    vectors: Seq[Array[Float]] = Nil) {
+  def batch: Seq[(Long, Array[Float])] =
+    if (vectors.nonEmpty) vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    else Seq((0L, vector))
+}
 
 /** Search request (request.fbs:27-40). `vecQueries` over multiple fields
   * are intersected on docid with fused scores (the reference's multi-vector

@@ -297,6 +297,11 @@ class GammaTable private (
     val hasFilters = req.termFilters.nonEmpty || req.rangeFilters.nonEmpty
     val allowed = if (hasFilters) Some(base.filter(pred).select(key)) else None
     val kCand = math.max(req.topn * CandidateFactor, req.topn)
+    // req_num batching (request.fbs:28): every field must carry the same
+    // number of query vectors; qid identifies the batch position
+    val reqNum = req.vecQueries.head.batch.size
+    require(req.vecQueries.forall(_.batch.size == reqNum),
+      "all vector fields in one request must carry the same req_num")
     val perField = req.vecQueries.zipWithIndex.map { case (vq, i) =>
       // route through an attached ANN index unless brute-force is forced
       // (V9 override) or the index serves a different metric
@@ -314,10 +319,10 @@ class GammaTable private (
               (vq.minScore.map(x => { val c = math.max(x, 0.0); c * c }),
                 vq.maxScore.map(x => if (x < 0) -1.0 else x * x))
             else (vq.minScore, vq.maxScore)
-          val h0 = ix.search(Seq((0L, vq.vector)), kCand, None, allowed, pushLo, pushHi)
+          val h0 = ix.search(vq.batch, kCand, None, allowed, pushLo, pushHi)
           if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
-          val q = Seq((0, vq.vector.toSeq)).toDF("qid", "qvec")
+          val q = vq.batch.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvec")
           Knn.flatSearch(
             base.filter(pred), key, vq.field, q, "qid", "qvec",
             k = kCand,
@@ -331,7 +336,8 @@ class GammaTable private (
       boosted.select(col("qid"), col("id").as(key), col("score").as(s"score_$i"))
     }
 
-    val joined = perField.reduce((a, b) => a.join(b.drop("qid"), Seq(key)))
+    // multi-field docid intersection is per batch position (qid, key)
+    val joined = perField.reduce((a, b) => a.join(b, Seq("qid", key)))
     val fused = joined.withColumn(
       "score", perField.indices.map(i => col(s"score_$i")).reduce(_ + _))
     val ranked =
@@ -341,8 +347,8 @@ class GammaTable private (
         // rank fusion off: the reference still returns the docid-ordered
         // merge of the per-field lists (vector_manager.cc:562-576 skips
         // only the score re-sort) — order by key so the topn cut is
-        // deterministic, not an arbitrary limit
-        TopK.global(fused, key, ascending = true, req.topn, Nil)
+        // deterministic per query, not an arbitrary limit
+        TopK.perGroup(fused, "qid", key, ascending = true, req.topn, Nil)
     project(ranked, req)
   }
 

@@ -172,6 +172,25 @@ class GammaTableSpec extends GraftSuite {
     assert(t.get("42").select("p_size").as[Int].head() === 7)
   }
 
+  test("req_num batching: one request with many query vectors == per-query results") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "batch", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    val qs = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" < 3).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect().toSeq
+    val batched = t.search(SearchRequest(topn = 5,
+      vecQueries = Seq(VecQuery("vec", vectors = qs))))
+    assert(batched.select("qid").distinct().count() === 3)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = t.search(SearchRequest(topn = 5, vecQueries = Seq(VecQuery("vec", q))))
+        .select($"_id", $"score").as[(String, Double)].collect().toSet
+      val part = batched.filter($"qid" === i)
+        .select($"_id", $"score").as[(String, Double)].collect().toSet
+      assert(part === single, s"qid $i")
+    }
+  }
+
   test("multi-vector fusion search intersects fields and fuses scores") {
     val root = tmp()
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")

@@ -94,4 +94,29 @@ class PropertySpec extends AnyFunSuite {
       assert(merged === (as.toSet & bs.toSet).map(_.toLong))
     }
   }
+
+  test("property: AllPairs prefix filtering loses no pair with J >= t") {
+    // the lemma ngramJaccardPairs relies on: with globally-sorted distinct
+    // token sets, J(x,y) >= t implies the smallest COMMON token lies within
+    // the first |x| - ceil(t|x|) + 1 tokens of x AND the first
+    // |y| - ceil(t|y|) + 1 tokens of y, so an equi-join on prefix tokens
+    // produces every qualifying candidate pair
+    trials(20) { rng =>
+      val t = Seq(0.3, 0.4, 0.5, 0.7)(rng.nextInt(4))
+      val sets = (0 until 15).map { _ =>
+        (0 until (3 + rng.nextInt(20))).map(_ => rng.nextInt(40).toLong)
+          .distinct.sorted.toArray
+      }
+      def prefix(x: Array[Long]): Set[Long] =
+        x.take(math.max(1, x.length - math.ceil(t * x.length).toInt + 1)).toSet
+      for (i <- sets.indices; j <- sets.indices if i < j) {
+        val (a, b) = (sets(i), sets(j))
+        val inter = a.toSet & b.toSet
+        val jac = inter.size.toDouble / (a.length + b.length - inter.size)
+        if (jac >= t)
+          assert((prefix(a) & prefix(b)).nonEmpty,
+            s"J=$jac >= $t but prefixes disjoint: ${a.toSeq} vs ${b.toSeq}")
+      }
+    }
+  }
 }
