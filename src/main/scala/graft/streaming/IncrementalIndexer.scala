@@ -198,7 +198,13 @@ class IncrementalIndexer(
   def compactIndex(): Unit = synchronized {
     require(persist, "compactIndex applies to persisted indexes")
     index.foreach { idx =>
+      // drop superseded rows (the log) AND rows of keys no longer live
+      // (the reference compacts buckets when the deleted ratio grows,
+      // realtime_mem_data.cc:98-142). Dropping rows of keys updated but
+      // not yet refreshed is safe: builtVersion is untouched, so the next
+      // refresh re-appends them from the version-stamped delta.
       val clean = persistedData()
+        .join(table.docs.select(col(key)), Seq(key), "left_semi")
       val nextLists = s"$indexRoot/lists/v${listsVersion + 1}"
       clean.repartition(col("centroid_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(nextLists)

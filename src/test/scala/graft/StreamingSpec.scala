@@ -124,11 +124,12 @@ class StreamingSpec extends GraftSuite {
     assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
       .collect().toSet === flatTruth(t2, 5))
 
-    // compaction rewrites lists minus superseded entries, same results
+    // compaction rewrites lists minus superseded entries AND tombstones
     val before = spark.read.parquet(s"$root/index/vec/lists/v0").count()
     ix2.compactIndex()
     val after = spark.read.parquet(s"$root/index/vec/lists/v1").count()
-    assert(after === before - 20) // the 20 rewritten keys' stale rows dropped
+    // 20 rewritten keys' stale rows + 2 deleted keys' rows dropped
+    assert(after === before - 22)
     assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
       .collect().toSet === flatTruth(t2, 5))
 
