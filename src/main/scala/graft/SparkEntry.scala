@@ -589,6 +589,17 @@ object SparkEntry {
         .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"), col("cnt"))
     }),
 
+    // Sessionization (beyond-reference pipeline op): gap-based sessions
+    // per user via lag + running-sum windows; the streaming
+    // flatMapGroupsWithState twin is equality-tested in StreamingSpec.
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.batch(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"), col("sum_value"))
+    }),
+
     // A7 — windowed event aggregation (built-in coverage; also the batch
     // shape of the streaming pipeline R5).
     "q_events_window" -> ((s, dir) => {
@@ -926,6 +937,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |x AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
+        |SELECT user_id, session_id, min(us) AS session_start_us,
+        |       max(us) AS session_end_us, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS cnt

@@ -200,6 +200,49 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch window algebra") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.load(spark, sf0, "events")
+      .orderBy($"event_id").limit(2000)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+    val expected = Sessionize.batch(
+        graft.core.Tables.load(spark, sf0, "events")
+          .orderBy($"event_id").limit(2000),
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    val rows = ev.as[(Long, Long, Long, Double)].collect()
+    val maxUs = rows.map(_._2).max
+    val stream = MemoryStream[Sessionize.Event]
+    // sentinel events must flow THROUGH the watermark to advance it; their
+    // own sessions are dropped from the output
+    val sessions = Sessionize.streaming(stream.toDS(), gapSeconds = 1800)
+      .filter($"key" =!= -1L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      stream.addData(rows.toSeq.map(r => Sessionize.Event(r._1, r._2, r._3, r._4)))
+      q.processAllAvailable()
+      // sentinel far past every session end + gap + watermark delay:
+      // advances the watermark so every open session times out and flushes
+      stream.addData(Sessionize.Event(-1L, maxUs + 100L * 3600 * 1000000L, 0L, 0.0))
+      q.processAllAvailable()
+      stream.addData(Sessionize.Event(-1L, maxUs + 200L * 3600 * 1000000L, 1L, 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT key, session_start_us, session_end_us, n_events, sum_value FROM sess")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got === expected,
+        s"\nonly-streaming: ${(got -- expected).toSeq.sortBy(_._2).take(5)}" +
+          s"\nonly-batch: ${(expected -- got).toSeq.sortBy(_._2).take(5)}" +
+          s"\nsizes ${got.size} vs ${expected.size}")
+    } finally q.stop()
+  }
+
   test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
     val t = GammaTable.create(spark, tmp(), "s2", "_id", docsSlice(0, 100), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 4), indexingSize = 0)
