@@ -368,8 +368,14 @@ object SparkEntry {
         val df = s.sql(
           s"SELECT vec_id, l2_sq(embedding, $qLit) AS score FROM embeddings_sql " +
             "WHERE label IN (1, 3, 5, 7) ORDER BY score LIMIT 10")
-        df.queryExecution.executedPlan // force optimization while the rule is on
-        df.select(col("vec_id").as("id"), round(col("score"), 6).as("score"))
+        require(df.queryExecution.executedPlan.toString.contains("centroid_id"),
+          "ANN rewrite did not engage")
+        // EXECUTE through the rewritten plan here, while the rule is still
+        // on — the gate runner's later action would re-optimize a fresh
+        // QueryExecution after the finally block disables the rule
+        val rows = df.select(col("vec_id").as("id"), round(col("score"), 6).as("score"))
+        val collected = rows.collect()
+        s.createDataFrame(java.util.Arrays.asList(collected: _*), rows.schema)
       } finally {
         s.conf.set("spark.graft.ann.rewrite", "false")
         graft.plans.IndexCatalog.unregister(path)

@@ -76,20 +76,25 @@ private[index] final class HnswGraph(
   }
 
   /** Best-first beam search within one level; returns up to `ef` closest
-    * (dist, node) pairs.
+    * (dist, node) pairs. `allowed` gates RESULT admission only — traversal
+    * continues THROUGH disallowed nodes, exactly hnswlib's filter-callback
+    * behavior (hnswalg.h:312-313), so selective filters still return a
+    * full beam of allowed hits.
     */
   private def searchLayer(
-      q: Array[Float], ep: Int, ef: Int, level: Int): ArrayBuffer[(Double, Int)] = {
+      q: Array[Float], ep: Int, ef: Int, level: Int,
+      allowed: Int => Boolean = _ => true): ArrayBuffer[(Double, Int)] = {
     val visited = new java.util.HashSet[Integer]
     val cand = new JPriorityQueue[(Double, Int)](
       (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
     val res = new JPriorityQueue[(Double, Int)](
       (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(y._1, x._1))
     val d0 = dist(q, vecs(ep))
-    cand.add((d0, ep)); res.add((d0, ep)); visited.add(ep)
+    cand.add((d0, ep)); visited.add(ep)
+    if (allowed(ep)) res.add((d0, ep))
     while (!cand.isEmpty) {
       val (dc, c) = cand.poll()
-      if (dc > res.peek()._1 && res.size() >= ef) {
+      if (res.size() >= ef && dc > res.peek()._1) {
         cand.clear()
       } else {
         val nbrs = links(c)(level)
@@ -100,8 +105,11 @@ private[index] final class HnswGraph(
             visited.add(n)
             val dn = dist(q, vecs(n))
             if (res.size() < ef || dn < res.peek()._1) {
-              cand.add((dn, n)); res.add((dn, n))
-              if (res.size() > ef) res.poll()
+              cand.add((dn, n))
+              if (allowed(n)) {
+                res.add((dn, n))
+                if (res.size() > ef) res.poll()
+              }
             }
           }
           i += 1
@@ -155,9 +163,9 @@ private[index] final class HnswGraph(
     if (lvl > topLevel) { entry = node; topLevel = lvl }
   }
 
-  /** Top-k by the engine score convention. `allowed` filters RESULT
-    * collection only — traversal is unrestricted, exactly the reference's
-    * filter callback inside the graph walk (hnswalg.h:312-313).
+  /** Top-k by the engine score convention. `allowed` is pushed INTO the
+    * layer-0 walk (result admission only; traversal unrestricted), so a
+    * selective filter still fills the beam with allowed hits.
     */
   def search(
       q: Array[Float], k: Int, ef: Int,
@@ -169,8 +177,7 @@ private[index] final class HnswGraph(
       ep = searchLayer(q, ep, 1, level).head._2
       level -= 1
     }
-    searchLayer(q, ep, math.max(ef, k), 0)
-      .filter { case (_, n) => allowed(ids(n)) }
+    searchLayer(q, ep, math.max(ef, k), 0, n => allowed(ids(n)))
       .take(k)
       .map { case (d, n) => (ids(n), score(d)) }
       .toSeq
@@ -207,9 +214,12 @@ class HnswIndex(
     import spark.implicits._
     val ef = nprobe.getOrElse(params.efSearch)
     val qs = spark.sparkContext.broadcast(queries.toArray)
+    // allowed set rides a broadcast — the same driver-side build a
+    // broadcast hash join pays; HNSW ids are longs (build casts), so the
+    // filter key column is cast accordingly
     val allowedSet = allowedIds.map(df =>
       spark.sparkContext.broadcast(
-        df.select(df.columns.head).as[Long].collect().toSet))
+        df.select(col(df.columns.head).cast("long")).as[Long].collect().toSet))
     val hits = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
       val allowed: Long => Boolean = allowedSet match {
         case Some(b) => b.value

@@ -67,7 +67,10 @@ object Ivf {
   def trainCoarse(
       docs: DataFrame, vecCol: String, ncentroids: Int,
       sampleRows: Int, seed: Long): KMeansModel = {
-    val cap = math.min(sampleRows, math.max(39 * ncentroids, 256 * ncentroids))
+    // at most 256 points per centroid; if the caller's sample budget is
+    // smaller than the 39/centroid floor, the floor wins (when the data
+    // has that many rows at all — limit() just takes what exists)
+    val cap = math.max(39 * ncentroids, math.min(sampleRows, 256 * ncentroids))
     // bounded sample in few partitions: k-means iterations are scheduler-
     // bound when a small sample is spread over many partitions
     val train = docs.select(array_to_vector(col(vecCol)).as("features"))
@@ -118,6 +121,22 @@ object Ivf {
       }
     }(Encoders.row(schema))
   }
+
+  /** Shared centroid persistence — ONE layout for every IVF-family index
+    * and the incremental indexer (a drifting copy would make persisted
+    * indexes mutually unreadable).
+    */
+  def saveCenters(
+      spark: SparkSession, path: String, centers: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
 
   /** Driver-side probe selection: top-nprobe centroids per query, by the
     * index metric (the reference's coarse quantizer search runs under the
@@ -197,9 +216,7 @@ class IvfFlatIndex(
     */
   def save(path: String): Unit = {
     data.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
-    import spark.implicits._
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Ivf.saveCenters(spark, s"$path/centroids", centers)
   }
 }
 
@@ -221,9 +238,7 @@ object IvfFlatIndex {
   def load(spark: SparkSession, path: String, idCol: String, vecCol: String,
       params: IndexParams): IvfFlatIndex = {
     val data = spark.read.parquet(s"$path/lists")
-    val centers = spark.read.parquet(s"$path/centroids")
-      .orderBy("centroid_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    new IvfFlatIndex(spark, data, idCol, vecCol, centers, params)
+    new IvfFlatIndex(spark, data, idCol, vecCol,
+      Ivf.loadCenters(spark, s"$path/centroids"), params)
   }
 }

@@ -164,8 +164,7 @@ class IvfPqIndex(
     */
   def saveQuantizers(path: String): Unit = {
     import spark.implicits._
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Ivf.saveCenters(spark, s"$path/centroids", centers)
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
     }.toSeq.toDF("subspace", "code", "center")
@@ -199,8 +198,7 @@ object IvfPqIndex {
   /** Counterpart of [[IvfPqIndex.saveQuantizers]]. */
   def loadQuantizers(spark: SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Array[Array[Double]]]) = {
-    val centers = spark.read.parquet(s"$path/centroids")
-      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+    val centers = Ivf.loadCenters(spark, s"$path/centroids")
     val cbRows = spark.read.parquet(s"$path/codebooks")
       .orderBy("subspace", "code").collect()
     val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rows) =>

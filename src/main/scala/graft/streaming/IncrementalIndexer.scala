@@ -55,6 +55,10 @@ class IncrementalIndexer(
     val persist: Boolean = false,
     val retrievalType: String = "IVFFLAT") {
 
+  require(Set("IVFFLAT", "IVFPQ").contains(retrievalType.toUpperCase),
+    s"IncrementalIndexer serves IVFFLAT or IVFPQ (got $retrievalType); " +
+      "other models build via IndexRegistry without incremental maintenance")
+
   import GammaTable.{DeletedCol, VersionCol}
   import IncrementalIndexer.{IxvCol, IndexState}
 
@@ -113,12 +117,8 @@ class IncrementalIndexer(
         params.nprobe, params.nsubvector, params.nbits, params.recallNum,
         params.hasRank, params.trainSampleRows, params.seed, retrievalType))
 
-  private def saveCentroids(centers: Array[Array[Double]]): Unit = {
-    import spark.implicits._
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("centroid_id", "center")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexRoot/centroids")
-  }
+  private def saveCentroids(centers: Array[Array[Double]]): Unit =
+    Ivf.saveCenters(spark, s"$indexRoot/centroids", centers)
 
   /** Build or incrementally extend the index (R5/R6). Call after each
     * ingest microbatch (the streaming wrapper does).
@@ -142,7 +142,10 @@ class IncrementalIndexer(
                 key, vecCol, model.clusterCenters.map(_.toArray), params)
           }
           val assigned = proto match {
-            case p: IvfPqIndex => p.encodeDelta(docs, keepCols = Seq(IxvCol))
+            case p: IvfPqIndex =>
+              // build already encoded every doc — just stamp row versions
+              // instead of paying a second full-table encode pass
+              p.codes.join(docs.select(col(key), col(IxvCol)), Seq(key))
             case f: IvfFlatIndex => f.data
             case other => throw new IllegalStateException(other.retrievalType)
           }
@@ -332,9 +335,8 @@ object IncrementalIndexer {
             org.apache.spark.sql.functions.col(vecCol)),
           key, vecCol, centers, codebooks, params, rotation)
       case _ =>
-        val centers = spark.read.parquet(s"$root/centroids")
-          .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
-        new IvfFlatIndex(spark, ix.persistedData(), key, vecCol, centers, params)
+        new IvfFlatIndex(spark, ix.persistedData(), key, vecCol,
+          graft.index.Ivf.loadCenters(spark, s"$root/centroids"), params)
     })
     ix
   }

@@ -94,8 +94,11 @@ object Sessionize {
             evs.foreach { e =>
               cur match {
                 case Some(s) if e._2 - s.endUs <= gapUs =>
-                  cur = Some(SessionState(s.startUs, math.max(s.endUs, e._2),
-                    s.n + 1, s.sum + e._4))
+                  // min on start: a late-but-admitted event (within the
+                  // watermark) may PRECEDE the open session's start; the
+                  // session must cover every event it counts
+                  cur = Some(SessionState(math.min(s.startUs, e._2),
+                    math.max(s.endUs, e._2), s.n + 1, s.sum + e._4))
                 case Some(s) =>
                   closed += close(key, s)
                   cur = Some(SessionState(e._2, e._2, 1, e._4))

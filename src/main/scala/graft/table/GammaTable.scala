@@ -343,12 +343,15 @@ class GammaTable private (
     val ranked =
       if (req.multiVectorRank || req.vecQueries.size == 1)
         TopK.perGroup(fused, "qid", "score", Metric.ascending(metric), req.topn, Seq(key))
-      else
-        // rank fusion off: the reference still returns the docid-ordered
+      else {
+        // rank fusion off: the reference still returns the DOCID-ordered
         // merge of the per-field lists (vector_manager.cc:562-576 skips
-        // only the score re-sort) — order by key so the topn cut is
-        // deterministic per query, not an arbitrary limit
-        TopK.perGroup(fused, "qid", key, ascending = true, req.topn, Nil)
+        // only the score re-sort) — join the dense docid back and cut on
+        // it (string keys would sort "10" < "2" and pick a different set)
+        val withDocid = fused.join(base.select(col(key), col(DocidCol)), Seq(key))
+        TopK.perGroup(withDocid, "qid", DocidCol, ascending = true, req.topn, Nil)
+          .drop(DocidCol)
+      }
     project(ranked, req)
   }
 
@@ -365,9 +368,11 @@ class GammaTable private (
     */
   def status: DataFrame = {
     import spark.implicits._
-    val live = docs.count()
-    val total = allDocs.count()
-    Seq((meta0.name, meta0.maxDocid, meta0.version, live, total - live,
+    val counts = allDocs
+      .agg(count(lit(1)), sum(when(col(DeletedCol), 1L).otherwise(0L))).head()
+    val total = counts.getLong(0)
+    val deleted = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    Seq((meta0.name, meta0.maxDocid, meta0.version, total - deleted, deleted,
       meta0.bucketVersions.size.toLong, meta0.indexStatus))
       .toDF("name", "max_docid", "version", "live_docs", "deleted_docs",
         "buckets", "index_status")

@@ -147,8 +147,18 @@ class GammaTableSpec extends GraftSuite {
       vecQueries = Seq(VecQuery("vec_a", q), VecQuery("vec_b", q.reverse)))
     val a = t.search(req).select("_id").as[String].collect().toSeq
     val b = t.search(req).select("_id").as[String].collect().toSeq
-    assert(a === b) // was an arbitrary limit() — nondeterministic
-    assert(a === a.sorted) // docid(key)-ordered merge like the reference
+    assert(a.sorted === b.sorted) // was an arbitrary limit() — nondeterministic
+    // docid-ordered cut like the reference merge: both fields rank
+    // identically here (reversed-vector trick), so the candidate set is
+    // the exact top-kCand and the cut keeps its 5 smallest docids
+    val cands = graft.operators.Knn.flatSearch(
+        t.docs, "_id", "vec_a",
+        Seq((0L, q.toSeq)).toDF("qid", "qvec"), "qid", "qvec",
+        k = 5 * GammaTable.CandidateFactor, metric = Metric.L2)
+      .select($"id").as[String].collect().toSet
+    val expect = t.docs.filter($"_id".isin(cands.toSeq: _*))
+      .orderBy($"_docid".asc).select("_id").as[String].collect().take(5).toSet
+    assert(a.toSet === expect)
   }
 
   test("writeVersion clears stale destination dirs instead of losing buckets") {

@@ -187,10 +187,13 @@ class IndexSpec extends GraftSuite {
     // self-doc always found at distance 0
     assert(idx.search(queries, 1).filter($"qid" === $"id").count() === queries.size)
     // filter callback inside the walk (X2): results obey the allowed set
+    // AND the beam still fills k — disallowed nodes are traversed through,
+    // not allowed to starve the result heap
     val allowed = emb.filter($"label".isin(2, 4)).select($"vec_id")
     val okIds = allowed.as[Long].collect().toSet
     val filtered = idx.search(queries, 10, allowedIds = Some(allowed))
     assert(filtered.select("id").as[Long].collect().forall(okIds))
+    assert(filtered.groupBy("qid").count().agg(min("count")).as[Long].head() === 10L)
     // deterministic across two searches (id-derived levels, fixed merge)
     val a = idx.search(queries, 10).select("qid", "id").collect().toSet
     val b = idx.search(queries, 10).select("qid", "id").collect().toSet
