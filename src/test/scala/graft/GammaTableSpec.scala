@@ -211,13 +211,22 @@ class GammaTableSpec extends GraftSuite {
     val t = GammaTable.create(spark, root, "mv", "_id", docs,
       Seq(VectorFieldDef("vec_a", 64), VectorFieldDef("vec_b", 64)), nBuckets = 4)
     val q = emb.filter($"vec_id" === 3).select("embedding").as[Array[Float]].head()
-    val res = t.search(SearchRequest(
+    val req = SearchRequest(
       topn = 5,
       vecQueries = Seq(
         VecQuery("vec_a", q, boost = Some(0.7)),
-        VecQuery("vec_b", q.reverse, boost = Some(0.3)))))
+        VecQuery("vec_b", q.reverse, boost = Some(0.3))))
+    val res = t.search(req)
     assert(res.count() === 5)
     // self doc must win: both fields at distance 0
     assert(res.orderBy($"score".asc).select("_id").as[String].head() === "3")
+
+    // V10: per-field attached indexes serve the same fusion — full-probe
+    // exact index search per field must reproduce the brute-force result
+    val flatSet = res.select($"_id", round($"score", 6)).collect().toSet
+    t.buildIndex("vec_a", graft.index.IndexParams(ncentroids = 2))
+    t.buildIndex("vec_b", graft.index.IndexParams(ncentroids = 2))
+    val viaIdx = t.search(req).select($"_id", round($"score", 6)).collect().toSet
+    assert(viaIdx === flatSet)
   }
 }
