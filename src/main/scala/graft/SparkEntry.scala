@@ -518,6 +518,14 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    // Duplicate clusters: near-dup pairs -> connected components with the
+    // minimum doc id as canonical keeper (min-label propagation).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      graft.dedup.Dedup.duplicateClusters(pairs)
+    }),
+
     // SimHash near-dup: 60-bit signature, 4x15-bit block candidates,
     // hamming verify.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -840,6 +848,37 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
          |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+
+    // same pair derivation as q_dedup_minhash, then transitive closure to
+    // min-id components via a recursive CTE
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |hs AS (SELECT doc_id,
+         |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
+         |  FROM toks),
+         |sig AS (SELECT doc_id, list_transform(range(0,16),
+         |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+         |    v -> CAST(v AS VARCHAR)), '_') AS bkey
+         |  FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
+         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
+         |ver AS (SELECT a, b,
+         |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b),
+         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $ShingleCte,

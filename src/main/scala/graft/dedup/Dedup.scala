@@ -225,6 +225,38 @@ object Dedup {
     pairJaccard(pairs, threshold)
   }
 
+  /** Connected components over a near-dup pair list: every doc in a
+    * component gets the component's MINIMUM id as its cluster label — the
+    * step that turns pair output (minhash/simhash/jaccard/cosine) into
+    * dedup GROUPS with a canonical keeper.
+    *
+    * Algorithm: iterative min-label propagation to convergence — the
+    * standard distributed connected-components loop (O(component diameter)
+    * rounds, each one join + groupBy). Deterministic: labels only ever
+    * decrease, fixpoint independent of partitioning.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("__nc"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.withColumnRenamed("cluster", "__new")
+        .join(labels, Seq("id"))
+        .filter(col("__new") =!= col("cluster")).count()
+      labels = next
+    }
+    labels
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Brute-force cosine near-dup pairs (the exact baseline). O(n^2) — use

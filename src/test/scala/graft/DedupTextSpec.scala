@@ -12,6 +12,15 @@ class DedupTextSpec extends GraftSuite {
   private lazy val docs = spark.read.parquet(s"$sf0/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
 
+  test("duplicateClusters: chained pairs collapse to min-id components") {
+    import spark.implicits._
+    // 1-2-3 chained (1,3 never paired directly), 10-11 separate, 20 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash LSH candidates contain every true high-jaccard pair") {
     val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
