@@ -827,51 +827,14 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $ShingleCte,
-         |hs AS (SELECT doc_id,
-         |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
-         |  FROM toks),
-         |sig AS (SELECT doc_id, list_transform(range(0,16),
-         |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id, t.b AS band,
-         |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
-         |    v -> CAST(v AS VARCHAR)), '_') AS bkey
-         |  FROM sig, range(0,4) t(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
-         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
-         |ver AS (SELECT a, b,
-         |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
-         |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)
+      s"""WITH $ShingleCte, $MinhashPairCtes
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
 
-    // same pair derivation as q_dedup_minhash, then transitive closure to
-    // min-id components via a recursive CTE
+    // same pair derivation as q_dedup_minhash (shared CTE val — oracle
+    // drift between the two would be a gate-integrity bug), then
+    // transitive closure to min-id components via a recursive CTE
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $ShingleCte,
-         |hs AS (SELECT doc_id,
-         |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
-         |  FROM toks),
-         |sig AS (SELECT doc_id, list_transform(range(0,16),
-         |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id, t.b AS band,
-         |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
-         |    v -> CAST(v AS VARCHAR)), '_') AS bkey
-         |  FROM sig, range(0,4) t(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
-         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
-         |ver AS (SELECT a, b,
-         |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
-         |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b),
+      s"""WITH RECURSIVE $ShingleCte, $MinhashPairCtes,
          |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
          |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
          |reach(id, r) AS (
@@ -1030,6 +993,31 @@ object SparkEntry {
       |r AS (SELECT _id, dist,
       |             row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
       |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin
+
+  /** Shared minhash pair-derivation CTEs (follow ShingleCte; end in `ver`
+    * with columns a, b, jaccard) — used verbatim by q_dedup_minhash and
+    * q_dedup_clusters so the two oracles cannot drift apart.
+    */
+  private val MinhashPairCtes: String =
+    """hs AS (SELECT doc_id,
+      |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
+      |  FROM toks),
+      |sig AS (SELECT doc_id, list_transform(range(0,16),
+      |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
+      |  FROM hs),
+      |bands AS (SELECT doc_id, t.b AS band,
+      |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+      |    v -> CAST(v AS VARCHAR)), '_') AS bkey
+      |  FROM sig, range(0,4) t(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
+      |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
+      |ver AS (SELECT a, b,
+      |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
+      |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)""".stripMargin
 
   /** Shared shingle CTE (distinct word 3-grams) used by the dedup oracles —
     * the DuckDB mirror of TextOps.shingles(text, 3).

@@ -245,14 +245,14 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("__nc"))
+      // carry the previous label so convergence is a filter on the SAME
+      // checkpointed frame — no second join+shuffle per round
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("__nc"), col("cluster"))).as("cluster"))
+        .select(col("id"), least(col("cluster"), col("__nc")).as("cluster"),
+          col("cluster").as("__old"))
         .localCheckpoint(true)
-      changed = next.withColumnRenamed("cluster", "__new")
-        .join(labels, Seq("id"))
-        .filter(col("__new") =!= col("cluster")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("__old")).count()
+      labels = next.drop("__old")
     }
     labels
   }

@@ -14,7 +14,9 @@ class DedupTextSpec extends GraftSuite {
 
   test("duplicateClusters: chained pairs collapse to min-id components") {
     import spark.implicits._
-    // 1-2-3 chained (1,3 never paired directly), 10-11 separate, 20 isolated
+    // 1-2-3 chained (1,3 never paired directly), 10-11 separate; docs with
+    // no near-dup pair (e.g. 20) get NO cluster row — asserted by the
+    // exact map equality (the DuckDB oracle omits them too)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val got = graft.dedup.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap

@@ -18,8 +18,9 @@ class IndexSpec extends GraftSuite {
     emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().toSeq
 
-  private def groundTruth(k: Int): Map[Long, Set[Long]] = {
-    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+  private def groundTruth(
+      k: Int, qs: Seq[(Long, Array[Float])] = queries): Map[Long, Set[Long]] = {
+    val q = qs.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
     Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", k, Metric.L2)
       .select($"qid", $"id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -160,18 +161,12 @@ class IndexSpec extends GraftSuite {
     // config, recall_num=100 as shipped). Measured: recall@1 = 1.0,
     // recall@10 = 0.982 over 50 queries (deterministic: seeded k-means,
     // fixed data).
-    val emb5 = emb
-    val qs = emb5.filter($"vec_id" < 50).select($"vec_id", $"embedding")
+    val qs = emb.filter($"vec_id" < 50).select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().toSeq
-    val q = qs.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
-    def truth(k: Int) = Knn.flatSearch(emb5, "vec_id", "embedding", q, "qid", "qvec",
-        k, Metric.L2)
-      .select($"qid", $"id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val idx = IndexRegistry.build("IVFPQ", spark, emb5, "vec_id", "embedding",
+    val idx = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
       IndexParams(ncentroids = 64, nsubvector = 8, recallNum = 100))
-    val r1 = recallAt(idx.search(qs, 1, Some(40)), truth(1))
-    val r10 = recallAt(idx.search(qs, 10, Some(40)), truth(10))
+    val r1 = recallAt(idx.search(qs, 1, Some(40)), groundTruth(1, qs))
+    val r10 = recallAt(idx.search(qs, 10, Some(40)), groundTruth(10, qs))
     assert(r1 >= 0.98, s"recall@1 $r1 below the 0.9814 baseline row")
     assert(r10 >= 0.95, s"recall@10 $r10 (baseline 0.9902 on easier SIFT)")
   }
