@@ -511,6 +511,12 @@ object SparkEntry {
       graft.dedup.Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text", minGroup = 1)
     }),
 
+    // E-dedup projection: keep one doc per distinct content (min-id keeper).
+    "q_dedup_drop" -> ((s, dir) => {
+      graft.dedup.Dedup.dropExactDups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // MinHash+LSH near-dup: shingle -> minhash -> band -> bucket-join ->
     // exact-Jaccard verify.
     "q_dedup_minhash" -> ((s, dir) => {
@@ -825,6 +831,10 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_drop" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $ShingleCte, $MinhashPairCtes
