@@ -964,7 +964,7 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END AS new_s FROM x),
         |z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
-        |SELECT user_id, session_id, min(us) AS session_start_us,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(us) AS session_start_us,
         |       max(us) AS session_end_us, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM z GROUP BY 1, 2""".stripMargin,
