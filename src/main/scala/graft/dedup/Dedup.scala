@@ -241,6 +241,10 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
+    // each round checkpoints a new labels frame; unpersist the previous
+    // one once the new round has materialized, or block-manager storage
+    // grows O(component diameter) rounds (GraphX/Pregel does the same)
+    var prevCp: DataFrame = labels
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -252,8 +256,11 @@ object Dedup {
           col("cluster").as("__old"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") =!= col("__old")).count()
+      prevCp.unpersist()
+      prevCp = next
       labels = next.drop("__old")
     }
+    edges.unpersist()
     labels
   }
 

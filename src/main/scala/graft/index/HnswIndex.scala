@@ -76,14 +76,15 @@ private[index] final class HnswGraph(
   }
 
   /** Best-first beam search within one level; returns up to `ef` closest
-    * (dist, node) pairs. `allowed` gates RESULT admission only — traversal
-    * continues THROUGH disallowed nodes, exactly hnswlib's filter-callback
-    * behavior (hnswalg.h:312-313), so selective filters still return a
-    * full beam of allowed hits.
+    * (dist, node) pairs. `admit(node, dist)` gates RESULT admission only —
+    * traversal continues THROUGH disallowed nodes, exactly hnswlib's
+    * filter-callback behavior (hnswalg.h:312-313), so selective filters
+    * (id sets AND score ranges, the P8 contract) still return a full beam
+    * of admitted hits.
     */
   private def searchLayer(
       q: Array[Float], ep: Int, ef: Int, level: Int,
-      allowed: Int => Boolean = _ => true): ArrayBuffer[(Double, Int)] = {
+      admit: (Int, Double) => Boolean = (_, _) => true): ArrayBuffer[(Double, Int)] = {
     val visited = new java.util.HashSet[Integer]
     val cand = new JPriorityQueue[(Double, Int)](
       (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
@@ -91,7 +92,7 @@ private[index] final class HnswGraph(
       (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(y._1, x._1))
     val d0 = dist(q, vecs(ep))
     cand.add((d0, ep)); visited.add(ep)
-    if (allowed(ep)) res.add((d0, ep))
+    if (admit(ep, d0)) res.add((d0, ep))
     while (!cand.isEmpty) {
       val (dc, c) = cand.poll()
       if (res.size() >= ef && dc > res.peek()._1) {
@@ -106,7 +107,7 @@ private[index] final class HnswGraph(
             val dn = dist(q, vecs(n))
             if (res.size() < ef || dn < res.peek()._1) {
               cand.add((dn, n))
-              if (allowed(n)) {
+              if (admit(n, dn)) {
                 res.add((dn, n))
                 if (res.size() > ef) res.poll()
               }
@@ -163,21 +164,29 @@ private[index] final class HnswGraph(
     if (lvl > topLevel) { entry = node; topLevel = lvl }
   }
 
-  /** Top-k by the engine score convention. `allowed` is pushed INTO the
-    * layer-0 walk (result admission only; traversal unrestricted), so a
-    * selective filter still fills the beam with allowed hits.
+  /** Top-k by the engine score convention. `allowed` AND the score range
+    * are pushed INTO the layer-0 walk (result admission only; traversal
+    * unrestricted), so a selective filter still fills the beam with
+    * admitted hits — out-of-range near neighbors no longer consume the
+    * beam's slots (P8: range before the candidate heap).
     */
   def search(
       q: Array[Float], k: Int, ef: Int,
-      allowed: Long => Boolean = _ => true): Seq[(Long, Double)] = {
+      allowed: Long => Boolean = _ => true,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): Seq[(Long, Double)] = {
     if (entry < 0) return Nil
+    val lo = minScore.getOrElse(Double.NegativeInfinity)
+    val hi = maxScore.getOrElse(Double.PositiveInfinity)
     var ep = entry
     var level = topLevel
     while (level > 0) {
       ep = searchLayer(q, ep, 1, level).head._2
       level -= 1
     }
-    searchLayer(q, ep, math.max(ef, k), 0, n => allowed(ids(n)))
+    searchLayer(q, ep, math.max(ef, k), 0, (n, d) => {
+      val s = score(d); s >= lo && s <= hi && allowed(ids(n))
+    })
       .take(k)
       .map { case (d, n) => (ids(n), score(d)) }
       .toSeq
@@ -226,15 +235,14 @@ class HnswIndex(
         case None    => _ => true
       }
       rows.flatMap { bytes =>
-        val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-        val g = in.readObject().asInstanceOf[HnswGraph]
+        val g = HnswIndex.deserialize(bytes)
         qs.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, ef, allowed).map { case (id, s) => (qid, id, s) }
+          g.search(qv, k, ef, allowed, minScore, maxScore)
+            .map { case (id, s) => (qid, id, s) }
         }
       }
     }.toDF("qid", "id", "score")
-    val ranged = AnnIndex.scoreRange(hits, "score", minScore, maxScore)
-    TopK.perGroup(ranged, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
+    TopK.perGroup(hits, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
   }
 
   def save(path: String): Unit =
@@ -242,6 +250,23 @@ class HnswIndex(
 }
 
 object HnswIndex {
+
+  /** Deserialize an executor-side graph through the thread context
+    * classloader: in cluster deployments graft classes ship via --jars and
+    * live in Spark's MutableURLClassLoader, which a plain
+    * ObjectInputStream (app classloader) cannot see — the same resolution
+    * Spark uses for task closures.
+    */
+  private[index] def deserialize(bytes: Array[Byte]): HnswGraph = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes)) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] = {
+        val loader = Thread.currentThread().getContextClassLoader
+        try Class.forName(desc.getName, false, loader)
+        catch { case _: ClassNotFoundException => super.resolveClass(desc) }
+      }
+    }
+    try in.readObject().asInstanceOf[HnswGraph] finally in.close()
+  }
 
   def build(
       spark: SparkSession,

@@ -87,12 +87,66 @@ object Ivf {
     finally train.unpersist()
   }
 
-  /** Assign every doc to its nearest centroid. */
-  def assign(model: KMeansModel, docs: DataFrame, vecCol: String): DataFrame =
-    model
-      .setFeaturesCol("__features").setPredictionCol("centroid_id")
-      .transform(docs.withColumn("__features", array_to_vector(col(vecCol))))
-      .drop("__features")
+  /** Quantizer distance (smaller = better) of one vector to one center
+    * under the index metric — the ONE coarse metric shared by add-time
+    * list assignment ([[assign]]/[[assignWithCenters]]/PQ encode) and
+    * query-time probe ranking ([[probes]]), the way faiss gives an IVF
+    * index a single quantizer with a single metric. Mixing L2 assignment
+    * with IP probe ranking can systematically rank the list that actually
+    * holds the best doc low at partial nprobe.
+    */
+  def quantizerDist(
+      metric: graft.core.Metric.Value, c: Array[Double], v: Array[Float]): Double = {
+    import graft.core.Metric
+    val n = math.min(c.length, v.length)
+    metric match {
+      case Metric.InnerProduct =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += c(i) * v(i); i += 1 }
+        -s
+      case Metric.Cosine =>
+        var s = 0.0; var nc = 0.0; var nv = 0.0; var i = 0
+        while (i < n) {
+          s += c(i) * v(i); nc += c(i) * c(i); nv += v(i).toDouble * v(i); i += 1
+        }
+        if (nc == 0 || nv == 0) 0.0 else -(s / (math.sqrt(nc) * math.sqrt(nv)))
+      case _ =>
+        var s = 0.0; var i = 0
+        while (i < n) { val t = c(i) - v(i); s += t * t; i += 1 }
+        s
+    }
+  }
+
+  /** Best center for `v` under the quantizer metric (strict-< tie break,
+    * same as MLlib predict).
+    */
+  def bestCenter(
+      metric: graft.core.Metric.Value,
+      cs: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = quantizerDist(metric, cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every doc to its best centroid under the index metric. L2 goes
+    * through the trained model's transform (identical result, codegen'd);
+    * other metrics use the shared [[quantizerDist]] kernel so assignment
+    * and probe ranking agree.
+    */
+  def assign(
+      model: KMeansModel, docs: DataFrame, vecCol: String,
+      metric: graft.core.Metric.Value = graft.core.Metric.L2): DataFrame =
+    if (metric == graft.core.Metric.L2)
+      model
+        .setFeaturesCol("__features").setPredictionCol("centroid_id")
+        .transform(docs.withColumn("__features", array_to_vector(col(vecCol))))
+        .drop("__features")
+    else
+      assignWithCenters(docs, vecCol, model.clusterCenters.map(_.toArray), metric)
 
   /** Nearest-centroid assignment against FIXED driver-side centroids (no
     * model object) — used by incremental index appends, where the reference
@@ -100,7 +154,8 @@ object Ivf {
     * retraining (gamma_engine.cc:996-1043).
     */
   def assignWithCenters(
-      df: DataFrame, vecCol: String, centers: Array[Array[Double]]): DataFrame = {
+      df: DataFrame, vecCol: String, centers: Array[Array[Double]],
+      metric: graft.core.Metric.Value = graft.core.Metric.L2): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val schema = df.schema.add("centroid_id", org.apache.spark.sql.types.IntegerType)
     val bc = df.sparkSession.sparkContext.broadcast(centers)
@@ -108,16 +163,8 @@ object Ivf {
     df.mapPartitions { rows =>
       val cs = bc.value
       rows.map { r =>
-        val v = r.getSeq[Float](vecIdx)
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          val cv = cs(c); var s = 0.0; var i = 0
-          val n = math.min(cv.length, v.length)
-          while (i < n) { val t = cv(i) - v(i); s += t * t; i += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        Row.fromSeq(r.toSeq :+ best)
+        val v = r.getSeq[Float](vecIdx).toArray
+        Row.fromSeq(r.toSeq :+ bestCenter(metric, cs, v))
       }
     }(Encoders.row(schema))
   }
@@ -138,33 +185,18 @@ object Ivf {
     spark.read.parquet(path)
       .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
 
-  /** Driver-side probe selection: top-nprobe centroids per query, by the
-    * index metric (the reference's coarse quantizer search runs under the
-    * index's own metric, gamma_index_ivfpq.cc:547-561 — probing by L2 for
-    * an inner-product index would rank the WRONG lists first).
+  /** Driver-side probe selection: top-nprobe centroids per query, under
+    * the SAME quantizer metric as list assignment (the reference's coarse
+    * quantizer search runs under the index's own metric,
+    * gamma_index_ivfpq.cc:547-561 — probing by L2 for an inner-product
+    * index would rank the WRONG lists first).
     */
   def probes(
       centers: Array[Array[Double]],
       q: Array[Float],
       nprobe: Int,
       metric: graft.core.Metric.Value = graft.core.Metric.L2): Seq[Int] = {
-    import graft.core.Metric
-    val d = centers.map { c =>
-      val n = math.min(c.length, q.length)
-      metric match {
-        case Metric.InnerProduct | Metric.Cosine =>
-          // rank lists by centroid similarity, negated so take-smallest works;
-          // cosine uses the same dot ordering (doc norms vary within a list
-          // anyway — the in-list scoring is what decides the final metric)
-          var s = 0.0; var i = 0
-          while (i < n) { s += c(i) * q(i); i += 1 }
-          -s
-        case _ =>
-          var s = 0.0; var i = 0
-          while (i < n) { val t = c(i) - q(i); s += t * t; i += 1 }
-          s
-      }
-    }
+    val d = centers.map(quantizerDist(metric, _, q))
     d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }.take(nprobe).map(_._2).toSeq
   }
 }
@@ -230,7 +262,8 @@ object IvfFlatIndex {
     val n = docs.count()
     val k = Ivf.autoNcentroids(n, params.ncentroids)
     val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
-    val data = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol)
+    val data = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol,
+      params.metric)
     new IvfFlatIndex(spark, data, idCol, vecCol,
       model.clusterCenters.map(_.toArray), params)
   }

@@ -151,7 +151,8 @@ class IvfPqIndex(
     * (e.g. a version stamp).
     */
   def encodeDelta(delta: DataFrame, keepCols: Seq[String] = Nil): DataFrame =
-    IvfPqIndex.encodeAll(delta, idCol, vecCol, centers, codebooks, rotation, keepCols)
+    IvfPqIndex.encodeAll(delta, idCol, vecCol, centers, codebooks, rotation, keepCols,
+      params.metric)
 
   def save(path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
@@ -245,7 +246,7 @@ object IvfPqIndex {
     }
 
     val model = Ivf.trainCoarse(work, vecCol, ncent, params.trainSampleRows, params.seed)
-    val assigned = Ivf.assign(model, work, vecCol)
+    val assigned = Ivf.assign(model, work, vecCol, params.metric)
     val centers = model.clusterCenters.map(_.toArray)
 
     // residual = vec - coarse_centroid (faiss by_residual convention)
@@ -295,8 +296,9 @@ object IvfPqIndex {
 
   /** Single-pass encode of (id, vec, keep...) rows into
     * (id, centroid_id, pq_codes, keep...) with broadcast quantizers:
-    * optional OPQ rotation, nearest-centroid assignment (strict-< tie
-    * break, same as MLlib predict), residual PQ codes.
+    * optional OPQ rotation, best-centroid assignment under the index's
+    * quantizer metric (strict-< tie break, same as MLlib predict),
+    * residual PQ codes.
     */
   private[index] def encodeAll(
       docs: DataFrame,
@@ -305,7 +307,8 @@ object IvfPqIndex {
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       rotation: Option[Array[Array[Double]]],
-      keepCols: Seq[String]): DataFrame = {
+      keepCols: Seq[String],
+      metric: Metric.Value = Metric.L2): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val in = docs.select((col(idCol) +: col(vecCol) +: keepCols.map(col)): _*)
@@ -322,13 +325,7 @@ object IvfPqIndex {
       rows.map { r =>
         val raw = r.getSeq[Float](1).toArray
         val v = rot.map(Opq.rotate(_, raw)).getOrElse(raw)
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          val cv = cs(c); var s = 0.0; var i = 0
-          while (i < cv.length) { val t = cv(i) - v(i); s += t * t; i += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
+        val best = Ivf.bestCenter(metric, cs, v)
         val cen = cs(best)
         val codes = Array.tabulate(m) { j =>
           val cb = cbs(j); val base = j * dsub

@@ -60,10 +60,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformDown {
       case lim @ Limit(IntegerLiteral(k),
           Sort(Seq(SortOrder(orderExpr, direction, _, _)), true, child, _)) =>
-        // an unresolvable rewrite (unexpected shape, missing column) must
-        // degrade to the exact plan, never fail the query
-        scala.util.Try(tryRewrite(orderExpr, direction, k, child))
-          .toOption.flatten.getOrElse(lim)
+        // plan-shape mismatches return None and degrade silently (the
+        // normal non-indexed case); a rewrite that MATCHED but then failed
+        // (misregistered index: wrong vecCol, stale path, metric mismatch)
+        // is logged before falling back so "the rewrite never engages" is
+        // diagnosable instead of swallowed
+        try tryRewrite(orderExpr, direction, k, child).getOrElse(lim)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning("graft ANN rewrite matched but failed; " +
+              "falling back to the exact plan", e)
+            lim
+        }
     }
 
   /** (distance expression, required direction) -> metric. */

@@ -138,7 +138,7 @@ class IncrementalIndexer(
               val n = docs.count()
               val k = Ivf.autoNcentroids(n, params.ncentroids)
               val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
-              new IvfFlatIndex(spark, Ivf.assign(model, docs, vecCol),
+              new IvfFlatIndex(spark, Ivf.assign(model, docs, vecCol, params.metric),
                 key, vecCol, model.clusterCenters.map(_.toArray), params)
           }
           val assigned = proto match {
@@ -172,7 +172,8 @@ class IncrementalIndexer(
           // encode with the EXISTING quantizers — no retrain (R5/R6)
           val assigned = idx match {
             case p: IvfPqIndex => p.encodeDelta(delta, keepCols = Seq(IxvCol))
-            case f: IvfFlatIndex => Ivf.assignWithCenters(delta, vecCol, f.centers)
+            case f: IvfFlatIndex =>
+              Ivf.assignWithCenters(delta, vecCol, f.centers, f.params.metric)
             case other => throw new IllegalStateException(other.retrievalType)
           }
           val newData =

@@ -226,6 +226,45 @@ class IndexSpec extends GraftSuite {
     assert(re.search(queries, 10).select("qid", "id").collect().toSet === a)
   }
 
+  test("IP IVFFLAT: one quantizer metric for assignment AND probes (partial nprobe)") {
+    // assignment and probe ranking now share the quantizer metric (faiss
+    // gives an IP IVF index an IP quantizer for both); partial probes must
+    // therefore find the lists that hold the best-IP docs
+    val ipTruth = {
+      val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+      Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", 10, Metric.InnerProduct)
+        .select($"qid", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val idx = IndexRegistry.build("IVFFLAT", spark, emb, "vec_id", "embedding",
+      IndexParams(metric = Metric.InnerProduct, ncentroids = 16))
+    val r4 = recallAt(idx.search(queries, 10, Some(4)), ipTruth)
+    val r8 = recallAt(idx.search(queries, 10, Some(8)), ipTruth)
+    val r16 = recallAt(idx.search(queries, 10, Some(16)), ipTruth)
+    assert(r16 === 1.0, s"full-probe IP recall was $r16")
+    assert(r8 >= r4 - 1e-9)
+    // near-uniform synthetic data spreads a query's top-IP (large-norm)
+    // docs over many lists — the plateau SHAPE is the contract here, like
+    // the L2 sweep above (measured r8=0.71 at these knobs)
+    assert(r8 >= 0.6, s"IP recall@10 with nprobe=8 was $r8")
+  }
+
+  test("HNSW: score range admitted inside the graph walk (P8)") {
+    // ef is large relative to the per-partition graph size here, so each
+    // graph walk is effectively exhaustive and the index must EQUAL exact
+    // search under the same range — out-of-range near hits must not have
+    // consumed the per-graph k slots (the bug class fixed for IVF earlier)
+    val p = IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64)
+    val idx = IndexRegistry.build("HNSW", spark, emb, "vec_id", "embedding", p)
+    val res = idx.search(queries, 10, minScore = Some(2.0), maxScore = Some(8.0))
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = Knn.flatSearch(emb, "vec_id", "embedding", q, "qid", "qvec", 10,
+      Metric.L2, minScore = Some(2.0), maxScore = Some(8.0))
+    assert(res.select("qid", "id").collect().toSet ===
+      exact.select("qid", "id").collect().toSet)
+    assert(res.select("score").as[Double].collect().forall(s => s >= 2.0 && s <= 8.0))
+  }
+
   test("save/load round-trip preserves results (IVFFLAT)") {
     val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
     val idx = IvfFlatIndex.build(spark, emb, "vec_id", "embedding", IndexParams(ncentroids = 8))
