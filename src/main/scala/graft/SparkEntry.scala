@@ -485,6 +485,42 @@ object SparkEntry {
         .select(col("_id"), round(col("score"), 6).as("score"))
     }),
 
+    // V2 at rest through the table — same lifecycle as q_table_persisted
+    // but with PQ code lists persisted under the table root: build trains
+    // coarse+PQ quantizers, refresh re-encodes the delta through them
+    // (R6), reload restores quantizers + stamped codes from disk. Full
+    // probes + exhaustive recall_num + exact re-rank keep the result
+    // EXACT, so the shared lifecycle oracle still applies.
+    "q_table_persisted_pq" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_persist_pq").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "persisted_pq", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64, retrievalType = "IVFPQ")), nBuckets = 8)
+      val ix = tbl.buildIndex("vec",
+        graft.index.IndexParams(ncentroids = 4, nsubvector = 8, recallNum = 1000000),
+        persist = true, retrievalType = "IVFPQ")
+      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      tbl.addOrUpdate(delta)
+      ix.refresh()
+      tbl.deleteByQuery(col("p_size").between(10, 12))
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      val reloaded = graft.table.GammaTable.load(s, root)
+      reloaded.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+          rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // R1/R2/R5 streaming shape — replay events as 5 sequential microbatch
     // upserts (last write wins per key); final state must equal the
     // latest-event-per-user oracle.
@@ -820,6 +856,10 @@ object SparkEntry {
     // same document state transitions as q_table_e2e, searched through the
     // persisted index after a disk reload — the oracle is identical
     "q_table_persisted" -> oracleSqlTableE2e,
+
+    // identical state again, searched through persisted IVFPQ codes with
+    // exhaustive re-rank (exact) — identical oracle
+    "q_table_persisted_pq" -> oracleSqlTableE2e,
 
     "q_stream_upsert" ->
       """SELECT CAST(user_id AS VARCHAR) AS _id, event_id, event_type, value

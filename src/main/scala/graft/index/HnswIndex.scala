@@ -208,7 +208,8 @@ class HnswIndex(
     val graphs: DataFrame, // single binary column "graph"
     val idCol: String,
     val vecCol: String,
-    val params: IndexParams) extends AnnIndex {
+    val params: IndexParams,
+    val excluded: Option[DataFrame] = None) extends AnnIndex {
 
   override def retrievalType: String = "HNSW"
 
@@ -226,13 +227,23 @@ class HnswIndex(
     // allowed set rides a broadcast — the same driver-side build a
     // broadcast hash join pays; HNSW ids are longs (build casts), so the
     // filter key column is cast accordingly
-    val allowedSet = allowedIds.map(df =>
+    def keySet(df: DataFrame) =
       spark.sparkContext.broadcast(
-        df.select(col(df.columns.head).cast("long")).as[Long].collect().toSet))
+        df.select(col(df.columns.head).cast("long")).as[Long].collect().toSet)
+    val allowedSet = allowedIds.map(keySet)
+    // `excluded` is the standing delete-bitmap analog (updated/deleted keys
+    // whose graph entries are stale) — graphs are immutable segments, so
+    // exclusion happens at result admission like the reference's IsValid
+    // bitmap check inside the scan (T11/X2)
+    val excludedSet = excluded.map(keySet)
     val hits = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
-      val allowed: Long => Boolean = allowedSet match {
+      val incl: Long => Boolean = allowedSet match {
         case Some(b) => b.value
         case None    => _ => true
+      }
+      val allowed: Long => Boolean = excludedSet match {
+        case Some(b) => id => incl(id) && !b.value(id)
+        case None    => incl
       }
       rows.flatMap { bytes =>
         val g = HnswIndex.deserialize(bytes)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.index.{AnnIndex, IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
+import graft.index.{AnnIndex, HnswIndex, IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
 import graft.operators.{Knn, TopK}
 import graft.table.GammaTable
 
@@ -55,8 +55,8 @@ class IncrementalIndexer(
     val persist: Boolean = false,
     val retrievalType: String = "IVFFLAT") {
 
-  require(Set("IVFFLAT", "IVFPQ").contains(retrievalType.toUpperCase),
-    s"IncrementalIndexer serves IVFFLAT or IVFPQ (got $retrievalType); " +
+  require(Set("IVFFLAT", "IVFPQ", "HNSW").contains(retrievalType.toUpperCase),
+    s"IncrementalIndexer serves IVFFLAT, IVFPQ or HNSW (got $retrievalType); " +
       "other models build via IndexRegistry without incremental maintenance")
 
   import GammaTable.{DeletedCol, VersionCol}
@@ -83,12 +83,15 @@ class IncrementalIndexer(
     case p: IvfPqIndex =>
       new IvfPqIndex(spark, data, table.docs.select(col(key), col(vecCol)),
         key, vecCol, p.centers, p.codebooks, p.params, p.rotation)
+    case h: HnswIndex =>
+      new HnswIndex(spark, data, key, vecCol, params, h.excluded)
     case other => other
   }
 
   private def listsOf(idx: AnnIndex): DataFrame = idx match {
     case f: IvfFlatIndex => f.data
     case p: IvfPqIndex   => p.codes
+    case h: HnswIndex    => h.graphs
     case other => throw new IllegalStateException(s"unsupported ${other.retrievalType}")
   }
 
@@ -134,6 +137,9 @@ class IncrementalIndexer(
               // train quantizers on the current docs, then stamp the code
               // lists with row versions via the delta-encode kernel
               IvfPqIndex.build(spark, table.docs, key, vecCol, params)
+            case "HNSW" =>
+              HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
+                key, vecCol, params)
             case _ =>
               val n = docs.count()
               val k = Ivf.autoNcentroids(n, params.ncentroids)
@@ -147,12 +153,12 @@ class IncrementalIndexer(
               // instead of paying a second full-table encode pass
               p.codes.join(docs.select(col(key), col(IxvCol)), Seq(key))
             case f: IvfFlatIndex => f.data
+            case h: HnswIndex    => h.graphs
             case other => throw new IllegalStateException(other.retrievalType)
           }
           val data =
             if (persist) {
-              assigned.repartition(col("centroid_id"))
-                .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(listsPath)
+              writeLists(assigned, listsPath, SaveMode.Overwrite)
               proto match {
                 case p: IvfPqIndex   => p.saveQuantizers(indexRoot)
                 case f: IvfFlatIndex => saveCentroids(f.centers)
@@ -165,6 +171,7 @@ class IncrementalIndexer(
           if (persist) writeMeta()
           table.setIndexStatus("INDEXED")
         }
+      case Some(h: HnswIndex) => refreshHnsw(h)
       case Some(idx) =>
         val delta = table.docs.filter(col(VersionCol) > builtVersion)
           .select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
@@ -178,8 +185,7 @@ class IncrementalIndexer(
           }
           val newData =
             if (persist) {
-              assigned.repartition(col("centroid_id"))
-                .write.mode(SaveMode.Append).partitionBy("centroid_id").parquet(listsPath)
+              writeLists(assigned, listsPath, SaveMode.Append)
               // supersede log: any older entry of these keys is now stale
               delta.select(col(key).as("__rk"), col(IxvCol).as("__rv"))
                 .write.mode(SaveMode.Append).parquet(replacedPath)
@@ -196,28 +202,76 @@ class IncrementalIndexer(
     }
   }
 
+  /** Centroid-keyed lists persist partitioned by `centroid_id` so probe
+    * filters prune files (T4); HNSW graph segments have no centroid key
+    * and persist as plain parquet.
+    */
+  private def writeLists(df: DataFrame, path: String, mode: SaveMode): Unit =
+    if (df.columns.contains("centroid_id"))
+      df.repartition(col("centroid_id"))
+        .write.mode(mode).partitionBy("centroid_id").parquet(path)
+    else df.write.mode(mode).parquet(path)
+
+  /** HNSW graphs are immutable segments: a refresh does NOT advance
+    * `builtVersion` — updated/deleted keys are excluded from the graphs at
+    * query time (the reference's delete-bitmap semantics: hnswlib entries
+    * are never removed, gamma marks vids invalid and re-adds) and fresh
+    * rows are served exactly by the tail union in [[search]]. Once the
+    * un-indexed tail outgrows ~20% of the table, rebuild wholesale — graph
+    * compaction IS a rebuild.
+    */
+  private def refreshHnsw(h: HnswIndex): Unit = {
+    val live = table.docs
+    val deltaCnt = live.filter(col(VersionCol) > builtVersion).count()
+    val total = math.max(live.count(), 1L)
+    if (deltaCnt * 5L >= total) rebuildHnsw()
+    else if (persist) writeMeta()
+  }
+
+  private def rebuildHnsw(): Unit = {
+    val nh = HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
+      key, vecCol, params)
+    if (persist) {
+      val next = s"$indexRoot/lists/v${listsVersion + 1}"
+      nh.graphs.write.mode(SaveMode.Overwrite).parquet(next)
+      val old = listsVersion
+      listsVersion += 1
+      builtVersion = table.meta.version
+      writeMeta()
+      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+      index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
+    } else {
+      builtVersion = table.meta.version
+      index = Some(nh)
+    }
+  }
+
   /** Rewrite persisted lists minus superseded entries into a fresh version
     * dir and swap (reference bucket compaction, R8).
     */
   def compactIndex(): Unit = synchronized {
     require(persist, "compactIndex applies to persisted indexes")
-    index.foreach { idx =>
-      // drop superseded rows (the log) AND rows of keys no longer live
-      // (the reference compacts buckets when the deleted ratio grows,
-      // realtime_mem_data.cc:98-142). Dropping rows of keys updated but
-      // not yet refreshed is safe: builtVersion is untouched, so the next
-      // refresh re-appends them from the version-stamped delta.
-      val clean = persistedData()
-        .join(table.docs.select(col(key)), Seq(key), "left_semi")
-      val nextLists = s"$indexRoot/lists/v${listsVersion + 1}"
-      clean.repartition(col("centroid_id"))
-        .write.mode(SaveMode.Overwrite).partitionBy("centroid_id").parquet(nextLists)
-      val old = listsVersion
-      listsVersion += 1
-      writeMeta()
-      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
-      fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
-      index = Some(rebuilt(idx, persistedData()))
+    index.foreach {
+      case _: HnswIndex =>
+        // graph compaction IS a rebuild: entries cannot be removed from an
+        // immutable graph segment, so rewrite the graphs from live docs
+        rebuildHnsw()
+      case idx =>
+        // drop superseded rows (the log) AND rows of keys no longer live
+        // (the reference compacts buckets when the deleted ratio grows,
+        // realtime_mem_data.cc:98-142). Dropping rows of keys updated but
+        // not yet refreshed is safe: builtVersion is untouched, so the next
+        // refresh re-appends them from the version-stamped delta.
+        val clean = persistedData()
+          .join(table.docs.select(col(key)), Seq(key), "left_semi")
+        val nextLists = s"$indexRoot/lists/v${listsVersion + 1}"
+        writeLists(clean, nextLists, SaveMode.Overwrite)
+        val old = listsVersion
+        listsVersion += 1
+        writeMeta()
+        fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+        fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
+        index = Some(rebuilt(idx, persistedData()))
     }
   }
 
@@ -253,7 +307,14 @@ class IncrementalIndexer(
         val invalid = table.allDocs
           .filter(col(VersionCol) > builtVersion || col(DeletedCol))
           .select(col(key))
-        val cleanIdx = rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
+        val cleanIdx = idx match {
+          // graph rows are opaque segments — stale keys are excluded at
+          // result admission (delete-bitmap semantics) instead of
+          // anti-joined out of the rows
+          case h: HnswIndex =>
+            new HnswIndex(spark, h.graphs, key, vecCol, params, Some(invalid))
+          case _ => rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
+        }
         val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)
         val tail = restrict(table.docs.filter(col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,
@@ -335,6 +396,8 @@ object IncrementalIndexer {
           table.docs.select(org.apache.spark.sql.functions.col(key),
             org.apache.spark.sql.functions.col(vecCol)),
           key, vecCol, centers, codebooks, params, rotation)
+      case "HNSW" =>
+        new HnswIndex(spark, ix.persistedData(), key, vecCol, params)
       case _ =>
         new IvfFlatIndex(spark, ix.persistedData(), key, vecCol,
           graft.index.Ivf.loadCenters(spark, s"$root/centroids"), params)

@@ -243,6 +243,80 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("HNSW through the table: exclusion staleness, tail union, rebuild, persist") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "h", "_id", docsSlice(0, 300), nBuckets = 4)
+    // tiny per-partition graphs + ef >= partition size -> effectively exact,
+    // so flatTruth is the oracle for every state below
+    val ix = t.buildIndex("vec",
+      IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64),
+      persist = true, retrievalType = "HNSW")
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // small delta (< 20%): graphs stay immutable — updated keys are
+    // EXCLUDED at graph admission, fresh + updated rows served by the
+    // exact tail union
+    val rewrites = docsSlice(0, 20)
+      .select($"_id", transform($"vec", x => x + 10.0f).as("vec"))
+    t.addOrUpdate(docsSlice(300, 330).unionByName(rewrites))
+    ix.refresh()
+    assert(ix.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // deletes hidden by the same exclusion set, no index write
+    t.delete(Seq("5", "6").toDF("_id"))
+    val afterDel = ix.search(queries, 5)
+    assert(!afterDel.select("id").as[String].collect().exists(Set("5", "6")))
+    assert(afterDel.select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t, 5))
+
+    // reload table + graphs purely from disk
+    val t2 = GammaTable.load(spark, root)
+    val ix2 = t2.attachedIndex("vec").get
+    assert(ix2.retrievalType === "HNSW")
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+
+    // a large delta (> 20% of the table) triggers the wholesale graph
+    // rebuild (graph compaction IS a rebuild); lists version advances
+    t2.addOrUpdate(docsSlice(330, 450))
+    ix2.refresh()
+    assert(spark.read.parquet(s"$root/index/vec/lists/v1").count() > 0)
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+  }
+
+  test("streaming ingest maintains the PERSISTED index; reload sees streamed state") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "sp", "_id", docsSlice(0, 100), nBuckets = 4)
+    val ix = t.buildIndex("vec", IndexParams(ncentroids = 4), persist = true)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val q = StreamingIngest.start(
+      stream.toDF().drop("tag"), t, indexer = Some(ix),
+      trigger = Trigger.ProcessingTime("100 milliseconds"), checkpointDir = Some(tmp()))
+    val batch1 = emb.filter($"vec_id" >= 100 && $"vec_id" < 150)
+      .select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"), lit(1).as("tag"))
+      .as[StreamDoc].collect().toSeq
+    stream.addData(batch1)
+    q.processAllAvailable()
+    val batch2 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".cast("string").as("_id"), reverse($"embedding").as("vec"), lit(2).as("tag"))
+      .as[StreamDoc].collect().toSeq
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    // the persisted lists absorbed both microbatches (R5 through the
+    // foreachBatch cadence), so a COLD reload from disk is already fresh
+    val t2 = GammaTable.load(spark, root)
+    val ix2 = t2.attachedIndex("vec").get
+    assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
+      .collect().toSet === flatTruth(t2, 5))
+  }
+
   test("streaming ingest via foreachBatch upserts microbatches and keeps index fresh") {
     val t = GammaTable.create(spark, tmp(), "s2", "_id", docsSlice(0, 100), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 4), indexingSize = 0)
