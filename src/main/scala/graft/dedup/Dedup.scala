@@ -235,10 +235,23 @@ object Dedup {
     * rounds, each one join + groupBy). Deterministic: labels only ever
     * decrease, fixpoint independent of partitioning.
     */
-  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
+    // near-dup pair lists are typically a tiny fraction of the corpus even
+    // when the corpus is 100 TB — when the edge set fits on the driver,
+    // in-memory union-find beats O(component diameter) shuffle rounds by
+    // orders of magnitude; the distributed loop below remains the path for
+    // genuinely huge edge sets
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      val out = driverUnionFind(edges)
+      edges.unpersist()
+      return out
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     // each round checkpoints a new labels frame; unpersist the previous
@@ -262,6 +275,61 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Edge-count ceiling for the driver union-find shortcut (~32 MB of
+    * boxed pairs — far under any sane driver heap).
+    */
+  val DriverUnionFindMaxEdges: Long = 2000000L
+
+  /** In-memory connected components with the SAME min-label contract as
+    * the distributed loop: every node labeled with its component's minimum
+    * id under the id column's natural ordering.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.collection.mutable
+    val dt = edges.schema("src").dataType
+    val ord: Ordering[Any] = (dt match {
+      case org.apache.spark.sql.types.StringType  => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case org.apache.spark.sql.types.LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case org.apache.spark.sql.types.DoubleType  => Ordering.by((x: Any) => x.asInstanceOf[Double])
+      case _ => Ordering.by((x: Any) => x.toString)
+    })
+    val rows = edges.collect()
+    val idx = mutable.HashMap.empty[Any, Int]
+    val ids = mutable.ArrayBuffer.empty[Any]
+    def intern(x: Any): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = intern(r.get(0)); val b = intern(r.get(1))
+      while (parent.length < ids.length) parent += parent.length
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    // component root -> minimum member id (the canonical keeper label)
+    val minOf = mutable.HashMap.empty[Int, Any]
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val v = ids(i)
+      minOf.get(r) match {
+        case Some(m) if ord.lteq(m, v) => ()
+        case _                         => minOf(r) = v
+      }
+    }
+    val out = ids.indices.map(i => Row(ids(i), minOf(find(i))))
+    edges.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(StructField("id", dt), StructField("cluster", dt))))
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -77,8 +77,10 @@ object BinaryIvfIndex {
       idCol: String,
       codeCol: String,
       params: IndexParams): BinaryIvfIndex = {
-    val n = docs.count()
-    val k = Ivf.autoNcentroids(n, params.ncentroids)
+    // explicit ncentroids skips the full-table count (auto sizing only)
+    val k =
+      if (params.ncentroids > 0) params.ncentroids
+      else Ivf.autoNcentroids(docs.count(), -1)
     val centroids = docs
       .select(col(idCol), col(codeCol)).orderBy(col(idCol)).limit(k)
       .collect().map(_.getAs[Array[Byte]](1))

@@ -259,8 +259,11 @@ object IvfFlatIndex {
       idCol: String,
       vecCol: String,
       params: IndexParams): IvfFlatIndex = {
-    val n = docs.count()
-    val k = Ivf.autoNcentroids(n, params.ncentroids)
+    // explicit ncentroids skips the full-table count (it only feeds auto
+    // sizing — a wasted scan per build otherwise)
+    val k =
+      if (params.ncentroids > 0) params.ncentroids
+      else Ivf.autoNcentroids(docs.count(), -1)
     val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
     val data = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol,
       params.metric)

@@ -222,12 +222,17 @@ object IvfPqIndex {
       vecCol: String,
       params: IndexParams): IvfPqIndex = {
     import spark.implicits._
-    val n = docs.count()
-    val ncent = Ivf.autoNcentroids(n, params.ncentroids)
+    // the full-table count only feeds auto centroid sizing and the tiny-
+    // table ksub guard; a BOUNDED count (first 2^nbits rows) answers both
+    // without scanning the table (Long math: a plain n.toInt would
+    // overflow past 2^31 rows and silently collapse every codebook)
+    val ksubCap = 1L << params.nbits
+    val bounded = docs.limit((ksubCap + 1).toInt).count()
+    val ncent =
+      if (params.ncentroids > 0) params.ncentroids
+      else Ivf.autoNcentroids(docs.count(), -1)
     val m = params.nsubvector
-    // clamp in Long math: n.toInt would overflow past 2^31 rows and
-    // silently collapse every codebook to 2 entries
-    val ksub = math.min(1L << params.nbits, math.max(2L, n)).toInt
+    val ksub = math.min(ksubCap, math.max(2L, bounded)).toInt
 
     // OPQ: learn an orthonormal rotation on a driver-side sample and build
     // the whole code space (coarse + PQ) in rotated coordinates; L2 is

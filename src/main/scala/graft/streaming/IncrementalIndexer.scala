@@ -69,6 +69,18 @@ class IncrementalIndexer(
   @volatile private var index: Option[AnnIndex] = None
   @volatile private var builtVersion: Long = -1L
   @volatile private var listsVersion: Long = 0L
+  // table version up to which the lists contain NO entries of tombstoned
+  // keys — advanced only when the lists are actually purged (build,
+  // compaction, HNSW rebuild). refresh() appends but never purges deletes
+  // (a delete marks rows without bumping their _version), so the stale-
+  // entry scan must look back to min(builtVersion, cleanedVersion)
+  @volatile private var cleanedVersion: Long = -1L
+
+  /** Buckets changed since this horizon are the only place stale or
+    * tombstoned index entries can correspond to: updates after
+    * `builtVersion` and deletes after `cleanedVersion`.
+    */
+  private def invalidHorizon: Long = math.min(builtVersion, cleanedVersion)
 
   def status: String = table.meta.indexStatus
   def currentIndex: Option[AnnIndex] = index
@@ -118,7 +130,8 @@ class IncrementalIndexer(
     IncrementalIndexer.writeState(spark, s"$indexRoot/meta",
       IndexState(builtVersion, listsVersion, params.metric.toString, params.ncentroids,
         params.nprobe, params.nsubvector, params.nbits, params.recallNum,
-        params.hasRank, params.trainSampleRows, params.seed, retrievalType))
+        params.hasRank, params.trainSampleRows, params.seed, retrievalType,
+        cleanedVersion))
 
   private def saveCentroids(centers: Array[Array[Double]]): Unit =
     Ivf.saveCenters(spark, s"$indexRoot/centroids", centers)
@@ -141,8 +154,9 @@ class IncrementalIndexer(
               HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
                 key, vecCol, params)
             case _ =>
-              val n = docs.count()
-              val k = Ivf.autoNcentroids(n, params.ncentroids)
+              val k =
+                if (params.ncentroids > 0) params.ncentroids
+                else Ivf.autoNcentroids(docs.count(), -1)
               val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
               new IvfFlatIndex(spark, Ivf.assign(model, docs, vecCol, params.metric),
                 key, vecCol, model.clusterCenters.map(_.toArray), params)
@@ -168,12 +182,16 @@ class IncrementalIndexer(
             } else assigned.localCheckpoint(true)
           index = Some(rebuilt(proto, data))
           builtVersion = table.meta.version
+          cleanedVersion = builtVersion // fresh lists: only live docs
           if (persist) writeMeta()
           table.setIndexStatus("INDEXED")
         }
       case Some(h: HnswIndex) => refreshHnsw(h)
       case Some(idx) =>
-        val delta = table.docs.filter(col(VersionCol) > builtVersion)
+        // changed rows only live in buckets rewritten since the build —
+        // an O(churn) read, not a table scan
+        val delta = table.docsChangedSince(builtVersion)
+          .filter(!col(DeletedCol) && col(VersionCol) > builtVersion)
           .select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
         if (!delta.isEmpty) {
           // encode with the EXISTING quantizers — no retrain (R5/R6)
@@ -221,9 +239,9 @@ class IncrementalIndexer(
     * compaction IS a rebuild.
     */
   private def refreshHnsw(h: HnswIndex): Unit = {
-    val live = table.docs
-    val deltaCnt = live.filter(col(VersionCol) > builtVersion).count()
-    val total = math.max(live.count(), 1L)
+    val deltaCnt = table.docsChangedSince(builtVersion)
+      .filter(!col(DeletedCol) && col(VersionCol) > builtVersion).count()
+    val total = math.max(table.docs.count(), 1L)
     if (deltaCnt * 5L >= total) rebuildHnsw()
     else if (persist) writeMeta()
   }
@@ -237,11 +255,13 @@ class IncrementalIndexer(
       val old = listsVersion
       listsVersion += 1
       builtVersion = table.meta.version
+      cleanedVersion = builtVersion
       writeMeta()
       fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
       index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
     } else {
       builtVersion = table.meta.version
+      cleanedVersion = builtVersion
       index = Some(nh)
     }
   }
@@ -268,6 +288,10 @@ class IncrementalIndexer(
         writeLists(clean, nextLists, SaveMode.Overwrite)
         val old = listsVersion
         listsVersion += 1
+        // every key tombstoned up to NOW was just purged (left_semi on live
+        // keys); stale entries of updated-but-unrefreshed keys may remain,
+        // which the invalid horizon covers via builtVersion
+        cleanedVersion = table.meta.version
         writeMeta()
         fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
         fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
@@ -303,8 +327,11 @@ class IncrementalIndexer(
         Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
           minScore = minScore, maxScore = maxScore)
       case Some(idx) =>
-        // ids whose index entry is stale (updated after build) or dead
-        val invalid = table.allDocs
+        // ids whose index entry is stale (updated after build) or dead —
+        // such rows only live in buckets rewritten since the horizon, so
+        // the scan is O(churned buckets), not O(table). (Keys whose
+        // entries were already purged re-excluded harmlessly.)
+        val invalid = table.docsChangedSince(invalidHorizon)
           .filter(col(VersionCol) > builtVersion || col(DeletedCol))
           .select(col(key))
         val cleanIdx = idx match {
@@ -316,7 +343,8 @@ class IncrementalIndexer(
           case _ => rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
         }
         val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)
-        val tail = restrict(table.docs.filter(col(VersionCol) > builtVersion))
+        val tail = restrict(table.docsChangedSince(builtVersion)
+          .filter(!col(DeletedCol) && col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,
           minScore = minScore, maxScore = maxScore)
         TopK.perGroup(fromIndex.unionByName(fromTail), "qid", "score",
@@ -348,7 +376,8 @@ object IncrementalIndexer {
       hasRank: Boolean,
       trainSampleRows: Int,
       seed: Long,
-      retrievalType: String)
+      retrievalType: String,
+      cleanedVersion: Long)
 
   private[streaming] def writeState(
       spark: org.apache.spark.sql.SparkSession, dir: String, s: IndexState): Unit = {
@@ -357,7 +386,8 @@ object IncrementalIndexer {
         s""""metric":"${s.metric}","ncentroids":${s.ncentroids},"nprobe":${s.nprobe},""" +
         s""""nsubvector":${s.nsubvector},"nbits":${s.nbits},"recallNum":${s.recallNum},""" +
         s""""hasRank":${s.hasRank},"trainSampleRows":${s.trainSampleRows},""" +
-        s""""seed":${s.seed},"retrievalType":"${s.retrievalType}"}"""
+        s""""seed":${s.seed},"retrievalType":"${s.retrievalType}",""" +
+        s""""cleanedVersion":${s.cleanedVersion}}"""
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dirPath, true)
@@ -388,6 +418,7 @@ object IncrementalIndexer {
     val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true, rt)
     ix.listsVersion = st.listsVersion
     ix.builtVersion = st.builtVersion
+    ix.cleanedVersion = st.cleanedVersion
     val key = table.meta.keyField
     ix.index = Some(rt.toUpperCase match {
       case "IVFPQ" =>

@@ -79,6 +79,21 @@ class GammaTable private (
     */
   def docs: DataFrame = allDocs.filter(!col(DeletedCol))
 
+  /** Rows of buckets whose CURRENT version is newer than `v` — the only
+    * buckets that can hold rows written or tombstoned after commit `v`,
+    * because every upsert/delete rewrites each affected bucket at a new
+    * version. Incremental index maintenance reads this instead of the
+    * whole table: at scale the changed-bucket set is O(churn), not
+    * O(table).
+    */
+  def docsChangedSince(v: Long): DataFrame = {
+    val paths = meta0.bucketVersions.collect {
+      case (b, bv) if bv > v => bucketPath(b.toLong, bv)
+    }.toSeq
+    if (paths.isEmpty) allDocs.limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
     val paths = currentPaths(buckets)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))

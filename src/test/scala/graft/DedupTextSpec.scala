@@ -21,6 +21,18 @@ class DedupTextSpec extends GraftSuite {
     val got = graft.dedup.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the distributed label-propagation loop (maxDriverEdges = 0 forces the
+    // scale path) must produce the SAME min-label components
+    val dist = graft.dedup.Dedup.duplicateClusters(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === got)
+    // and on a real pair list (string/long mix + larger chains): both paths
+    // agree on the minhash pairs of the documents table
+    val real = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val a = graft.dedup.Dedup.duplicateClusters(real).as[(Long, Long)].collect().toSet
+    val b = graft.dedup.Dedup.duplicateClusters(real, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
   }
 
   test("minhash LSH candidates contain every true high-jaccard pair") {
