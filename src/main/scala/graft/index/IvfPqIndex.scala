@@ -131,11 +131,17 @@ class IvfPqIndex(
     // stage 1: recall_num candidates by ADC (metric order — ADC scores are
     // approximate, so the range predicate waits for the exact stage);
     // stage 2: exact re-rank with the range filter before the final heap
-    val cands = TopK.perGroup(adc, "qid", "score", asc,
-      math.max(params.recallNum, k), Seq("id")).select(col("qid"), col("id"))
+    val nCand = math.max(params.recallNum, k)
+    val cands = TopK.perGroup(adc, "qid", "score", asc, nCand, Seq("id"))
+      .select(col("qid"), col("id"))
     val qdf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
-    val exact = cands
-      .join(rawDocs.select(col(idCol).as("id"), col(vecCol)), Seq("id"))
+    // stream the raw table, broadcast the candidate set when it is small
+    // (nq x recall_num rows — the reference default is 100/query); an
+    // exhaustive-recall caller falls back to a shuffle join
+    val candsSide =
+      if (queries.size.toLong * nCand <= 4000000L) broadcast(cands) else cands
+    val exact = rawDocs.select(col(idCol).as("id"), col(vecCol))
+      .join(candsSide, Seq("id"))
       .join(broadcast(qdf), Seq("qid"))
       .select(col("qid"), col("id"),
         Knn.score(params.metric, col(vecCol), col("qvec")).as("score"))

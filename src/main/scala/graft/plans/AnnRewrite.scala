@@ -167,9 +167,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .getOrElse(Set.empty)
       val needsJoin = origOutput.exists(o =>
         !scoreIds.contains(o.exprId) && o.name != ri.idCol)
+      // broadcast the k HITS and stream the doc table — not the reverse:
+      // the doc table is arbitrarily large (broadcasting it OOMs the
+      // executors at scale), the hit set is <= k rows
       val base =
         if (needsJoin)
-          hits.join(broadcast(ri.docs.withColumnRenamed(ri.idCol, "id")), Seq("id"))
+          ri.docs.withColumnRenamed(ri.idCol, "id").join(broadcast(hits), Seq("id"))
         else hits
       val cols = origOutput.map { o =>
         if (scoreIds.contains(o.exprId)) col("score").as(o.name)

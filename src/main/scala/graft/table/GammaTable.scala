@@ -362,8 +362,10 @@ class GammaTable private (
         // rank fusion off: the reference still returns the DOCID-ordered
         // merge of the per-field lists (vector_manager.cc:562-576 skips
         // only the score re-sort) — join the dense docid back and cut on
-        // it (string keys would sort "10" < "2" and pick a different set)
-        val withDocid = fused.join(base.select(col(key), col(DocidCol)), Seq(key))
+        // it (string keys would sort "10" < "2" and pick a different set);
+        // the fused hit set is small and broadcasts, the table streams
+        val withDocid = base.select(col(key), col(DocidCol))
+          .join(broadcast(fused), Seq(key))
         TopK.perGroup(withDocid, "qid", DocidCol, ascending = true, req.topn, Nil)
           .drop(DocidCol)
       }
@@ -373,7 +375,16 @@ class GammaTable private (
   private def project(hits: DataFrame, req: SearchRequest): DataFrame = {
     val key = meta0.keyField
     if (req.fields.isEmpty) hits
-    else hits.join(docs.select((key +: req.fields).distinct.map(col): _*), Seq(key), "left")
+    else {
+      // hit keys come from this table's docs, so inner == left here; the
+      // inner shape lets the topn-row hit set broadcast while the doc
+      // table streams (broadcasting the PRESERVED side of an outer join
+      // is not a thing, and shuffling the table for topn rows is wrong at
+      // scale)
+      val proj = docs.select((key +: req.fields).distinct.map(col): _*)
+      proj.join(broadcast(hits), Seq(key), "inner")
+        .select((hits.columns.map(col) ++ req.fields.filterNot(_ == key).map(col)): _*)
+    }
   }
 
   /** Engine-status rollup (A5, reference `GetEngineStatus`,
