@@ -78,6 +78,22 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("EqualTo(p_partkey,100)"), p)
   }
 
+  test("table projection join-back broadcasts the topn hits, streams the table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_tbl").toString
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs0 = emb.select($"vec_id".cast("string").as("_id"),
+      $"embedding".as("vec"), $"label")
+    val t = graft.table.GammaTable.create(spark, root, "pp", "_id", docs0, nBuckets = 4)
+    val qv = emb.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val df = t.search(graft.core.SearchRequest(topn = 5,
+      vecQueries = Seq(graft.core.VecQuery("vec", qv)),
+      fields = Seq("label")))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(df.columns.contains("label") && df.count() === 5)
+  }
+
   test("Catalyst rule rewrites ORDER BY l2_sq LIMIT k into the index path (M7)") {
     import spark.implicits._
     graft.plans.AnnRewrite.install(spark)
@@ -117,6 +133,17 @@ class PlanSpec extends GraftSuite {
           allowedIds = Some(emb.filter($"label".isin(1, 3, 5, 7)).select($"vec_id")))
         .select($"id", $"score").as[(Long, Double)].collect().toSet
       assert(gotF.toSet === exactF)
+
+      // join-back for extra projected columns broadcasts the HITS and
+      // streams the doc table (broadcasting the table OOMs at scale)
+      val sqlJ = s"SELECT vec_id, label, l2_sq(embedding, $qLit) AS score " +
+        "FROM emb_ann ORDER BY score LIMIT 10"
+      val dfJ = spark.sql(sqlJ)
+      val pJ = plan(dfJ)
+      assert(pJ.contains("BroadcastHashJoin"), pJ)
+      assert(!pJ.contains("SortMergeJoin"), pJ)
+      assert(dfJ.columns.toSeq === Seq("vec_id", "label", "score"))
+      assert(dfJ.count() === 10)
 
       spark.conf.set("spark.graft.ann.rewrite", "false")
       val pOff = plan(spark.sql(sql))
