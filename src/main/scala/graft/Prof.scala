@@ -1,0 +1,38 @@
+package graft
+
+/** Scratch profiling main (not part of the driver contract): times the
+  * index-build stages on sf0.1 embeddings to keep the build path honest.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    emb.count() // warm the file scan
+    val docs = emb.select("vec_id", "embedding")
+
+    val centers = time("trainCoarse(32)") {
+      graft.index.Ivf.trainCoarse(docs, "embedding", 32, 200000, 42L)
+    }
+    time("assignWithCenters+count") {
+      graft.index.Ivf.assignWithCenters(docs, "embedding", centers).count()
+    }
+    val params = graft.index.IndexParams(ncentroids = 32)
+    val pq = time("IvfPqIndex.build") {
+      graft.index.IvfPqIndex.build(spark, docs, "vec_id", "embedding", params)
+    }
+    time("pq codes count") { pq.codes.count() }
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    time("pq search k=10") { pq.search(Seq((0L, q)), 10).collect() }
+    time("IvfFlatIndex.build") {
+      graft.index.IvfFlatIndex.build(spark, docs, "vec_id", "embedding", params)
+        .data.count()
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,28 +61,22 @@ object Ivf {
     * centroid like the reference's faiss training
     * (gamma_index_ivfpq.cc:280-296 clamps to [39·nlist, 256·nlist]) —
     * training on more buys no list quality and multiplies k-means cost.
+    * One collect job + driver-side Lloyd ([[LocalKMeans]]); the cluster
+    * only ever runs assignment/encoding, mirroring faiss.
     */
   def trainCoarse(
       docs: DataFrame, vecCol: String, ncentroids: Int,
-      sampleRows: Int, seed: Long): KMeansModel = {
+      sampleRows: Int, seed: Long): Array[Array[Double]] = {
     // at most 256 points per centroid; if the caller's sample budget is
     // smaller than the 39/centroid floor, the floor wins (when the data
     // has that many rows at all — limit() just takes what exists)
     val cap = math.max(39 * ncentroids, math.min(sampleRows, 256 * ncentroids))
-    // bounded sample in few partitions: k-means iterations are scheduler-
-    // bound when a small sample is spread over many partitions
-    val train = docs.select(array_to_vector(col(vecCol)).as("features"))
-      .limit(cap).coalesce(8).cache()
+    val sample = LocalKMeans.sampleVecs(docs, vecCol, cap)
     // the coarse quantizer only partitions the space (list ASSIGNMENT is
     // exact, list quality is recovered by nprobe), so convergence beyond
     // ~12 iterations buys no recall — the reference's faiss training makes
-    // the same tradeoff via bounded sample clamps (retrieval_model.h:303);
-    // k-means|| init is kept: its few extra passes run on the small cached
-    // sample and matter for recall on near-uniform data
-    try new KMeans()
-      .setK(ncentroids).setSeed(seed).setMaxIter(12).setTol(1e-3)
-      .fit(train)
-    finally train.unpersist()
+    // the same tradeoff via bounded sample clamps (retrieval_model.h:303)
+    LocalKMeans.fit(sample, ncentroids, maxIter = 12, seed = seed, tol = 1e-3)
   }
 
   /** Quantizer distance (smaller = better) of one vector to one center
@@ -131,22 +123,6 @@ object Ivf {
     }
     best
   }
-
-  /** Assign every doc to its best centroid under the index metric. L2 goes
-    * through the trained model's transform (identical result, codegen'd);
-    * other metrics use the shared [[quantizerDist]] kernel so assignment
-    * and probe ranking agree.
-    */
-  def assign(
-      model: KMeansModel, docs: DataFrame, vecCol: String,
-      metric: graft.core.Metric.Value = graft.core.Metric.L2): DataFrame =
-    if (metric == graft.core.Metric.L2)
-      model
-        .setFeaturesCol("__features").setPredictionCol("centroid_id")
-        .transform(docs.withColumn("__features", array_to_vector(col(vecCol))))
-        .drop("__features")
-    else
-      assignWithCenters(docs, vecCol, model.clusterCenters.map(_.toArray), metric)
 
   /** Nearest-centroid assignment against FIXED driver-side centroids (no
     * model object) — used by incremental index appends, where the reference
@@ -264,11 +240,10 @@ object IvfFlatIndex {
     val k =
       if (params.ncentroids > 0) params.ncentroids
       else Ivf.autoNcentroids(docs.count(), -1)
-    val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
-    val data = Ivf.assign(model, docs.select(col(idCol), col(vecCol)), vecCol,
-      params.metric)
-    new IvfFlatIndex(spark, data, idCol, vecCol,
-      model.clusterCenters.map(_.toArray), params)
+    val centers = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+    val data = Ivf.assignWithCenters(
+      docs.select(col(idCol), col(vecCol)), vecCol, centers, params.metric)
+    new IvfFlatIndex(spark, data, idCol, vecCol, centers, params)
   }
 
   def load(spark: SparkSession, path: String, idCol: String, vecCol: String,

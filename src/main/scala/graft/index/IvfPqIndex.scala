@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,7 +225,6 @@ object IvfPqIndex {
       idCol: String,
       vecCol: String,
       params: IndexParams): IvfPqIndex = {
-    import spark.implicits._
     // the full-table count only feeds auto centroid sizing and the tiny-
     // table ksub guard; a BOUNDED count (first 2^nbits rows) answers both
     // without scanning the table (Long math: a plain n.toInt would
@@ -240,67 +237,55 @@ object IvfPqIndex {
     val m = params.nsubvector
     val ksub = math.min(ksubCap, math.max(2L, bounded)).toInt
 
-    // OPQ: learn an orthonormal rotation on a driver-side sample and build
-    // the whole code space (coarse + PQ) in rotated coordinates; L2 is
-    // rotation-invariant so probes stay geometrically correct and the
-    // exact re-rank uses the untouched originals
-    val rotation =
-      if (!params.opq) None
-      else {
-        val sample = docs.select(col(vecCol)).limit(1024)
-          .collect().map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
-        Some(Opq.trainRotation(sample, m, ksub, params.opqIters, params.seed))
-      }
-    val work = rotation match {
-      case Some(r) => rotateVecCol(docs.select(col(idCol), col(vecCol)), vecCol, r)
-      case None    => docs.select(col(idCol), col(vecCol))
-    }
-
-    val model = Ivf.trainCoarse(work, vecCol, ncent, params.trainSampleRows, params.seed)
-    val assigned = Ivf.assign(model, work, vecCol, params.metric)
-    val centers = model.clusterCenters.map(_.toArray)
-
-    // residual = vec - coarse_centroid (faiss by_residual convention)
-    val centersDf = centers.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "cvec")
-    val withRes = assigned
-      .join(broadcast(centersDf), Seq("centroid_id"))
-      .withColumn("residual",
-        zip_with(col(vecCol), col("cvec"), (a, b) => a.cast("double") - b))
-      .drop("cvec")
-
-    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    // ONE bounded driver-side sample feeds OPQ, coarse, and PQ training —
+    // the reference's faiss train() likewise sees a single sampled x and
+    // trains every quantizer in memory (gamma_index_ivfpq.cc:272-330);
+    // the cluster only runs the encode pass below. Clamps: 256 points per
+    // coarse centroid / per PQ codebook entry (retrieval_model.h:303).
+    val coarseCap = math.max(39 * ncent, math.min(params.trainSampleRows, 256 * ncent))
+    val pqCap = math.min(params.trainSampleRows, 256 * ksub)
+    val sampleRaw = LocalKMeans.sampleVecs(docs, vecCol, math.max(coarseCap, pqCap))
+    require(sampleRaw.nonEmpty, "cannot build IVFPQ on an empty table")
+    val dim = sampleRaw(0).length
     require(dim % m == 0, s"dim $dim not divisible by nsubvector $m")
     val dsub = dim / m
 
-    // per-subspace codebooks + codes (reference PQ training,
-    // gamma_index_ivfpq.cc:272-330 via faiss ProductQuantizer).
-    // The m sub-trainings are independent — submit them CONCURRENTLY so the
-    // cluster isn't serialized through m small k-means fits; encoding is
-    // then a single broadcast-codebook kernel pass instead of m transforms.
-    val cur = withRes.localCheckpoint(true)
+    // OPQ: learn an orthonormal rotation and build the whole code space
+    // (coarse + PQ) in rotated coordinates; L2 is rotation-invariant so
+    // probes stay geometrically correct and the exact re-rank uses the
+    // untouched originals
+    val rotation =
+      if (!params.opq) None
+      else Some(Opq.trainRotation(
+        sampleRaw.take(1024).map(_.map(_.toDouble)), m, ksub,
+        params.opqIters, params.seed))
+    val sample = rotation.map(r => sampleRaw.map(Opq.rotate(r, _))).getOrElse(sampleRaw)
+
+    val centers = LocalKMeans.fit(
+      sample.take(coarseCap), ncent, maxIter = 12, seed = params.seed, tol = 1e-3)
+
+    // PQ trains on residual = vec - coarse_centroid (faiss by_residual
+    // convention), assigned under the quantizer metric — the SAME kernel
+    // the encode pass uses, so codes and codebooks agree
+    val residuals = sample.take(pqCap).map { v =>
+      val c = centers(Ivf.bestCenter(params.metric, centers, v))
+      Array.tabulate(dim)(i => (v(i) - c(i)).toFloat)
+    }
+    // m independent sub-trainings, concurrent on driver cores (reference
+    // PQ training via faiss ProductQuantizer, gamma_index_ivfpq.cc:272-330)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // 256 training points per codebook entry (the faiss PQ training clamp
-    // the reference inherits) — more sample multiplies cost, not quality
-    val pqCap = math.min(params.trainSampleRows, 256 * ksub)
-    val codebookFutures = (0 until m).map { j =>
+    val codebooks = (0 until m).map { j =>
       Future {
-        val sliceCol = slice(col("residual"), j * dsub + 1, dsub)
-        val train = cur.select(array_to_vector(sliceCol).as("features"))
-          .limit(pqCap)
-        // random init: k-means|| costs several extra passes per subspace and
-        // sub-codebook quality is recovered by the exact re-rank stage anyway
-        new KMeans().setK(ksub).setSeed(params.seed + j).setMaxIter(10).setTol(1e-4)
-          .setInitMode("random")
-          .fit(train)
-          .clusterCenters.map(_.toArray)
+        val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+        LocalKMeans.fit(sub, ksub, maxIter = 10, seed = params.seed + j, tol = 1e-4)
       }
-    }
-    val codebooks = codebookFutures.map(Await.result(_, Duration.Inf)).toArray
+    }.map(Await.result(_, Duration.Inf)).toArray
 
-    val codesDf = encodeCodes(cur, idCol, codebooks, dsub).localCheckpoint(true)
+    // single distributed pass: rotate + assign + residual-encode per row
+    val codesDf = encodeAll(docs, idCol, vecCol, centers, codebooks, rotation,
+      Nil, params.metric).localCheckpoint(true)
     new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
       idCol, vecCol, centers, codebooks, params, rotation)
   }
@@ -357,52 +342,4 @@ object IvfPqIndex {
     }(Encoders.row(schema))
   }
 
-  /** Apply the OPQ rotation to a vector column (broadcast matrix kernel). */
-  private def rotateVecCol(
-      df: DataFrame, vecCol: String, r: Array[Array[Double]]): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val schema = df.schema
-    val idx = schema.fieldIndex(vecCol)
-    val bc = df.sparkSession.sparkContext.broadcast(r)
-    df.mapPartitions { rows =>
-      val rr = bc.value
-      rows.map { row =>
-        val v = row.getSeq[Float](idx).toArray
-        Row.fromSeq(row.toSeq.updated(idx, Opq.rotate(rr, v).toSeq))
-      }
-    }(Encoders.row(schema))
-  }
-
-  /** One-pass PQ encoding: nearest sub-codebook entry per subspace, with
-    * broadcast codebooks (no per-subspace model transform chain).
-    */
-  private def encodeCodes(
-      withResiduals: DataFrame, idCol: String,
-      codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
-    val in = withResiduals.select(col(idCol), col("centroid_id"), col("residual"))
-    val schema = StructType(Seq(
-      in.schema(idCol), in.schema("centroid_id"),
-      StructField("pq_codes", ArrayType(IntegerType, containsNull = false))))
-    val bc = in.sparkSession.sparkContext.broadcast(codebooks)
-    in.mapPartitions { rows =>
-      val cbs = bc.value
-      rows.map { r =>
-        val res = r.getSeq[Double](2)
-        val codes = Array.tabulate(cbs.length) { j =>
-          val cb = cbs(j); val base = j * dsub
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var i = 0
-            while (i < dsub) { val t = res(base + i) - cb(c)(i); s += t * t; i += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          best
-        }
-        Row(r.get(0), r.get(1), codes.toSeq)
-      }
-    }(Encoders.row(schema))
-  }
 }

@@ -157,9 +157,10 @@ class IncrementalIndexer(
               val k =
                 if (params.ncentroids > 0) params.ncentroids
                 else Ivf.autoNcentroids(docs.count(), -1)
-              val model = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
-              new IvfFlatIndex(spark, Ivf.assign(model, docs, vecCol, params.metric),
-                key, vecCol, model.clusterCenters.map(_.toArray), params)
+              val centers = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+              new IvfFlatIndex(spark,
+                Ivf.assignWithCenters(docs, vecCol, centers, params.metric),
+                key, vecCol, centers, params)
           }
           val assigned = proto match {
             case p: IvfPqIndex =>

@@ -288,6 +288,29 @@ class GammaTable private (
     commit(buckets, written, v)
   }
 
+  /** Deleted-ratio-triggered compaction, per bucket — the reference's
+    * `CompactIfNeed` policy (realtime/realtime_mem_data.cc:98-142 rewrites
+    * a bucket when its deleted ratio crosses a threshold). One
+    * column-pruned stat pass over (bucket, deleted) finds offending
+    * buckets; ONLY those are rewritten — at scale churn is concentrated,
+    * so this rewrites O(hot buckets), not O(table). Returns the compacted
+    * bucket ids.
+    */
+  def compactIfNeeded(maxDeletedRatio: Double = 0.3): Seq[Long] = {
+    if (meta0.bucketVersions.isEmpty) return Nil
+    val victims = allDocs.groupBy(col(BucketCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(DeletedCol), 1L).otherwise(0L)).as("d"))
+      .filter(col("d") > col("n") * maxDeletedRatio)
+      .select(BucketCol).collect().map(_.getLong(0)).toSeq.sorted
+    if (victims.isEmpty) return Nil
+    val v = meta0.version + 1
+    val live = readBuckets(victims).map(_.filter(!col(DeletedCol)))
+    val written = live.map(writeVersion(_, victims, v)).getOrElse(Nil)
+    commit(victims, written, v)
+    victims
+  }
+
   // ---------------------------------------------------------------- search
 
   /** The reference's read path (search/gamma_engine.cc:299-464): scalar
@@ -299,7 +322,16 @@ class GammaTable private (
     graft.functions.registerAll(spark)
     import spark.implicits._
     val key = meta0.keyField
-    val base = docs
+    // a Union term filter on the primary key names exact keys, and keys
+    // hash to known buckets — prune the scan to just those buckets' files
+    // (the reference serves key-constrained requests through its cuckoo
+    // key->docid map, table/table.h:185, instead of scanning). The
+    // remaining predicate still applies on the pruned scan.
+    val base = keyTermBuckets(req) match {
+      case Some(bs) =>
+        readBuckets(bs).map(_.filter(!col(DeletedCol))).getOrElse(docs.limit(0))
+      case None => docs
+    }
     val pred = Filters.predicate(base, req.termFilters, req.rangeFilters)
 
     if (req.vecQueries.isEmpty) {
@@ -370,6 +402,25 @@ class GammaTable private (
           .drop(DocidCol)
       }
     project(ranked, req)
+  }
+
+  /** Buckets a key-equality term filter confines the request to, when one
+    * exists: a Union term on a STRING primary key (string, so the filter
+    * values hash exactly like the stored keys do in [[GammaTable.bucketOf]]).
+    */
+  private def keyTermBuckets(req: SearchRequest): Option[Seq[Long]] = {
+    val key = meta0.keyField
+    req.termFilters.find(t =>
+      t.field == key && t.mode == graft.core.TermMode.Union &&
+        t.values.nonEmpty && t.values.size <= 1024 &&
+        meta0.bucketVersions.nonEmpty &&
+        allDocs.schema(key).dataType == StringType)
+      .map { t =>
+        import spark.implicits._
+        t.values.toDF(key)
+          .select(bucketOf(col(key), meta0.nBuckets)).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
   }
 
   private def project(hits: DataFrame, req: SearchRequest): DataFrame = {

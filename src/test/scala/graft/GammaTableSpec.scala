@@ -201,6 +201,55 @@ class GammaTableSpec extends GraftSuite {
     }
   }
 
+  test("compactIfNeeded rewrites only buckets past the deleted-ratio threshold") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cin", "_id", docTable(), Nil, nBuckets = 8)
+    val byBucket = t.docs.select($"_bucket", $"_id").as[(Long, String)]
+      .collect().groupBy(_._1)
+    val (victim, members) = byBucket.maxBy(_._2.length)
+    // tombstone half the victim bucket (over the 0.3 threshold) and one
+    // key elsewhere (under it)
+    val other = byBucket.keys.filter(_ != victim).head
+    val delKeys = members.map(_._2).take(math.max(1, members.length / 2)) :+
+      byBucket(other).head._2
+    t.delete(delKeys.toSeq.toDF("_id"))
+    val afterDelete = t.meta.bucketVersions
+    val liveBefore = t.docs.count()
+
+    val compacted = t.compactIfNeeded(0.3)
+    assert(compacted === Seq(victim))
+    // ONLY the victim bucket was rewritten
+    val afterCompact = t.meta.bucketVersions
+    assert(afterCompact(victim.toString) > afterDelete(victim.toString))
+    assert(afterCompact.removed(victim.toString) === afterDelete.removed(victim.toString))
+    // tombstones gone physically from the victim, live rows intact
+    assert(t.docs.count() === liveBefore)
+    assert(t.allDocs.filter($"_bucket" === victim && $"_deleted").count() === 0)
+    assert(t.allDocs.filter($"_bucket" === other && $"_deleted").count() === 1)
+    // idempotent: nothing left over the threshold
+    assert(t.compactIfNeeded(0.3) === Nil)
+  }
+
+  test("union term filter on the key prunes the scan to the keys' buckets") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "kprune", "_id", docTable(), Nil, nBuckets = 8)
+    val res = t.search(SearchRequest(topn = 10,
+      termFilters = Seq(TermFilter("_id", Seq("42", "7")))))
+    assert(res.select("_id").as[String].collect().toSet === Set("42", "7"))
+    // the scan reads only the files of the buckets those keys hash to
+    val expected = Seq("42", "7").toDF("_id")
+      .select(pmod(xxhash64($"_id"), lit(8L))).distinct().as[Long].collect().toSet
+    val readDirs = res.inputFiles.map { f =>
+      f.split("/data/")(1).split("/")(0).stripPrefix("b").toLong
+    }.toSet
+    assert(readDirs === expected, s"read $readDirs, expected $expected")
+    // NotIn on the key must NOT prune (complement needs every bucket)
+    val resNot = t.search(SearchRequest(topn = 5,
+      termFilters = Seq(TermFilter("_id", Seq("42"), graft.core.TermMode.NotIn))))
+    assert(resNot.inputFiles.map(f => f.split("/data/")(1).split("/")(0)).toSet.size === 8)
+    assert(!resNot.select("_id").as[String].collect().contains("42"))
+  }
+
   test("multi-vector fusion search intersects fields and fuses scores") {
     val root = tmp()
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
