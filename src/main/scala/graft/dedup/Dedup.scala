@@ -246,8 +246,19 @@ object Dedup {
     // in-memory union-find beats O(component diameter) shuffle rounds by
     // orders of magnitude; the distributed loop below remains the path for
     // genuinely huge edge sets
+    // the driver shortcut must produce the SAME minimum label the
+    // distributed loop's least() would pick — only take it for key types
+    // whose JVM ordering provably matches Spark's (Decimal, Timestamp,
+    // etc. would fall back to a lexical toString order and could crown a
+    // different keeper depending on which side of maxDriverEdges the edge
+    // count lands)
+    val keyOrderingSafe = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
     val nEdges = edges.count()
-    if (nEdges <= maxDriverEdges) {
+    if (nEdges <= maxDriverEdges && keyOrderingSafe) {
       val out = driverUnionFind(edges)
       edges.unpersist()
       return out
@@ -296,7 +307,9 @@ object Dedup {
       case org.apache.spark.sql.types.LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
       case org.apache.spark.sql.types.IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
       case org.apache.spark.sql.types.DoubleType  => Ordering.by((x: Any) => x.asInstanceOf[Double])
-      case _ => Ordering.by((x: Any) => x.toString)
+      case other => throw new IllegalStateException(
+        s"driverUnionFind supports String/Long/Int/Double ids (got $other); " +
+          "caller must route other key types through the distributed loop")
     })
     val rows = edges.collect()
     val idx = mutable.HashMap.empty[Any, Int]

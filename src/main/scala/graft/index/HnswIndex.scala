@@ -225,24 +225,40 @@ class HnswIndex(
     val ef = nprobe.getOrElse(params.efSearch)
     val qs = spark.sparkContext.broadcast(queries.toArray)
     // allowed set rides a broadcast — the same driver-side build a
-    // broadcast hash join pays; HNSW ids are longs (build casts), so the
-    // filter key column is cast accordingly
-    def keySet(df: DataFrame) =
-      spark.sparkContext.broadcast(
-        df.select(col(df.columns.head).cast("long")).as[Long].collect().toSet)
-    val allowedSet = allowedIds.map(keySet)
+    // broadcast hash join pays, but as a SORTED PRIMITIVE long array
+    // (8 B/key + binary search), the dense analog of the reference's
+    // delete bitmap (util/bitmap_manager.h) instead of a ~50x-larger boxed
+    // Set. HNSW ids are longs (build casts); a key that does not cast is a
+    // table this index cannot serve — fail fast with a diagnosable message
+    // instead of an NPE deep in a task.
+    def keyArray(df: DataFrame, what: String) = {
+      val c = df.columns.head
+      val vals = df.select(col(c).cast("long")).collect()
+      val out = new Array[Long](vals.length)
+      var i = 0
+      while (i < vals.length) {
+        if (vals(i).isNullAt(0))
+          throw new IllegalArgumentException(
+            s"HNSW serves long-castable keys only: $what column '$c' has a value " +
+              "that does not cast to long")
+        out(i) = vals(i).getLong(0); i += 1
+      }
+      java.util.Arrays.sort(out)
+      spark.sparkContext.broadcast(out)
+    }
+    val allowedSet = allowedIds.map(keyArray(_, "allowedIds"))
     // `excluded` is the standing delete-bitmap analog (updated/deleted keys
     // whose graph entries are stale) — graphs are immutable segments, so
     // exclusion happens at result admission like the reference's IsValid
     // bitmap check inside the scan (T11/X2)
-    val excludedSet = excluded.map(keySet)
+    val excludedSet = excluded.map(keyArray(_, "excluded"))
     val hits = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
       val incl: Long => Boolean = allowedSet match {
-        case Some(b) => b.value
+        case Some(b) => id => java.util.Arrays.binarySearch(b.value, id) >= 0
         case None    => _ => true
       }
       val allowed: Long => Boolean = excludedSet match {
-        case Some(b) => id => incl(id) && !b.value(id)
+        case Some(b) => id => incl(id) && java.util.Arrays.binarySearch(b.value, id) < 0
         case None    => incl
       }
       rows.flatMap { bytes =>

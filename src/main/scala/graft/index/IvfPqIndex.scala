@@ -230,7 +230,7 @@ object IvfPqIndex {
     // without scanning the table (Long math: a plain n.toInt would
     // overflow past 2^31 rows and silently collapse every codebook)
     val ksubCap = 1L << params.nbits
-    val bounded = docs.limit((ksubCap + 1).toInt).count()
+    val bounded = docs.limit(math.min(ksubCap + 1, Int.MaxValue.toLong).toInt).count()
     val ncent =
       if (params.ncentroids > 0) params.ncentroids
       else Ivf.autoNcentroids(docs.count(), -1)

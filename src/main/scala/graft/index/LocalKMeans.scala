@@ -59,8 +59,12 @@ object LocalKMeans {
     val centers = BDM.tabulate(k, d)((c, j) => x(perm(c), j))
 
     val assign = new Array[Int](n)
-    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
-    val chunk = math.max(1024, (n + nThreads - 1) / nThreads)
+    // FIXED chunk size: per-chunk partial sums are reduced in chunk order,
+    // so a core-count-derived chunking would change the floating-point
+    // accumulation grouping across machines and break the "deterministic
+    // given (sample order, seed)" contract for persisted quantizers;
+    // parallelism comes from the NUMBER of chunks, not their size
+    val chunk = 4096
     val starts = (0 until n by chunk).toArray
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration

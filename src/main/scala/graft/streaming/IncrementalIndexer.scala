@@ -267,6 +267,32 @@ class IncrementalIndexer(
     }
   }
 
+  /** Called by the table BEFORE it physically purges tombstoned rows
+    * (compaction): once those rows leave the table, the standing
+    * stale-entry scan (`docsChangedSince` + `_deleted`) can no longer see
+    * them, so their index entries must be dropped or excluded NOW or
+    * deleted docs would resurface in index search results.
+    */
+  private[graft] def excludePurged(purged: DataFrame): Unit = synchronized {
+    index.foreach {
+      case h: HnswIndex =>
+        // immutable graph segments: fold the purged keys into the standing
+        // exclusion set (delete-bitmap semantics); O(churn) rows
+        val excl = h.excluded.map(_.toDF(key).unionByName(purged.toDF(key)))
+          .getOrElse(purged.toDF(key)).localCheckpoint(true)
+        index = Some(new HnswIndex(spark, h.graphs, key, vecCol, params, Some(excl)))
+      case _ if persist =>
+        // persisted lists: index compaction purges every tombstoned key via
+        // its live-key semi-join (the table still carries the tombstones at
+        // this point — the ordering this hook exists to guarantee)
+        compactIndex()
+      case idx =>
+        // resident lists: drop the purged keys' entries — O(churn) anti-join
+        index = Some(rebuilt(idx, listsOf(idx)
+          .join(purged.toDF(key), Seq(key), "left_anti").localCheckpoint(true)))
+    }
+  }
+
   /** Rewrite persisted lists minus superseded entries into a fresh version
     * dir and swap (reference bucket compaction, R8).
     */
@@ -338,9 +364,12 @@ class IncrementalIndexer(
         val cleanIdx = idx match {
           // graph rows are opaque segments — stale keys are excluded at
           // result admission (delete-bitmap semantics) instead of
-          // anti-joined out of the rows
+          // anti-joined out of the rows; the STANDING exclusion set (keys
+          // purged by table compaction, no longer visible to the invalid
+          // scan) must survive alongside the per-search invalid set
           case h: HnswIndex =>
-            new HnswIndex(spark, h.graphs, key, vecCol, params, Some(invalid))
+            val excl = h.excluded.map(_.toDF(key).unionByName(invalid)).getOrElse(invalid)
+            new HnswIndex(spark, h.graphs, key, vecCol, params, Some(excl))
           case _ => rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
         }
         val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)

@@ -279,10 +279,16 @@ class GammaTable private (
   }
 
   /** Physical compaction of tombstones (reference compacts buckets on
-    * delete ratio, realtime/realtime_mem_data.cc:98-142).
+    * delete ratio, realtime/realtime_mem_data.cc:98-142). Attached indexes
+    * are told to drop/exclude the purged keys FIRST — after the purge the
+    * standing stale-entry scan can no longer see the tombstones.
     */
   def compact(): Unit = {
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
+    if (indexers.nonEmpty) {
+      val purged = allDocs.filter(col(DeletedCol)).select(col(meta0.keyField))
+      indexers.values.foreach(_.excludePurged(purged))
+    }
     val v = meta0.version + 1
     val written = writeVersion(docs, buckets, v)
     commit(buckets, written, v)
@@ -304,6 +310,12 @@ class GammaTable private (
       .filter(col("d") > col("n") * maxDeletedRatio)
       .select(BucketCol).collect().map(_.getLong(0)).toSeq.sorted
     if (victims.isEmpty) return Nil
+    // index entries of the purged keys must go before the tombstones do
+    // (same ordering contract as [[compact]])
+    if (indexers.nonEmpty) readBuckets(victims).foreach { pre =>
+      val purged = pre.filter(col(DeletedCol)).select(col(meta0.keyField))
+      indexers.values.foreach(_.excludePurged(purged))
+    }
     val v = meta0.version + 1
     val live = readBuckets(victims).map(_.filter(!col(DeletedCol)))
     val written = live.map(writeVersion(_, victims, v)).getOrElse(Nil)

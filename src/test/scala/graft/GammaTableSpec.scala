@@ -230,6 +230,29 @@ class GammaTableSpec extends GraftSuite {
     assert(t.compactIfNeeded(0.3) === Nil)
   }
 
+  test("compaction purges index entries before dropping tombstones") {
+    // ADVICE r3: physically purging tombstones before the attached index
+    // dropped/excluded those keys let deleted docs resurface — the purged
+    // rows vanish from the stale-entry scan while their list/graph entries
+    // remain. compact()/compactIfNeeded must call excludePurged first.
+    Seq("IVFFLAT", "HNSW").foreach { rt =>
+      val root = tmp()
+      val t = GammaTable.create(spark, root, s"cidx_$rt", "_id", docTable(),
+        Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+      t.buildIndex("vec", graft.index.IndexParams(ncentroids = 2), retrievalType = rt)
+      val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+        .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+      val req = SearchRequest(topn = 5, vecQueries = Seq(VecQuery("vec", qvec)))
+      val top = t.search(req).orderBy($"score".asc)
+        .select("_id").as[String].head()
+      t.delete(Seq(top).toDF("_id"))
+      t.compact() // physical purge — index must not resurface `top`
+      val after = t.search(req).select("_id").as[String].collect()
+      assert(!after.contains(top), s"$rt resurfaced deleted doc $top after compact")
+      assert(after.length === 5)
+    }
+  }
+
   test("union term filter on the key prunes the scan to the keys' buckets") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "kprune", "_id", docTable(), Nil, nBuckets = 8)
