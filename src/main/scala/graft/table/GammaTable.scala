@@ -155,48 +155,72 @@ class GammaTable private (
     val key = meta0.keyField
     val v = meta0.version + 1
     val d0 = Crud.dedupLastWins(delta, key, orderCol)
-    // materialize the (O(delta)-sized) batch once: it is consumed three
-    // times below — affected-bucket collect, docid assignment's
-    // zipWithIndex count pass, and the write job — and recomputing an
-    // arbitrary upstream plan for each would triple the commit cost
+    // cache the (O(delta)-sized) batch: it is consumed by the stats pass,
+    // the merge join and the write job — recomputing an arbitrary upstream
+    // plan for each would triple the commit cost. persist + one stats job
+    // (below) materializes it, without localCheckpoint's extra action.
     val d = orderCol.foldLeft(d0)(_.drop(_))
       .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
-      .localCheckpoint(true)
-    val affected = d.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ONE driver round-trip per frame: per-partition row counts + the
+    // distinct bucket set together (the bucket collect and the docid
+    // count used to be separate jobs; zipWithIndex additionally hid a
+    // count pass of its own)
+    def partitionStats(df: DataFrame, countPred: Column): (Array[Long], Seq[Long]) = {
+      val rows = df.select(countPred.cast("boolean").as("__c"), col(BucketCol)).rdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          var c = 0L
+          val bs = scala.collection.mutable.HashSet.empty[Long]
+          it.foreach { r => if (!r.isNullAt(0) && r.getBoolean(0)) c += 1; bs += r.getLong(1) }
+          Iterator((pi, c, bs.toArray))
+        }.collect()
+      val counts = new Array[Long](rows.map(_._1).maxOption.map(_ + 1).getOrElse(0))
+      rows.foreach { case (pi, c, _) => counts(pi) = c }
+      (counts, rows.flatMap(_._3).distinct.sortBy(identity).toSeq)
+    }
+    // exclusive prefix sums -> the dense-docid offset of each partition
+    def offsetsOf(counts: Array[Long]): Array[Long] = {
+      val off = new Array[Long](counts.length)
+      var acc = meta0.maxDocid; var i = 0
+      while (i < counts.length) { off(i) = acc; acc += counts(i); i += 1 }
+      off
+    }
 
     // rows written/updated in this commit are stamped _version = v so
     // incremental index maintenance can find the changed tail cheaply
-    val merged = readBuckets(affected) match {
+    val (dCounts, affected) = partitionStats(d, lit(true))
+    var cached: Option[DataFrame] = None
+    val (merged, nFresh) = readBuckets(affected) match {
       case None =>
-        withDenseDocids(d, meta0.maxDocid)
-          .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v))
+        (assignDocids(d, offsetsOf(dCounts))
+          .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
+          dCounts.sum)
       case Some(existing) =>
         val oldIds = existing.select(col(key), col(DocidCol))
-        // also O(delta); read by the docid count pass and the write job
-        val joined = d.join(oldIds, Seq(key), "left").localCheckpoint(true)
+        // also O(delta); read by the stats pass, the fresh/kept splits and
+        // the write job
+        val joined = d.join(oldIds, Seq(key), "left")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = Some(joined)
+        val (freshCounts, _) = partitionStats(joined, col(DocidCol).isNull)
         val fresh = joined.filter(col(DocidCol).isNull).drop(DocidCol)
         val kept = joined.filter(col(DocidCol).isNotNull)
-        val freshIds = withDenseDocids(fresh, meta0.maxDocid)
-        existing
+        val freshIds = assignDocids(fresh, offsetsOf(freshCounts))
+        (existing
           .join(d.select(key), Seq(key), "left_anti")
           .unionByName(
             kept.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
             allowMissingColumns = true)
           .unionByName(
             freshIds.withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
-            allowMissingColumns = true)
+            allowMissingColumns = true),
+          freshCounts.sum)
     }
-    // single evaluation: fresh keys are exactly the rows whose dense docid
-    // is >= the pre-commit high-water mark, counted by an observe() metric
-    // DURING the write job — no read-back of the written files
-    val obs = new org.apache.spark.sql.Observation(s"commit_${meta0.name}_v$v")
-    val observed = merged.observe(obs,
-      sum(when(col(DocidCol) >= meta0.maxDocid, 1L).otherwise(0L)).as("fresh"))
-    val written = writeVersion(observed, affected, v)
-    val n =
-      if (written.isEmpty) 0L
-      else Option(obs.get("fresh")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    commit(affected, written, v, n)
+    val written = writeVersion(merged, affected, v)
+    commit(affected, written, v, if (written.isEmpty) 0L else nFresh)
+    cached.foreach(_.unpersist(false))
+    d.unpersist(false)
   }
 
   /** Index status FSM (R9, reference gamma_engine.h:28). */
@@ -236,13 +260,23 @@ class GammaTable private (
   def attachedIndex(field: String): Option[graft.streaming.IncrementalIndexer] =
     indexers.get(field)
 
-  /** Logical delete by key set (R3, reference gamma_engine.cc:802-824). */
+  /** Logical delete by key set (R3, reference gamma_engine.cc:802-824).
+    * The key frame stays distributed end-to-end — only the (bounded-by-
+    * nBuckets) affected-bucket set ever reaches the driver.
+    */
   def delete(keys: DataFrame): Unit = {
     val key = meta0.keyField
+    // cache: consumed by the bucket collect AND the mark join; an
+    // arbitrary caller plan (e.g. deleteByQuery's filtered scan) would
+    // otherwise run twice
     val k = keys.select(col(keys.columns.head).as(key)).distinct()
       .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val affected = k.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
-    readBuckets(affected).foreach { existing =>
+    // empty key set: currentPaths(Nil) means "all buckets", so an explicit
+    // no-op guard is required — a full-table rewrite for zero deletes is
+    // the worst possible outcome at scale
+    if (affected.nonEmpty) readBuckets(affected).foreach { existing =>
       val marked = existing
         .join(k.select(key).withColumn("__del", lit(true)), Seq(key), "left")
         .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
@@ -251,21 +285,24 @@ class GammaTable private (
       val written = writeVersion(marked, affected, v)
       commit(affected, written, v)
     }
+    k.unpersist(false)
   }
 
-  /** Delete by predicate, returning deleted keys (R4, reference
-    * gamma_engine.cc:826-949 returns the deleted ids).
+  /** Delete by predicate, returning the deleted keys AS A DATAFRAME (R4,
+    * reference gamma_engine.cc:826-949 returns the deleted ids). The
+    * matched keys never hit the driver — a broad predicate over a 100 TB
+    * table deletes via a distributed distinct + bucket join; the returned
+    * frame is bound to the pre-delete file versions, so it stays evaluable
+    * (and stable) after the commit. Callers that want the ids materialize
+    * it themselves.
     */
-  def deleteByQuery(pred: Column): Array[String] = {
+  def deleteByQuery(pred: Column): DataFrame = {
     val key = meta0.keyField
-    val keys = docs.filter(pred).select(col(key).cast("string")).collect().map(_.getString(0))
-    if (keys.nonEmpty) {
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(keys.toSeq.map(Row(_))),
-        StructType(Seq(StructField(key, StringType))))
-      delete(df)
-    }
-    keys
+    // `docs` binds the CURRENT version paths eagerly; old versions remain
+    // on disk after the commit swaps the manifest
+    val matched = docs.filter(pred).select(col(key))
+    delete(matched)
+    matched
   }
 
   /** Point lookup by key (S3) — reads exactly one bucket's files. */
@@ -585,12 +622,19 @@ object GammaTable {
   }
 
   /** Dense docid assignment (reference `max_docid_` counter,
-    * gamma_engine.cc:651-657). Distributed zipWithIndex — no global sort,
-    * no driver collect.
+    * gamma_engine.cc:651-657) with PRE-COMPUTED per-partition offsets: the
+    * caller already knows each partition's row count (from the combined
+    * stats pass), so assignment is a single narrow pass — unlike
+    * zipWithIndex, which runs its own extra count job per commit.
+    * `df` must be a narrow derivation of the frame the offsets were
+    * computed from (same cached partitions, same indices).
     */
-  private[table] def withDenseDocids(df: DataFrame, startAt: Long): DataFrame = {
+  private[table] def assignDocids(df: DataFrame, offsets: Array[Long]): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(DocidCol, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + startAt)) }
+    val rdd = df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var next = offsets(pi)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ next); next += 1; out }
+    }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 }

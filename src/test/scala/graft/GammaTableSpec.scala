@@ -80,7 +80,9 @@ class GammaTableSpec extends GraftSuite {
     assert(t.get("7").count() === 0)
     assert(t.docs.count() === n)
     val deleted = t.deleteByQuery(col("p_size") === 999)
-    assert(deleted.toSeq === Seq("42"))
+    // returned frame is bound to the pre-delete state: still lists the
+    // deleted keys when evaluated AFTER the commit
+    assert(deleted.as[String].collect().toSeq === Seq("42"))
     assert(t.get("42").count() === 0)
 
     // deleted docs excluded from search
