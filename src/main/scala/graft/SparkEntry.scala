@@ -345,6 +345,34 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // X2 at partial nprobe — filtered search THROUGH an attached index
+    // where the scalar filter leaves FEWER than k survivors: the
+    // selectivity policy must detect this and serve exact-over-filtered
+    // (V9 semantics, reference gamma_engine.cc:327-340) instead of
+    // returning a short/worse list from the 2-of-16 probed lists. The
+    // fallback is exact, so the filtered-KNN oracle applies.
+    "q_knn_filtered_index" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_fidx").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = emb.select(col("vec_id").cast("string").as("_id"),
+        col("vec_id").as("vecid"), col("label"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "fidx", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+      tbl.buildIndex("vec", graft.index.IndexParams(ncentroids = 16, nprobe = 2))
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      tbl.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+          rangeFilters = Seq(
+            graft.core.RangeFilter("label", Some(7), Some(7)),
+            graft.core.RangeFilter("vecid", Some(0), Some(100))),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // M7 — the Catalyst rewrite surface: plain SQL `WHERE ... ORDER BY
     // l2_sq(...) LIMIT k` routed through the registered index by
     // AnnTopKRewrite. Full probes keep it exact, so the filtered single-
@@ -477,12 +505,17 @@ object SparkEntry {
       val qvec = emb.filter(col("vec_id") === 0).select("embedding")
         .as[Array[Float]].head()
       val reloaded = graft.table.GammaTable.load(s, root)
-      reloaded.search(graft.core.SearchRequest(
+      // pin the filtered-ANN policy to the INDEX path: at toy scale every
+      // filter is under the exact-fallback threshold, and this gate exists
+      // to exercise the persisted lists (full probes keep it exact anyway)
+      s.conf.set("spark.graft.filter.exactFallbackRows", "0")
+      try reloaded.search(graft.core.SearchRequest(
           topn = 10,
           vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
           rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
           metric = Metric.L2))
         .select(col("_id"), round(col("score"), 6).as("score"))
+      finally s.conf.unset("spark.graft.filter.exactFallbackRows")
     }),
 
     // V2 at rest through the table — same lifecycle as q_table_persisted
@@ -513,12 +546,16 @@ object SparkEntry {
       val qvec = emb.filter(col("vec_id") === 0).select("embedding")
         .as[Array[Float]].head()
       val reloaded = graft.table.GammaTable.load(s, root)
-      reloaded.search(graft.core.SearchRequest(
+      // index path pinned for the same reason as q_table_persisted: the
+      // persisted PQ codes are the thing under test
+      s.conf.set("spark.graft.filter.exactFallbackRows", "0")
+      try reloaded.search(graft.core.SearchRequest(
           topn = 10,
           vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
           rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
           metric = Metric.L2))
         .select(col("_id"), round(col("score"), 6).as("score"))
+      finally s.conf.unset("spark.graft.filter.exactFallbackRows")
     }),
 
     // R1/R2/R5 streaming shape — replay events as 5 sequential microbatch
@@ -793,6 +830,17 @@ object SparkEntry {
     "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_opq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),
+
+    "q_knn_filtered_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT CAST(d.vec_id AS VARCHAR) AS _id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings d, q
+        |  WHERE d.label BETWEEN 7 AND 7 AND d.vec_id BETWEEN 0 AND 100),
+        |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+        |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
     "q_sql_ann_rewrite" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -27,8 +27,11 @@ case class FlatIndex(
       maxScore: Option[Double]): DataFrame = {
     import spark.implicits._
     val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    // no forced broadcast: the CALLER knows the allowed set's selectivity
+    // and attaches a broadcast() hint when it is small (an unconditional
+    // hint would defeat Spark's size guard for weakly selective filters)
     val base = allowedIds match {
-      case Some(ids) => docs.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case Some(ids) => docs.join(ids.toDF(idCol), Seq(idCol), "left_semi")
       case None      => docs
     }
     Knn.flatSearch(base, idCol, vecCol, q, "qid", "qvec", k, params.metric,
@@ -207,8 +210,9 @@ class IvfFlatIndex(
     val probedCentroids = probeRows.map(_._3).distinct
     // partition-pruned list scan (T4), then per-(qid,centroid) candidates
     val lists = data.filter(col("centroid_id").isin(probedCentroids: _*))
+    // broadcast decision is the caller's (selectivity-aware) hint, not ours
     val filtered = allowedIds match {
-      case Some(ids) => lists.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case Some(ids) => lists.join(ids.toDF(idCol), Seq(idCol), "left_semi")
       case None      => lists
     }
     val scored = filtered

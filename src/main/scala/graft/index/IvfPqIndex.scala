@@ -112,8 +112,9 @@ class IvfPqIndex(
     val probed = luts.select("centroid_id").distinct().as[Int].collect()
 
     val lists = codes.filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+    // broadcast decision is the caller's (selectivity-aware) hint, not ours
     val filtered = allowedIds match {
-      case Some(ids) => lists.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+      case Some(ids) => lists.join(ids.toDF(idCol), Seq(idCol), "left_semi")
       case None      => lists
     }
     val adc = filtered

@@ -332,6 +332,25 @@ class IncrementalIndexer(
     * inside every scan BEFORE its top-k heap (the reference's
     * `IsSimilarScoreValid` callback) so out-of-range hits never consume
     * the candidate budget.
+    *
+    * Filtered-ANN policy (SURVEY §7.5 risk 2 — the reference pushes
+    * `IsValid` into the scan and over-fetches via `recall_num`,
+    * gamma_index_ivfpq.h:584,633; and falls back to brute force when the
+    * filter leaves too few docs, gamma_engine.cc:327-340). An allowed set
+    * is classified by size (`allowedCount`; counted here when the caller
+    * did not already know it):
+    *  - **few survivors** (≤ max(16·k, `spark.graft.filter.exactFallbackRows`)):
+    *    partial-nprobe probing could return fewer than k (or worse)
+    *    results even though matches exist — serve EXACTLY over the
+    *    filtered rows instead (V9 semantics), which is both correct and
+    *    cheaper than probing;
+    *  - **moderate** (≤ `spark.graft.filter.broadcastMaxKeys`): push into
+    *    the index scan with a broadcast hint, and WIDEN nprobe/ef by the
+    *    inverse selectivity (capped by the model's own clamp) so the
+    *    probed lists still hold ~k allowed docs;
+    *  - **huge** (weakly selective): same pushdown but NO broadcast hint —
+    *    the semi-join shuffles (or AQE re-plans it), instead of forcing a
+    *    near-table-size set through the driver.
     */
   def search(
       queries: Seq[(Long, Array[Float])],
@@ -339,18 +358,41 @@ class IncrementalIndexer(
       nprobe: Option[Int] = None,
       allowedIds: Option[DataFrame] = None,
       minScore: Option[Double] = None,
-      maxScore: Option[Double] = None): DataFrame = {
+      maxScore: Option[Double] = None,
+      allowedCount: Long = -1L): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
     val qDf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
-    def restrict(df: DataFrame): DataFrame = allowedIds match {
-      case Some(ids) =>
-        df.join(org.apache.spark.sql.functions.broadcast(ids.toDF(key)), Seq(key), "left_semi")
-      case None => df
+    val aCount = allowedIds match {
+      case Some(ids) => if (allowedCount >= 0L) allowedCount else ids.count()
+      case None      => -1L
+    }
+    // an EXPLICIT conf is an absolute override (0 disables the exact
+    // fallback — e.g. to force the index path under test); the default
+    // scales with k and floors at 64k rows, far below any index's
+    // break-even against one exact pass over the survivors
+    val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
+      .map(_.toLong).getOrElse(math.max(16L * k, 65536L))
+    val broadcastMax = spark.conf.getOption("spark.graft.filter.broadcastMaxKeys")
+      .map(_.toLong).getOrElse(1000000L)
+    val allowedHinted = allowedIds.map { ids =>
+      if (aCount <= broadcastMax)
+        org.apache.spark.sql.functions.broadcast(ids.toDF(key))
+      else ids.toDF(key)
+    }
+    def restrict(df: DataFrame): DataFrame = allowedHinted match {
+      case Some(ids) => df.join(ids, Seq(key), "left_semi")
+      case None      => df
     }
     index match {
       case None =>
         // V9: brute force while UNINDEXED
+        Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
+          minScore = minScore, maxScore = maxScore)
+      case Some(_) if aCount >= 0L && aCount <= exactThreshold =>
+        // exact-over-filtered fallback: few enough survivors that probing
+        // cannot guarantee k of them — and scoring all of them exactly is
+        // cheaper than a probe anyway
         Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
           minScore = minScore, maxScore = maxScore)
       case Some(idx) =>
@@ -372,7 +414,22 @@ class IncrementalIndexer(
             new HnswIndex(spark, h.graphs, key, vecCol, params, Some(excl))
           case _ => rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
         }
-        val fromIndex = cleanIdx.search(queries, k, nprobe, allowedIds, minScore, maxScore)
+        // inverse-selectivity widening: with an allowed fraction of s, a
+        // probed list holds ~s of its usual share of allowed docs, so the
+        // probe budget grows by ~1/s to keep ~k allowed candidates in
+        // range (the reference's recall_num over-fetch). maxDocid is a
+        // free upper bound on table size (deletes only make it
+        // conservative); each model clamps to its own limit (ncentroids /
+        // graph size).
+        val effNprobe =
+          if (aCount > 0L) {
+            val base = nprobe.getOrElse(
+              if (retrievalType.equalsIgnoreCase("HNSW")) params.efSearch else params.nprobe)
+            val total = math.max(table.meta.maxDocid, 1L)
+            val factor = math.max(1L, (total + aCount - 1L) / aCount)
+            Some(math.min(base.toLong * factor, 1L << 20).toInt)
+          } else nprobe
+        val fromIndex = cleanIdx.search(queries, k, effNprobe, allowedHinted, minScore, maxScore)
         val tail = restrict(table.docsChangedSince(builtVersion)
           .filter(!col(DeletedCol) && col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,

@@ -392,6 +392,12 @@ class GammaTable private (
     val metric = req.metric
     val hasFilters = req.termFilters.nonEmpty || req.rangeFilters.nonEmpty
     val allowed = if (hasFilters) Some(base.filter(pred).select(key)) else None
+    // one narrow pushdown-counted scan, shared by every vector field in
+    // the request — drives the indexer's filtered-ANN policy (exact
+    // fallback vs broadcast pushdown + widened probes vs shuffle
+    // semi-join); only evaluated when a request actually routes through
+    // an attached index
+    lazy val allowedCnt: Long = allowed.map(_.count()).getOrElse(-1L)
     val kCand = math.max(req.topn * CandidateFactor, req.topn)
     // req_num batching (request.fbs:28): every field must carry the same
     // number of query vectors; qid identifies the batch position
@@ -415,7 +421,8 @@ class GammaTable private (
               (vq.minScore.map(x => { val c = math.max(x, 0.0); c * c }),
                 vq.maxScore.map(x => if (x < 0) -1.0 else x * x))
             else (vq.minScore, vq.maxScore)
-          val h0 = ix.search(vq.batch, kCand, None, allowed, pushLo, pushHi)
+          val h0 = ix.search(vq.batch, kCand, None, allowed, pushLo, pushHi,
+            if (allowed.isDefined) allowedCnt else -1L)
           if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
           val q = vq.batch.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvec")

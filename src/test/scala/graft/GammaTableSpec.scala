@@ -232,6 +232,46 @@ class GammaTableSpec extends GraftSuite {
     assert(t.compactIfNeeded(0.3) === Nil)
   }
 
+  test("filtered-ANN policy: exact fallback + widened probes at partial nprobe") {
+    val root = tmp()
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs0 = emb.select($"vec_id".cast("string").as("_id"), $"vec_id".as("vecid"),
+      $"label", $"embedding".as("vec"))
+    val t = GammaTable.create(spark, root, "fpol", "_id", docs0,
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 8)
+    val ix = t.buildIndex("vec", graft.index.IndexParams(ncentroids = 16, nprobe = 2))
+    val qvec = emb.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+
+    // (a) survivors < topn at 2-of-16 probes: policy must serve EXACTLY
+    val req = SearchRequest(topn = 10,
+      vecQueries = Seq(VecQuery("vec", qvec)),
+      rangeFilters = Seq(RangeFilter("label", Some(7), Some(7)),
+        RangeFilter("vecid", Some(0), Some(100))))
+    val res = t.search(req).select($"_id", $"score").as[(String, Double)].collect().toSet
+    val exact = t.search(req.copy(bruteForce = true))
+      .select($"_id", $"score").as[(String, Double)].collect().toSet
+    assert(res === exact)
+    assert(res.nonEmpty)
+    // and WITHOUT the policy the raw index at nprobe=2 genuinely starves —
+    // the hazard this policy exists for
+    val allowed = t.docs.filter($"label" === 7 && $"vecid" <= 100).select($"_id")
+    val direct = ix.currentIndex.get.search(Seq((0L, qvec)), 10, Some(2), Some(allowed))
+    assert(direct.count() < exact.size, "expected starvation without the policy")
+
+    // (b) fallback disabled: inverse-selectivity widening alone must reach
+    // the full probe set here (2 * ceil(500/50) >= 16 lists) -> exact
+    spark.conf.set("spark.graft.filter.exactFallbackRows", "0")
+    try {
+      val reqW = SearchRequest(topn = 10, vecQueries = Seq(VecQuery("vec", qvec)),
+        rangeFilters = Seq(RangeFilter("label", Some(7), Some(7))))
+      val viaIdx = t.search(reqW).select($"_id", $"score").as[(String, Double)].collect().toSet
+      val ex = t.search(reqW.copy(bruteForce = true))
+        .select($"_id", $"score").as[(String, Double)].collect().toSet
+      assert(viaIdx === ex)
+      assert(viaIdx.size === 10)
+    } finally spark.conf.unset("spark.graft.filter.exactFallbackRows")
+  }
+
   test("compaction purges index entries before dropping tombstones") {
     // ADVICE r3: physically purging tombstones before the attached index
     // dropped/excluded those keys let deleted docs resurface — the purged

@@ -94,6 +94,41 @@ class PlanSpec extends GraftSuite {
     assert(df.columns.contains("label") && df.count() === 5)
   }
 
+  test("allowed-set semi-join: broadcast only when the filter is selective (X2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_sel").toString
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs0 = emb.select($"vec_id".cast("string").as("_id"),
+      $"label", $"embedding".as("vec"))
+    val t = graft.table.GammaTable.create(spark, root, "sel", "_id", docs0,
+      Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 4)
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 4))
+    val qv = emb.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val req = graft.core.SearchRequest(topn = 10,
+      vecQueries = Seq(graft.core.VecQuery("vec", qv)),
+      rangeFilters = Seq(graft.core.RangeFilter("label", Some(1), Some(8))))
+    spark.conf.set("spark.graft.filter.exactFallbackRows", "0") // index path
+    try {
+      // small allowed set -> the policy hints broadcast; the semi-join
+      // must build on the (hinted) id side
+      val p1 = plan(t.search(req))
+      assert("""BroadcastHashJoin [^\n]*LeftSemi""".r.findFirstIn(p1).isDefined, p1)
+      // "huge" allowed set (threshold forced to 0) with auto-broadcast off:
+      // the engine must NOT force the set through the driver — the
+      // semi-join shuffles instead
+      spark.conf.set("spark.graft.filter.broadcastMaxKeys", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(t.search(req))
+      assert("""(SortMergeJoin|ShuffledHashJoin) [^\n]*LeftSemi""".r.findFirstIn(p2).isDefined, p2)
+      assert("""BroadcastHashJoin [^\n]*LeftSemi""".r.findFirstIn(p2).isEmpty, p2)
+    } finally {
+      spark.conf.unset("spark.graft.filter.exactFallbackRows")
+      spark.conf.unset("spark.graft.filter.broadcastMaxKeys")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("Catalyst rule rewrites ORDER BY l2_sq LIMIT k into the index path (M7)") {
     import spark.implicits._
     graft.plans.AnnRewrite.install(spark)
