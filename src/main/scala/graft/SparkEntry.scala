@@ -373,6 +373,42 @@ object SparkEntry {
         .select(col("_id"), round(col("score"), 6).as("score"))
     }),
 
+    // V10 — multi-model per field: TWO indexes attached to ONE vector
+    // field (IVFFLAT and IVFPQ), each answering under its own
+    // `VecQuery.retrievalType`, with a PER-REQUEST nprobe override
+    // widening the deliberately-partial build-time nprobe=2 to the full
+    // probe set (reference routing vector_manager.cc:447-459; per-request
+    // param JSON :482-483). Full probes / exhaustive recall_num + exact
+    // re-rank make BOTH variants exact, so a doubled KNN oracle applies —
+    // and it can only match if the override actually reached the index.
+    "q_multi_model" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_mm").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = emb.select(col("vec_id").cast("string").as("_id"),
+        col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "mm", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64, retrievalType = "IVFFLAT")),
+        nBuckets = 8)
+      tbl.buildIndex("vec",
+        graft.index.IndexParams(ncentroids = 8, nprobe = 2),
+        retrievalType = "IVFFLAT")
+      tbl.buildIndex("vec",
+        graft.index.IndexParams(ncentroids = 8, nsubvector = 8,
+          recallNum = 1000000, nprobe = 2),
+        retrievalType = "IVFPQ")
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      def one(rt: String) = tbl.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec,
+            retrievalType = Some(rt), nprobe = Some(8))),
+          metric = Metric.L2))
+        .select(lit(rt).as("model"), col("_id"), round(col("score"), 6).as("score"))
+      one("IVFFLAT").unionByName(one("IVFPQ"))
+    }),
+
     // M7 — the Catalyst rewrite surface: plain SQL `WHERE ... ORDER BY
     // l2_sq(...) LIMIT k` routed through the registered index by
     // AnnTopKRewrite. Full probes keep it exact, so the filtered single-
@@ -841,6 +877,18 @@ object SparkEntry {
         |  WHERE d.label BETWEEN 7 AND 7 AND d.vec_id BETWEEN 0 AND 100),
         |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
         |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_multi_model" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT CAST(d.vec_id AS VARCHAR) AS _id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings d, q),
+        |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+        |SELECT m.model, r._id, round(r.dist, 6) AS score
+        |FROM r CROSS JOIN (SELECT 'IVFFLAT' AS model UNION ALL SELECT 'IVFPQ') m
+        |WHERE rn <= 10""".stripMargin,
 
     "q_sql_ann_rewrite" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -40,6 +40,13 @@ case class RangeFilter(
   * the reference packs req_num vectors into one VectorQuery buffer); when
   * empty, `vector` is the single query. Results carry `qid` = position in
   * the batch.
+  *
+  * `retrievalType` picks WHICH of a field's attached indexes answers when
+  * several models are registered per field (V10 — the reference resolves
+  * by (name, retrieval_type), vector/vector_manager.cc:447-459, defaulting
+  * to the table's declared type when unset). `nprobe`/`efSearch` are
+  * per-request knob overrides (the reference parses a per-request param
+  * JSON, vector_manager.cc:482-483).
   */
 case class VecQuery(
     field: String,
@@ -47,7 +54,10 @@ case class VecQuery(
     boost: Option[Double] = None,
     minScore: Option[Double] = None,
     maxScore: Option[Double] = None,
-    vectors: Seq[Array[Float]] = Nil) {
+    vectors: Seq[Array[Float]] = Nil,
+    retrievalType: Option[String] = None,
+    nprobe: Option[Int] = None,
+    efSearch: Option[Int] = None) {
   def batch: Seq[(Long, Array[Float])] =
     if (vectors.nonEmpty) vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     else Seq((0L, vector))

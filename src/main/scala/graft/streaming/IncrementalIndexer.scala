@@ -64,7 +64,20 @@ class IncrementalIndexer(
 
   private val spark = table.spark
   private val key = table.meta.keyField
-  private val indexRoot = s"${table.root}/index/$vecCol"
+
+  /** Persisted location: `<root>/index/<field>` for the field's DECLARED
+    * model; other models on the same field (V10 multi-model) live beside it
+    * as `<field>@<TYPE>`, so several indexes persist per field without
+    * colliding (the reference keys its index dirs by retrieval type too,
+    * vector/vector_manager.cc:161-195).
+    */
+  private[streaming] val dirName = {
+    val declared = table.meta.vectorFields.find(_.name == vecCol)
+      .map(_.retrievalType.toUpperCase)
+    if (declared.forall(_ == retrievalType.toUpperCase)) vecCol
+    else s"$vecCol@${retrievalType.toUpperCase}"
+  }
+  private val indexRoot = s"${table.root}/index/$dirName"
 
   @volatile private var index: Option[AnnIndex] = None
   @volatile private var builtVersion: Long = -1L
@@ -491,13 +504,15 @@ object IncrementalIndexer {
     spark.read.schema(enc.schema).json(dir).as[IndexState].head()
   }
 
-  /** Restore a persisted index from `<table.root>/index/<vecCol>` — the
-    * load half of the dump/load lifecycle (S9). The restored index reads
+  /** Restore a persisted index from `<table.root>/index/<dirName>` — the
+    * load half of the dump/load lifecycle (S9). `dirName` is `<field>` or
+    * `<field>@<TYPE>` (V10 multi-model dirs). The restored index reads
     * its lists lazily from parquet, so probe filters prune files at rest.
     */
-  def load(table: GammaTable, vecCol: String): IncrementalIndexer = {
+  def load(table: GammaTable, dirName: String): IncrementalIndexer = {
     val spark = table.spark
-    val root = s"${table.root}/index/$vecCol"
+    val vecCol = dirName.split('@')(0)
+    val root = s"${table.root}/index/$dirName"
     val st = readState(spark, s"$root/meta")
     val params = IndexParams(Metric.withName(st.metric), st.ncentroids, st.nprobe,
       st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed)

@@ -246,19 +246,34 @@ class GammaTable private (
     val ix = new graft.streaming.IncrementalIndexer(
       this, vecField, params, indexingSize, persist, retrievalType)
     ix.refresh()
-    indexers.put(vecField, ix)
+    indexers.put((vecField, retrievalType.toUpperCase), ix)
     ix
   }
 
-  /** Per-field attached indexes (the reference's VectorManager registry,
-    * vector/vector_manager.cc:161-195). `search()` routes vector queries
-    * through these unless `bruteForce` is set (V9 override).
+  /** Attached indexes keyed by (field, retrievalType) — V10: the reference
+    * registers SEVERAL models per vector field and resolves by
+    * `(name, retrieval_type)` (vector/vector_manager.cc:161-195, 447-459).
+    * `search()` routes vector queries through these unless `bruteForce` is
+    * set (V9 override).
     */
-  private val indexers =
-    scala.collection.concurrent.TrieMap.empty[String, graft.streaming.IncrementalIndexer]
+  private val indexers = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.streaming.IncrementalIndexer]
 
-  def attachedIndex(field: String): Option[graft.streaming.IncrementalIndexer] =
-    indexers.get(field)
+  /** The field's default index: the model declared on the field, else its
+    * sole attached index (the reference defaults to the table's first
+    * retrieval type when a query names none, vector_manager.cc:447-452).
+    */
+  def attachedIndex(field: String): Option[graft.streaming.IncrementalIndexer] = {
+    val declared = meta0.vectorFields.find(_.name == field)
+      .map(_.retrievalType.toUpperCase)
+    declared.flatMap(rt => indexers.get((field, rt))).orElse {
+      val forField = indexers.collect { case ((f, _), ix) if f == field => ix }
+      if (forField.size == 1) Some(forField.head) else None
+    }
+  }
+
+  def attachedIndex(field: String, retrievalType: String): Option[graft.streaming.IncrementalIndexer] =
+    indexers.get((field, retrievalType.toUpperCase))
 
   /** Logical delete by key set (R3, reference gamma_engine.cc:802-824).
     * The key frame stays distributed end-to-end — only the (bounded-by-
@@ -405,9 +420,25 @@ class GammaTable private (
     require(req.vecQueries.forall(_.batch.size == reqNum),
       "all vector fields in one request must carry the same req_num")
     val perField = req.vecQueries.zipWithIndex.map { case (vq, i) =>
+      // V10 routing: an explicit retrievalType must resolve (and serve the
+      // request's metric) — the reference rejects an unknown type rather
+      // than silently answering with a different model
+      // (vector_manager.cc:453-459); with no type named, the field's
+      // declared/sole index answers
+      val routed = vq.retrievalType match {
+        case Some(rt) =>
+          val ix = indexers.getOrElse((vq.field, rt.toUpperCase),
+            throw new IllegalArgumentException(
+              s"no $rt index attached to field ${vq.field}; attached: " +
+                indexers.keys.filter(_._1 == vq.field).map(_._2).mkString(",")))
+          require(ix.params.metric == metric || req.bruteForce,
+            s"$rt index on ${vq.field} serves ${ix.params.metric}, request wants $metric")
+          Some(ix)
+        case None => attachedIndex(vq.field)
+      }
       // route through an attached ANN index unless brute-force is forced
       // (V9 override) or the index serves a different metric
-      val hits = indexers.get(vq.field) match {
+      val hits = routed match {
         case Some(ix) if !req.bruteForce && ix.params.metric == metric =>
           // the score range is pushed INTO the index scan (filter before
           // the top-k heap, like flatSearch and the reference's
@@ -421,7 +452,13 @@ class GammaTable private (
               (vq.minScore.map(x => { val c = math.max(x, 0.0); c * c }),
                 vq.maxScore.map(x => if (x < 0) -1.0 else x * x))
             else (vq.minScore, vq.maxScore)
-          val h0 = ix.search(vq.batch, kCand, None, allowed, pushLo, pushHi,
+          // per-request knob override (reference per-request param JSON,
+          // vector_manager.cc:482-483): nprobe for the IVF family,
+          // efSearch for HNSW (the indexer interprets the probe budget by
+          // model)
+          val probeOverride =
+            if (ix.retrievalType.equalsIgnoreCase("HNSW")) vq.efSearch else vq.nprobe
+          val h0 = ix.search(vq.batch, kCand, probeOverride, allowed, pushLo, pushHi,
             if (allowed.isDefined) allowedCnt else -1L)
           if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
@@ -573,8 +610,9 @@ object GammaTable {
     val fs = ixRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(ixRoot)) {
       fs.listStatus(ixRoot).filter(_.isDirectory).foreach { st =>
-        val field = st.getPath.getName
-        t.indexers.put(field, graft.streaming.IncrementalIndexer.load(t, field))
+        val dir = st.getPath.getName // `<field>` or `<field>@<TYPE>` (V10)
+        val ix = graft.streaming.IncrementalIndexer.load(t, dir)
+        t.indexers.put((dir.split('@')(0), ix.retrievalType.toUpperCase), ix)
       }
     }
     t

@@ -343,4 +343,43 @@ class GammaTableSpec extends GraftSuite {
     val viaIdx = t.search(req).select($"_id", round($"score", 6)).collect().toSet
     assert(viaIdx === flatSet)
   }
+
+  test("V10: several models per field route by retrievalType with request knobs") {
+    val root = tmp()
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    val docs = emb.select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"))
+    val t = GammaTable.create(spark, root, "mm", "_id", docs,
+      Seq(VectorFieldDef("vec", 64, retrievalType = "IVFFLAT")), nBuckets = 4)
+    // both PERSISTED so the multi-model dirs (`vec`, `vec@IVFPQ`) must
+    // coexist on disk and reload side by side
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 4, nprobe = 1),
+      persist = true, retrievalType = "IVFFLAT")
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 4, nsubvector = 8,
+      recallNum = 1000000, nprobe = 1), persist = true, retrievalType = "IVFPQ")
+    val q = emb.filter($"vec_id" === 5).select("embedding").as[Array[Float]].head()
+    val exact = t.search(SearchRequest(topn = 5,
+        vecQueries = Seq(VecQuery("vec", q)), bruteForce = true))
+      .select($"_id", round($"score", 6)).collect().toSet
+
+    def via(tbl: GammaTable, rt: String, np: Option[Int]) =
+      tbl.search(SearchRequest(topn = 5, vecQueries =
+          Seq(VecQuery("vec", q, retrievalType = Some(rt), nprobe = np))))
+        .select($"_id", round($"score", 6)).collect().toSet
+    // per-request nprobe override widens the partial build-time default to
+    // the full probe set — the result can only be exact if it reached the
+    // routed index
+    assert(via(t, "IVFFLAT", Some(4)) === exact)
+    assert(via(t, "IVFPQ", Some(4)) === exact)
+    // unnamed type routes to the field's DECLARED model
+    assert(t.attachedIndex("vec").get.retrievalType === "IVFFLAT")
+    assert(t.attachedIndex("vec", "IVFPQ").isDefined)
+    // an explicit unknown type is an error, not a silent fallback
+    intercept[IllegalArgumentException] { via(t, "HNSW", None) }
+
+    // reload: both persisted models re-attach and still answer exactly
+    val t2 = GammaTable.load(spark, root)
+    assert(t2.attachedIndex("vec", "IVFFLAT").isDefined)
+    assert(t2.attachedIndex("vec", "IVFPQ").isDefined)
+    assert(via(t2, "IVFPQ", Some(4)) === exact)
+  }
 }
