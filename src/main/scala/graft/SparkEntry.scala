@@ -471,19 +471,58 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
-    // V6 — BINARYIVF: binary-code inverted lists + Hamming probes; full
-    // probe set makes it exact, so the hamming oracle applies.
+    // V6 — BINARYIVF: binary-code inverted lists + Hamming probes, built
+    // through the model REGISTRY (X1/X3 peer model) and queried over the
+    // float request surface (byte-value adapter); full probe set makes it
+    // exact, so the hamming oracle applies.
     "q_binaryivf_fullprobe" -> ((s, dir) => {
       GraftSession.prepare(s)
       import s.implicits._
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), unhex(md5(col("text"))).as("code"))
-      val idx = graft.index.BinaryIvfIndex.build(s, docs, "doc_id", "code",
+      val idx = graft.index.IndexRegistry.build("BINARYIVF", s, docs, "doc_id", "code",
         graft.index.IndexParams(ncentroids = 8))
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id"), col("code")).as[(Long, Array[Byte])].collect().toSeq
+        .map { case (id, b) => (id, graft.index.BinaryIvfIndex.bytesToFloats(b)) }
       idx.search(qs, k = 10, nprobe = Some(8))
-        .select(col("qid"), col("id"), col("hdist"))
+        .select(col("qid"), col("id"), col("score").cast("int").as("hdist"))
+    }),
+
+    // V6 under the incremental lifecycle: BINARYIVF is a peer model in
+    // the index stack (reference registers it through the same reflector,
+    // gamma_index_binary_ivf.cc:57) — trained k-majority quantizer, lists
+    // AT REST, upsert + delta re-assign (R5/R6), delete, disk reload,
+    // search through the persisted binary lists. Full probes make the
+    // Hamming top-k exact over the post-lifecycle state.
+    "q_binaryivf_lifecycle" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_binivf").toString
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("_id"),
+          unhex(md5(col("text"))).as("code"), col("lang"))
+      val tbl = graft.table.GammaTable.create(s, root, "binivf", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("code", 128, metric = "Hamming",
+          retrievalType = "BINARYIVF")), nBuckets = 8)
+      val ix = tbl.buildIndex("code",
+        graft.index.IndexParams(metric = Metric.Hamming, ncentroids = 4),
+        persist = true, retrievalType = "BINARYIVF")
+      val delta = tbl.docs.filter(col("_id").cast("long") % 7 === 3)
+        .select(col("_id"),
+          unhex(md5(concat(col("_id"), lit("v2")))).as("code"), col("lang"))
+      tbl.addOrUpdate(delta)
+      ix.refresh()
+      tbl.deleteByQuery(col("lang") === "de")
+      val qbytes = docs0.filter(col("_id") === "0").select("code")
+        .as[Array[Byte]].head()
+      val reloaded = graft.table.GammaTable.load(s, root)
+      reloaded.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("code",
+            graft.index.BinaryIvfIndex.bytesToFloats(qbytes), nprobe = Some(4))),
+          metric = Metric.Hamming))
+        .select(col("_id"), col("score").cast("int").as("hdist"))
     }),
 
     // S2/R1-R4/S3/V1 — full GammaTable lifecycle: create from a doc batch,
@@ -862,6 +901,23 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY qid ORDER BY hdist, id) AS rn
         |      FROM s)
         |SELECT qid, id, hdist FROM r WHERE rn <= 10""".stripMargin,
+
+    // post-lifecycle state: docs with doc_id % 7 = 3 re-hashed by the
+    // upsert, lang='de' docs deleted; exact Hamming top-10 from doc 0's
+    // ORIGINAL code (IS DISTINCT FROM keeps NULL-lang rows live, matching
+    // the engine's delete predicate semantics)
+    "q_binaryivf_lifecycle" ->
+      """WITH state AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN md5(CAST(doc_id AS VARCHAR) || 'v2')
+        |       ELSE md5(text) END AS h, lang FROM documents),
+        |q AS (SELECT md5(text) AS qh FROM documents WHERE doc_id = 0),
+        |s AS (SELECT CAST(doc_id AS VARCHAR) AS _id,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> bit_count(xor(('0x' || substr(state.h, i, 1))::BIGINT,
+        |                       ('0x' || substr(q.qh, i, 1))::BIGINT)))) AS INTEGER) AS hdist
+        |  FROM state, q WHERE state.lang IS DISTINCT FROM 'de'),
+        |r AS (SELECT _id, hdist, row_number() OVER (ORDER BY hdist, _id) AS rn FROM s)
+        |SELECT _id, hdist FROM r WHERE rn <= 10""".stripMargin,
 
     "q_ivfflat_fullprobe" -> knnOracle(metric = "l2", k = 10, asc = true),
     "q_ivfpq_exactrank" -> knnOracle(metric = "l2", k = 10, asc = true),

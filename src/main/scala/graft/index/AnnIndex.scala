@@ -63,7 +63,12 @@ object IndexRegistry {
     "FLAT" -> ((s, docs, id, vec, p) => FlatIndex(s, docs, id, vec, p)),
     "IVFFLAT" -> ((s, docs, id, vec, p) => IvfFlatIndex.build(s, docs, id, vec, p)),
     "IVFPQ" -> ((s, docs, id, vec, p) => IvfPqIndex.build(s, docs, id, vec, p)),
-    "HNSW" -> ((s, docs, id, vec, p) => HnswIndex.build(s, docs, id, vec, p)))
+    "HNSW" -> ((s, docs, id, vec, p) => HnswIndex.build(s, docs, id, vec, p)),
+    // binary model is Hamming by definition (the reference's binary IVF
+    // searches a Hamming heap, gamma_index_binary_ivf.cc)
+    "BINARYIVF" -> ((s, docs, id, vec, p) =>
+      BinaryIvfIndex.build(s, docs, id, vec,
+        p.copy(metric = graft.core.Metric.Hamming))))
 
   def register(name: String, b: Builder): Unit = builders.put(name, b)
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.index.{AnnIndex, HnswIndex, IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
+import graft.index.{AnnIndex, BinaryIvfIndex, HnswIndex, IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
 import graft.operators.{Knn, TopK}
 import graft.table.GammaTable
 
@@ -55,9 +55,11 @@ class IncrementalIndexer(
     val persist: Boolean = false,
     val retrievalType: String = "IVFFLAT") {
 
-  require(Set("IVFFLAT", "IVFPQ", "HNSW").contains(retrievalType.toUpperCase),
-    s"IncrementalIndexer serves IVFFLAT, IVFPQ or HNSW (got $retrievalType); " +
+  require(Set("IVFFLAT", "IVFPQ", "HNSW", "BINARYIVF").contains(retrievalType.toUpperCase),
+    s"IncrementalIndexer serves IVFFLAT, IVFPQ, HNSW or BINARYIVF (got $retrievalType); " +
       "other models build via IndexRegistry without incremental maintenance")
+  require(!retrievalType.equalsIgnoreCase("BINARYIVF") || params.metric == Metric.Hamming,
+    "BINARYIVF serves the Hamming metric only (set IndexParams.metric = Hamming)")
 
   import GammaTable.{DeletedCol, VersionCol}
   import IncrementalIndexer.{IxvCol, IndexState}
@@ -110,13 +112,16 @@ class IncrementalIndexer(
         key, vecCol, p.centers, p.codebooks, p.params, p.rotation)
     case h: HnswIndex =>
       new HnswIndex(spark, data, key, vecCol, params, h.excluded)
+    case b: BinaryIvfIndex =>
+      new BinaryIvfIndex(spark, data, key, vecCol, b.centroids, b.params)
     case other => other
   }
 
   private def listsOf(idx: AnnIndex): DataFrame = idx match {
-    case f: IvfFlatIndex => f.data
-    case p: IvfPqIndex   => p.codes
-    case h: HnswIndex    => h.graphs
+    case f: IvfFlatIndex   => f.data
+    case p: IvfPqIndex     => p.codes
+    case h: HnswIndex      => h.graphs
+    case b: BinaryIvfIndex => b.data
     case other => throw new IllegalStateException(s"unsupported ${other.retrievalType}")
   }
 
@@ -166,6 +171,15 @@ class IncrementalIndexer(
             case "HNSW" =>
               HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
                 key, vecCol, params)
+            case "BINARYIVF" =>
+              val k =
+                if (params.ncentroids > 0) params.ncentroids
+                else Ivf.autoNcentroids(docs.count(), -1)
+              val centers = BinaryIvfIndex.trainCoarse(
+                docs, vecCol, k, params.trainSampleRows, params.seed)
+              new BinaryIvfIndex(spark,
+                BinaryIvfIndex.assignWithCenters(docs, vecCol, centers),
+                key, vecCol, centers, params)
             case _ =>
               val k =
                 if (params.ncentroids > 0) params.ncentroids
@@ -180,8 +194,9 @@ class IncrementalIndexer(
               // build already encoded every doc — just stamp row versions
               // instead of paying a second full-table encode pass
               p.codes.join(docs.select(col(key), col(IxvCol)), Seq(key))
-            case f: IvfFlatIndex => f.data
-            case h: HnswIndex    => h.graphs
+            case f: IvfFlatIndex   => f.data
+            case h: HnswIndex      => h.graphs
+            case b: BinaryIvfIndex => b.data
             case other => throw new IllegalStateException(other.retrievalType)
           }
           val data =
@@ -190,6 +205,8 @@ class IncrementalIndexer(
               proto match {
                 case p: IvfPqIndex   => p.saveQuantizers(indexRoot)
                 case f: IvfFlatIndex => saveCentroids(f.centers)
+                case b: BinaryIvfIndex =>
+                  BinaryIvfIndex.saveCenters(spark, s"$indexRoot/centroids_bin", b.centroids)
                 case _               => ()
               }
               persistedData()
@@ -213,6 +230,8 @@ class IncrementalIndexer(
             case p: IvfPqIndex => p.encodeDelta(delta, keepCols = Seq(IxvCol))
             case f: IvfFlatIndex =>
               Ivf.assignWithCenters(delta, vecCol, f.centers, f.params.metric)
+            case b: BinaryIvfIndex =>
+              BinaryIvfIndex.assignWithCenters(delta, vecCol, b.centroids)
             case other => throw new IllegalStateException(other.retrievalType)
           }
           val newData =
@@ -375,7 +394,14 @@ class IncrementalIndexer(
       allowedCount: Long = -1L): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
-    val qDf = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    // binary fields store packed bytes; their queries ride the float
+    // surface as byte values (BinaryIvfIndex adapter) — the exact-scan
+    // paths need a BinaryType query column for the hamming kernel
+    val qDf =
+      if (retrievalType.equalsIgnoreCase("BINARYIVF"))
+        queries.map { case (i, v) => (i, BinaryIvfIndex.floatsToBytes(v)) }
+          .toDF("qid", "qvec")
+      else queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
     val aCount = allowedIds match {
       case Some(ids) => if (allowedCount >= 0L) allowedCount else ids.count()
       case None      => -1L
@@ -531,6 +557,9 @@ object IncrementalIndexer {
           key, vecCol, centers, codebooks, params, rotation)
       case "HNSW" =>
         new HnswIndex(spark, ix.persistedData(), key, vecCol, params)
+      case "BINARYIVF" =>
+        new BinaryIvfIndex(spark, ix.persistedData(), key, vecCol,
+          BinaryIvfIndex.loadCenters(spark, s"$root/centroids_bin"), params)
       case _ =>
         new IvfFlatIndex(spark, ix.persistedData(), key, vecCol,
           graft.index.Ivf.loadCenters(spark, s"$root/centroids"), params)

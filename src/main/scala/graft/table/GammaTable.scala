@@ -462,7 +462,15 @@ class GammaTable private (
             if (allowed.isDefined) allowedCnt else -1L)
           if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
-          val q = vq.batch.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvec")
+          // Hamming requests target a BinaryType field: queries ride the
+          // float surface as byte values (BinaryIvfIndex adapter) and must
+          // land as bytes for the hamming kernel
+          val q =
+            if (metric == Metric.Hamming)
+              vq.batch.map { case (qid, v) =>
+                (qid, graft.index.BinaryIvfIndex.floatsToBytes(v))
+              }.toDF("qid", "qvec")
+            else vq.batch.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvec")
           Knn.flatSearch(
             base.filter(pred), key, vq.field, q, "qid", "qvec",
             k = kCand,

@@ -382,4 +382,35 @@ class GammaTableSpec extends GraftSuite {
     assert(t2.attachedIndex("vec", "IVFPQ").isDefined)
     assert(via(t2, "IVFPQ", Some(4)) === exact)
   }
+
+  test("BINARYIVF rides the incremental index lifecycle") {
+    val root = tmp()
+    val docs0 = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id".cast("string").as("_id"), unhex(md5($"text")).as("code"))
+    val t = GammaTable.create(spark, root, "bin", "_id", docs0,
+      Seq(VectorFieldDef("code", 128, metric = "Hamming",
+        retrievalType = "BINARYIVF")), nBuckets = 4)
+    val ix = t.buildIndex("code",
+      graft.index.IndexParams(metric = Metric.Hamming, ncentroids = 4),
+      retrievalType = "BINARYIVF")
+    // upsert re-hashes every 5th doc; refresh re-assigns the delta through
+    // the TRAINED quantizer without retraining (R5/R6)
+    val delta = t.docs.filter($"_id".cast("long") % 5 === 0)
+      .select($"_id", unhex(md5(concat($"_id", lit("!")))).as("code"))
+    t.addOrUpdate(delta)
+    ix.refresh()
+    t.delete(Seq("7", "11").toDF("_id"))
+    val qb = docs0.filter($"_id" === "1").select("code").as[Array[Byte]].head()
+    val req = SearchRequest(topn = 8, vecQueries = Seq(VecQuery("code",
+        graft.index.BinaryIvfIndex.bytesToFloats(qb), nprobe = Some(4))),
+      metric = Metric.Hamming)
+    val viaIdx = t.search(req).select($"_id", $"score").collect()
+    val brute = t.search(req.copy(bruteForce = true))
+      .select($"_id", $"score").collect()
+    // full probes are exact, so the index path must reproduce brute force
+    assert(viaIdx.toSet === brute.toSet)
+    // tombstoned and superseded entries must not resurface from the lists
+    assert(!viaIdx.exists(_.getString(0) == "7"))
+    assert(!viaIdx.exists(_.getString(0) == "11"))
+  }
 }

@@ -88,7 +88,7 @@ class IndexSpec extends GraftSuite {
       IndexParams(ncentroids = 8))
     val qs = docs.filter($"doc_id" < 5)
       .select($"doc_id", $"code").as[(Long, Array[Byte])].collect().toSeq
-    val full = idx.search(qs, 10, Some(8)).select($"qid", $"id")
+    val full = idx.searchBytes(qs, 10, Some(8)).select($"qid", $"id")
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // exact ground truth via brute-force hamming
     val q = qs.map { case (i, c) => (i, c) }.toDF("qid", "qcode")
@@ -100,7 +100,7 @@ class IndexSpec extends GraftSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(full === exact)
     // self-doc always hits at distance 0 even with partial probes
-    val partial = idx.search(qs, 3, Some(2))
+    val partial = idx.searchBytes(qs, 3, Some(2))
     assert(partial.filter($"qid" === $"id").count() === 5)
   }
 
