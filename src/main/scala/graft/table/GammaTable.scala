@@ -19,6 +19,12 @@ case class VectorFieldDef(
 /** Table metadata persisted alongside the data (the reference's `.schema`
   * file + engine counters, search/gamma_engine.cc:607-612, 651-657).
   * `bucketVersions` is the manifest: current data version per key-bucket.
+  * `bucketStats` is per-bucket numeric column min/max (bucket -> column ->
+  * [min, max]) — the manifest analog of the reference's per-field B-tree
+  * filter index (table/field_range_index.cc:616-759): a range filter
+  * prunes buckets whose stats cannot overlap before any file is opened.
+  * Bounds are recorded conservatively widened; a missing entry means
+  * "cannot prune".
   */
 case class TableMeta(
     name: String,
@@ -28,7 +34,8 @@ case class TableMeta(
     version: Long,
     bucketVersions: Map[String, Long],
     vectorFields: Seq[VectorFieldDef],
-    indexStatus: String) // UNINDEXED | INDEXING | INDEXED (reference gamma_engine.h:28)
+    indexStatus: String, // UNINDEXED | INDEXING | INDEXED (reference gamma_engine.h:28)
+    bucketStats: Map[String, Map[String, Seq[Double]]] = Map.empty)
 
 /** A gamma "table" re-expressed Spark-first: one parquet dataset of
   * scalar+vector documents, hash-bucketed by primary key with a per-bucket
@@ -102,17 +109,66 @@ class GammaTable private (
   /** Write per-bucket data as version `v` in ONE Spark job: partitionBy
     * into a staging dir, then filesystem-rename each bucket partition into
     * its version path. Returns the buckets that actually contain rows
-    * (a fully-emptied bucket drops out of the manifest).
+    * (a fully-emptied bucket drops out of the manifest) plus per-bucket
+    * numeric min/max stats, collected by an accumulator ON the write pass
+    * (no extra job — the manifest-stat analog of the reference's filter
+    * index being maintained at write time, table/field_range_index.cc).
     */
-  private def writeVersion(df: DataFrame, buckets: Seq[Long], v: Long): Seq[Long] = {
+  private def writeVersion(
+      df: DataFrame, buckets: Seq[Long], v: Long)
+      : (Seq[Long], Map[String, Map[String, Seq[Double]]]) = {
+    import org.apache.spark.sql.types._
     val staging = new org.apache.hadoop.fs.Path(s"$root/data/.staging_v$v")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // repartition by bucket so each bucket dir gets ~1 file instead of one
     // per upstream shuffle partition (shuffle-partitions x buckets tiny
     // files per version is a small-files problem at any scale)
-    df.withColumn("_bp", col(BucketCol))
-      .repartition(col("_bp"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
+    val base = df.withColumn("_bp", col(BucketCol)).repartition(col("_bp"))
+    val internal = Set(DocidCol, DeletedCol, BucketCol, VersionCol, "_bp")
+    val statCols = base.schema.fields.zipWithIndex.collect {
+      case (f, i) if !internal(f.name) && (f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                FloatType | DoubleType => true
+            case _ => false
+          }) => (f.name, i)
+    }
+    val bucketIdx = base.schema.fieldIndex(BucketCol)
+    val acc = new GammaTable.BucketStatsAcc
+    spark.sparkContext.register(acc, s"bucketStats_${meta0.name}_v$v")
+    // pass-through stats stage: rows stream to the writer unchanged while
+    // per-partition (bucket, column) min/max fold into the accumulator
+    // (min/max merge is idempotent, so task retries stay correct)
+    val observed =
+      if (statCols.isEmpty) base
+      else base.mapPartitions { rows =>
+        val local = scala.collection.mutable.HashMap
+          .empty[(Long, String), (Double, Double)]
+        var flushed = false
+        new scala.collection.AbstractIterator[Row] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && !flushed) { acc.add(local.toMap); flushed = true }
+            h
+          }
+          def next(): Row = {
+            val r = rows.next()
+            val b = r.getLong(bucketIdx)
+            statCols.foreach { case (name, i) =>
+              if (!r.isNullAt(i)) {
+                val d = r.get(i).asInstanceOf[Number].doubleValue()
+                val (lo, hi) = if (d.isNaN) (Double.NaN, Double.NaN)
+                  else (math.nextDown(d), math.nextUp(d))
+                local.updateWith((b, name)) {
+                  case Some((a, z)) => Some((math.min(a, lo), math.max(z, hi)))
+                  case None         => Some((lo, hi))
+                }
+              }
+            }
+            r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(base.schema))
+    observed.write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
     val written = buckets.filter { b =>
       val part = new org.apache.hadoop.fs.Path(staging, s"_bp=$b")
       if (fs.exists(part)) {
@@ -130,17 +186,32 @@ class GammaTable private (
       } else false
     }
     fs.delete(staging, true)
-    written
+    // non-finite bounds (NaN/Inf in the data) drop out: a missing stat
+    // entry means "cannot prune", which is the conservative direction
+    val stats = acc.value.toSeq
+      .filter { case (_, (lo, hi)) => lo.isFinite && hi.isFinite }
+      .groupBy(_._1._1).map { case (b, entries) =>
+        b.toString -> entries.map { case ((_, c), (lo, hi)) =>
+          c -> Seq(lo, hi)
+        }.toMap
+      }
+    (written, stats)
   }
 
   private def commit(
-      buckets: Seq[Long], written: Seq[Long], v: Long, newDocs: Long = 0): Unit = {
+      buckets: Seq[Long], written: Seq[Long], v: Long, newDocs: Long = 0,
+      stats: Map[String, Map[String, Seq[Double]]] = Map.empty): Unit = {
     val emptied = (buckets.toSet -- written.toSet).map(_.toString)
+    val writtenSet = written.map(_.toString).toSet
     meta0 = meta0.copy(
       maxDocid = meta0.maxDocid + newDocs,
       version = v,
       bucketVersions =
-        meta0.bucketVersions -- emptied ++ written.map(_.toString -> v))
+        meta0.bucketVersions -- emptied ++ written.map(_.toString -> v),
+      // a rewritten bucket's stats are replaced wholesale (or dropped when
+      // the write produced no finite bounds for it)
+      bucketStats = Option(meta0.bucketStats).getOrElse(Map.empty) --
+        emptied -- writtenSet ++ stats.view.filterKeys(writtenSet))
     writeMeta()
   }
 
@@ -217,8 +288,8 @@ class GammaTable private (
             allowMissingColumns = true),
           freshCounts.sum)
     }
-    val written = writeVersion(merged, affected, v)
-    commit(affected, written, v, if (written.isEmpty) 0L else nFresh)
+    val (written, stats) = writeVersion(merged, affected, v)
+    commit(affected, written, v, if (written.isEmpty) 0L else nFresh, stats)
     cached.foreach(_.unpersist(false))
     d.unpersist(false)
   }
@@ -297,8 +368,8 @@ class GammaTable private (
         .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
         .drop("__del")
       val v = meta0.version + 1
-      val written = writeVersion(marked, affected, v)
-      commit(affected, written, v)
+      val (written, stats) = writeVersion(marked, affected, v)
+      commit(affected, written, v, 0L, stats)
     }
     k.unpersist(false)
   }
@@ -342,8 +413,8 @@ class GammaTable private (
       indexers.values.foreach(_.excludePurged(purged))
     }
     val v = meta0.version + 1
-    val written = writeVersion(docs, buckets, v)
-    commit(buckets, written, v)
+    val (written, stats) = writeVersion(docs, buckets, v)
+    commit(buckets, written, v, 0L, stats)
   }
 
   /** Deleted-ratio-triggered compaction, per bucket — the reference's
@@ -370,8 +441,9 @@ class GammaTable private (
     }
     val v = meta0.version + 1
     val live = readBuckets(victims).map(_.filter(!col(DeletedCol)))
-    val written = live.map(writeVersion(_, victims, v)).getOrElse(Nil)
-    commit(victims, written, v)
+    val (written, stats) = live.map(writeVersion(_, victims, v))
+      .getOrElse((Nil, Map.empty[String, Map[String, Seq[Double]]]))
+    commit(victims, written, v, 0L, stats)
     victims
   }
 
@@ -394,7 +466,17 @@ class GammaTable private (
     val base = keyTermBuckets(req) match {
       case Some(bs) =>
         readBuckets(bs).map(_.filter(!col(DeletedCol))).getOrElse(docs.limit(0))
-      case None => docs
+      case None => rangeStatBuckets(req) match {
+        // manifest min/max pruning (S5/P2): only buckets whose recorded
+        // column ranges can overlap every range filter are read at all —
+        // the B-tree-filter analog (field_range_index.cc:616-759); an
+        // empty survivor set short-circuits like the reference's
+        // zero-match bitmap (gamma_engine.cc:368-371)
+        case Some(bs) if bs.isEmpty => docs.limit(0)
+        case Some(bs) =>
+          readBuckets(bs).map(_.filter(!col(DeletedCol))).getOrElse(docs.limit(0))
+        case None => docs
+      }
     }
     val pred = Filters.predicate(base, req.termFilters, req.rangeFilters)
 
@@ -505,6 +587,34 @@ class GammaTable private (
     project(ranked, req)
   }
 
+  /** Buckets whose manifest min/max stats can overlap EVERY range filter
+    * of the request — `Some` only when that actually prunes (so the
+    * common no-stat/no-overlap-structure case keeps the plain `docs`
+    * path). Missing stats for a (bucket, field) keep the bucket:
+    * pruning is only ever conservative. Hash-bucketing spreads
+    * uncorrelated values across all buckets, so this bites when the
+    * filter column correlates with the key or with churn locality —
+    * the same regime where the reference's per-field B-tree beats a
+    * scan (field_range_index.cc:616-759).
+    */
+  private def rangeStatBuckets(req: SearchRequest): Option[Seq[Long]] = {
+    val stats = Option(meta0.bucketStats).getOrElse(Map.empty)
+    if (stats.isEmpty || req.rangeFilters.isEmpty) return None
+    val all = meta0.bucketVersions.keys.map(_.toLong).toSeq
+    val keep = all.filter { b =>
+      req.rangeFilters.forall { rf =>
+        stats.get(b.toString).flatMap(_.get(rf.field)) match {
+          case Some(s) if s.length == 2 =>
+            val mn = s(0); val mx = s(1)
+            rf.lower.forall(lo => if (rf.includeLower) mx >= lo else mx > lo) &&
+              rf.upper.forall(hi => if (rf.includeUpper) mn <= hi else mn < hi)
+          case _ => true
+        }
+      }
+    }
+    if (keep.size < all.size) Some(keep.sorted) else None
+  }
+
   /** Buckets a key-equality term filter confines the request to, when one
     * exists: a Union term on a STRING primary key (string, so the filter
     * values hash exactly like the stored keys do in [[GammaTable.bucketOf]]).
@@ -593,6 +703,35 @@ object GammaTable {
   private[table] def bucketOf(keyCol: Column, n: Int): Column =
     pmod(xxhash64(keyCol), lit(n.toLong))
 
+  /** (bucket, column) -> (min, max) folded across write tasks. Min/max
+    * merge is idempotent and monotone, so retried/speculative tasks
+    * cannot corrupt the result — they only re-observe the same rows.
+    */
+  private[table] class BucketStatsAcc
+      extends org.apache.spark.util.AccumulatorV2[
+        Map[(Long, String), (Double, Double)],
+        Map[(Long, String), (Double, Double)]] {
+    private var m = Map.empty[(Long, String), (Double, Double)]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BucketStatsAcc = {
+      val a = new BucketStatsAcc; a.m = m; a
+    }
+    override def reset(): Unit = m = Map.empty
+    override def add(v: Map[(Long, String), (Double, Double)]): Unit =
+      m = (m.keySet ++ v.keySet).iterator.map { k =>
+        (m.get(k), v.get(k)) match {
+          case (Some((a, z)), Some((lo, hi))) =>
+            k -> (math.min(a, lo), math.max(z, hi))
+          case (got, other) => k -> got.orElse(other).get
+        }
+      }.toMap
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[
+          Map[(Long, String), (Double, Double)],
+          Map[(Long, String), (Double, Double)]]): Unit = add(o.value)
+    override def value: Map[(Long, String), (Double, Double)] = m
+  }
+
   /** Create a table from an initial document batch (S2 + first add). */
   def create(
       spark: SparkSession,
@@ -632,7 +771,9 @@ object GammaTable {
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
-    spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+    val m = spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+    // metas written before bucketStats existed read the field as null
+    if (m.bucketStats == null) m.copy(bucketStats = Map.empty) else m
   }
 
   /** Driver-side single-file JSON write (readable by `spark.read.json`). */
@@ -646,10 +787,19 @@ object GammaTable {
     val vf = m.vectorFields.map(f =>
       s"""{"name":${q(f.name)},"dim":${f.dim},"metric":${q(f.metric)},""" +
         s""""retrievalType":${q(f.retrievalType)}}""").mkString("[", ",", "]")
+    // stats bounds are always finite (writeVersion drops NaN/Inf), so
+    // plain JSON numbers round-trip
+    val bs = Option(m.bucketStats).getOrElse(Map.empty)
+      .toSeq.sortBy(_._1.toLong).map { case (b, cols) =>
+        s"${q(b)}:" + cols.toSeq.sortBy(_._1).map { case (c, mm) =>
+          s"${q(c)}:[${mm.mkString(",")}]"
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     val json =
       s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
         s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
-        s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)}}"""
+        s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
+        s""""bucketStats":$bs}"""
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dirPath, true) // stale multi-file spark-written meta would double-read
@@ -669,8 +819,8 @@ object GammaTable {
     val data = spark.read.parquet(s"$dumpDir/data")
     val t = new GammaTable(spark, newRoot, meta.copy(bucketVersions = Map.empty, version = 0L))
     val buckets = meta.bucketVersions.keys.map(_.toLong).toSeq
-    val written = t.writeVersion(data, buckets, 1L)
-    t.commit(buckets, written, 1L)
+    val (written, stats) = t.writeVersion(data, buckets, 1L)
+    t.commit(buckets, written, 1L, 0L, stats)
     t
   }
 

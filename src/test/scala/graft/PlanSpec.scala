@@ -189,4 +189,42 @@ class PlanSpec extends GraftSuite {
       graft.plans.IndexCatalog.clear()
     }
   }
+
+  test("manifest min/max stats prune buckets for a selective range filter") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    // a column that CORRELATES with the key bucket (here: equals it) makes
+    // per-bucket min/max informative — hash bucketing spreads uncorrelated
+    // values across every bucket, where stats cannot prune
+    val docs = spark.range(0, 4000).select(
+      $"id".cast("string").as("_id"),
+      pmod(xxhash64($"id".cast("string")), lit(8L)).as("zone"),
+      ($"id" % 100).as("noise"))
+    val t = graft.table.GammaTable.create(spark, root, "st", "_id", docs,
+      Nil, nBuckets = 8)
+    def scanRoots(df: DataFrame): Seq[Int] =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.size
+      }.toSeq
+    val req = graft.core.SearchRequest(topn = 50,
+      rangeFilters = Seq(graft.core.RangeFilter("zone", Some(3), Some(3))))
+    val res = t.search(req)
+    // zone==3 lives in exactly bucket 3 -> one bucket dir read, not 8
+    assert(scanRoots(res).nonEmpty && scanRoots(res).forall(_ == 1),
+      s"expected 1 bucket path, got ${scanRoots(res)}")
+    val expected = t.docs.filter($"zone" === 3)
+      .orderBy($"_docid").limit(50).select("_id").as[String].collect().toSet
+    assert(res.select("_id").as[String].collect().toSet === expected)
+
+    // stats survive the meta JSON round-trip: a reloaded table still prunes
+    val t2 = graft.table.GammaTable.load(spark, root)
+    val res2 = t2.search(req)
+    assert(scanRoots(res2).forall(_ == 1), s"reloaded: ${scanRoots(res2)}")
+    assert(res2.select("_id").as[String].collect().toSet === expected)
+
+    // an impossible range short-circuits to an empty result, no scan
+    val none = t.search(graft.core.SearchRequest(topn = 10,
+      rangeFilters = Seq(graft.core.RangeFilter("zone", Some(99), None))))
+    assert(none.count() === 0)
+  }
 }
