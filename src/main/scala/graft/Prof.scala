@@ -33,6 +33,42 @@ object Prof {
       graft.index.IvfFlatIndex.build(spark, docs, "vec_id", "embedding", params)
         .data.count()
     }
+
+    // q_binaryivf_lifecycle stage breakdown
+    {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_prof_bin").toString
+      val docs0 = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id").cast("string").as("_id"),
+          unhex(md5(col("text"))).as("code"), col("lang"))
+      val tbl = time("bin: create") {
+        graft.table.GammaTable.create(spark, root, "binivf", "_id", docs0,
+          Seq(graft.table.VectorFieldDef("code", 128, metric = "Hamming",
+            retrievalType = "BINARYIVF")), nBuckets = 8)
+      }
+      val ix = time("bin: buildIndex") {
+        tbl.buildIndex("code",
+          graft.index.IndexParams(metric = graft.core.Metric.Hamming, ncentroids = 4),
+          persist = true, retrievalType = "BINARYIVF")
+      }
+      val delta = tbl.docs.filter(col("_id").cast("long") % 7 === 3)
+        .select(col("_id"),
+          unhex(md5(concat(col("_id"), lit("v2")))).as("code"), col("lang"))
+      time("bin: addOrUpdate") { tbl.addOrUpdate(delta) }
+      time("bin: refresh") { ix.refresh() }
+      time("bin: deleteByQuery") { tbl.deleteByQuery(col("lang") === "de") }
+      val qbytes = docs0.filter(col("_id") === "0").select("code")
+        .as[Array[Byte]].head()
+      val reloaded = time("bin: load") { graft.table.GammaTable.load(spark, root) }
+      time("bin: search+collect") {
+        reloaded.search(graft.core.SearchRequest(
+            topn = 10,
+            vecQueries = Seq(graft.core.VecQuery("code",
+              graft.index.BinaryIvfIndex.bytesToFloats(qbytes), nprobe = Some(4))),
+            metric = graft.core.Metric.Hamming)).collect()
+      }
+    }
     spark.stop()
   }
 }

@@ -32,6 +32,17 @@ trait AnnIndex {
       allowedIds: Option[DataFrame] = None,
       minScore: Option[Double] = None,
       maxScore: Option[Double] = None): DataFrame
+
+  /** Delete-bitmap pushdown — ONE shared surface for "these ids must not
+    * come back from the index" (the reference marks vids invalid in a
+    * bitmap consulted INSIDE every scan, util/bitmap_manager.h +
+    * index/retrieval_model.h:77-103; stale realtime entries carry a bit-63
+    * tombstone, realtime/realtime_mem_data.h:26-27). List-based models
+    * anti-join their lists; graph models exclude at result admission
+    * (graph rows are opaque segments). Lazy: the view composes into the
+    * next search's plan.
+    */
+  def excluding(ids: DataFrame): AnnIndex
 }
 
 object AnnIndex {

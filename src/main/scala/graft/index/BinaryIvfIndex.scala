@@ -85,6 +85,11 @@ class BinaryIvfIndex(
     val ranged = AnnIndex.scoreRange(scored, "score", minScore, maxScore)
     TopK.perGroup(ranged, "qid", "score", ascending = true, k, Seq("id"))
   }
+
+  override def excluding(ids: DataFrame): AnnIndex =
+    new BinaryIvfIndex(spark,
+      data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
+      idCol, codeCol, centroids, params)
 }
 
 object BinaryIvfIndex {

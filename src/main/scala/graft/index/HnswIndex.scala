@@ -272,6 +272,18 @@ class HnswIndex(
     TopK.perGroup(hits, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
   }
 
+  /** Graph rows are opaque immutable segments — exclusion folds into the
+    * standing excluded set checked at result admission (the reference's
+    * IsValid bitmap inside the graph walk, hnswalg.h:312-313).
+    */
+  override def excluding(ids: DataFrame): AnnIndex = {
+    val merged = excluded match {
+      case Some(e) => e.toDF(idCol).unionByName(ids.toDF(idCol))
+      case None    => ids.toDF(idCol)
+    }
+    new HnswIndex(spark, graphs, idCol, vecCol, params, Some(merged))
+  }
+
   def save(path: String): Unit =
     graphs.write.mode("overwrite").parquet(s"$path/graphs")
 }

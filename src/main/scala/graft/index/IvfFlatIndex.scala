@@ -37,6 +37,9 @@ case class FlatIndex(
     Knn.flatSearch(base, idCol, vecCol, q, "qid", "qvec", k, params.metric,
       minScore = minScore, maxScore = maxScore)
   }
+
+  override def excluding(ids: DataFrame): AnnIndex =
+    copy(docs = docs.join(ids.toDF(idCol), Seq(idCol), "left_anti"))
 }
 
 /** Shared coarse-quantizer machinery for the IVF family — the Spark
@@ -222,6 +225,11 @@ class IvfFlatIndex(
     val ranged = AnnIndex.scoreRange(scored, "score", minScore, maxScore)
     TopK.perGroup(ranged, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
   }
+
+  override def excluding(ids: DataFrame): AnnIndex =
+    new IvfFlatIndex(spark,
+      data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
+      idCol, vecCol, centers, params)
 
   /** Persist inverted lists partitioned by centroid_id so probe filters
     * prune files (T4).

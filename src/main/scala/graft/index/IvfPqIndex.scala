@@ -159,6 +159,11 @@ class IvfPqIndex(
     IvfPqIndex.encodeAll(delta, idCol, vecCol, centers, codebooks, rotation, keepCols,
       params.metric)
 
+  override def excluding(ids: DataFrame): AnnIndex =
+    new IvfPqIndex(spark,
+      codes.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
+      rawDocs, idCol, vecCol, centers, codebooks, params, rotation)
+
   def save(path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
     saveQuantizers(path)

@@ -442,17 +442,12 @@ class IncrementalIndexer(
         val invalid = table.docsChangedSince(invalidHorizon)
           .filter(col(VersionCol) > builtVersion || col(DeletedCol))
           .select(col(key))
-        val cleanIdx = idx match {
-          // graph rows are opaque segments — stale keys are excluded at
-          // result admission (delete-bitmap semantics) instead of
-          // anti-joined out of the rows; the STANDING exclusion set (keys
-          // purged by table compaction, no longer visible to the invalid
-          // scan) must survive alongside the per-search invalid set
-          case h: HnswIndex =>
-            val excl = h.excluded.map(_.toDF(key).unionByName(invalid)).getOrElse(invalid)
-            new HnswIndex(spark, h.graphs, key, vecCol, params, Some(excl))
-          case _ => rebuilt(idx, listsOf(idx).join(invalid, Seq(key), "left_anti"))
-        }
+        // ONE shared exclusion surface (AnnIndex.excluding, X2/T11): list
+        // models anti-join their lists, HNSW folds into its standing
+        // excluded set (graph segments are opaque — exclusion happens at
+        // result admission). rebuilt() first so the IVFPQ re-rank source
+        // re-binds the CURRENT doc table.
+        val cleanIdx = rebuilt(idx, listsOf(idx)).excluding(invalid)
         // inverse-selectivity widening: with an allowed fraction of s, a
         // probed list holds ~s of its usual share of allowed docs, so the
         // probe budget grows by ~1/s to keep ~k allowed candidates in

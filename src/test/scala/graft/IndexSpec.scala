@@ -274,4 +274,32 @@ class IndexSpec extends GraftSuite {
     val b = re.search(queries, 5, Some(4)).select("qid", "id").collect().toSet
     assert(a === b)
   }
+
+  test("AnnIndex.excluding: one delete-bitmap surface across every model") {
+    // every registered float model + the binary one must honor the shared
+    // exclusion view (the reference's IsValid bitmap inside each scan)
+    for (m <- Seq("FLAT", "IVFFLAT", "IVFPQ", "HNSW")) {
+      val idx = IndexRegistry.build(m, spark, emb, "vec_id", "embedding",
+        IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000))
+      val full = idx.search(queries, 5, Some(8))
+        .select($"id").as[Long].collect().toSet
+      val banned = full.take(3).toSeq
+      val got = idx.excluding(banned.toDF("vec_id")).search(queries, 5, Some(8))
+        .select($"id").as[Long].collect().toSet
+      assert(got.intersect(banned.toSet).isEmpty, s"$m returned excluded ids")
+      assert(got.nonEmpty, s"$m returned nothing after exclusion")
+    }
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id", unhex(md5($"text")).as("code"))
+    val bidx = IndexRegistry.build("BINARYIVF", spark, docs, "doc_id", "code",
+      IndexParams(ncentroids = 8))
+    val bqs = docs.filter($"doc_id" < 3).select($"doc_id", $"code")
+      .as[(Long, Array[Byte])].collect().toSeq
+      .map { case (i, b) => (i, graft.index.BinaryIvfIndex.bytesToFloats(b)) }
+    val bfull = bidx.search(bqs, 5, Some(8)).select($"id").as[Long].collect().toSet
+    val bban = bfull.take(3).toSeq
+    val bgot = bidx.excluding(bban.toDF("doc_id")).search(bqs, 5, Some(8))
+      .select($"id").as[Long].collect().toSet
+    assert(bgot.intersect(bban.toSet).isEmpty, "BINARYIVF returned excluded ids")
+  }
 }
