@@ -76,7 +76,10 @@ class IncrementalIndexer(
   private[streaming] val dirName = {
     val declared = table.meta.vectorFields.find(_.name == vecCol)
       .map(_.retrievalType.toUpperCase)
-    if (declared.forall(_ == retrievalType.toUpperCase)) vecCol
+    // an UNDECLARED field's bare dir belongs to the indexer-default model
+    // (IVFFLAT) only — any other model suffixes, so two persisted models on
+    // the same undeclared field never share (and corrupt) one directory
+    if (declared.getOrElse("IVFFLAT") == retrievalType.toUpperCase) vecCol
     else s"$vecCol@${retrievalType.toUpperCase}"
   }
   private val indexRoot = s"${table.root}/index/$dirName"
@@ -128,6 +131,11 @@ class IncrementalIndexer(
   private def fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def listsPath = s"$indexRoot/lists/v$listsVersion"
   private def replacedPath = s"$indexRoot/replaced/v$listsVersion"
+  // standing HNSW exclusions (keys purged from the table whose entries
+  // remain in immutable graph segments) persist HERE so a reloaded index
+  // keeps excluding them; cleared by rebuildHnsw (fresh graphs hold live
+  // docs only)
+  private def excludedPath = s"$indexRoot/excluded"
 
   /** Persisted lists minus superseded entries: an index row is stale iff a
     * later version of its key was appended (`_ixv < replaced.ixv`).
@@ -272,10 +280,16 @@ class IncrementalIndexer(
     * compaction IS a rebuild.
     */
   private def refreshHnsw(h: HnswIndex): Unit = {
-    val deltaCnt = table.docsChangedSince(builtVersion)
-      .filter(!col(DeletedCol) && col(VersionCol) > builtVersion).count()
+    // everything the graphs serve WRONG or not at all counts toward the
+    // rebuild trigger: fresh/updated rows (served by the exact tail),
+    // tombstoned rows, and the standing excluded set (already-purged keys)
+    // — without the latter two a delete-heavy workload would never rebuild
+    // and the exclusion set would grow without bound
+    val staleCnt = table.docsChangedSince(builtVersion)
+      .filter(col(DeletedCol) || col(VersionCol) > builtVersion).count()
+    val exclCnt = h.excluded.map(_.count()).getOrElse(0L)
     val total = math.max(table.docs.count(), 1L)
-    if (deltaCnt * 5L >= total) rebuildHnsw()
+    if ((staleCnt + exclCnt) * 5L >= total) rebuildHnsw()
     else if (persist) writeMeta()
   }
 
@@ -291,6 +305,8 @@ class IncrementalIndexer(
       cleanedVersion = builtVersion
       writeMeta()
       fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+      // fresh graphs hold live docs only — the standing exclusions are moot
+      fs.delete(new Path(excludedPath), true)
       index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
     } else {
       builtVersion = table.meta.version
@@ -309,15 +325,27 @@ class IncrementalIndexer(
     index.foreach {
       case h: HnswIndex =>
         // immutable graph segments: fold the purged keys into the standing
-        // exclusion set (delete-bitmap semantics); O(churn) rows
+        // exclusion set (delete-bitmap semantics); O(churn) rows. distinct()
+        // keeps re-purged keys from accumulating duplicates across rounds.
+        if (persist)
+          // durability: a reloaded index must keep excluding these keys —
+          // their graph entries survive on disk and, once the table rewrite
+          // drops the tombstone rows, the invalid-horizon scan can never
+          // see them again
+          purged.toDF(key).write.mode(SaveMode.Append).parquet(excludedPath)
         val excl = h.excluded.map(_.toDF(key).unionByName(purged.toDF(key)))
-          .getOrElse(purged.toDF(key)).localCheckpoint(true)
+          .getOrElse(purged.toDF(key)).distinct().localCheckpoint(true)
         index = Some(new HnswIndex(spark, h.graphs, key, vecCol, params, Some(excl)))
-      case _ if persist =>
-        // persisted lists: index compaction purges every tombstoned key via
-        // its live-key semi-join (the table still carries the tombstones at
-        // this point — the ordering this hook exists to guarantee)
-        compactIndex()
+      case idx if persist =>
+        // persisted lists: supersede every CURRENT entry of the purged keys
+        // via the replaced log — O(churn) append, not an O(index) rewrite
+        // (entries stamped _ixv <= the current table version are hidden; a
+        // later re-insert of a key commits at a strictly higher version and
+        // stays visible). Physical removal happens at the next
+        // compactIndex().
+        purged.select(col(key).as("__rk"), lit(table.meta.version + 1L).as("__rv"))
+          .write.mode(SaveMode.Append).parquet(replacedPath)
+        index = Some(rebuilt(idx, persistedData()))
       case idx =>
         // resident lists: drop the purged keys' entries — O(churn) anti-join
         index = Some(rebuilt(idx, listsOf(idx)
@@ -551,7 +579,16 @@ object IncrementalIndexer {
             org.apache.spark.sql.functions.col(vecCol)),
           key, vecCol, centers, codebooks, params, rotation)
       case "HNSW" =>
-        new HnswIndex(spark, ix.persistedData(), key, vecCol, params)
+        // restore the standing exclusion set: entries of keys purged from
+        // the table live on in the immutable graph segments, and after the
+        // purge nothing in the table can re-derive them
+        val exclDir = new Path(s"$root/excluded")
+        val hfs = exclDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val excl =
+          if (hfs.exists(exclDir))
+            Some(spark.read.parquet(exclDir.toString).distinct())
+          else None
+        new HnswIndex(spark, ix.persistedData(), key, vecCol, params, excl)
       case "BINARYIVF" =>
         new BinaryIvfIndex(spark, ix.persistedData(), key, vecCol,
           BinaryIvfIndex.loadCenters(spark, s"$root/centroids_bin"), params)

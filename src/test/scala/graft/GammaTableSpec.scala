@@ -295,6 +295,81 @@ class GammaTableSpec extends GraftSuite {
     }
   }
 
+  test("persisted HNSW keeps purge exclusions across a reload") {
+    // graph segments are immutable: a physically purged key's entries
+    // survive on disk and, once the tombstone row is gone, nothing in the
+    // table can re-derive the exclusion — it must persist WITH the index
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "hpx", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    t.buildIndex("vec", graft.index.IndexParams(nlinks = 16, efConstruction = 100),
+      persist = true, retrievalType = "HNSW")
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val req = SearchRequest(topn = 5, vecQueries = Seq(VecQuery("vec", qvec)))
+    val top = t.search(req).orderBy($"score".asc).select("_id").as[String].head()
+    t.delete(Seq(top).toDF("_id"))
+    t.compact() // physical purge: tombstone leaves the table, graphs keep the entry
+    val t2 = GammaTable.load(spark, root)
+    val after = t2.search(req).select("_id").as[String].collect()
+    assert(!after.contains(top), s"reloaded HNSW resurfaced purged doc $top")
+    assert(after.length === 5)
+  }
+
+  test("persisted list purge appends to the supersede log, no full rewrite") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "plp", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64, retrievalType = "IVFFLAT")), nBuckets = 4)
+    val ix = t.buildIndex("vec", graft.index.IndexParams(ncentroids = 2), persist = true)
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val req = SearchRequest(topn = 5, vecQueries = Seq(VecQuery("vec", qvec)))
+    val top = t.search(req).orderBy($"score".asc).select("_id").as[String].head()
+    val keep = docTable().filter($"_id" === top)
+    t.delete(Seq(top).toDF("_id"))
+    t.compact()
+    // O(churn): the purge rode the replaced log — the lists dir was NOT
+    // rewritten into a new version (that is compactIndex's job)
+    assert(new java.io.File(s"$root/index/vec/lists/v0").exists)
+    assert(!new java.io.File(s"$root/index/vec/lists/v1").exists)
+    val after = t.search(req).select("_id").as[String].collect()
+    assert(!after.contains(top) && after.length === 5)
+    // the log supersedes only entries stamped BEFORE the purge: re-insert
+    // the key and it serves again from the index
+    t.addOrUpdate(keep)
+    ix.refresh()
+    val back = t.search(req).select("_id").as[String].collect()
+    assert(back.contains(top), s"re-inserted key $top stayed hidden")
+  }
+
+  test("two persisted models on an undeclared field persist side by side") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "mm2", "_id", docTable(), Nil, nBuckets = 4)
+    // undeclared field: the indexer-default model (IVFFLAT) owns the bare
+    // dir; any other model suffixes — no shared (corrupted) directory
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 2), persist = true)
+    t.buildIndex("vec", graft.index.IndexParams(ncentroids = 2, nsubvector = 8,
+      recallNum = 1000000), persist = true, retrievalType = "IVFPQ")
+    assert(new java.io.File(s"$root/index/vec/meta/meta.json").exists)
+    assert(new java.io.File(s"$root/index/vec@IVFPQ/meta/meta.json").exists)
+
+    val t2 = GammaTable.load(spark, root)
+    assert(t2.attachedIndex("vec", "IVFFLAT").isDefined)
+    assert(t2.attachedIndex("vec", "IVFPQ").isDefined)
+    // each model answers under its own type — exactly, at full probes
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val exact = t2.search(SearchRequest(topn = 5,
+        vecQueries = Seq(VecQuery("vec", qvec)), bruteForce = true))
+      .select("_id").as[String].collect().toSet
+    Seq("IVFFLAT", "IVFPQ").foreach { rt =>
+      val got = t2.search(SearchRequest(topn = 5,
+          vecQueries = Seq(VecQuery("vec", qvec, retrievalType = Some(rt)))))
+        .select("_id").as[String].collect().toSet
+      assert(got === exact, s"$rt disagreed with brute force")
+    }
+  }
+
   test("union term filter on the key prunes the scan to the keys' buckets") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "kprune", "_id", docTable(), Nil, nBuckets = 8)

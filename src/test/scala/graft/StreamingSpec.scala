@@ -282,7 +282,9 @@ class StreamingSpec extends GraftSuite {
     // rebuild (graph compaction IS a rebuild); lists version advances
     t2.addOrUpdate(docsSlice(330, 450))
     ix2.refresh()
-    assert(spark.read.parquet(s"$root/index/vec/lists/v1").count() > 0)
+    // undeclared field, non-default model -> the index dir carries the
+    // model suffix so a second model on the same field cannot collide
+    assert(spark.read.parquet(s"$root/index/vec@HNSW/lists/v1").count() > 0)
     assert(ix2.search(queries, 5).select($"qid", $"id").as[(Long, String)]
       .collect().toSet === flatTruth(t2, 5))
   }
