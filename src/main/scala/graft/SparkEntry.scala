@@ -429,6 +429,10 @@ object SparkEntry {
       val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
       try {
         s.conf.set("spark.graft.ann.rewrite", "true")
+        // keep the INDEX path under test: at this SF the selective WHERE
+        // would otherwise take the policy's exact-fallback tier (rewrite
+        // declines, original exact plan runs — same rows, nothing probed)
+        s.conf.set("spark.graft.filter.exactFallbackRows", "0")
         val df = s.sql(
           s"SELECT vec_id, l2_sq(embedding, $qLit) AS score FROM embeddings_sql " +
             "WHERE label IN (1, 3, 5, 7) ORDER BY score LIMIT 10")
@@ -442,6 +446,7 @@ object SparkEntry {
         s.createDataFrame(java.util.Arrays.asList(collected: _*), rows.schema)
       } finally {
         s.conf.set("spark.graft.ann.rewrite", "false")
+        s.conf.unset("spark.graft.filter.exactFallbackRows")
         graft.plans.IndexCatalog.unregister(path)
       }
     }),

@@ -142,19 +142,78 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if vecArg.isInstanceOf[AttributeReference] &&
         vecArg.asInstanceOf[AttributeReference].name == ri.vecCol
       qvec <- queryVector(dist.right)
-    } yield {
-      // re-anchor the peeled filter's attributes onto the registered doc
-      // table by name and push the surviving key set into the index scan
-      val allowed = filterCond.map { cond =>
-        val unresolved = cond.transform {
-          case a: AttributeReference =>
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
-        }
-        ri.docs.filter(org.apache.spark.sql.graft.Bridge.column(unresolved))
-          .select(col(ri.idCol))
+      plan <- buildReplacement(ri, metric, qvec, k, filterCond, projList,
+        resolvedOrder, child)
+    } yield plan
+  }
+
+  /** The filtered-ANN policy on the SQL surface — same tiers and confs as
+    * `IncrementalIndexer.search`: a SELECTIVE filter keeps the ORIGINAL
+    * exact plan (partial probing could return fewer than k even though
+    * matches exist, and the exact plan is cheap over few survivors —
+    * returning None here IS the exact fallback); a moderate one pushes the
+    * surviving id set with a broadcast hint and widens the probe budget by
+    * inverse selectivity; a weakly selective one pushes unhinted so the
+    * semi-join shuffles instead of forcing a near-table-size set through
+    * the driver — and for HNSW, whose pushdown materializes the set
+    * driver-side, the filter moves AFTER the scan with a widened fetch.
+    */
+  private def buildReplacement(
+      ri: RegisteredIndex,
+      metric: Metric.Value,
+      qvec: Array[Float],
+      k: Int,
+      filterCond: Option[Expression],
+      projList: Option[Seq[NamedExpression]],
+      resolvedOrder: Expression,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // re-anchor the peeled filter's attributes onto the registered doc
+    // table by name; ONE stat pass (total, survivors) decides the tier
+    val stats = filterCond.map { cond =>
+      val unresolved = cond.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
       }
-      val hits = ri.index.search(Seq((0L, qvec)), k, allowedIds = allowed)
-        .select(col("id"), col("score"))
+      val c = org.apache.spark.sql.graft.Bridge.column(unresolved)
+      val row = ri.docs.agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(c, 1L).otherwise(0L))).head
+      val total = row.getLong(0)
+      val aCnt = if (row.isNullAt(1)) 0L else row.getLong(1)
+      (ri.docs.filter(c).select(col(ri.idCol)), total, aCnt)
+    }
+    val exactThreshold = conf.getConfString("spark.graft.filter.exactFallbackRows",
+      math.max(16L * k, 65536L).toString).toLong
+    val broadcastMax = conf.getConfString("spark.graft.filter.broadcastMaxKeys",
+      "1000000").toLong
+    if (stats.exists(_._3 <= exactThreshold)) return None
+    val hnswHuge = ri.index.retrievalType == "HNSW" && stats.exists(_._3 > broadcastMax)
+    val (probe, fetchK) = stats match {
+      case Some((_, total, aCnt)) if aCnt > 0 =>
+        val base = if (ri.index.retrievalType == "HNSW") ri.index.params.efSearch
+                   else ri.index.params.nprobe
+        val factor = math.max(1L, (total + aCnt - 1L) / aCnt)
+        val f =
+          if (hnswHuge)
+            math.min(k.toLong * factor * 2L, math.max(k.toLong, 1L << 16)).toInt
+          else k
+        (Some(math.min(base.toLong * factor, 1L << 20).toInt), f)
+      case _ => (None, k)
+    }
+    val allowed = stats.map { case (flt, _, aCnt) =>
+      if (aCnt <= broadcastMax) broadcast(flt) else flt
+    }
+    val push = if (hnswHuge) None else allowed
+    val hits0 = ri.index.search(Seq((0L, qvec)), fetchK, probe, allowedIds = push)
+      .select(col("id"), col("score"))
+    val hits =
+      if (hnswHuge)
+        hits0.join(
+          stats.get._1.select(col(ri.idCol).cast("long").as("id")),
+          Seq("id"), "left_semi")
+      else hits0
+    Some {
       // reproduce the original output columns: id/score straight from the
       // index result, anything else joined back from the doc table (the
       // reference likewise packs scalar fields from the table after the

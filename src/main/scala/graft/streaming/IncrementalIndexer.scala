@@ -44,8 +44,8 @@ import graft.table.GammaTable
   * Scale design: each refresh touches only rows with `_version >` the
   * index's build version (an O(delta) filter thanks to version stamping);
   * a persisted refresh writes O(delta) files and never rewrites resident
-  * lists; `replaced/` is O(churn-since-compaction) and broadcast into the
-  * anti-join.
+  * lists; `replaced/` is O(churn-since-compaction), anti-joined with
+  * size-based planning (broadcast while small, shuffle once it is not).
   */
 class IncrementalIndexer(
     val table: GammaTable,
@@ -144,8 +144,11 @@ class IncrementalIndexer(
     val lists = spark.read.parquet(listsPath)
     val stale =
       if (fs.exists(new Path(replacedPath))) {
+        // no forced broadcast: the log is O(churn-since-compaction) and a
+        // compaction-starved table could grow it past executor memory —
+        // parquet size stats let the planner broadcast exactly when small
         val replaced = spark.read.parquet(replacedPath)
-        lists.join(broadcast(replaced),
+        lists.join(replaced,
           lists(key) === replaced("__rk") && lists(IxvCol) < replaced("__rv"),
           "left_anti")
       } else lists
@@ -483,15 +486,34 @@ class IncrementalIndexer(
         // free upper bound on table size (deletes only make it
         // conservative); each model clamps to its own limit (ncentroids /
         // graph size).
+        val total = math.max(table.meta.maxDocid, 1L)
+        val factor = math.max(1L, (total + aCount - 1L) / aCount)
         val effNprobe =
           if (aCount > 0L) {
             val base = nprobe.getOrElse(
               if (retrievalType.equalsIgnoreCase("HNSW")) params.efSearch else params.nprobe)
-            val total = math.max(table.meta.maxDocid, 1L)
-            val factor = math.max(1L, (total + aCount - 1L) / aCount)
             Some(math.min(base.toLong * factor, 1L << 20).toInt)
           } else nprobe
-        val fromIndex = cleanIdx.search(queries, k, effNprobe, allowedHinted, minScore, maxScore)
+        // HNSW is the one model whose allowed-set pushdown materializes the
+        // set on the DRIVER (sorted primitive array broadcast) — for a
+        // weakly selective filter that is exactly the driver-side blowup
+        // the huge tier exists to avoid. Search unrestricted with an
+        // inverse-selectivity-widened fetch instead and semi-join the hits
+        // against the allowed set afterwards (it shuffles, never collects);
+        // the final top-k merge cuts back to k.
+        val hnswHuge = retrievalType.equalsIgnoreCase("HNSW") &&
+          allowedHinted.isDefined && aCount > broadcastMax
+        val (pushIds, fetchK) =
+          if (hnswHuge)
+            (None, math.min(k.toLong * factor * 2L, math.max(k.toLong, 1L << 16)).toInt)
+          else (allowedHinted, k)
+        val fromIndex0 = cleanIdx.search(queries, fetchK, effNprobe, pushIds, minScore, maxScore)
+        val fromIndex =
+          if (hnswHuge) {
+            val ids = allowedIds.get
+            fromIndex0.join(
+              ids.select(col(ids.columns.head).cast("long").as("id")), Seq("id"), "left_semi")
+          } else fromIndex0
         val tail = restrict(table.docsChangedSince(builtVersion)
           .filter(!col(DeletedCol) && col(VersionCol) > builtVersion))
         val fromTail = Knn.flatSearch(tail, key, vecCol, qDf, "qid", "qvec", k, params.metric,

@@ -488,12 +488,15 @@ class GammaTable private (
 
     val metric = req.metric
     val hasFilters = req.termFilters.nonEmpty || req.rangeFilters.nonEmpty
-    val allowed = if (hasFilters) Some(base.filter(pred).select(key)) else None
-    // one narrow pushdown-counted scan, shared by every vector field in
-    // the request — drives the indexer's filtered-ANN policy (exact
-    // fallback vs broadcast pushdown + widened probes vs shuffle
-    // semi-join); only evaluated when a request actually routes through
-    // an attached index
+    // ONE narrow filtered scan, materialized ONCE (localCheckpoint) the
+    // first time an index route touches it — the policy count, every index
+    // semi-join, and the HNSW key collect all reuse the same blocks
+    // instead of re-running the filtered scan 2-3x per request. Lazy: the
+    // brute/filter-only paths never pay the job.
+    lazy val allowed: Option[DataFrame] =
+      if (hasFilters) Some(base.filter(pred).select(key).localCheckpoint(true)) else None
+    // drives the indexer's filtered-ANN policy (exact fallback vs
+    // broadcast pushdown + widened probes vs shuffle semi-join)
     lazy val allowedCnt: Long = allowed.map(_.count()).getOrElse(-1L)
     val kCand = math.max(req.topn * CandidateFactor, req.topn)
     // req_num batching (request.fbs:28): every field must carry the same

@@ -272,6 +272,37 @@ class GammaTableSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.filter.exactFallbackRows")
   }
 
+  test("weakly selective filter on HNSW skips the driver key collect") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "hws", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    // ef >= partition size -> per-graph search is effectively exact, so
+    // brute force is the oracle
+    t.buildIndex("vec", graft.index.IndexParams(nlinks = 16, efConstruction = 100,
+      efSearch = 256), retrievalType = "HNSW")
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val req = SearchRequest(topn = 5, vecQueries = Seq(VecQuery("vec", qvec)),
+      rangeFilters = Seq(RangeFilter("p_size", Some(1), Some(49)))) // weak filter
+    // force the huge tier: no exact fallback, nothing broadcastable
+    spark.conf.set("spark.graft.filter.exactFallbackRows", "0")
+    spark.conf.set("spark.graft.filter.broadcastMaxKeys", "0")
+    try {
+      val res = t.search(req)
+      // the allowed set reaches the index HITS as a (shuffling) semi-join
+      // after the graph walk — never a driver-collected key array
+      val p = res.queryExecution.executedPlan.toString
+      assert("""LeftSemi""".r.findFirstIn(p).isDefined, p)
+      val got = res.select("_id").as[String].collect().toSet
+      val exact = t.search(req.copy(bruteForce = true))
+        .select("_id").as[String].collect().toSet
+      assert(got === exact)
+    } finally {
+      spark.conf.unset("spark.graft.filter.exactFallbackRows")
+      spark.conf.unset("spark.graft.filter.broadcastMaxKeys")
+    }
+  }
+
   test("compaction purges index entries before dropping tombstones") {
     // ADVICE r3: physically purging tombstones before the attached index
     // dropped/excluded those keys let deleted docs resurface — the purged

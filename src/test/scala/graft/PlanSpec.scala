@@ -146,6 +146,9 @@ class PlanSpec extends GraftSuite {
       "ORDER BY score LIMIT 10"
     try {
       spark.conf.set("spark.graft.ann.rewrite", "true")
+      // force the index path: the selective WHERE below would otherwise
+      // take the policy's exact-fallback tier (rewrite declines)
+      spark.conf.set("spark.graft.filter.exactFallbackRows", "0")
       val df = spark.sql(sql)
       val p = plan(df)
       assert(p.contains("centroid_id"), p) // index lists scanned, not raw docs
@@ -186,6 +189,7 @@ class PlanSpec extends GraftSuite {
       assert(pOff.contains("TakeOrderedAndProject"), pOff)
     } finally {
       spark.conf.unset("spark.graft.ann.rewrite")
+      spark.conf.unset("spark.graft.filter.exactFallbackRows")
       graft.plans.IndexCatalog.clear()
     }
   }
