@@ -87,15 +87,21 @@ object Bench {
         per.sum / per.size
       }
       val r1 = recallAt(1); val r10 = recallAt(10)
-      System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f " +
+      // the gate VERDICT rides in the JSON: within 2pp of the published
+      // SIFT1M rows on the (harder, near-uniform) proxy embeddings
+      val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02
+      System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f ok=$ok " +
         "(proxy knobs ncentroids=64 nprobe=56 m=32)")
-      s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,""" +
+      s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
         s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
-        s""""config":"IVFPQ ncentroids=64 nprobe=56 nsubvector=32 recall_num=100 vs FLAT ground truth, 50 queries, near-uniform proxy embeddings"}"""
+        s""""config":"IVFPQ ncentroids=64 nprobe=56 nsubvector=32 recall_num=100 vs FLAT ground truth, 50 queries, near-uniform proxy embeddings; ok = within 0.02 of baseline rows"}"""
     } catch {
       case e: Throwable =>
+        // a crashed gate must be VISIBLE in the emitted line (recall_ok
+        // false + the error), not a silently missing key
         System.err.println(s"[bench] recall gate FAILED: ${e.getMessage}")
-        ""
+        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        s""","recall":{"recall_ok":false,"error":"$msg"}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallJson}""")
     spark.stop()

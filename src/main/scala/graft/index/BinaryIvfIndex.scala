@@ -171,7 +171,10 @@ object BinaryIvfIndex {
       var c = 0
       while (c < k) {
         if (members(c) == 0) {
-          // steal the farthest member of the largest cluster
+          // steal the farthest member of the largest cluster — and MOVE it
+          // (update assign/members), so a second cluster emptied in the
+          // same round picks a different donor/member instead of
+          // duplicating this centroid
           val big = members.indexOf(members.max)
           var far = -1; var farD = -1
           var j = 0
@@ -182,8 +185,11 @@ object BinaryIvfIndex {
             }
             j += 1
           }
-          if (far >= 0) {
+          if (far >= 0 && members(big) > 1) {
             centers(c) = java.util.Arrays.copyOf(sample(far), nbytes)
+            assign(far) = c
+            members(big) -= 1
+            members(c) += 1
             moved = true
           }
         } else {
