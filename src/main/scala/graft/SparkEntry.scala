@@ -8,6 +8,11 @@ import graft.core.{GraftSession, Metric, RangeFilter, Tables, TermFilter, TermMo
 import graft.operators.{Filters, Knn, TopK}
 import graft.table.Crud
 
+/** Feed row for the streaming-dedup gate query (MemoryStream needs a
+  * top-level product type for its encoder).
+  */
+case class StreamTextDoc(doc_id: Long, text: String)
+
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
   *
@@ -657,6 +662,35 @@ object SparkEntry {
       tbl.docs.select(col("_id"), col("event_id"), col("event_type"), col("value"))
     }),
 
+    // Streaming ingest dedup: the document stream replayed as 5 id-ordered
+    // microbatches through the stateful first-seen operator
+    // (flatMapGroupsWithState keyed by digest — state is one boolean per
+    // DISTINCT digest, not per row). Ordered replay makes the keeper the
+    // global min doc_id, so the batch GROUP BY oracle applies exactly.
+    // (The driver-side collect below is the MemoryStream TEST FEED, not
+    // part of the operator — production sources are Kafka/files.)
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val step = (n + 4) / 5
+      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
+      val q = graft.streaming.StreamDedup.firstSeen(stream.toDF(), "doc_id", "text")
+        .toDF("digest", "keeper")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        (0 until 5).foreach { i =>
+          stream.addData(docs
+            .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+            .as[StreamTextDoc].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).select(col("digest"), col("keeper"))
+    }),
+
     // ------------- training-data pipeline operators (dedup / text / media)
 
     // E-dedup: exact content-hash groups.
@@ -1024,6 +1058,12 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY user_id
         |                                ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
+
+    // first-seen over id-ordered microbatch replay == min-id keeper per
+    // distinct content (same contract as the batch operator)
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS dups

@@ -39,6 +39,41 @@ class StreamingSpec extends GraftSuite {
       .select($"qid", $"id").as[(Long, String)].collect().toSet
   }
 
+  test("streaming first-seen dedup equals the batch exact-dedup keepers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id", $"text")
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val step = (n + 2) / 3
+    val stream = MemoryStream[StreamTextDoc]
+    val q = graft.streaming.StreamDedup.firstSeen(stream.toDF(), "doc_id", "text")
+      .toDF("digest", "keeper")
+      .writeStream.format("memory").queryName("sdedup_spec")
+      .outputMode("append").start()
+    try {
+      def batch(i: Int) = docs
+        .filter($"doc_id" >= i * step && $"doc_id" < (i + 1) * step)
+        .as[StreamTextDoc].collect().toSeq
+      (0 until 3).foreach { i =>
+        // shuffle WITHIN the batch: the keeper contract is min-id per
+        // batch-group, so intra-batch arrival order must not matter
+        stream.addData(scala.util.Random.shuffle(batch(i)))
+        q.processAllAvailable()
+      }
+      // replay an already-seen batch: state suppresses every digest of it
+      stream.addData(batch(0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup_spec").select($"digest", $"keeper")
+      .as[(String, Long)].collect().toSet
+    // batch twin: one keeper (min doc_id) per distinct content — and no
+    // duplicate emissions from the replayed batch
+    val expected = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text", minGroup = 1)
+      .select($"digest", $"keeper").as[(String, Long)].collect().toSet
+    assert(got === expected)
+    assert(spark.table("sdedup_spec").count() === expected.size.toLong)
+  }
+
   test("batch-driven incremental indexing: FSM, append, update, delete, tail merge") {
     val t = GammaTable.create(spark, tmp(), "s", "_id", docsSlice(0, 300), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 8), indexingSize = 0)
