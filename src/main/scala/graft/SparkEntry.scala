@@ -691,6 +691,33 @@ object SparkEntry {
       s.table(sink).select(col("digest"), col("keeper"))
     }),
 
+    // Streaming MinHash-LSH near-dup: pairs surface the microbatch their
+    // second member arrives; the verified pair set over the full replay is
+    // ARRIVAL-ORDER INDEPENDENT and equals the batch operator's, so the
+    // q_dedup_minhash oracle applies after the contract's sink distinct
+    // (at-least-once per shared band bucket).
+    "q_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val step = (n + 4) / 5
+      val sink = s"stream_neardup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
+      val q = graft.streaming.StreamDedup
+        .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        (0 until 5).foreach { i =>
+          stream.addData(docs
+            .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+            .as[StreamTextDoc].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).select(col("a"), col("b"), col("jaccard")).distinct()
+    }),
+
     // ------------- training-data pipeline operators (dedup / text / media)
 
     // E-dedup: exact content-hash groups.
@@ -1074,6 +1101,12 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
 
     "q_dedup_minhash" ->
+      s"""WITH $ShingleCte, $MinhashPairCtes
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+
+    // identical pair derivation: the streamed operator must converge to
+    // exactly the batch pair set once the replay completes
+    "q_stream_neardup" ->
       s"""WITH $ShingleCte, $MinhashPairCtes
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
 

@@ -45,7 +45,7 @@ object Dedup {
     * the oracle can mirror it. Computed by the [[ShingleHash]] partition
     * kernel (the equivalent 16-way expression tree stalls janino).
     */
-  private def withMinhashSignature(
+  private[graft] def withMinhashSignature(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -92,7 +92,7 @@ object Dedup {
     * string-set Jaccard up to md5-prefix collisions, which are identical in
     * the DuckDB oracle (same hash).
     */
-  private def withShingles(
+  private[graft] def withShingles(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -112,7 +112,7 @@ object Dedup {
     * build a hash set PER PAIR (milliseconds each); the sorted linear merge
     * is ~100 comparisons.
     */
-  private def pairJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def pairJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val in = pairs.select(col("a"), col("b"), col("ta"), col("tb"))

@@ -64,4 +64,86 @@ object StreamDedup {
       .withColumn("digest", md5(col(textCol)))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming MinHash-LSH near-dup: verified near-duplicate PAIRS
+    * `(a, b, jaccard)` emitted the microbatch the SECOND member of a pair
+    * arrives — the streaming twin of `Dedup.minhashPairs`, for catching
+    * near-dups at ingest instead of in a dedupe-at-rest pass.
+    *
+    * Shape: ONE stateful operator keyed by LSH band bucket
+    * (flatMapGroupsWithState; state = the doc ids seen in that bucket), so
+    * candidate generation shuffles band keys and ids, never text. A new
+    * arrival pairs with the bucket's standing members; the candidate then
+    * rides a STATELESS stream-static join against `staticDocs`' hashed
+    * shingle sets for exact-Jaccard verification (same kernel, threshold,
+    * and rounding as the batch operator — the two emit identical verified
+    * pairs).
+    *
+    * Contract: AT-LEAST-ONCE per pair — a pair sharing several buckets is
+    * emitted once per shared bucket (buckets cannot see each other's
+    * emissions without a second stateful stage, which structured streaming
+    * does not compose after this one); consumers take `.dropDuplicates`/
+    * `distinct()` at the sink, where it is a trivial batch op. Replayed
+    * docs are suppressed (a bucket member pairs only against ids it has
+    * not seen). State per bucket is O(ids in bucket); at 100 TB run the
+    * RocksDB state store and shard by raising `bands`.
+    */
+  def nearDupPairs(
+      stream: DataFrame,
+      staticDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    // (id, band, key) per arriving doc — the batch operator's banding,
+    // stateless over the stream
+    val banded = graft.dedup.Dedup
+      .withMinhashSignature(stream, idCol, textCol, numHashes, shingleN)
+      .select(col("id").cast("long").as("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            array_join(transform(slice(col("sig"), b * r + 1, r),
+              x => x.cast("string")), "_").as("key"))
+        }: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.key"), col("id"))
+      .as[(Int, String, Long)]
+    val candidates = banded
+      .groupByKey { case (band, key, _) => s"${band}_$key" }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Int, String, Long)], state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val fresh = rows.map(_._3).toArray.distinct.sorted
+            .filterNot(seen.contains)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update(seen ++ fresh)
+            // pair each fresh id with every standing member AND every
+            // smaller fresh id (intra-batch pairs), a < b
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var i = 0
+            while (i < fresh.length) {
+              val d = fresh(i)
+              seen.foreach(s => out += ((math.min(s, d), math.max(s, d))))
+              var j = 0
+              while (j < i) { out += ((fresh(j), d)); j += 1 }
+              i += 1
+            }
+            out.iterator
+          }
+      }
+      .toDF("a", "b")
+    // exact verification: stateless stream-static equi-joins against the
+    // corpus' hashed shingle sets, then the batch verify kernel
+    val toks = graft.dedup.Dedup.withShingles(staticDocs, idCol, textCol, shingleN)
+    val pairs = candidates
+      .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
+    graft.dedup.Dedup.pairJaccard(pairs, threshold)
+  }
 }

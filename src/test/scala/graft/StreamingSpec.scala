@@ -74,6 +74,31 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("sdedup_spec").count() === expected.size.toLong)
   }
 
+  test("streaming LSH near-dup converges to the batch pair set, any arrival order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = docs.as[StreamTextDoc].collect().toSeq
+    // adversarial replay: reverse order + a replayed middle batch
+    val batches = all.reverse.grouped(math.max(1, all.size / 3)).toSeq
+    val stream = MemoryStream[StreamTextDoc]
+    val q = graft.streaming.StreamDedup
+      .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
+      .writeStream.format("memory").queryName("sneardup_spec")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      stream.addData(batches(1)) // replay: members already in bucket state
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sneardup_spec").select($"a", $"b", $"jaccard")
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    val expected = graft.dedup.Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   test("batch-driven incremental indexing: FSM, append, update, delete, tail merge") {
     val t = GammaTable.create(spark, tmp(), "s", "_id", docsSlice(0, 300), nBuckets = 4)
     val ix = new IncrementalIndexer(t, "vec", IndexParams(ncentroids = 8), indexingSize = 0)
