@@ -76,9 +76,9 @@ object Bench {
           .select(col("qid"), col("id")).as[(Long, Long)].collect()
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       }
-      def recallAt(k: Int): Double = {
+      def recallAt(k: Int, nprobe: Int = 56): Double = {
         val t = truth(k)
-        val got = idx.search(queries, k, Some(56))
+        val got = idx.search(queries, k, Some(nprobe))
           .select(col("qid"), col("id")).as[(Long, Long)].collect()
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
         val per = t.map { case (q, s) =>
@@ -87,14 +87,40 @@ object Bench {
         per.sum / per.size
       }
       val r1 = recallAt(1); val r10 = recallAt(10)
+      // the baseline's sweep finding (benchs/README.md:30-40): recall
+      // plateaus as nprobe grows — emitted so probe-depth regressions are
+      // visible round over round
+      val sweep = Seq(4, 16, 56).map(np => np -> recallAt(10, np))
+      // QPS in the baseline harness's sense (completed searches / elapsed,
+      // tools/perf.cc:235-240) for the probed index vs exact FLAT over the
+      // same 50-query batch — the indexed:exact throughput ratio is the
+      // machine-independent number
+      def qpsOf(f: => Unit): Double = {
+        f // warm
+        val t0 = System.nanoTime(); f
+        queries.size.toDouble / ((System.nanoTime() - t0) / 1e9)
+      }
+      val qpsIdx = qpsOf {
+        idx.search(queries, 10, Some(56)).select(col("qid"), col("id")).collect()
+      }
+      val qpsFlat = qpsOf {
+        val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+        graft.operators.Knn.flatSearch(emb, "vec_id", "embedding",
+          q, "qid", "qvec", 10, graft.core.Metric.L2)
+          .select(col("qid"), col("id")).collect()
+      }
       // the gate VERDICT rides in the JSON: within 2pp of the published
       // SIFT1M rows on the (harder, near-uniform) proxy embeddings
       val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02
       System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f ok=$ok " +
+        f"qps(ivfpq)=$qpsIdx%.1f qps(flat)=$qpsFlat%.1f " +
         "(proxy knobs ncentroids=64 nprobe=56 m=32)")
+      val sweepJson = sweep.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
       s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
         s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
-        s""""config":"IVFPQ ncentroids=64 nprobe=56 nsubvector=32 recall_num=100 vs FLAT ground truth, 50 queries, near-uniform proxy embeddings; ok = within 0.02 of baseline rows"}"""
+        s""""sweep_recall_at_10_by_nprobe":$sweepJson,""" +
+        s""""config":"IVFPQ ncentroids=64 nprobe=56 nsubvector=32 recall_num=100 vs FLAT ground truth, 50 queries, near-uniform proxy embeddings; ok = within 0.02 of baseline rows"},""" +
+        s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
     } catch {
       case e: Throwable =>
         // a crashed gate must be VISIBLE in the emitted line (recall_ok

@@ -48,49 +48,6 @@ class IvfPqIndex(
   // lut.length/m stride stays valid (padded slots are never referenced)
   private val ksub = codebooks.map(_.length).max
 
-  /** Query LUT for one probed centroid, flattened m x ksub
-    * (reference sim_table precompute, gamma_index_ivfpq.h:561-601):
-    *  - L2: squared sub-distance of the query residual to each codebook
-    *    entry, so Σ_j lut[code_j] = ||q - (centroid + code)||² (ascending);
-    *  - InnerProduct: dot(q_j, cb_j[c]) + dot(q, centroid)/m, so the sum
-    *    telescopes to dot(q, centroid + code) ≈ IP(q, x) (descending).
-    */
-  private def lut(q: Array[Float], centroid: Array[Double]): Array[Double] = {
-    val dsub = centroid.length / m
-    val ip = params.metric == Metric.InnerProduct
-    val qDotCentroidShare = if (ip) {
-      var s = 0.0; var i = 0
-      val n = math.min(q.length, centroid.length)
-      while (i < n) { s += q(i) * centroid(i); i += 1 }
-      s / m
-    } else 0.0
-    val out = new Array[Double](m * ksub)
-    var j = 0
-    while (j < m) {
-      val base = j * dsub
-      var c = 0
-      val kj = codebooks(j).length
-      while (c < kj) {
-        val cb = codebooks(j)(c)
-        var s = 0.0; var i = 0
-        if (ip) {
-          while (i < dsub) { s += q(base + i) * cb(i); i += 1 }
-          s += qDotCentroidShare
-        } else {
-          while (i < dsub) {
-            val r = q(base + i) - centroid(base + i) // query residual component
-            val t = r - cb(i)
-            s += t * t; i += 1
-          }
-        }
-        out(j * ksub + c) = s
-        c += 1
-      }
-      j += 1
-    }
-    out
-  }
-
   override def search(
       queries: Seq[(Long, Array[Float])],
       k: Int,
@@ -104,12 +61,11 @@ class IvfPqIndex(
     // probes + ADC happen in the (possibly OPQ-rotated) code space; the
     // exact re-rank below stays in the original space, so rotation never
     // touches final scores
-    val luts = queries.flatMap { case (qid, qv0) =>
+    val qProbes = queries.map { case (qid, qv0) =>
       val qv = rotation.map(Opq.rotate(_, qv0)).getOrElse(qv0)
-      Ivf.probes(centers, qv, np, params.metric)
-        .map(c => (qid, c, lut(qv, centers(c)).toSeq))
-    }.toDF("qid", "centroid_id", "lut")
-    val probed = luts.select("centroid_id").distinct().as[Int].collect()
+      (qid, qv, Ivf.probes(centers, qv, np, params.metric).toArray)
+    }
+    val probed = qProbes.flatMap(_._3).distinct.sorted
 
     val lists = codes.filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
     // broadcast decision is the caller's (selectivity-aware) hint, not ours
@@ -117,9 +73,53 @@ class IvfPqIndex(
       case Some(ids) => lists.join(ids.toDF(idCol), Seq(idCol), "left_semi")
       case None      => lists
     }
-    val adc = filtered
-      .join(broadcast(luts), Seq("centroid_id"))
-      .select(col("qid"), col(idCol).as("id"), pq_adc(col("pq_codes"), col("lut")).as("score"))
+    // scan-side ADC: broadcast only (queries-by-centroid + quantizers) and
+    // build each (query, centroid) LUT lazily WHERE THE CODES LIVE — the
+    // reference's per-query sim_table precompute inside the scan
+    // (gamma_index_ivfpq.h:561-601). Materializing LUT ROWS driver-side and
+    // broadcasting them into a join (the previous shape) is ~m*ksub*8 B per
+    // (query, probe) — ~180 MB for a 50-query batch at nprobe=56 — so the
+    // DRIVER became the bottleneck as req_num grew. The within-partition
+    // sort by centroid bounds the LUT cache to ONE centroid's queries
+    // (persisted lists arrive centroid-partitioned already, so the sort is
+    // ~free there).
+    val byCentroid: Map[Int, Array[(Long, Array[Float])]] = qProbes
+      .flatMap { case (qid, qv, ps) => ps.map(c => (c, (qid, qv))) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+    val bcQ = spark.sparkContext.broadcast(byCentroid)
+    val bcQuant = spark.sparkContext.broadcast((centers, codebooks))
+    val mL = m; val ksubL = ksub
+    val ip = params.metric == Metric.InnerProduct
+    val in = filtered.select(col("centroid_id"), col(idCol), col("pq_codes"))
+      .sortWithinPartitions(col("centroid_id"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      in.schema(idCol).copy(name = "id"),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val adc = in.mapPartitions { rows =>
+      val (cs, cbs) = bcQuant.value
+      var curCid = Integer.MIN_VALUE
+      val luts = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+      rows.flatMap { r =>
+        val cid = r.getInt(0)
+        if (cid != curCid) { luts.clear(); curCid = cid }
+        val qs = bcQ.value.getOrElse(cid, null)
+        if (qs == null) Iterator.empty
+        else {
+          val codeArr = r.getSeq[Int](2)
+          val id = r.get(1)
+          qs.iterator.map { case (qid, qv) =>
+            val lut = luts.getOrElseUpdate(qid,
+              IvfPqIndex.lutFor(qv, cs(cid), cbs, ksubL, ip))
+            var j = 0; var s = 0.0
+            while (j < mL) { s += lut(j * ksubL + codeArr(j)); j += 1 }
+            org.apache.spark.sql.Row(qid, id, s)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
 
     if (!params.hasRank) {
       // the ADC value IS the returned score — the range predicate applies
@@ -294,6 +294,52 @@ object IvfPqIndex {
       Nil, params.metric).localCheckpoint(true)
     new IvfPqIndex(spark, codesDf, docs.select(col(idCol), col(vecCol)),
       idCol, vecCol, centers, codebooks, params, rotation)
+  }
+
+  /** Query LUT for one probed centroid, flattened m x ksub
+    * (reference sim_table precompute, gamma_index_ivfpq.h:561-601):
+    *  - L2: squared sub-distance of the query residual to each codebook
+    *    entry, so Σ_j lut[code_j] = ||q - (centroid + code)||² (ascending);
+    *  - InnerProduct: dot(q_j, cb_j[c]) + dot(q, centroid)/m, so the sum
+    *    telescopes to dot(q, centroid + code) ≈ IP(q, x) (descending).
+    * Static (executor-callable): the search kernel builds these scan-side.
+    */
+  private[index] def lutFor(
+      q: Array[Float], centroid: Array[Double],
+      codebooks: Array[Array[Array[Double]]], ksub: Int, ip: Boolean): Array[Double] = {
+    val m = codebooks.length
+    val dsub = centroid.length / m
+    val qDotCentroidShare = if (ip) {
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, centroid.length)
+      while (i < n) { s += q(i) * centroid(i); i += 1 }
+      s / m
+    } else 0.0
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var c = 0
+      val kj = codebooks(j).length
+      while (c < kj) {
+        val cb = codebooks(j)(c)
+        var s = 0.0; var i = 0
+        if (ip) {
+          while (i < dsub) { s += q(base + i) * cb(i); i += 1 }
+          s += qDotCentroidShare
+        } else {
+          while (i < dsub) {
+            val r = q(base + i) - centroid(base + i) // query residual component
+            val t = r - cb(i)
+            s += t * t; i += 1
+          }
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
   }
 
   /** Single-pass encode of (id, vec, keep...) rows into
