@@ -76,8 +76,9 @@ object Bench {
           .select(col("qid"), col("id")).as[(Long, Long)].collect()
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       }
-      def recallAt(k: Int, nprobe: Int = 56): Double = {
-        val t = truth(k)
+      // ground truth computed ONCE per k; every recall point reuses it
+      val t1 = truth(1); val t10 = truth(10)
+      def recallAt(k: Int, nprobe: Int, t: Map[Long, Set[Long]]): Double = {
         val got = idx.search(queries, k, Some(nprobe))
           .select(col("qid"), col("id")).as[(Long, Long)].collect()
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -86,11 +87,11 @@ object Bench {
         }
         per.sum / per.size
       }
-      val r1 = recallAt(1); val r10 = recallAt(10)
+      val r1 = recallAt(1, 56, t1); val r10 = recallAt(10, 56, t10)
       // the baseline's sweep finding (benchs/README.md:30-40): recall
       // plateaus as nprobe grows — emitted so probe-depth regressions are
-      // visible round over round
-      val sweep = Seq(4, 16, 56).map(np => np -> recallAt(10, np))
+      // visible round over round (56 reuses the headline measurement)
+      val sweep = Seq(4, 16).map(np => np -> recallAt(10, np, t10)) :+ (56 -> r10)
       // QPS in the baseline harness's sense (completed searches / elapsed,
       // tools/perf.cc:235-240) for the probed index vs exact FLAT over the
       // same 50-query batch — the indexed:exact throughput ratio is the
@@ -126,7 +127,9 @@ object Bench {
         // a crashed gate must be VISIBLE in the emitted line (recall_ok
         // false + the error), not a silently missing key
         System.err.println(s"[bench] recall gate FAILED: ${e.getMessage}")
-        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        // strip the WHOLE control class + quote/backslash: any U+0000-001F
+        // raw inside a quoted JSON string makes the line unparseable
+        val msg = String.valueOf(e.getMessage).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
         s""","recall":{"recall_ok":false,"error":"$msg"}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallJson}""")

@@ -48,5 +48,6 @@ package object functions {
     reg.createOrReplaceTempFunction("inner_product_vec", es => InnerProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming", es => HammingDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc", es => PqAdcDistance(es.head, es(1)), "scala_udf")
   }
 }

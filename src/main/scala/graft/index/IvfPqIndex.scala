@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.functions.pq_adc
 import graft.operators.{Knn, TopK}
 
 /** IVFPQ (reference V2, index/impl/gamma_index_ivfpq.cc): coarse quantize,
@@ -44,8 +43,9 @@ class IvfPqIndex(
 
   private val m = codebooks.length
   // k-means may return fewer than 2^nbits distinct centers per subspace;
-  // the LUT layout pads every subspace to the max so pq_adc's uniform
-  // lut.length/m stride stays valid (padded slots are never referenced)
+  // the LUT layout pads every subspace to the max so the scan kernel's
+  // uniform j*ksub stride (and the pq_adc SQL function's lut.length/m
+  // stride) stays valid — padded slots are never referenced
   private val ksub = codebooks.map(_.length).max
 
   override def search(

@@ -168,20 +168,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       resolvedOrder: Expression,
       child: LogicalPlan): Option[LogicalPlan] = {
     // re-anchor the peeled filter's attributes onto the registered doc
-    // table by name; ONE stat pass (total, survivors) decides the tier
+    // table by name. The filtered scan runs ONCE (localCheckpoint) and
+    // serves the count, the pushdown set, and the hnsw post-join — the
+    // same one-materialization shape as GammaTable.search; the total is a
+    // separate column-pruned count (footer-cheap on parquet).
     val stats = filterCond.map { cond =>
       val unresolved = cond.transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
       }
       val c = org.apache.spark.sql.graft.Bridge.column(unresolved)
-      val row = ri.docs.agg(
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.when(c, 1L).otherwise(0L))).head
-      val total = row.getLong(0)
-      val aCnt = if (row.isNullAt(1)) 0L else row.getLong(1)
-      (ri.docs.filter(c).select(col(ri.idCol)), total, aCnt)
+      val flt = ri.docs.filter(c).select(col(ri.idCol)).localCheckpoint(true)
+      (flt, ri.docs.count(), flt.count())
     }
     val exactThreshold = conf.getConfString("spark.graft.filter.exactFallbackRows",
       math.max(16L * k, 65536L).toString).toLong

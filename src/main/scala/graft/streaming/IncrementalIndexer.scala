@@ -73,7 +73,10 @@ class IncrementalIndexer(
     * colliding (the reference keys its index dirs by retrieval type too,
     * vector/vector_manager.cc:161-195).
     */
-  private[streaming] val dirName = {
+  // var, not val: load() pins it to the directory it actually FOUND, so
+  // tables persisted under an older layout (e.g. a non-default model at
+  // the bare field dir) stay loadable after naming-scheme changes
+  private[streaming] var dirName = {
     val declared = table.meta.vectorFields.find(_.name == vecCol)
       .map(_.retrievalType.toUpperCase)
     // an UNDECLARED field's bare dir belongs to the indexer-default model
@@ -82,7 +85,7 @@ class IncrementalIndexer(
     if (declared.getOrElse("IVFFLAT") == retrievalType.toUpperCase) vecCol
     else s"$vecCol@${retrievalType.toUpperCase}"
   }
-  private val indexRoot = s"${table.root}/index/$dirName"
+  private def indexRoot = s"${table.root}/index/$dirName"
 
   @volatile private var index: Option[AnnIndex] = None
   @volatile private var builtVersion: Long = -1L
@@ -283,13 +286,16 @@ class IncrementalIndexer(
     * compaction IS a rebuild.
     */
   private def refreshHnsw(h: HnswIndex): Unit = {
-    // everything the graphs serve WRONG or not at all counts toward the
-    // rebuild trigger: fresh/updated rows (served by the exact tail),
-    // tombstoned rows, and the standing excluded set (already-purged keys)
-    // — without the latter two a delete-heavy workload would never rebuild
-    // and the exclusion set would grow without bound
+    // rebuild trigger: fresh/updated rows (served by the exact tail) plus
+    // the STANDING excluded set (purged keys whose graph entries remain).
+    // Tombstone rows themselves are deliberately NOT counted: a delete does
+    // not bump _version, so a tombstone cannot reveal whether it pre-dates
+    // the build (already absent from the graphs) — counting them fired
+    // spurious O(table) rebuilds on tables carrying old uncompacted
+    // tombstones. Deletes enter the trigger when compaction purges them
+    // into the excluded set, which bounds that set's growth.
     val staleCnt = table.docsChangedSince(builtVersion)
-      .filter(col(DeletedCol) || col(VersionCol) > builtVersion).count()
+      .filter(!col(DeletedCol) && col(VersionCol) > builtVersion).count()
     val exclCnt = h.excluded.map(_.count()).getOrElse(0L)
     val total = math.max(table.docs.count(), 1L)
     if ((staleCnt + exclCnt) * 5L >= total) rebuildHnsw()
@@ -589,6 +595,8 @@ object IncrementalIndexer {
       st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed)
     val rt = Option(st.retrievalType).getOrElse("IVFFLAT") // pre-r2 metas lack it
     val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true, rt)
+    // serve from the dir we FOUND, whatever naming scheme wrote it
+    ix.dirName = dirName
     ix.listsVersion = st.listsVersion
     ix.builtVersion = st.builtVersion
     ix.cleanedVersion = st.cleanedVersion

@@ -139,8 +139,12 @@ object StreamDedup {
       }
       .toDF("a", "b")
     // exact verification: stateless stream-static equi-joins against the
-    // corpus' hashed shingle sets, then the batch verify kernel
+    // corpus' hashed shingle sets, then the batch verify kernel.
+    // localCheckpoint: streaming re-executes the static subtree EVERY
+    // microbatch — unmaterialized, that is a full-corpus re-shingling pass
+    // per trigger; materialized once, each trigger joins against blocks
     val toks = graft.dedup.Dedup.withShingles(staticDocs, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val pairs = candidates
       .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
       .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))

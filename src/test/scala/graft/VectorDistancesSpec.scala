@@ -48,6 +48,20 @@ class VectorDistancesSpec extends GraftSuite {
     assert(r === 50.0)
   }
 
+  test("pq_adc sums per-subspace LUT lookups and agrees with the scan kernel's stride") {
+    // m=2 subspaces, ksub=4: distance = lut[0*4+c0] + lut[1*4+c1]
+    val lut = Array(0.0, 1.0, 2.0, 3.0, 10.0, 20.0, 30.0, 40.0)
+    val v = Seq((Array(2, 1), lut)).toDF("codes", "lut")
+      .select(graft.functions.pq_adc(col("codes"), col("lut")).as("v"))
+      .head().getDouble(0)
+    assert(v === 2.0 + 20.0)
+    // the registered SQL surface computes the same
+    graft.functions.registerAll(spark)
+    Seq((Array(3, 0), lut)).toDF("codes", "lut").createOrReplaceTempView("adc_tmp")
+    val r = spark.sql("SELECT pq_adc(codes, lut) AS v FROM adc_tmp").head().getDouble(0)
+    assert(r === 3.0 + 10.0)
+  }
+
   test("null input yields null") {
     val df = Seq((Option(a), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(l2_sq(col("a"), col("b"))).head().isNullAt(0))
