@@ -35,14 +35,25 @@ class BinaryIvfIndex(
     val idCol: String,
     val codeCol: String,
     val centroids: Array[Array[Byte]],
-    val params: IndexParams) extends AnnIndex {
+    val params: IndexParams,
+    // per-list row counts (index position = centroid_id), a build-time
+    // upper bound feeding adaptive probe widening; None = fixed nprobe
+    val listSizes: Option[Array[Long]] = None) extends AnnIndex {
 
   def retrievalType: String = "BINARYIVF"
 
-  private def probes(q: Array[Byte], nprobe: Int): Seq[Int] =
-    centroids.zipWithIndex
+  /** Same index, fresher per-list stats. */
+  def withListSizes(s: Option[Array[Long]]): BinaryIvfIndex =
+    new BinaryIvfIndex(spark, data, idCol, codeCol, centroids, params, s)
+
+  private def probes(q: Array[Byte], nprobe: Int, k: Int): Seq[Int] = {
+    val ranked = centroids.zipWithIndex
       .map { case (c, i) => (BinaryIvfIndex.hammingOf(c, q), i) }
-      .sorted.take(nprobe).map(_._2).toSeq
+      .sorted.map(_._2).toIndexedSeq
+    val sizes = if (Ivf.adaptiveEnabled(spark)) listSizes else None
+    Ivf.extendByTarget(ranked, sizes, nprobe,
+      Ivf.probeTarget(k, params.recallNum, nprobe, params.nprobe))
+  }
 
   /** AnnIndex surface: float queries are byte values in disguise. */
   def search(
@@ -69,7 +80,7 @@ class BinaryIvfIndex(
     import spark.implicits._
     val np = math.min(nprobe.getOrElse(params.nprobe), centroids.length)
     val probeDf = queries.flatMap { case (qid, q) =>
-      probes(q, np).map(c => (qid, q, c))
+      probes(q, np, k).map(c => (qid, q, c))
     }.toDF("qid", "qcode", "centroid_id")
     val probed = probeDf.select("centroid_id").distinct().as[Int].collect()
     val lists = data.filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
@@ -89,7 +100,7 @@ class BinaryIvfIndex(
   override def excluding(ids: DataFrame): AnnIndex =
     new BinaryIvfIndex(spark,
       data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
-      idCol, codeCol, centroids, params)
+      idCol, codeCol, centroids, params, listSizes)
 }
 
 object BinaryIvfIndex {

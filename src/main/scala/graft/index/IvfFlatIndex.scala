@@ -177,10 +177,70 @@ object Ivf {
       centers: Array[Array[Double]],
       q: Array[Float],
       nprobe: Int,
-      metric: graft.core.Metric.Value = graft.core.Metric.L2): Seq[Int] = {
+      metric: graft.core.Metric.Value = graft.core.Metric.L2): Seq[Int] =
+    rankedCentroids(centers, q, metric).take(nprobe).toSeq
+
+  /** ALL centroids ranked nearest-first under the quantizer metric
+    * (strict-(dist, id) tie break, same as [[probes]]).
+    */
+  def rankedCentroids(
+      centers: Array[Array[Double]],
+      q: Array[Float],
+      metric: graft.core.Metric.Value = graft.core.Metric.L2): IndexedSeq[Int] = {
     val d = centers.map(quantizerDist(metric, _, q))
-    d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }.take(nprobe).map(_._2).toSeq
+    d.zipWithIndex.sortBy { case (dist, i) => (dist, i) }.map(_._2).toIndexedSeq
   }
+
+  /** Adaptive probe widening: probe AT LEAST `nprobe` nearest lists, then
+    * keep probing nearest-first until the probed lists together hold
+    * `targetRows` candidate rows (per-list sizes from the index's own
+    * stats). A fixed nprobe over SKEWED lists can scan almost nothing —
+    * the nearest lists may be nearly empty — and silently starve the
+    * candidate heap; the reference instead keeps scanning until it has
+    * collected `recall_num` candidates (the `nscan`/`recall_num` loop in
+    * gamma_index_ivfpq.h:633-690), which this re-expresses as a probe-time
+    * decision so the Spark scan still prunes partitions up front.
+    *
+    * `sizes = None` or `targetRows <= 0` is exactly the fixed-nprobe
+    * behavior. Sizes may be a stale upper bound (deletes/exclusions only
+    * shrink lists): the widening then under-probes toward the floor, never
+    * below it — recall degrades toward the fixed-nprobe baseline, not
+    * below it.
+    */
+  def extendByTarget(
+      ranked: IndexedSeq[Int],
+      sizes: Option[Array[Long]],
+      nprobe: Int,
+      targetRows: Long): Seq[Int] = sizes match {
+    case Some(sz) if targetRows > 0L =>
+      val out = Seq.newBuilder[Int]
+      var cum = 0L
+      var i = 0
+      while (i < ranked.length && (i < nprobe || cum < targetRows)) {
+        val c = ranked(i)
+        out += c
+        cum += (if (c >= 0 && c < sz.length) sz(c) else 0L)
+        i += 1
+      }
+      out.result()
+    case _ => ranked.take(nprobe).toSeq
+  }
+
+  /** Probe-volume target for one query: `max(k, recallNum)` scaled by the
+    * caller's nprobe widening (a filtered search widens the floor by
+    * inverse selectivity; the row target must widen with it, since only
+    * ~selectivity of each probed list survives the filter).
+    */
+  def probeTarget(k: Int, recallNum: Int, effNprobe: Int, baseNprobe: Int): Long = {
+    val widen = math.max(1L, effNprobe.toLong / math.max(baseNprobe, 1).toLong)
+    math.max(k.toLong, recallNum.toLong) * widen
+  }
+
+  /** Whether adaptive probe widening is on (default: yes — it only ever
+    * probes MORE than the fixed floor, bounded by ncentroids).
+    */
+  def adaptiveEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.ivf.adaptiveProbe").forall(_.toBoolean)
 }
 
 /** IVFFLAT (reference V3, index/impl/gamma_index_ivfflat.cc): coarse
@@ -192,9 +252,18 @@ class IvfFlatIndex(
     val idCol: String,
     val vecCol: String,
     val centers: Array[Array[Double]],
-    val params: IndexParams) extends AnnIndex {
+    val params: IndexParams,
+    // per-list row counts (index position = centroid_id), a build-time
+    // upper bound feeding adaptive probe widening; None = fixed nprobe
+    val listSizes: Option[Array[Long]] = None) extends AnnIndex {
 
   override def retrievalType: String = "IVFFLAT"
+
+  /** Same index, fresher per-list stats (the incremental indexer caches
+    * them per lists version).
+    */
+  def withListSizes(s: Option[Array[Long]]): IvfFlatIndex =
+    new IvfFlatIndex(spark, data, idCol, vecCol, centers, params, s)
 
   override def search(
       queries: Seq[(Long, Array[Float])],
@@ -205,9 +274,12 @@ class IvfFlatIndex(
       maxScore: Option[Double]): DataFrame = {
     import spark.implicits._
     val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
+    val sizes = if (Ivf.adaptiveEnabled(spark)) listSizes else None
+    val target = Ivf.probeTarget(k, params.recallNum, np, params.nprobe)
     // (qid, qvec, centroid_id) probe tuples — small, broadcast
     val probeRows = queries.flatMap { case (qid, qv) =>
-      Ivf.probes(centers, qv, np, params.metric).map(c => (qid, qv.toSeq, c))
+      Ivf.extendByTarget(Ivf.rankedCentroids(centers, qv, params.metric), sizes, np, target)
+        .map(c => (qid, qv.toSeq, c))
     }
     val probeDf = probeRows.toDF("qid", "qvec", "centroid_id")
     val probedCentroids = probeRows.map(_._3).distinct
@@ -226,10 +298,12 @@ class IvfFlatIndex(
     TopK.perGroup(ranged, "qid", "score", Metric.ascending(params.metric), k, Seq("id"))
   }
 
+  // listSizes survives as an upper bound: exclusion only shrinks lists,
+  // and adaptive widening treats sizes as conservative (doc on extendByTarget)
   override def excluding(ids: DataFrame): AnnIndex =
     new IvfFlatIndex(spark,
       data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
-      idCol, vecCol, centers, params)
+      idCol, vecCol, centers, params, listSizes)
 
   /** Persist inverted lists partitioned by centroid_id so probe filters
     * prune files (T4).

@@ -29,9 +29,17 @@ class IvfPqIndex(
     val centers: Array[Array[Double]], // in rotated space when OPQ is on
     val codebooks: Array[Array[Array[Double]]], // [m][ksub][dsub]
     val params: IndexParams,
-    val rotation: Option[Array[Array[Double]]] = None) extends AnnIndex {
+    val rotation: Option[Array[Array[Double]]] = None,
+    // per-list code counts (index position = centroid_id), a build-time
+    // upper bound feeding adaptive probe widening; None = fixed nprobe
+    val listSizes: Option[Array[Long]] = None) extends AnnIndex {
 
   override def retrievalType: String = "IVFPQ"
+
+  /** Same index, fresher per-list stats. */
+  def withListSizes(s: Option[Array[Long]]): IvfPqIndex =
+    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks,
+      params, rotation, s)
 
   // The ADC LUT is exact for L2 and InnerProduct; the reference's kernels
   // implement exactly those two (index/retrieval_model.h:20 declares Cosine
@@ -58,12 +66,16 @@ class IvfPqIndex(
     import spark.implicits._
     val asc = Metric.ascending(params.metric)
     val np = math.min(nprobe.getOrElse(params.nprobe), centers.length)
+    val sizes = if (Ivf.adaptiveEnabled(spark)) listSizes else None
+    val target = Ivf.probeTarget(k, params.recallNum, np, params.nprobe)
     // probes + ADC happen in the (possibly OPQ-rotated) code space; the
     // exact re-rank below stays in the original space, so rotation never
     // touches final scores
     val qProbes = queries.map { case (qid, qv0) =>
       val qv = rotation.map(Opq.rotate(_, qv0)).getOrElse(qv0)
-      (qid, qv, Ivf.probes(centers, qv, np, params.metric).toArray)
+      (qid, qv,
+        Ivf.extendByTarget(
+          Ivf.rankedCentroids(centers, qv, params.metric), sizes, np, target).toArray)
     }
     val probed = qProbes.flatMap(_._3).distinct.sorted
 
@@ -162,7 +174,7 @@ class IvfPqIndex(
   override def excluding(ids: DataFrame): AnnIndex =
     new IvfPqIndex(spark,
       codes.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
-      rawDocs, idCol, vecCol, centers, codebooks, params, rotation)
+      rawDocs, idCol, vecCol, centers, codebooks, params, rotation, listSizes)
 
   def save(path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")

@@ -131,6 +131,41 @@ class IncrementalIndexer(
     case other => throw new IllegalStateException(s"unsupported ${other.retrievalType}")
   }
 
+  // per-list row counts for adaptive probe widening, cached per
+  // (listsVersion, builtVersion): ONE column-pruned count job when the
+  // lists change, reused by every subsequent search (recomputing per
+  // request would add a job to the hot path for a stat that only moves
+  // on refresh/compaction)
+  @volatile private var sizesCache: (Long, Long, Option[Array[Long]]) = (-2L, -2L, None)
+
+  private def cachedListSizes(lists: DataFrame, ncent: Int): Option[Array[Long]] = {
+    if (!Ivf.adaptiveEnabled(spark) || ncent <= 0) return None
+    val cur = sizesCache
+    if (cur._1 == listsVersion && cur._2 == builtVersion) cur._3
+    else {
+      val arr = new Array[Long](ncent)
+      // cast: the centroid_id of persisted lists is a parquet PARTITION
+      // column, whose inferred type need not match the written IntegerType
+      lists.groupBy(col("centroid_id").cast("int").as("centroid_id")).count()
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          if (c >= 0 && c < ncent) arr(c) = r.getLong(1)
+        }
+      sizesCache = (listsVersion, builtVersion, Some(arr))
+      Some(arr)
+    }
+  }
+
+  /** Attach the cached per-list stats to an IVF-family instance (graph
+    * models have no lists; FLAT probes nothing).
+    */
+  private def withListStats(idx: AnnIndex): AnnIndex = idx match {
+    case f: IvfFlatIndex   => f.withListSizes(cachedListSizes(f.data, f.centers.length))
+    case p: IvfPqIndex     => p.withListSizes(cachedListSizes(p.codes, p.centers.length))
+    case b: BinaryIvfIndex => b.withListSizes(cachedListSizes(b.data, b.centroids.length))
+    case other => other
+  }
+
   private def fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def listsPath = s"$indexRoot/lists/v$listsVersion"
   private def replacedPath = s"$indexRoot/replaced/v$listsVersion"
@@ -444,11 +479,19 @@ class IncrementalIndexer(
       case None      => -1L
     }
     // an EXPLICIT conf is an absolute override (0 disables the exact
-    // fallback — e.g. to force the index path under test); the default
-    // scales with k and floors at 64k rows, far below any index's
-    // break-even against one exact pass over the survivors
+    // fallback — e.g. to force the index path under test); the default is
+    // COST-BASED on the index's own stats: a probe reads ~total ·
+    // effNprobe/ncentroids list rows (discounted for compressed codes), so
+    // whenever the allowed set is no bigger than that, ONE exact pass over
+    // the survivors is both cheaper than probing and exact by
+    // construction. A static floor (16·k, 64k rows) covers the no-index /
+    // graph-model cases where the volume model does not apply.
     val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
-      .map(_.toLong).getOrElse(math.max(16L * k, 65536L))
+      .map(_.toLong).getOrElse {
+        val probeCost = index.map(IncrementalIndexer.probeCostRows(
+          _, math.max(table.meta.maxDocid, 1L), aCount, nprobe)).getOrElse(0L)
+        math.max(math.max(16L * k, 65536L), probeCost)
+      }
     val broadcastMax = spark.conf.getOption("spark.graft.filter.broadcastMaxKeys")
       .map(_.toLong).getOrElse(1000000L)
     val allowedHinted = allowedIds.map { ids =>
@@ -484,7 +527,7 @@ class IncrementalIndexer(
         // excluded set (graph segments are opaque — exclusion happens at
         // result admission). rebuilt() first so the IVFPQ re-rank source
         // re-binds the CURRENT doc table.
-        val cleanIdx = rebuilt(idx, listsOf(idx)).excluding(invalid)
+        val cleanIdx = withListStats(rebuilt(idx, listsOf(idx))).excluding(invalid)
         // inverse-selectivity widening: with an allowed fraction of s, a
         // probed list holds ~s of its usual share of allowed docs, so the
         // probe budget grows by ~1/s to keep ~k allowed candidates in
@@ -537,6 +580,31 @@ object IncrementalIndexer {
     * `_version` of the doc state it encodes.
     */
   val IxvCol = "_ixv"
+
+  /** Estimated cost of a FILTERED probe through `idx`, in exact-scan row
+    * equivalents — the cost-based side of the exact-fallback decision. A
+    * probe scans ~total · effNprobe/ncentroids list rows, where effNprobe
+    * carries the inverse-selectivity widening the filtered path applies;
+    * compressed-code models (IVFPQ/BINARYIVF) read ~4x cheaper rows than
+    * the raw-vector exact scan. 0 = no model (graph/FLAT: the static
+    * floor decides alone).
+    */
+  private[graft] def probeCostRows(
+      idx: AnnIndex, total: Long, aCount: Long, nprobe: Option[Int]): Long = {
+    if (aCount <= 0L) return 0L
+    val (ncent, compressed) = idx match {
+      case f: IvfFlatIndex   => (f.centers.length, false)
+      case p: IvfPqIndex     => (p.centers.length, true)
+      case b: BinaryIvfIndex => (b.centroids.length, true)
+      case _                 => (0, false)
+    }
+    if (ncent <= 0) return 0L
+    val base = math.max(1L, nprobe.getOrElse(idx.params.nprobe).toLong)
+    val factor = math.max(1L, (total + aCount - 1L) / aCount)
+    val eff = math.min(base * factor, ncent.toLong)
+    val rows = total / ncent * eff + (total % ncent) * eff / ncent // overflow-safe total*eff/ncent
+    if (compressed) rows / 4 else rows
+  }
 
   /** Persisted index manifest (the reference dumps per-model meta next to
     * its lists, gamma_engine.cc:1101-1146).

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.index.{IndexParams, Ivf, IvfFlatIndex, IvfPqIndex}
+import graft.operators.Knn
+import graft.streaming.IncrementalIndexer
+import graft.table.GammaTable
+
+/** Adaptive probe widening (the reference scans lists until `recall_num`
+  * candidates are collected, gamma_index_ivfpq.h:633-690 — re-expressed as
+  * a probe-time decision over per-list size stats) and the cost-based
+  * exact-fallback bound.
+  */
+class AdaptiveProbeSpec extends GraftSuite {
+  import spark.implicits._
+
+  // --- extendByTarget (pure) ---
+
+  private val ranked = IndexedSeq(2, 0, 3, 1) // nearest-first centroid ids
+
+  test("extendByTarget without sizes or target is fixed nprobe") {
+    assert(Ivf.extendByTarget(ranked, None, 2, 100L) === Seq(2, 0))
+    assert(Ivf.extendByTarget(ranked, Some(Array(5L, 5L, 5L, 5L)), 2, 0L) === Seq(2, 0))
+  }
+
+  test("extendByTarget widens nearest-first until the row target is covered") {
+    // list sizes by centroid id: 2->1, 0->1, 3->50, 1->100
+    val sizes = Array(1L, 100L, 1L, 50L)
+    // nprobe floor 1, target 5: cum after [2]=1, [2,0]=2, [2,0,3]=52 >= 5
+    assert(Ivf.extendByTarget(ranked, Some(sizes), 1, 5L) === Seq(2, 0, 3))
+    // the floor always probes, even when the first list already covers it
+    assert(Ivf.extendByTarget(ranked, Some(sizes), 3, 1L) === Seq(2, 0, 3))
+    // an unreachable target probes everything and stops
+    assert(Ivf.extendByTarget(ranked, Some(sizes), 1, 1000L) === Seq(2, 0, 3, 1))
+  }
+
+  test("probeTarget scales with the caller's nprobe widening") {
+    assert(Ivf.probeTarget(k = 10, recallNum = 100, effNprobe = 80, baseNprobe = 80) === 100L)
+    assert(Ivf.probeTarget(k = 200, recallNum = 100, effNprobe = 80, baseNprobe = 80) === 200L)
+    // filtered path widened nprobe 4x -> row target widens 4x too
+    assert(Ivf.probeTarget(k = 10, recallNum = 100, effNprobe = 320, baseNprobe = 80) === 400L)
+  }
+
+  // --- end-to-end over skewed lists ---
+
+  /** Two well-separated clusters: a TINY one around the query and a large
+    * far one, so a fixed nprobe=1 starves the heap on the tiny list.
+    */
+  private def skewed(): (Seq[(Long, Seq[Float])], Seq[(Long, Array[Float])]) = {
+    val tiny = (0 until 2).map(i => (i.toLong, Seq(0.0f + i * 0.01f, 0.0f)))
+    val big = (0 until 40).map(i => (100L + i, Seq(10.0f + i * 0.01f, 10.0f)))
+    val queries = Seq((0L, Array(0.0f, 0.0f)))
+    (tiny ++ big, queries)
+  }
+
+  test("adaptive probes recover k results where fixed nprobe starves") {
+    val (rows, queries) = skewed()
+    val docs = rows.toDF("vec_id", "embedding")
+    val idx = IvfFlatIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 2, nprobe = 1, recallNum = 5, trainSampleRows = 1000))
+    val sizes = {
+      val arr = new Array[Long](2)
+      idx.data.groupBy("centroid_id").count().as[(Int, Long)].collect()
+        .foreach { case (c, n) => arr(c) = n }
+      arr
+    }
+    // without stats: the single nearest (tiny) list yields only 2 rows
+    assert(idx.search(queries, k = 5, nprobe = Some(1)).count() === 2L)
+    // with stats: widened to the far list until >= max(k, recallNum) rows
+    val adaptive = idx.withListSizes(Some(sizes)).search(queries, k = 5, nprobe = Some(1))
+    assert(adaptive.count() === 5L)
+    // and the widened result IS the exact answer
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = Knn.flatSearch(docs, "vec_id", "embedding", q, "qid", "qvec", 5, Metric.L2)
+    assert(adaptive.select($"id").as[Long].collect().toSet ===
+      exact.select($"id").as[Long].collect().toSet)
+  }
+
+  test("adaptive widening can be disabled by conf") {
+    val (rows, queries) = skewed()
+    val docs = rows.toDF("vec_id", "embedding")
+    val idx = IvfFlatIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 2, nprobe = 1, recallNum = 5, trainSampleRows = 1000))
+      .withListSizes(Some(Array(2L, 40L)))
+    spark.conf.set("spark.graft.ivf.adaptiveProbe", "false")
+    try assert(idx.search(queries, k = 5, nprobe = Some(1)).count() === 2L)
+    finally spark.conf.unset("spark.graft.ivf.adaptiveProbe")
+  }
+
+  test("indexer caches per-list stats and serves adaptive probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-adaptive").toString
+    val (rows, queries) = skewed()
+    val docs = rows.toDF("_id", "vec")
+    val t = GammaTable.create(spark, dir, "adaptive_t", "_id", docs, nBuckets = 2)
+    val ix = new IncrementalIndexer(t, "vec",
+      IndexParams(ncentroids = 2, nprobe = 1, recallNum = 5, trainSampleRows = 1000),
+      indexingSize = 0)
+    ix.refresh()
+    // the indexer attaches cached list sizes -> nprobe=1 still finds the
+    // exact top-5 across both lists
+    val got = ix.search(queries, 5, Some(1)).select($"id").as[Long].collect().toSet
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val exact = Knn.flatSearch(t.docs, "_id", "vec", q, "qid", "qvec", 5, Metric.L2)
+      .select($"id").as[Long].collect().toSet
+    assert(got === exact)
+  }
+
+  // --- cost-based exact-fallback bound ---
+
+  test("probeCostRows estimates the filtered probe volume") {
+    val docs = (0 until 64).map(i => (i.toLong, Seq(i.toFloat, 0.0f))).toDF("vec_id", "embedding")
+    val flat = IvfFlatIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 4, nprobe = 1))
+    // unfiltered (aCount <= 0): the volume model does not apply
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, -1L, None) === 0L)
+    // aCount 500 of 1000 -> factor 2, eff = min(1*2, 4) = 2, rows = 1000*2/4
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 500L, None) === 500L)
+    // explicit nprobe override wins over params
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 500L, Some(2)) === 1000L)
+    // compressed-code models read ~4x cheaper rows
+    val pq = IvfPqIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 4, nprobe = 1, nsubvector = 2, nbits = 4))
+    assert(IncrementalIndexer.probeCostRows(pq, 1000L, 500L, None) === 125L)
+  }
+}
