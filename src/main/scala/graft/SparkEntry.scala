@@ -814,6 +814,25 @@ object SparkEntry {
         md5(col("text")).as("sig"))
     }),
 
+    // S12 — TEXMEX vecs source: export a slice of the embeddings table to
+    // an fvecs file (the reference's benchmark corpus format, fvecs_read
+    // in tests/test.h:274-304), read it back through the splittable
+    // DataSource V2, and surface (row_id, dim, e0) for the exact oracle.
+    // row_id is the record's file position == rank of vec_id in the
+    // exported (vec_id-ordered) slice.
+    "q_vecs_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val slice = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .orderBy("vec_id").select(col("embedding"))
+        .as[Array[Float]].collect()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vecs_roundtrip.fvecs"
+      graft.sources.Vecs.write(s, path, "fvecs", slice.iterator)
+      s.read.format("vecs").load(path).select(
+        col("row_id"),
+        size(col("vec")).cast("long").as("dim"),
+        element_at(col("vec"), 1).cast("double").as("e0"))
+    }),
+
     // T8-at-scale — salted two-stage aggregation for skewed group keys:
     // identical result to the plain GROUP BY (associative aggs), uniform
     // shuffle under hot keys.
@@ -1225,6 +1244,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    "q_vecs_roundtrip" ->
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS e0
+        |FROM embeddings WHERE vec_id < 500""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Vecs
+
+/** The TEXMEX vecs DataSource V2 (S12): record layout, splitting, global
+  * row ids, column pruning, and the three element kinds.
+  */
+class VecsSourceSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-vecs").toString
+
+  private def writeF(path: String, vecs: Seq[Array[Float]]): Unit =
+    Vecs.write(spark, path, "fvecs", vecs.iterator)
+
+  test("fvecs roundtrip with exact values and positional row_id") {
+    val dir = tmp()
+    val vecs = (0 until 100).map(i => Array(i.toFloat, i * 0.5f, -i.toFloat))
+    writeF(s"$dir/base.fvecs", vecs)
+    val df = spark.read.format("vecs").load(s"$dir/base.fvecs")
+    assert(df.schema.fieldNames.toSeq === Seq("row_id", "vec"))
+    val got = df.select($"row_id", $"vec").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    assert(got.length === 100)
+    got.foreach { case (id, v) => assert(v.toSeq === vecs(id.toInt).toSeq) }
+  }
+
+  test("splits are record-aligned and cover every row exactly once") {
+    val dir = tmp()
+    val vecs = (0 until 1000).map(i => Array.fill(8)(i.toFloat))
+    writeF(s"$dir/big.fvecs", vecs)
+    // record = 4 + 8*4 = 36 B; force ~1 MiB floor splits via tiny option
+    val df = spark.read.format("vecs")
+      .option("maxSplitBytes", "1048576").load(s"$dir/big.fvecs")
+    assert(df.count() === 1000L)
+    assert(df.select(sum($"row_id")).as[Long].head() === 1000L * 999 / 2)
+  }
+
+  test("multiple files get consecutive path-ordered row ids") {
+    val dir = tmp()
+    writeF(s"$dir/a.fvecs", Seq(Array(1.0f), Array(2.0f)))
+    writeF(s"$dir/b.fvecs", Seq(Array(3.0f)))
+    val df = spark.read.format("vecs").load(dir)
+    val got = df.select($"row_id", $"vec".getItem(0)).as[(Long, Float)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 1.0f), (1L, 2.0f), (2L, 3.0f)))
+  }
+
+  test("ivecs and bvecs kinds") {
+    val dir = tmp()
+    Vecs.write(spark, s"$dir/gt.ivecs", "ivecs",
+      Seq(Array(5.0f, 7.0f), Array(9.0f, 11.0f)).iterator)
+    val ints = spark.read.format("vecs").load(s"$dir/gt.ivecs")
+      .select($"row_id", $"vec").as[(Long, Array[Int])].collect().sortBy(_._1)
+    assert(ints.map(_._2.toSeq).toSeq === Seq(Seq(5, 7), Seq(9, 11)))
+
+    Vecs.write(spark, s"$dir/codes.bvecs", "bvecs",
+      Seq(Array(0.0f, 128.0f, 255.0f)).iterator)
+    val bytes = spark.read.format("vecs").load(s"$dir/codes.bvecs")
+      .select($"vec").as[Array[Byte]].head()
+    assert(bytes.map(_ & 0xff).toSeq === Seq(0, 128, 255))
+  }
+
+  test("a vec-free projection plans without reading vector bytes") {
+    val dir = tmp()
+    writeF(s"$dir/base.fvecs", (0 until 50).map(i => Array.fill(16)(i.toFloat)))
+    val df = spark.read.format("vecs").load(s"$dir/base.fvecs").select($"row_id")
+    // pruned schema reaches the scan (shown in the batch description)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("row_id"))
+    assert(df.count() === 50L)
+  }
+
+  test("corrupt sizes fail fast") {
+    val dir = tmp()
+    // plain-java write (no hadoop .crc sidecar): a valid 2-float record
+    // plus one stray byte -> size is no longer a record multiple
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2).putFloat(1.0f).putFloat(2.0f).put(7.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.fvecs"), bb.array())
+    val e = intercept[Exception] {
+      spark.read.format("vecs").load(s"$dir/bad.fvecs").count()
+    }
+    assert(e.getMessage.contains("record"))
+  }
+}
