@@ -833,6 +833,19 @@ object SparkEntry {
         element_at(col("vec"), 1).cast("double").as("e0"))
     }),
 
+    // Training-sequence packing (beyond-reference pipeline op): GPT-style
+    // concat-and-chunk over the documents stream in doc_id order, as a
+    // distributed two-pass prefix sum (the global-window formulation is
+    // the DuckDB oracle). n_chars stands in for the token count — the
+    // operator takes any non-negative weight column.
+    "q_seq_pack" -> ((s, dir) => {
+      graft.operators.SeqPack.assign(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("start_offset"), col("pack_id"), col("pack_offset"))
+    }),
+
     // T8-at-scale — salted two-stage aggregation for skewed group keys:
     // identical result to the plain GROUP BY (associative aggs), uniform
     // shuffle under hot keys.
@@ -1244,6 +1257,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |         CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS start_offset
+        |  FROM documents)
+        |SELECT doc_id, n_chars, start_offset,
+        |       CAST(start_offset // 4096 AS BIGINT) AS pack_id,
+        |       CAST(start_offset % 4096 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
 
     "q_vecs_roundtrip" ->
       """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
