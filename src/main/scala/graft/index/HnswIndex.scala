@@ -40,6 +40,11 @@ private[index] final class HnswGraph(
 
   def size: Int = ids.length
 
+  /** The segment's (id, vector) payload — for segment rewrites (exclusion
+    * compaction re-adds the survivors into a fresh graph).
+    */
+  def entries: Iterator[(Long, Array[Float])] = ids.iterator.zip(vecs.iterator)
+
   /** Internal distance: smaller is better for every metric. */
   private def dist(a: Array[Float], b: Array[Float]): Double = metricName match {
     case "InnerProduct" =>
@@ -286,6 +291,51 @@ class HnswIndex(
 
   def save(path: String): Unit =
     graphs.write.mode("overwrite").parquet(s"$path/graphs")
+
+  /** Exclusion compaction BELOW the rebuild threshold: rewrite each graph
+    * segment without its excluded nodes, per partition — deserialize, drop
+    * the excluded entries, re-add the survivors into a fresh segment
+    * graph. No table scan and no shuffle (unlike a full rebuild, which
+    * re-reads and re-partitions the doc table); segments keep their
+    * locality and the result carries NO standing exclusions, so every
+    * subsequent search stops paying the per-hit exclusion check and the
+    * search beam stops crossing dead nodes. The reference's analog is
+    * hnswlib's resize/permutation-free delete handling: entries are only
+    * ever REUSED or rebuilt wholesale — a per-segment rewrite is the
+    * middle ground Spark's segment-per-partition layout makes natural.
+    */
+  def compacted(): HnswIndex = excluded match {
+    case None => this
+    case Some(excl) =>
+      import spark.implicits._
+      val c = excl.columns.head
+      val keys = excl.select(col(c).cast("long")).as[java.lang.Long].collect()
+        .map { v =>
+          if (v == null) throw new IllegalArgumentException(
+            s"HNSW serves long-castable keys only: excluded column '$c' has a " +
+              "value that does not cast to long")
+          v.longValue()
+        }
+      java.util.Arrays.sort(keys)
+      val bc = spark.sparkContext.broadcast(keys)
+      val m = params.nlinks
+      val efC = params.efConstruction
+      val metricName = params.metric.toString
+      val schema = StructType(Seq(StructField("graph", BinaryType, nullable = false)))
+      val newGraphs = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
+        val ex = bc.value
+        rows.flatMap { bytes =>
+          val g = HnswIndex.deserialize(bytes)
+          val ng = new HnswGraph(m, efC, metricName)
+          g.entries.foreach { case (id, v) =>
+            if (java.util.Arrays.binarySearch(ex, id) < 0) ng.add(id, v)
+          }
+          if (ng.size == 0) Iterator.empty
+          else Iterator(Row(HnswIndex.serialize(ng)))
+        }
+      }(Encoders.row(schema)).localCheckpoint(true)
+      new HnswIndex(spark, newGraphs, idCol, vecCol, params, None)
+  }
 }
 
 object HnswIndex {
@@ -307,6 +357,13 @@ object HnswIndex {
     try in.readObject().asInstanceOf[HnswGraph] finally in.close()
   }
 
+  private[index] def serialize(g: HnswGraph): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    out.writeObject(g); out.close()
+    bos.toByteArray
+  }
+
   def build(
       spark: SparkSession,
       docs: DataFrame,
@@ -323,12 +380,7 @@ object HnswIndex {
       val g = new HnswGraph(m, efC, metricName)
       rows.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
       if (g.size == 0) Iterator.empty
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        val out = new java.io.ObjectOutputStream(bos)
-        out.writeObject(g); out.close()
-        Iterator(Row(bos.toByteArray))
-      }
+      else Iterator(Row(serialize(g)))
     }(Encoders.row(schema)).localCheckpoint(true)
     new HnswIndex(spark, graphs, idCol, vecCol, params)
   }

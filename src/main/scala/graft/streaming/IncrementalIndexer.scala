@@ -334,7 +334,30 @@ class IncrementalIndexer(
     val exclCnt = h.excluded.map(_.count()).getOrElse(0L)
     val total = math.max(table.docs.count(), 1L)
     if ((staleCnt + exclCnt) * 5L >= total) rebuildHnsw()
+    // middle tier: exclusions alone past ~5% of the table get compacted
+    // into per-segment graph rewrites (HnswIndex.compacted — no table
+    // scan, no shuffle, tail untouched), so the standing set stops
+    // growing without paying a full rebuild
+    else if (exclCnt * 20L >= total) compactHnswExclusions(h)
     else if (persist) writeMeta()
+  }
+
+  /** Fold the standing exclusions into the graphs (per-segment rewrite)
+    * and drop the persisted exclusion log — builtVersion is untouched
+    * (the unindexed tail stays tail-served).
+    */
+  private def compactHnswExclusions(h: HnswIndex): Unit = {
+    val nh = h.compacted()
+    if (persist) {
+      val next = s"$indexRoot/lists/v${listsVersion + 1}"
+      nh.graphs.write.mode(SaveMode.Overwrite).parquet(next)
+      val old = listsVersion
+      listsVersion += 1
+      writeMeta()
+      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+      fs.delete(new Path(excludedPath), true)
+      index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
+    } else index = Some(nh)
   }
 
   private def rebuildHnsw(): Unit = {
