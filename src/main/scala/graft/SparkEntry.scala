@@ -833,6 +833,16 @@ object SparkEntry {
         element_at(col("vec"), 1).cast("double").as("e0"))
     }),
 
+    // Deterministic mixture sampling (beyond-reference pipeline op):
+    // per-language target fractions via an id-hash uniform — a pure
+    // codegen filter (no RNG state, no shuffle), reproduced row-by-row
+    // by the oracle.
+    "q_mix_sample" -> ((s, dir) => {
+      graft.operators.Mix.sampleByFraction(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
+    }),
+
     // Training-sequence packing (beyond-reference pipeline op): GPT-style
     // concat-and-chunk over the documents stream in doc_id order, as a
     // distributed two-pass prefix sum (the global-window formulation is
@@ -1257,6 +1267,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    "q_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST((((doc_id % 1048573) * 2654435761
+        |             + ((doc_id // 1048573) % 1048573) * 40503)
+        |            % 4294967296) AS DOUBLE) / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 ELSE 0.1 END""".stripMargin,
 
     "q_seq_pack" ->
       """WITH c AS (
