@@ -545,12 +545,26 @@ class IncrementalIndexer(
         val invalid = table.docsChangedSince(invalidHorizon)
           .filter(col(VersionCol) > builtVersion || col(DeletedCol))
           .select(col(key))
+        // per-list stats only matter when the probe is PARTIAL — a full
+        // probe reads every list regardless, so skip the (cached) stats
+        // count job for it (full-probe lifecycle/oracle searches stay
+        // job-for-job identical to the pre-stats engine)
+        val ncent = idx match {
+          case f: IvfFlatIndex   => f.centers.length
+          case p: IvfPqIndex     => p.centers.length
+          case b: BinaryIvfIndex => b.centroids.length
+          case _                 => 0
+        }
+        val partialProbe = ncent > 0 &&
+          nprobe.getOrElse(params.nprobe) < ncent
         // ONE shared exclusion surface (AnnIndex.excluding, X2/T11): list
         // models anti-join their lists, HNSW folds into its standing
         // excluded set (graph segments are opaque — exclusion happens at
         // result admission). rebuilt() first so the IVFPQ re-rank source
         // re-binds the CURRENT doc table.
-        val cleanIdx = withListStats(rebuilt(idx, listsOf(idx))).excluding(invalid)
+        val freshIdx = rebuilt(idx, listsOf(idx))
+        val cleanIdx =
+          (if (partialProbe) withListStats(freshIdx) else freshIdx).excluding(invalid)
         // inverse-selectivity widening: with an allowed fraction of s, a
         // probed list holds ~s of its usual share of allowed docs, so the
         // probe budget grows by ~1/s to keep ~k allowed candidates in
