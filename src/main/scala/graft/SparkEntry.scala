@@ -833,6 +833,23 @@ object SparkEntry {
         element_at(col("vec"), 1).cast("double").as("e0"))
     }),
 
+    // S12 distributed side — bulk export of the embeddings table to
+    // per-partition fvecs files (range-partitioned on vec_id, so the
+    // path-sorted re-read's positional row_id IS the vec_id rank), then a
+    // splittable re-read. Verifies the full export->import cycle against
+    // the parquet-side oracle.
+    "q_vecs_export" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_vecs_export"
+      graft.sources.Vecs.exportPartitioned(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", out, "fvecs", orderCol = Some("vec_id"), numPartitions = 4)
+      s.read.format("vecs").load(out).select(
+        col("row_id"),
+        size(col("vec")).cast("long").as("dim"),
+        element_at(col("vec"), 1).cast("double").as("e0"),
+        element_at(col("vec"), size(col("vec"))).cast("double").as("e_last"))
+    }),
+
     // Deterministic mixture sampling (beyond-reference pipeline op):
     // per-language target fractions via an id-hash uniform — a pure
     // codegen filter (no RNG state, no shuffle), reproduced row-by-row
@@ -1291,6 +1308,13 @@ object SparkEntry {
         |       CAST(len(embedding) AS BIGINT) AS dim,
         |       CAST(embedding[1] AS DOUBLE) AS e0
         |FROM embeddings WHERE vec_id < 500""".stripMargin,
+
+    "q_vecs_export" ->
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS e0,
+        |       CAST(embedding[len(embedding)] AS DOUBLE) AS e_last
+        |FROM embeddings""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

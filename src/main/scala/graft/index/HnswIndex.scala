@@ -214,9 +214,16 @@ class HnswIndex(
     val idCol: String,
     val vecCol: String,
     val params: IndexParams,
-    val excluded: Option[DataFrame] = None) extends AnnIndex {
+    val excluded: Option[DataFrame] = None,
+    val segmentAvg: Option[Double] = None) extends AnnIndex {
 
   override def retrievalType: String = "HNSW"
+
+  /** Attach the mean segment node count (cached indexer-side stat) —
+    * enables per-segment adaptive ef in [[search]].
+    */
+  def withSegmentAvg(avg: Option[Double]): HnswIndex =
+    new HnswIndex(spark, graphs, idCol, vecCol, params, excluded, avg)
 
   /** `nprobe` is reused as an efSearch override (HNSW has no probes). */
   override def search(
@@ -257,6 +264,7 @@ class HnswIndex(
     // exclusion happens at result admission like the reference's IsValid
     // bitmap check inside the scan (T11/X2)
     val excludedSet = excluded.map(keyArray(_, "excluded"))
+    val segAvg = segmentAvg.filter(_ > 0) // local copy: the closure must not drag `this`
     val hits = graphs.select("graph").as[Array[Byte]].mapPartitions { rows =>
       val incl: Long => Boolean = allowedSet match {
         case Some(b) => id => java.util.Arrays.binarySearch(b.value, id) >= 0
@@ -268,8 +276,18 @@ class HnswIndex(
       }
       rows.flatMap { bytes =>
         val g = HnswIndex.deserialize(bytes)
+        // per-segment adaptive ef (Lucene's segmented-HNSW insight): a
+        // segment holding an n_i/avg share of the corpus contributes ~that
+        // share of the global top-k, so its beam scales down with its
+        // size — floored at k (never below the local top-k ask) and capped
+        // at the requested ef (balanced segments are unchanged). Small
+        // incremental/compacted segments stop paying the full-table beam.
+        val efSeg = segAvg match {
+          case Some(avg) => HnswIndex.segmentEf(ef, k, g.size, avg)
+          case None      => ef
+        }
         qs.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, ef, allowed, minScore, maxScore)
+          g.search(qv, k, efSeg, allowed, minScore, maxScore)
             .map { case (id, s) => (qid, id, s) }
         }
       }
@@ -286,7 +304,7 @@ class HnswIndex(
       case Some(e) => e.toDF(idCol).unionByName(ids.toDF(idCol))
       case None    => ids.toDF(idCol)
     }
-    new HnswIndex(spark, graphs, idCol, vecCol, params, Some(merged))
+    new HnswIndex(spark, graphs, idCol, vecCol, params, Some(merged), segmentAvg)
   }
 
   def save(path: String): Unit =
@@ -340,6 +358,21 @@ class HnswIndex(
 
 object HnswIndex {
 
+  /** Per-segment beam width: scale the requested `ef` by the segment's
+    * share of the average segment size, floored at `k` (the local ask can
+    * never shrink below the merge's per-segment contribution) and capped
+    * at `ef` (a balanced or oversized segment searches exactly as before —
+    * the adaptive path can only REDUCE work, never recall-relevant beam
+    * below k). `ceil` keeps segments at or above average at the full ef.
+    */
+  def segmentEf(ef: Int, k: Int, nodes: Int, avgNodes: Double): Int =
+    if (avgNodes <= 0) ef
+    else math.min(ef, math.max(k, math.ceil(ef * nodes / avgNodes).toInt))
+
+  /** Adaptive per-segment ef is on unless explicitly disabled. */
+  def adaptiveEfEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.hnsw.adaptiveEf").forall(_.toBoolean)
+
   /** Deserialize an executor-side graph through the thread context
     * classloader: in cluster deployments graft classes ship via --jars and
     * live in Spark's MutableURLClassLoader, which a plain
@@ -356,6 +389,10 @@ object HnswIndex {
     }
     try in.readObject().asInstanceOf[HnswGraph] finally in.close()
   }
+
+  /** Node count of a serialized segment (stats job helper). */
+  private[graft] def deserializeSize(bytes: Array[Byte]): Long =
+    deserialize(bytes).size.toLong
 
   private[index] def serialize(g: HnswGraph): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -28,13 +28,23 @@ object SeqPack {
     * is the doc's token (or other unit) count — non-negative, cast to
     * long. The result is deterministic in (`idCol` total order, weights)
     * and independent of the partition count.
+    *
+    * `reliable = true` materializes the range-partitioned pass to the
+    * cluster's checkpoint directory (`sparkContext.setCheckpointDir`)
+    * instead of executor-local storage: a localCheckpoint dies with its
+    * executor, and on a 1000-executor run losing ONE executor between the
+    * two passes would otherwise recompute that partition under a possibly
+    * different sampled range partitioning — exactly the silent-drift this
+    * operator freezes the partition id to prevent. Local mode keeps the
+    * cheap default.
     */
   def assign(
       df: DataFrame,
       idCol: String,
       weightCol: String,
       budget: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      reliable: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
     val spark = df.sparkSession
     val n =
@@ -46,10 +56,15 @@ object SeqPack {
     // (each merged chunk would claim partition 0 and take the wrong base)
     val pidCol = "__sp_pid"
     require(!df.columns.contains(pidCol), s"column $pidCol is reserved")
-    val parted = df.repartitionByRange(n, col(idCol))
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "SeqPack.assign(reliable=true) needs sparkContext.setCheckpointDir " +
+        "(a fault-tolerant location both passes can re-read)")
+    val staged = df.repartitionByRange(n, col(idCol))
       .sortWithinPartitions(idCol)
       .withColumn(pidCol, spark_partition_id())
-      .localCheckpoint(true)
+    val parted =
+      if (reliable) staged.checkpoint(eager = true)
+      else staged.localCheckpoint(true)
 
     // pass 1: per-partition totals — numPartitions rows, driver-side scan
     val totals = parted

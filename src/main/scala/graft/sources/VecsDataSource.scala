@@ -280,10 +280,22 @@ object Vecs {
     } finally in.close()
   }
 
+  /** One record in the TEXMEX codec: int32 dim header + components. */
+  private def recordArray(k: Kind, v: Array[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(recordBytes(k, v.length).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(v.length)
+    k.ext match {
+      case "fvecs" => v.foreach(bb.putFloat)
+      case "ivecs" => v.foreach(f => bb.putInt(f.toInt))
+      case "bvecs" => v.foreach(f => bb.put(f.toInt.toByte))
+    }
+    bb.array()
+  }
+
   /** Driver-side fixture/export writer (the reverse of `fvecs_read` — for
-    * test fixtures and handing corpora to TEXMEX-consuming tools; bulk
-    * DISTRIBUTED export would write one file per partition with this same
-    * record codec).
+    * test fixtures and handing corpora to TEXMEX-consuming tools). For
+    * corpora that do not fit one writer, use [[exportPartitioned]].
     */
   def write(
       spark: SparkSession, path: String, kind: String,
@@ -291,18 +303,84 @@ object Vecs {
     val k = kinds(kind)
     val p = new Path(path)
     val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
-    try {
-      rows.foreach { v =>
-        val bb = ByteBuffer.allocate(recordBytes(k, v.length).toInt)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        bb.putInt(v.length)
-        k.ext match {
-          case "fvecs" => v.foreach(bb.putFloat)
-          case "ivecs" => v.foreach(f => bb.putInt(f.toInt))
-          case "bvecs" => v.foreach(f => bb.put(f.toInt.toByte))
+    try rows.foreach(v => out.write(recordArray(k, v)))
+    finally out.close()
+  }
+
+  /** Distributed bulk export: write `df`'s `vecCol` (array of float — the
+    * engine's vector surface; ivecs/bvecs convert per component like
+    * [[write]]) as ONE `part-NNNNN.<kind>` file per partition under `dir`,
+    * plus a `_SUCCESS` marker. File names sort in partition order, so a
+    * vecs-source re-read of `dir` assigns `row_id`s consecutively across
+    * partitions; pass `orderCol` to make that a GLOBAL total order
+    * (range-partition + in-partition sort ⇒ row_id == rank in `orderCol`
+    * order, the TEXMEX ground-truth id contract). Returns records written.
+    *
+    * Scale design: no driver materialization and no shuffle beyond the
+    * optional range partitioning — each task streams its partition through
+    * the record codec straight to the filesystem. Task retries are safe:
+    * an attempt writes `part-NNNNN.<kind>.attempt-<id>` and renames into
+    * place; the loser of a duplicate-attempt race (speculation) deletes
+    * its temp — both attempts carry identical bytes, so either winner is
+    * correct. Pre-existing part files in `dir` are removed first
+    * (overwrite semantics), so a re-export with fewer partitions cannot
+    * leave stale tails.
+    */
+  def exportPartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      dir: String,
+      kind: String,
+      orderCol: Option[String] = None,
+      numPartitions: Int = 0): Long = {
+    val spark = df.sparkSession
+    val k = kinds(kind)
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.mkdirs(dirPath)
+    Option(fs.globStatus(new Path(dirPath, s"part-*.${k.ext}*")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    fs.delete(new Path(dirPath, "_SUCCESS"), false)
+
+    val arranged = orderCol match {
+      case Some(c) =>
+        val n = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+        df.repartitionByRange(n, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(c)
+      case None =>
+        if (numPartitions > 0) df.repartition(numPartitions) else df
+    }
+    val ext = k.ext
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val written = arranged
+      .select(col(vecCol).cast("array<float>").as("v"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fin = new Path(dir, f"part-$pid%05d.$ext")
+          val tmp = new Path(dir, f"part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
+          val tfs = fin.getFileSystem(conf.value)
+          val out = new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16)
+          var n = 0L
+          try it.foreach { v => out.write(Vecs.recordArray(Vecs.kinds(ext), v)); n += 1 }
+          finally out.close()
+          if (!tfs.rename(tmp, fin)) {
+            // a sibling attempt already committed identical bytes
+            tfs.delete(tmp, false)
+            if (!tfs.exists(fin))
+              throw new java.io.IOException(s"vecs export commit failed for $fin")
+          }
+          Iterator.single(n)
         }
-        out.write(bb.array())
-      }
-    } finally out.close()
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sum
+    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    written
   }
 }

@@ -156,13 +156,40 @@ class IncrementalIndexer(
     }
   }
 
+  // mean HNSW segment node count, cached like the IVF list sizes — the
+  // stats job deserializes every graph once per lists version (about one
+  // query batch's deserialize cost), then every search sizes its
+  // per-segment beam from the cached scalar
+  @volatile private var hnswAvgCache: (Long, Long, Option[Double]) = (-2L, -2L, None)
+
+  private def cachedSegmentAvg(graphs: DataFrame): Option[Double] = {
+    if (!HnswIndex.adaptiveEfEnabled(spark)) return None
+    val cur = hnswAvgCache
+    if (cur._1 == listsVersion && cur._2 == builtVersion) cur._3
+    else {
+      import spark.implicits._
+      val sizes = graphs.select(col("graph")).as[Array[Byte]]
+        .mapPartitions(_.map(b => HnswIndex.deserializeSize(b)))
+        .toDF("n")
+        .agg(org.apache.spark.sql.functions.sum("n"),
+          org.apache.spark.sql.functions.count("n"))
+        .head()
+      val avg =
+        if (sizes.isNullAt(0) || sizes.getLong(1) == 0L) None
+        else Some(sizes.getLong(0).toDouble / sizes.getLong(1))
+      hnswAvgCache = (listsVersion, builtVersion, avg)
+      avg
+    }
+  }
+
   /** Attach the cached per-list stats to an IVF-family instance (graph
-    * models have no lists; FLAT probes nothing).
+    * models size their per-segment beam instead; FLAT probes nothing).
     */
   private def withListStats(idx: AnnIndex): AnnIndex = idx match {
     case f: IvfFlatIndex   => f.withListSizes(cachedListSizes(f.data, f.centers.length))
     case p: IvfPqIndex     => p.withListSizes(cachedListSizes(p.codes, p.centers.length))
     case b: BinaryIvfIndex => b.withListSizes(cachedListSizes(b.data, b.centroids.length))
+    case h: HnswIndex      => h.withSegmentAvg(cachedSegmentAvg(h.graphs))
     case other => other
   }
 
@@ -555,8 +582,10 @@ class IncrementalIndexer(
           case b: BinaryIvfIndex => b.centroids.length
           case _                 => 0
         }
-        val partialProbe = ncent > 0 &&
-          nprobe.getOrElse(params.nprobe) < ncent
+        val partialProbe = (ncent > 0 &&
+          nprobe.getOrElse(params.nprobe) < ncent) ||
+          // a graph walk is always "partial" — per-segment beam stats apply
+          retrievalType.equalsIgnoreCase("HNSW")
         // ONE shared exclusion surface (AnnIndex.excluding, X2/T11): list
         // models anti-join their lists, HNSW folds into its standing
         // excluded set (graph segments are opaque — exclusion happens at

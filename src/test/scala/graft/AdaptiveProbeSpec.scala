@@ -43,6 +43,44 @@ class AdaptiveProbeSpec extends GraftSuite {
     assert(Ivf.probeTarget(k = 10, recallNum = 100, effNprobe = 320, baseNprobe = 80) === 400L)
   }
 
+  // --- HNSW per-segment adaptive ef (pure formula + end-to-end) ---
+
+  test("segmentEf scales with segment share, floored at k, capped at ef") {
+    import graft.index.HnswIndex.segmentEf
+    // balanced segment: unchanged
+    assert(segmentEf(ef = 64, k = 10, nodes = 1000, avgNodes = 1000.0) === 64)
+    // oversized segment: capped at the requested ef
+    assert(segmentEf(ef = 64, k = 10, nodes = 5000, avgNodes = 1000.0) === 64)
+    // tenth-of-average segment: beam shrinks proportionally (ceil)
+    assert(segmentEf(ef = 64, k = 10, nodes = 100, avgNodes = 1000.0) === 10)
+    assert(segmentEf(ef = 64, k = 3, nodes = 250, avgNodes = 1000.0) === 16)
+    // floor at k regardless of how small the segment is
+    assert(segmentEf(ef = 64, k = 10, nodes = 1, avgNodes = 1000.0) === 10)
+    // degenerate stats disable scaling
+    assert(segmentEf(ef = 64, k = 10, nodes = 100, avgNodes = 0.0) === 64)
+  }
+
+  test("adaptive ef at the k floor stays exact on small (fully linked) segments") {
+    // 410 rows over defaultParallelism partitions -> every segment is far
+    // below maxM0, hence fully connected at level 0: the walk is
+    // exhaustive at ANY beam, so forcing the adaptive floor (avg >> n_i
+    // => ef_seg == k) must return bit-identical results to the fixed ef —
+    // the floor guarantee the formula documents.
+    val docs = ((0 until 400).map(i => (i.toLong, Seq(i.toFloat / 100f, 0f))) ++
+      (1000 until 1010).map(i => (i.toLong, Seq(10f + (i - 1000).toFloat / 100f, 5f))))
+      .toDF("vec_id", "embedding")
+    val params = graft.index.IndexParams(metric = Metric.L2)
+    val idx = graft.index.HnswIndex.build(spark, docs, "vec_id", "embedding", params)
+    val queries = Seq((0L, Array(10.1f, 5.0f)), (1L, Array(0.5f, 0.0f)))
+    def run(ix: graft.index.HnswIndex) =
+      ix.search(queries, 5, None, None, None, None)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val fixed = run(idx)
+    val floored = run(idx.withSegmentAvg(Some(1e12)))
+    assert(floored === fixed)
+    assert(fixed.map(_._1).distinct.sorted === Seq(0L, 1L))
+  }
+
   // --- end-to-end over skewed lists ---
 
   /** Two well-separated clusters: a TINY one around the query and a large

@@ -32,6 +32,27 @@ class SeqPackSpec extends GraftSuite {
     }
   }
 
+  test("reliable checkpoint mode matches and requires a checkpoint dir") {
+    val docs = (0 until 200).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "w")
+    val expect = reference(docs, budget = 128)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val hadDir = spark.sparkContext.getCheckpointDir
+    assert(hadDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SeqPack.assign(docs, "id", "w", budget = 128, numPartitions = 4, reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-seqpack-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val got = SeqPack.assign(docs, "id", "w", budget = 128, numPartitions = 4,
+          reliable = true)
+        .select($"id", $"start_offset", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expect)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("oversized docs span packs; zero weights stay in place") {
     val docs = Seq((1L, 10L), (2L, 0L), (3L, 250L), (4L, 5L)).toDF("id", "w")
     val got = SeqPack.assign(docs, "id", "w", budget = 100, numPartitions = 2)

@@ -74,6 +74,34 @@ class VecsSourceSpec extends GraftSuite {
     assert(df.count() === 50L)
   }
 
+  test("distributed export writes one file per partition in global order") {
+    val dir = tmp() + "/out"
+    val df = (0 until 997).map(i => (i.toLong, Array(i.toFloat, -i.toFloat)))
+      .toDF("id", "v")
+      // scrambled input order — the export's range partitioning must restore it
+      .orderBy(md5($"id".cast("string")))
+    val n = Vecs.exportPartitioned(df, "v", dir, "fvecs",
+      orderCol = Some("id"), numPartitions = 7)
+    assert(n === 997L)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.contains("_SUCCESS"))
+    assert(files.count(_.endsWith(".fvecs")) <= 7)
+    assert(!files.exists(_.contains("attempt")))
+    val back = spark.read.format("vecs").load(dir)
+      .select($"row_id", $"vec").as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(back.length === 997)
+    // row_id == rank in id order, values intact
+    back.foreach { case (rid, v) => assert(v.toSeq === Seq(rid.toFloat, -rid.toFloat)) }
+  }
+
+  test("re-export with fewer partitions leaves no stale part files") {
+    val dir = tmp() + "/out"
+    val mk = (n: Int) => (0 until n).map(i => (i.toLong, Array(i.toFloat))).toDF("id", "v")
+    Vecs.exportPartitioned(mk(100), "v", dir, "fvecs", Some("id"), numPartitions = 8)
+    Vecs.exportPartitioned(mk(10), "v", dir, "fvecs", Some("id"), numPartitions = 2)
+    assert(spark.read.format("vecs").load(dir).count() === 10L)
+  }
+
   test("corrupt sizes fail fast") {
     val dir = tmp()
     // plain-java write (no hadoop .crc sidecar): a valid 2-float record
