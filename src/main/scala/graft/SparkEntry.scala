@@ -805,6 +805,28 @@ object SparkEntry {
         graft.text.TextOps.fingerprint(col("text")).as("fp"))
     }),
 
+    // Gopher-style intra-doc repetition signal: duplicated-trigram
+    // fraction per document (pure codegen, no shuffle).
+    "q_text_repetition" -> ((s, dir) => {
+      val g = graft.text.TextOps.rawNgrams(col("text"), 3)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(g).cast("long").as("n_ngrams"),
+        size(array_distinct(g)).cast("long").as("n_distinct"),
+        round(graft.text.TextOps.ngramRepetition(col("text"), 3), 6).as("rep_ratio"))
+    }),
+
+    // Benchmark decontamination: docs sharing >= 5 distinct trigrams with
+    // the "eval" slice (doc_id % 7 == 0 stands in for a benchmark corpus)
+    // are flagged with their distinct-overlap count.
+    "q_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.contaminationHits(
+        d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text",
+        shingleN = 3, minHits = 5)
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (decode
     // itself is stubbed — see graft.media.MediaOps).
     "q_media_meta" -> ((s, dir) => {
@@ -1279,6 +1301,40 @@ object SparkEntry {
         |      t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647)),
         |    (a, b) -> (a*31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |    list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))
+        |  ELSE [] END AS grams FROM documents)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                  / CAST(len(grams) AS DOUBLE), 6) END AS rep_ratio
+        |FROM g""".stripMargin,
+
+    "q_decontam" ->
+      """WITH tg AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_distinct(list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT))
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |eg AS (SELECT DISTINCT unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT)
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS hits
+        |FROM tg JOIN eg USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,

@@ -225,6 +225,51 @@ object Dedup {
     pairJaccard(pairs, threshold)
   }
 
+  /** Benchmark decontamination (beyond-reference pipeline op — the
+    * eval-overlap rule of the GPT-3/PaLM training-data reports): flag
+    * every training doc sharing at least `minHits` DISTINCT word n-grams
+    * with the evaluation corpus. Returns `(idCol, hits)` for flagged docs;
+    * drop them with [[decontaminate]].
+    *
+    * Scale design: no pair join and no text in the shuffle — doc shingles
+    * explode to 8-byte md5-derived hashes and probe the eval set's
+    * distinct gram hashes. An eval benchmark is tiny next to a 100 TB
+    * corpus, so the eval side broadcasts by default (`broadcastEval =
+    * false` falls back to a shuffle join for giant holdout sets); hit
+    * counting is one map-side-combined groupBy on the doc id.
+    */
+  def contaminationHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      shingleN: Int = 3, minHits: Int = 1,
+      broadcastEval: Boolean = true): DataFrame = {
+    val docGrams = withShingles(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("toks")).as("g"))
+    val evalGrams = withShingles(
+        evalDocs.select(col(evalTextCol)).withColumn("__eid", monotonically_increasing_id()),
+        "__eid", evalTextCol, shingleN)
+      .select(explode(col("toks")).as("g")).distinct()
+    val probe = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    // toks are distinct per doc (ShingleHash contract) and the eval side is
+    // distinct, so plain count(*) IS the distinct shared-gram count
+    docGrams.join(probe, Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("id").as(idCol), col("hits"))
+  }
+
+  /** Training corpus minus contaminated docs (left-anti on
+    * [[contaminationHits]]).
+    */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+    val flagged = contaminationHits(docs, idCol, textCol, evalDocs, evalTextCol,
+      shingleN, minHits)
+    docs.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: every doc in a
     * component gets the component's MINIMUM id as its cluster label — the
     * step that turns pair output (minhash/simhash/jaccard/cosine) into

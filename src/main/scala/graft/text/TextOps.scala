@@ -43,6 +43,30 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Raw (non-distinct) word n-gram occurrences — repetition analysis
+    * needs the duplicates [[shingles]] drops.
+    */
+  def rawNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Intra-document repetition (a Gopher-rules quality signal): the
+    * fraction of n-gram occurrences that are repeats of an earlier n-gram
+    * in the same doc — `1 - distinct/total`, 0.0 for docs shorter than n
+    * words. High values mark boilerplate/looping text a training pipeline
+    * drops before dedup even sees it. Pure per-row codegen; no shuffle.
+    */
+  def ngramRepetition(text: Column, n: Int): Column = {
+    val g = rawNgrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
+
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -92,6 +92,44 @@ class DedupTextSpec extends GraftSuite {
     assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) === 4)
   }
 
+  test("ngram repetition: 0 for all-unique, rises with repeats, 0 below n words") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // 4 unique trigrams
+      (2L, "x y x y x y x y"),      // 6 trigrams, 2 distinct
+      (3L, "one two"),              // shorter than n
+      (4L, "w w w w")               // 2 trigrams, 1 distinct
+    ).toDF("id", "text")
+    val got = docs.select($"id",
+        TextOps.ngramRepetition($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.0)
+    assert(math.abs(got(2L) - (1.0 - 2.0 / 6.0)) < 1e-9)
+    assert(got(3L) === 0.0)
+    assert(math.abs(got(4L) - 0.5) < 1e-9)
+  }
+
+  test("decontamination flags eval-overlapping docs and drops them") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words appear here today"),
+      (3L, "the quick brown fox sat still")).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("eid", "etext")
+    val hits = Dedup.contaminationHits(train, "doc_id", "text",
+        eval, "etext", shingleN = 3, minHits = 2)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps";
+    // doc 3 shares the first two; doc 2 shares none
+    assert(hits === Map(1L -> 3L, 3L -> 2L))
+    val kept = Dedup.decontaminate(train, "doc_id", "text", eval, "etext",
+      shingleN = 3, minHits = 2).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L))
+    // shuffle-join path agrees with the broadcast default
+    val shuffled = Dedup.contaminationHits(train, "doc_id", "text",
+        eval, "etext", shingleN = 3, minHits = 2, broadcastEval = false)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled === hits)
+  }
+
   test("quality score bounded in [0,1]") {
     val q = docs.select(TextOps.qualityScore($"text").as("q")).as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
