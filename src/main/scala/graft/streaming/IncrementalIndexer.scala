@@ -538,8 +538,21 @@ class IncrementalIndexer(
     // graph-model cases where the volume model does not apply.
     val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
       .map(_.toLong).getOrElse {
-        val probeCost = index.map(IncrementalIndexer.probeCostRows(
-          _, math.max(table.meta.maxDocid, 1L), aCount, nprobe)).getOrElse(0L)
+        // cost from ACTUAL per-list row counts when the probe is partial
+        // (cached stat, one job per lists version — the same stats the
+        // adaptive widening reads); uniform-volume model otherwise
+        val probeCost = index.map { ix =>
+          val ncent0 = ix match {
+            case f: IvfFlatIndex   => f.centers.length
+            case p: IvfPqIndex     => p.centers.length
+            case b: BinaryIvfIndex => b.centroids.length
+            case _                 => 0
+          }
+          val partial0 = ncent0 > 0 && nprobe.getOrElse(params.nprobe) < ncent0
+          val sizes = if (partial0) cachedListSizes(listsOf(ix), ncent0) else None
+          IncrementalIndexer.probeCostRows(
+            ix, math.max(table.meta.maxDocid, 1L), aCount, nprobe, sizes)
+        }.getOrElse(0L)
         math.max(math.max(16L * k, 65536L), probeCost)
       }
     val broadcastMax = spark.conf.getOption("spark.graft.filter.broadcastMaxKeys")
@@ -654,9 +667,16 @@ object IncrementalIndexer {
     * compressed-code models (IVFPQ/BINARYIVF) read ~4x cheaper rows than
     * the raw-vector exact scan. 0 = no model (graph/FLAT: the static
     * floor decides alone).
+    *
+    * With `listSizes` (the cached actual per-list row counts) the volume
+    * is the sum of the effNprobe LARGEST lists instead of the uniform
+    * model: under skew — the case the uniform model misjudges — real
+    * probes are size-biased toward heavy lists, so this upper bound sends
+    * borderline requests to the exact path, which is always correct.
     */
   private[graft] def probeCostRows(
-      idx: AnnIndex, total: Long, aCount: Long, nprobe: Option[Int]): Long = {
+      idx: AnnIndex, total: Long, aCount: Long, nprobe: Option[Int],
+      listSizes: Option[Array[Long]] = None): Long = {
     if (aCount <= 0L) return 0L
     val (ncent, compressed) = idx match {
       case f: IvfFlatIndex   => (f.centers.length, false)
@@ -668,7 +688,16 @@ object IncrementalIndexer {
     val base = math.max(1L, nprobe.getOrElse(idx.params.nprobe).toLong)
     val factor = math.max(1L, (total + aCount - 1L) / aCount)
     val eff = math.min(base * factor, ncent.toLong)
-    val rows = total / ncent * eff + (total % ncent) * eff / ncent // overflow-safe total*eff/ncent
+    val rows = listSizes match {
+      case Some(sz) if sz.nonEmpty =>
+        val desc = sz.sorted(Ordering[Long].reverse)
+        var s = 0L
+        var i = 0
+        while (i < desc.length && i < eff) { s += desc(i); i += 1 }
+        s
+      case _ =>
+        total / ncent * eff + (total % ncent) * eff / ncent // overflow-safe total*eff/ncent
+    }
     if (compressed) rows / 4 else rows
   }
 

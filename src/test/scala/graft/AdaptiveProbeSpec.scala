@@ -162,4 +162,18 @@ class AdaptiveProbeSpec extends GraftSuite {
       IndexParams(ncentroids = 4, nprobe = 1, nsubvector = 2, nbits = 4))
     assert(IncrementalIndexer.probeCostRows(pq, 1000L, 500L, None) === 125L)
   }
+
+  test("probeCostRows with actual list sizes sums the largest probed lists") {
+    val docs = (0 until 64).map(i => (i.toLong, Seq(i.toFloat, 0.0f))).toDF("vec_id", "embedding")
+    val flat = IvfFlatIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 4, nprobe = 1))
+    // skewed lists: uniform model says 1000*2/4 = 500 rows for eff=2, but
+    // the two HEAVIEST lists hold 900 — the stats-based bound reports 900
+    val sizes = Some(Array(700L, 200L, 60L, 40L))
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 500L, None, sizes) === 900L)
+    // eff capped at ncent: all four lists
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 1L, None, sizes) === 1000L)
+    // unfiltered stays out of the volume model even with stats
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, -1L, None, sizes) === 0L)
+  }
 }
