@@ -816,6 +816,32 @@ object SparkEntry {
         round(graft.text.TextOps.ngramRepetition(col("text"), 3), 6).as("rep_ratio"))
     }),
 
+    // PII redaction: mask emails / IPv4s / phone-like runs with typed
+    // placeholders. The corpus is synthetic word salad, so the PII is
+    // injected deterministically (same concat on both sides) — the oracle
+    // checks the full redaction chain, not the generator.
+    "q_text_redact" -> ((s, dir) => {
+      val pii = concat(
+        lit("reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1 555 24"), (col("doc_id") % 100).cast("string"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+        col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), graft.text.TextOps.redactPii(pii).as("clean"))
+    }),
+
+    // Token-budget corpus selection: greedy take in (score DESC, doc_id)
+    // order while the doc still fits the global budget — distributed
+    // prefix sum + budget-pruned second pass.
+    "q_corpus_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        (col("doc_id") % 101).cast("long").as("score"))
+      graft.operators.CorpusSelect
+        .selectByBudget(d, "doc_id", "score", "n_chars", budget = 60000)
+        .select(col("doc_id"), col("score"), col("n_chars"), col("sel_offset"))
+    }),
+
     // Benchmark decontamination: docs sharing >= 5 distinct trigrams with
     // the "eval" slice (doc_id % 7 == 0 stands in for a benchmark corpus)
     // are flagged with their distinct-overlap count.
@@ -1314,6 +1340,24 @@ object SparkEntry {
         |       ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
         |                  / CAST(len(grams) AS DOUBLE), 6) END AS rep_ratio
         |FROM g""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'reach user' || doc_id || '@mail.example.org or +1 555 24'
+        |      || (doc_id % 100) || ' from 10.0.' || (doc_id % 256) || '.7 ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.)[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "q_corpus_select" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |            CAST(doc_id % 101 AS BIGINT) AS score FROM documents),
+        |c AS (SELECT *, CAST(sum(n_chars) OVER (ORDER BY score DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS sel_offset FROM s)
+        |SELECT doc_id, score, n_chars, sel_offset
+        |FROM c WHERE sel_offset + n_chars <= 60000""".stripMargin,
 
     "q_decontam" ->
       """WITH tg AS (SELECT doc_id, unnest(

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Token-budget corpus selection (beyond-reference LLM-pipeline op): keep
+  * the best-scoring documents, in score order, until a global token budget
+  * is exhausted — the greedy selection step of data-constrained
+  * pretraining ("sort by quality, take the top B tokens"). A doc is kept
+  * iff it fits the remaining budget ENTIRELY at its position in the
+  * (score DESC, id ASC) order; ties break on id so the cut is
+  * deterministic.
+  *
+  * Scale design: the same two-pass distributed prefix sum as
+  * [[SeqPack.assign]] (the textbook `sum OVER (ORDER BY ...)` collapses to
+  * one partition) — range-partition by the selection order, materialize
+  * once, per-partition totals -> exclusive bases, then one map pass. The
+  * budget adds a pruning step SeqPack cannot have: partitions whose BASE
+  * already exceeds the budget hold no selectable rows (weights are
+  * non-negative, so the exclusive prefix only grows) and are dropped
+  * before the second pass reads them — at 100 TB with a 1% budget, ~99%
+  * of the data is never read twice.
+  */
+object CorpusSelect {
+
+  /** Rows of `df` that fit the budget, with their selection offset.
+    * `weightCol` (token count) must be non-negative; `budget` is in the
+    * same unit. Output = input columns + `sel_offset` (the exclusive
+    * running-weight sum at the doc's position in (`scoreCol` DESC,
+    * `idCol` ASC) order).
+    */
+  def selectByBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      weightCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative (got $budget)")
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val pidCol = "__cs_pid"
+    require(!df.columns.contains(pidCol), s"column $pidCol is reserved")
+    val order: Seq[Column] = Seq(col(scoreCol).desc, col(idCol).asc)
+    // frozen partition id — same rationale as SeqPack.assign: a downstream
+    // coalesce() must not re-map bases
+    val parted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint(true)
+
+    val totals = parted
+      .groupBy(pidCol).agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val base = new Array[Long](n)
+    var acc = 0L
+    (0 until n).foreach { p => base(p) = acc; acc += totals.getOrElse(p, 0L) }
+
+    // budget pruning: a partition whose exclusive base is already past the
+    // budget cannot contribute (non-negative weights) — skip reading it
+    val live = (0 until n).filter(p => base(p) < budget)
+    val bc = spark.sparkContext.broadcast(base)
+    val wIdx = parted.schema.fieldIndex(weightCol)
+    val pidIdx = parted.schema.fieldIndex(pidCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.filterNot(_.name == pidCol))
+      .add("sel_offset", LongType, nullable = false)
+    val b = budget
+    parted.filter(col(pidCol).isin(live: _*)).mapPartitions { rows =>
+      var curPid = -1
+      var off = 0L
+      rows.flatMap { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; off = bc.value(pid) }
+        val w = r.get(wIdx) match {
+          case null      => 0L
+          case x: Number => x.longValue()
+          case other     => throw new IllegalArgumentException(
+            s"non-numeric weight $other")
+        }
+        if (w < 0) throw new IllegalArgumentException(s"negative weight $w")
+        val start = off
+        off += w
+        if (start + w <= b)
+          Some(Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ start))
+        else None
+      }
+    }(Encoders.row(outSchema))
+  }
+}

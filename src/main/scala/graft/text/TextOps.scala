@@ -67,6 +67,33 @@ object TextOps {
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
   }
 
+  /** Email pattern shared verbatim by Java regex and RE2 (no alternation,
+    * no backreferences — identical match semantics in both engines).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4-ish dotted quad. */
+  val Ipv4Re = "\\b([0-9]{1,3}\\.)[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Phone-like run: leading digit (optional +), >= 6 inner phone chars,
+    * trailing digit. No dots, so IPv4s do not half-match.
+    */
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction (training-pipeline hygiene): mask emails, IPv4s, then
+    * phone-like digit runs with typed placeholders. Order matters — emails
+    * and IPs are consumed before the looser phone pattern can eat their
+    * digits. Pure codegen `regexp_replace` chain; the same three patterns
+    * run 1:1 in the DuckDB oracle (both engines replace ALL matches;
+    * patterns avoid constructs where RE2 and Java regex semantics could
+    * diverge).
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -69,6 +69,65 @@ class OperatorsSpec extends GraftSuite {
     assert(Crud.deleteWhere(base, pred).select("k").as[Int].collect().toSeq === Seq(1))
   }
 
+  test("CorpusSelect matches the global-window greedy cut across partition counts") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 600)
+      .map(i => (i.toLong, (rnd.nextInt(90) + 10).toLong, rnd.nextInt(50).toLong))
+      .toDF("id", "w", "score")
+    // reference: single-partition window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = 9000L
+    val expect = docs
+      .withColumn("sel_offset", coalesce(sum($"w").over(w), lit(0L)))
+      .filter($"sel_offset" + $"w" <= budget)
+      .select($"id", $"sel_offset")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (np <- Seq(1, 4, 32)) {
+      val got = graft.operators.CorpusSelect
+        .selectByBudget(docs, "id", "score", "w", budget, numPartitions = np)
+        .select($"id", $"sel_offset")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expect, s"numPartitions=$np")
+    }
+    // sanity: the cut is partial (neither empty nor everything)
+    assert(expect.nonEmpty && expect.size < 600)
+  }
+
+  test("CorpusSelect: zero budget selects nothing; huge budget selects all") {
+    val docs = Seq((1L, 5L, 1L), (2L, 5L, 2L)).toDF("id", "w", "score")
+    assert(graft.operators.CorpusSelect
+      .selectByBudget(docs, "id", "score", "w", 0L).count() === 0L)
+    assert(graft.operators.CorpusSelect
+      .selectByBudget(docs, "id", "score", "w", 1000L).count() === 2L)
+    // a doc that does not fit entirely is skipped, later smaller docs that
+    // still fit are NOT back-filled (greedy prefix semantics): score order
+    // is id 2 (w=5) then id 1 (w=5); budget 7 fits only the first
+    val sel = graft.operators.CorpusSelect
+      .selectByBudget(docs, "id", "score", "w", 7L)
+      .select($"id").as[Long].collect().toSeq
+    assert(sel === Seq(2L))
+  }
+
+  test("PII redaction masks emails, IPs and phone runs, leaves clean text") {
+    import graft.text.TextOps
+    val rows = Seq(
+      (1L, "mail bob.smith_99@corp.example.com now"),
+      (2L, "server at 192.168.0.1 rebooted"),
+      (3L, "call +1 (555) 014-2398 today"),
+      (4L, "nothing sensitive here"),
+      (5L, "multi a@b.io c@d.org 10.0.0.1 and 555 123 4567 done"))
+      .toDF("id", "text")
+    val got = rows.select($"id", TextOps.redactPii($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "mail <EMAIL> now")
+    assert(got(2L) === "server at <IP> rebooted")
+    assert(got(3L) === "call <PHONE> today")
+    assert(got(4L) === "nothing sensitive here")
+    assert(got(5L) === "multi <EMAIL> <EMAIL> <IP> and <PHONE> done")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
