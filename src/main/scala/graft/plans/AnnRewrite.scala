@@ -181,8 +181,25 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val flt = ri.docs.filter(c).select(col(ri.idCol)).localCheckpoint(true)
       (flt, ri.docs.count(), flt.count())
     }
-    val exactThreshold = conf.getConfString("spark.graft.filter.exactFallbackRows",
-      math.max(16L * k, 65536L).toString).toLong
+    // same cost-based bound as IncrementalIndexer.search: an explicit conf
+    // is absolute; otherwise a probe cheaper to answer exactly (using the
+    // index's own per-list stats when attached) declines the rewrite
+    val exactThreshold = conf.getConfString("spark.graft.filter.exactFallbackRows", "")
+      match {
+        case "" =>
+          val probeCost = stats.map { case (_, total, aCnt) =>
+            val sizes = ri.index match {
+              case f: graft.index.IvfFlatIndex   => f.listSizes
+              case p: graft.index.IvfPqIndex     => p.listSizes
+              case b: graft.index.BinaryIvfIndex => b.listSizes
+              case _                             => None
+            }
+            graft.streaming.IncrementalIndexer.probeCostRows(
+              ri.index, math.max(total, 1L), aCnt, None, sizes)
+          }.getOrElse(0L)
+          math.max(math.max(16L * k, 65536L), probeCost)
+        case s => s.toLong
+      }
     val broadcastMax = conf.getConfString("spark.graft.filter.broadcastMaxKeys",
       "1000000").toLong
     if (stats.exists(_._3 <= exactThreshold)) return None
