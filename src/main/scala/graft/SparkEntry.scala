@@ -887,7 +887,10 @@ object SparkEntry {
     // splittable re-read. Verifies the full export->import cycle against
     // the parquet-side oracle.
     "q_vecs_export" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_vecs_export"
+      // per-run unique dir: a fixed path would let two concurrent harness
+      // runs overwrite each other's part files mid-scan
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_vecs_export").toString
       graft.sources.Vecs.exportPartitioned(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "embedding", out, "fvecs", orderCol = Some("vec_id"), numPartitions = 4)

@@ -264,9 +264,10 @@ object Dedup {
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,
-      shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+      shingleN: Int = 3, minHits: Int = 1,
+      broadcastEval: Boolean = true): DataFrame = {
     val flagged = contaminationHits(docs, idCol, textCol, evalDocs, evalTextCol,
-      shingleN, minHits)
+      shingleN, minHits, broadcastEval)
     docs.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
   }
 

@@ -367,7 +367,10 @@ object HnswIndex {
     */
   def segmentEf(ef: Int, k: Int, nodes: Int, avgNodes: Double): Int =
     if (avgNodes <= 0) ef
-    else math.min(ef, math.max(k, math.ceil(ef * nodes / avgNodes).toInt))
+    // ef.toDouble first: Int `ef * nodes` overflows at nodes > 2^31/ef
+    // (a few million nodes at ef=512), which would wrap negative and
+    // silently collapse the beam to k on exactly the largest segments
+    else math.min(ef, math.max(k, math.ceil(ef.toDouble * nodes / avgNodes).toInt))
 
   /** Adaptive per-segment ef is on unless explicitly disabled. */
   def adaptiveEfEnabled(spark: SparkSession): Boolean =

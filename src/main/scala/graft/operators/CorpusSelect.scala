@@ -36,7 +36,8 @@ object CorpusSelect {
       scoreCol: String,
       weightCol: String,
       budget: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      reliable: Boolean = false): DataFrame = {
     require(budget >= 0, s"budget must be non-negative (got $budget)")
     val spark = df.sparkSession
     val n =
@@ -44,13 +45,21 @@ object CorpusSelect {
       else spark.sessionState.conf.numShufflePartitions
     val pidCol = "__cs_pid"
     require(!df.columns.contains(pidCol), s"column $pidCol is reserved")
+    // cluster runs: same executor-loss hazard as SeqPack.assign(reliable)
+    // — recomputing a lost partition could re-sample range boundaries
+    // between the two passes; checkpoint to fault-tolerant storage
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "CorpusSelect.selectByBudget(reliable=true) needs " +
+        "sparkContext.setCheckpointDir (a fault-tolerant location both passes can re-read)")
     val order: Seq[Column] = Seq(col(scoreCol).desc, col(idCol).asc)
     // frozen partition id — same rationale as SeqPack.assign: a downstream
     // coalesce() must not re-map bases
-    val parted = df.repartitionByRange(n, order: _*)
+    val staged = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
-      .localCheckpoint(true)
+    val parted =
+      if (reliable) staged.checkpoint(eager = true)
+      else staged.localCheckpoint(true)
 
     val totals = parted
       .groupBy(pidCol).agg(sum(col(weightCol).cast("long")).as("t"))
@@ -61,8 +70,11 @@ object CorpusSelect {
     (0 until n).foreach { p => base(p) = acc; acc += totals.getOrElse(p, 0L) }
 
     // budget pruning: a partition whose exclusive base is already past the
-    // budget cannot contribute (non-negative weights) — skip reading it
-    val live = (0 until n).filter(p => base(p) < budget)
+    // budget cannot contribute (non-negative weights) — skip reading it.
+    // `<=`, not `<`: a zero-weight doc whose exclusive offset EQUALS the
+    // budget still fits (sel_offset + 0 <= budget), matching the window
+    // formulation
+    val live = (0 until n).filter(p => base(p) <= budget)
     val bc = spark.sparkContext.broadcast(base)
     val wIdx = parted.schema.fieldIndex(weightCol)
     val pidIdx = parted.schema.fieldIndex(pidCol)

@@ -363,12 +363,16 @@ object Vecs {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new Path(dir, f"part-$pid%05d.$ext")
-          val tmp = new Path(dir, f"part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
+          // 9-digit padding: 5 digits would break the path-sort row_id
+          // contract past 99,999 partitions (part-100000 sorts before
+          // part-10001 lexicographically)
+          val fin = new Path(dir, f"part-$pid%09d.$ext")
+          val tmp = new Path(dir, f"part-$pid%09d.$ext.attempt-${tc.taskAttemptId()}")
           val tfs = fin.getFileSystem(conf.value)
           val out = new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16)
+          val kk = Vecs.kinds(ext) // loop-invariant: no per-record map lookup
           var n = 0L
-          try it.foreach { v => out.write(Vecs.recordArray(Vecs.kinds(ext), v)); n += 1 }
+          try it.foreach { v => out.write(Vecs.recordArray(kk, v)); n += 1 }
           finally out.close()
           if (!tfs.rename(tmp, fin)) {
             // a sibling attempt already committed identical bytes

@@ -385,6 +385,11 @@ class IncrementalIndexer(
       fs.delete(new Path(excludedPath), true)
       index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
     } else index = Some(nh)
+    // segments shrank: the cached mean node count is stale (the
+    // non-persisted branch bumps no version, so the cache key would
+    // otherwise keep serving the pre-compaction average and shrink
+    // adaptive beams below their proportional width)
+    hnswAvgCache = (-2L, -2L, None)
   }
 
   private def rebuildHnsw(): Unit = {
@@ -536,20 +541,26 @@ class IncrementalIndexer(
     // the survivors is both cheaper than probing and exact by
     // construction. A static floor (16·k, 64k rows) covers the no-index /
     // graph-model cases where the volume model does not apply.
+    // one model-arity/partial-probe computation shared by the cost bound
+    // below and the stats attachment in the index branch
+    def ncentOf(ix: AnnIndex): Int = ix match {
+      case f: IvfFlatIndex   => f.centers.length
+      case p: IvfPqIndex     => p.centers.length
+      case b: BinaryIvfIndex => b.centroids.length
+      case _                 => 0
+    }
+    def partialListProbe(ix: AnnIndex): Boolean = {
+      val nc = ncentOf(ix)
+      nc > 0 && nprobe.getOrElse(params.nprobe) < nc
+    }
     val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
       .map(_.toLong).getOrElse {
         // cost from ACTUAL per-list row counts when the probe is partial
         // (cached stat, one job per lists version — the same stats the
         // adaptive widening reads); uniform-volume model otherwise
         val probeCost = index.map { ix =>
-          val ncent0 = ix match {
-            case f: IvfFlatIndex   => f.centers.length
-            case p: IvfPqIndex     => p.centers.length
-            case b: BinaryIvfIndex => b.centroids.length
-            case _                 => 0
-          }
-          val partial0 = ncent0 > 0 && nprobe.getOrElse(params.nprobe) < ncent0
-          val sizes = if (partial0) cachedListSizes(listsOf(ix), ncent0) else None
+          val sizes =
+            if (partialListProbe(ix)) cachedListSizes(listsOf(ix), ncentOf(ix)) else None
           IncrementalIndexer.probeCostRows(
             ix, math.max(table.meta.maxDocid, 1L), aCount, nprobe, sizes)
         }.getOrElse(0L)
@@ -589,14 +600,7 @@ class IncrementalIndexer(
         // probe reads every list regardless, so skip the (cached) stats
         // count job for it (full-probe lifecycle/oracle searches stay
         // job-for-job identical to the pre-stats engine)
-        val ncent = idx match {
-          case f: IvfFlatIndex   => f.centers.length
-          case p: IvfPqIndex     => p.centers.length
-          case b: BinaryIvfIndex => b.centroids.length
-          case _                 => 0
-        }
-        val partialProbe = (ncent > 0 &&
-          nprobe.getOrElse(params.nprobe) < ncent) ||
+        val partialProbe = partialListProbe(idx) ||
           // a graph walk is always "partial" — per-segment beam stats apply
           retrievalType.equalsIgnoreCase("HNSW")
         // ONE shared exclusion surface (AnnIndex.excluding, X2/T11): list

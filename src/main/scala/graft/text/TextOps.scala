@@ -34,14 +34,7 @@ object TextOps {
   /** Distinct word n-gram shingles ("w1 w2 w3"). Empty when the doc has
     * fewer than n words.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column = array_distinct(rawNgrams(text, n))
 
   /** Raw (non-distinct) word n-gram occurrences — repetition analysis
     * needs the duplicates [[shingles]] drops.

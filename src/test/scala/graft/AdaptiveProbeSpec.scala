@@ -58,6 +58,9 @@ class AdaptiveProbeSpec extends GraftSuite {
     assert(segmentEf(ef = 64, k = 10, nodes = 1, avgNodes = 1000.0) === 10)
     // degenerate stats disable scaling
     assert(segmentEf(ef = 64, k = 10, nodes = 100, avgNodes = 0.0) === 64)
+    // regression: ef*nodes must not overflow Int — a 5M-node segment at
+    // ef=512 is ABOVE average and must keep the full beam, not collapse to k
+    assert(segmentEf(ef = 512, k = 10, nodes = 5000000, avgNodes = 4000000.0) === 512)
   }
 
   test("adaptive ef at the k floor stays exact on small (fully linked) segments") {

@@ -108,6 +108,13 @@ class OperatorsSpec extends GraftSuite {
       .selectByBudget(docs, "id", "score", "w", 7L)
       .select($"id").as[Long].collect().toSeq
     assert(sel === Seq(2L))
+    // regression: a zero-weight doc whose exclusive offset EQUALS the
+    // budget still fits — partition pruning must use <=, not <
+    val zw = Seq((1L, 10L, 9L), (2L, 0L, 1L)).toDF("id", "w", "score")
+    val selz = graft.operators.CorpusSelect
+      .selectByBudget(zw, "id", "score", "w", 10L, numPartitions = 2)
+      .select($"id").as[Long].collect().toSeq.sorted
+    assert(selz === Seq(1L, 2L))
   }
 
   test("PII redaction masks emails, IPs and phone runs, leaves clean text") {
