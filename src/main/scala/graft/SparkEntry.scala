@@ -842,6 +842,20 @@ object SparkEntry {
         .select(col("doc_id"), col("score"), col("n_chars"), col("sel_offset"))
     }),
 
+    // Per-domain budget selection: each lang gets its own token cap (the
+    // per-source curation step), one range partitioning serving every
+    // domain's prefix sum.
+    "q_corpus_select_domain" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        (col("doc_id") % 101).cast("long").as("score"))
+      graft.operators.CorpusSelect.selectByBudgetPerGroup(
+          d, "doc_id", "lang", "score", "n_chars",
+          Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 5000L)
+        .select(col("doc_id"), col("lang"), col("score"), col("n_chars"),
+          col("sel_offset"))
+    }),
+
     // Benchmark decontamination: docs sharing >= 5 distinct trigrams with
     // the "eval" slice (doc_id % 7 == 0 stands in for a benchmark corpus)
     // are flagged with their distinct-overlap count.
@@ -1361,6 +1375,16 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS sel_offset FROM s)
         |SELECT doc_id, score, n_chars, sel_offset
         |FROM c WHERE sel_offset + n_chars <= 60000""".stripMargin,
+
+    "q_corpus_select_domain" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |            CAST(doc_id % 101 AS BIGINT) AS score FROM documents),
+        |c AS (SELECT *, CAST(sum(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY score DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS sel_offset FROM s)
+        |SELECT doc_id, lang, score, n_chars, sel_offset
+        |FROM c WHERE sel_offset + n_chars <=
+        |  CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000 ELSE 5000 END""".stripMargin,
 
     "q_decontam" ->
       """WITH tg AS (SELECT doc_id, unnest(

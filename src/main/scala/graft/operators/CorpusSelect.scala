@@ -103,4 +103,110 @@ object CorpusSelect {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-domain budget selection: [[selectByBudget]] where every value of
+    * `groupCol` (a source/domain label) has its OWN token budget — the
+    * per-source cap step of corpus curation ("at most B_web web tokens,
+    * B_code code tokens, ..."). A doc is kept iff it fits its domain's
+    * remaining budget at its position in the domain's (score DESC, id)
+    * order; `sel_offset` is the offset within the domain.
+    *
+    * Scale design: ONE range partitioning over (group, score DESC, id)
+    * serves every domain — partitions hold contiguous (group, rank)
+    * runs, so the per-(partition, group) totals (<= partitions x domains
+    * rows on the driver) give exact per-domain exclusive bases, and the
+    * second pass re-seeds its running offset at each group transition.
+    * Partitions where EVERY overlapping domain's base is already past its
+    * budget are pruned before the second pass.
+    */
+  def selectByBudgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      weightCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      numPartitions: Int = 0,
+      reliable: Boolean = false): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val pidCol = "__cs_pid"
+    require(!df.columns.contains(pidCol), s"column $pidCol is reserved")
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "CorpusSelect.selectByBudgetPerGroup(reliable=true) needs " +
+        "sparkContext.setCheckpointDir (a fault-tolerant location both passes can re-read)")
+    val order: Seq[Column] =
+      Seq(col(groupCol).asc, col(scoreCol).desc, col(idCol).asc)
+    val staged = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+    val parted =
+      if (reliable) staged.checkpoint(eager = true)
+      else staged.localCheckpoint(true)
+
+    // per-(partition, group) totals -> per-group exclusive base at each
+    // partition; <= n x |domains| rows of driver state
+    val totals = parted
+      .groupBy(col(pidCol), col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect()
+      .map(r => ((r.getInt(0), String.valueOf(r.getString(1))),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val tmap = totals.toMap
+    val groups = totals.map(_._1._2).distinct
+    val base = scala.collection.mutable.Map.empty[(Int, String), Long]
+    groups.foreach { g =>
+      var acc = 0L
+      (0 until n).foreach { p =>
+        base((p, g)) = acc
+        acc += tmap.getOrElse((p, g), 0L)
+      }
+    }
+    def budgetOf(g: String): Long = budgets.getOrElse(g, defaultBudget)
+    // prune: keep a partition iff SOME group present in it still has
+    // budget left at this partition's base
+    val present = totals.map(_._1).groupBy(_._1).map { case (p, ks) => (p, ks.map(_._2)) }
+    val live = (0 until n).filter { p =>
+      present.get(p).exists(_.exists(g => base((p, g)) <= budgetOf(g)))
+    }
+    val bc = spark.sparkContext.broadcast(base.toMap)
+    val bBudgets = spark.sparkContext.broadcast(budgets)
+    val dflt = defaultBudget
+    val wIdx = parted.schema.fieldIndex(weightCol)
+    val gIdx = parted.schema.fieldIndex(groupCol)
+    val pidIdx = parted.schema.fieldIndex(pidCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.filterNot(_.name == pidCol))
+      .add("sel_offset", LongType, nullable = false)
+    parted.filter(col(pidCol).isin(live: _*)).mapPartitions { rows =>
+      var curPid = -1
+      var curG: String = null
+      var off = 0L
+      rows.flatMap { r =>
+        val pid = r.getInt(pidIdx)
+        val g = String.valueOf(r.get(gIdx))
+        if (pid != curPid || g != curG) {
+          curPid = pid; curG = g
+          off = bc.value.getOrElse((pid, g), 0L)
+        }
+        val w = r.get(wIdx) match {
+          case null      => 0L
+          case x: Number => x.longValue()
+          case other     => throw new IllegalArgumentException(
+            s"non-numeric weight $other")
+        }
+        if (w < 0) throw new IllegalArgumentException(s"negative weight $w")
+        val start = off
+        off += w
+        if (start + w <= bBudgets.value.getOrElse(g, dflt))
+          Some(Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ start))
+        else None
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -355,36 +355,59 @@ object Vecs {
     val ext = k.ext
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val written = arranged
-      .select(col(vecCol).cast("array<float>").as("v"))
-      .as[Array[Float]]
-      .mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          // 9-digit padding: 5 digits would break the path-sort row_id
-          // contract past 99,999 partitions (part-100000 sorts before
-          // part-10001 lexicographically)
-          val fin = new Path(dir, f"part-$pid%09d.$ext")
-          val tmp = new Path(dir, f"part-$pid%09d.$ext.attempt-${tc.taskAttemptId()}")
-          val tfs = fin.getFileSystem(conf.value)
-          val out = new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16)
-          val kk = Vecs.kinds(ext) // loop-invariant: no per-record map lookup
-          var n = 0L
-          try it.foreach { v => out.write(Vecs.recordArray(kk, v)); n += 1 }
-          finally out.close()
-          if (!tfs.rename(tmp, fin)) {
-            // a sibling attempt already committed identical bytes
-            tfs.delete(tmp, false)
-            if (!tfs.exists(fin))
-              throw new java.io.IOException(s"vecs export commit failed for $fin")
-          }
-          Iterator.single(n)
-        }
-      }(org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sum
+    // BinaryType vector columns (the engine's packed-code surface) export
+    // straight to bvecs — no float adapter round-trip
+    val isBinary = df.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val written =
+      if (isBinary) {
+        require(ext == "bvecs",
+          s"a BinaryType vector column exports as bvecs, not .$ext")
+        writeTasks[Array[Byte]](
+          arranged.select(col(vecCol).as("v")).as[Array[Byte]],
+          dir, ext, conf, { b =>
+            val bb = ByteBuffer.allocate(4 + b.length).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(b.length); bb.put(b); bb.array()
+          })
+      } else {
+        val kk = k
+        writeTasks[Array[Float]](
+          arranged.select(col(vecCol).cast("array<float>").as("v")).as[Array[Float]],
+          dir, ext, conf, v => Vecs.recordArray(kk, v))
+      }
     fs.create(new Path(dirPath, "_SUCCESS"), true).close()
     written
   }
+
+  /** One export task per partition: stream records through `encode` into
+    * `part-NNNNNNNNN.<ext>` with an attempt-safe rename commit (9-digit
+    * padding keeps path-sort == partition order past 1e5 partitions).
+    */
+  private def writeTasks[T](
+      ds: org.apache.spark.sql.Dataset[T],
+      dir: String, ext: String,
+      conf: SerializableConfiguration,
+      encode: T => Array[Byte]): Long =
+    ds.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = new Path(dir, f"part-$pid%09d.$ext")
+        val tmp = new Path(dir, f"part-$pid%09d.$ext.attempt-${tc.taskAttemptId()}")
+        val tfs = fin.getFileSystem(conf.value)
+        val out = new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16)
+        var n = 0L
+        try it.foreach { v => out.write(encode(v)); n += 1 }
+        finally out.close()
+        if (!tfs.rename(tmp, fin)) {
+          // a sibling attempt already committed identical bytes
+          tfs.delete(tmp, false)
+          if (!tfs.exists(fin))
+            throw new java.io.IOException(s"vecs export commit failed for $fin")
+        }
+        Iterator.single(n)
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sum
 }

@@ -117,6 +117,38 @@ class OperatorsSpec extends GraftSuite {
     assert(selz === Seq(1L, 2L))
   }
 
+  test("selectByBudgetPerGroup matches per-group window cut across partition counts") {
+    val rnd = new scala.util.Random(29)
+    val domains = Seq("web", "code", "wiki")
+    val docs = (0 until 500)
+      .map(i => (i.toLong, domains(rnd.nextInt(3)),
+        (rnd.nextInt(90) + 10).toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "dom", "w", "score")
+    val budgets = Map("web" -> 3000L, "code" -> 1200L) // wiki -> default 500
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dom").orderBy($"score".desc, $"id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = docs
+      .withColumn("sel_offset", coalesce(sum($"w").over(w), lit(0L)))
+      .filter($"sel_offset" + $"w" <= when($"dom" === "web", 3000L)
+        .when($"dom" === "code", 1200L).otherwise(500L))
+      .select($"id", $"sel_offset")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (np <- Seq(1, 5, 32)) {
+      val got = graft.operators.CorpusSelect
+        .selectByBudgetPerGroup(docs, "id", "dom", "score", "w", budgets,
+          defaultBudget = 500L, numPartitions = np)
+        .select($"id", $"sel_offset")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expect, s"numPartitions=$np")
+    }
+    // each domain got a partial, non-empty cut
+    val gotDoms = graft.operators.CorpusSelect
+      .selectByBudgetPerGroup(docs, "id", "dom", "score", "w", budgets, 500L)
+      .groupBy($"dom").count().as[(String, Long)].collect().toMap
+    assert(gotDoms.keySet === domains.toSet)
+  }
+
   test("PII redaction masks emails, IPs and phone runs, leaves clean text") {
     import graft.text.TextOps
     val rows = Seq(

@@ -94,6 +94,23 @@ class VecsSourceSpec extends GraftSuite {
     back.foreach { case (rid, v) => assert(v.toSeq === Seq(rid.toFloat, -rid.toFloat)) }
   }
 
+  test("binary columns export directly to bvecs and only bvecs") {
+    val dir = tmp() + "/codes"
+    val rows = (0 until 40).map(i => (i.toLong, Array((i % 256).toByte, (255 - i % 256).toByte)))
+      .toDF("id", "v")
+    val n = Vecs.exportPartitioned(rows, "v", dir, "bvecs", Some("id"), numPartitions = 3)
+    assert(n === 40L)
+    val back = spark.read.format("vecs").load(dir)
+      .select($"row_id", $"vec").as[(Long, Array[Byte])].collect().sortBy(_._1)
+    back.foreach { case (rid, b) =>
+      assert(b.map(_ & 0xff).toSeq === Seq((rid % 256).toInt, (255 - rid % 256).toInt))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Vecs.exportPartitioned(rows, "v", tmp() + "/x", "fvecs", Some("id"))
+    }
+    assert(e.getMessage.contains("bvecs"))
+  }
+
   test("re-export with fewer partitions leaves no stale part files") {
     val dir = tmp() + "/out"
     val mk = (n: Int) => (0 until n).map(i => (i.toLong, Array(i.toFloat))).toDF("id", "v")
