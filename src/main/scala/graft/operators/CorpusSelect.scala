@@ -24,6 +24,24 @@ import org.apache.spark.sql.types.LongType
   */
 object CorpusSelect {
 
+  /** TRUE partition pruning over the materialized pass: a `filter` on the
+    * frozen pid column would still schedule and scan every checkpoint
+    * partition, discarding rows one by one — PartitionPruningRDD never
+    * schedules the dead partitions at all, so a 1% budget reads ~1% of the
+    * corpus in the second pass. Partition indices of the checkpointed
+    * plan's RDD align 1:1 with the frozen `spark_partition_id` column —
+    * the checkpoint materialized the partitioning and nothing shuffles
+    * after it; the in-data pid (not the task's index) remains the base
+    * lookup key.
+    */
+  private def prunedPartitions(parted: DataFrame, live: Set[Int]): DataFrame = {
+    val spark = parted.sparkSession
+    if (live.size == parted.rdd.getNumPartitions) parted
+    else spark.createDataFrame(
+      org.apache.spark.rdd.PartitionPruningRDD.create(parted.rdd, live.contains),
+      parted.schema)
+  }
+
   /** Rows of `df` that fit the budget, with their selection offset.
     * `weightCol` (token count) must be non-negative; `budget` is in the
     * same unit. Output = input columns + `sel_offset` (the exclusive
@@ -74,7 +92,7 @@ object CorpusSelect {
     // `<=`, not `<`: a zero-weight doc whose exclusive offset EQUALS the
     // budget still fits (sel_offset + 0 <= budget), matching the window
     // formulation
-    val live = (0 until n).filter(p => base(p) <= budget)
+    val live = (0 until n).filter(p => base(p) <= budget).toSet
     val bc = spark.sparkContext.broadcast(base)
     val wIdx = parted.schema.fieldIndex(weightCol)
     val pidIdx = parted.schema.fieldIndex(pidCol)
@@ -82,7 +100,7 @@ object CorpusSelect {
       parted.schema.filterNot(_.name == pidCol))
       .add("sel_offset", LongType, nullable = false)
     val b = budget
-    parted.filter(col(pidCol).isin(live: _*)).mapPartitions { rows =>
+    prunedPartitions(parted, live).mapPartitions { rows =>
       var curPid = -1
       var off = 0L
       rows.flatMap { r =>
@@ -173,7 +191,7 @@ object CorpusSelect {
     val present = totals.map(_._1).groupBy(_._1).map { case (p, ks) => (p, ks.map(_._2)) }
     val live = (0 until n).filter { p =>
       present.get(p).exists(_.exists(g => base((p, g)) <= budgetOf(g)))
-    }
+    }.toSet
     val bc = spark.sparkContext.broadcast(base.toMap)
     val bBudgets = spark.sparkContext.broadcast(budgets)
     val dflt = defaultBudget
@@ -183,7 +201,7 @@ object CorpusSelect {
     val outSchema = org.apache.spark.sql.types.StructType(
       parted.schema.filterNot(_.name == pidCol))
       .add("sel_offset", LongType, nullable = false)
-    parted.filter(col(pidCol).isin(live: _*)).mapPartitions { rows =>
+    prunedPartitions(parted, live).mapPartitions { rows =>
       var curPid = -1
       var curG: String = null
       var off = 0L
