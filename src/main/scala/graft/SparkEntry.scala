@@ -902,9 +902,17 @@ object SparkEntry {
     // the parquet-side oracle.
     "q_vecs_export" -> ((s, dir) => {
       // per-run unique dir: a fixed path would let two concurrent harness
-      // runs overwrite each other's part files mid-scan
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_vecs_export").toString
+      // runs overwrite each other's part files mid-scan. Deleted on JVM
+      // exit — repeated harness runs must not accumulate export copies
+      // (the re-read is consumed within this process, so exit-time
+      // cleanup is safe).
+      val outDir = java.nio.file.Files.createTempDirectory("graft_vecs_export")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val out = outDir.toString
       graft.sources.Vecs.exportPartitioned(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "embedding", out, "fvecs", orderCol = Some("vec_id"), numPartitions = 4)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -24,22 +24,32 @@ import org.apache.spark.sql.types.LongType
   */
 object CorpusSelect {
 
-  /** TRUE partition pruning over the materialized pass: a `filter` on the
-    * frozen pid column would still schedule and scan every checkpoint
-    * partition, discarding rows one by one — PartitionPruningRDD never
-    * schedules the dead partitions at all, so a 1% budget reads ~1% of the
-    * corpus in the second pass. Partition indices of the checkpointed
-    * plan's RDD align 1:1 with the frozen `spark_partition_id` column —
-    * the checkpoint materialized the partitioning and nothing shuffles
-    * after it; the in-data pid (not the task's index) remains the base
-    * lookup key.
+  /** Second pass shared by both selectors: TRUE partition pruning over the
+    * materialized pass, then the per-partition selection kernel on the Row
+    * RDD directly. A `filter` on the frozen pid column would still
+    * schedule and scan every checkpoint partition, discarding rows one by
+    * one — PartitionPruningRDD never schedules the dead partitions at all,
+    * so a 1% budget reads ~1% of the corpus in the second pass. Running
+    * the kernel on the RDD (instead of Dataset.mapPartitions over a
+    * pruned createDataFrame) keeps the conversion count identical on the
+    * pruned and unpruned paths: one InternalRow->Row per input row, one
+    * Row->InternalRow per EMITTED row. Partition indices align 1:1 with
+    * the frozen `spark_partition_id` column — the checkpoint materialized
+    * the partitioning and nothing shuffles after it; the in-data pid (not
+    * the task's index) remains the base lookup key.
     */
-  private def prunedPartitions(parted: DataFrame, live: Set[Int]): DataFrame = {
+  private def selectPass(
+      parted: DataFrame,
+      live: Set[Int],
+      n: Int,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      kernel: Iterator[Row] => Iterator[Row]): DataFrame = {
     val spark = parted.sparkSession
-    if (live.size == parted.rdd.getNumPartitions) parted
-    else spark.createDataFrame(
-      org.apache.spark.rdd.PartitionPruningRDD.create(parted.rdd, live.contains),
-      parted.schema)
+    val rows = parted.rdd
+    val pruned =
+      if (live.size == n) rows
+      else org.apache.spark.rdd.PartitionPruningRDD.create(rows, live.contains)
+    spark.createDataFrame(pruned.mapPartitions(kernel), outSchema)
   }
 
   /** Rows of `df` that fit the budget, with their selection offset.
@@ -100,7 +110,7 @@ object CorpusSelect {
       parted.schema.filterNot(_.name == pidCol))
       .add("sel_offset", LongType, nullable = false)
     val b = budget
-    prunedPartitions(parted, live).mapPartitions { rows =>
+    selectPass(parted, live, n, outSchema) { rows =>
       var curPid = -1
       var off = 0L
       rows.flatMap { r =>
@@ -119,7 +129,7 @@ object CorpusSelect {
           Some(Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ start))
         else None
       }
-    }(Encoders.row(outSchema))
+    }
   }
 
   /** Per-domain budget selection: [[selectByBudget]] where every value of
@@ -149,6 +159,16 @@ object CorpusSelect {
       reliable: Boolean = false): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "budgets must be non-negative")
+    // the driver's base table and the executors' running pass must derive
+    // the SAME key from a group value; for non-string types the SQL cast
+    // and JVM toString disagree (Timestamp, Binary, ...) — domain labels
+    // are strings, so require that instead of guessing a rendering. Null
+    // groups stay null (covered by defaultBudget), never colliding with a
+    // domain literally named "null".
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"groupCol '$groupCol' must be StringType (domain labels); got " +
+        df.schema(groupCol).dataType.simpleString)
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
@@ -170,10 +190,10 @@ object CorpusSelect {
     // per-(partition, group) totals -> per-group exclusive base at each
     // partition; <= n x |domains| rows of driver state
     val totals = parted
-      .groupBy(col(pidCol), col(groupCol).cast("string").as("__g"))
+      .groupBy(col(pidCol), col(groupCol))
       .agg(sum(col(weightCol).cast("long")).as("t"))
       .collect()
-      .map(r => ((r.getInt(0), String.valueOf(r.getString(1))),
+      .map(r => ((r.getInt(0), r.getString(1)),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
     val tmap = totals.toMap
     val groups = totals.map(_._1._2).distinct
@@ -201,15 +221,16 @@ object CorpusSelect {
     val outSchema = org.apache.spark.sql.types.StructType(
       parted.schema.filterNot(_.name == pidCol))
       .add("sel_offset", LongType, nullable = false)
-    prunedPartitions(parted, live).mapPartitions { rows =>
+    selectPass(parted, live, n, outSchema) { rows =>
       var curPid = -1
       var curG: String = null
+      var first = true
       var off = 0L
       rows.flatMap { r =>
         val pid = r.getInt(pidIdx)
-        val g = String.valueOf(r.get(gIdx))
-        if (pid != curPid || g != curG) {
-          curPid = pid; curG = g
+        val g = r.getString(gIdx) // may be null; keys match the driver's
+        if (first || pid != curPid || g != curG) {
+          first = false; curPid = pid; curG = g
           off = bc.value.getOrElse((pid, g), 0L)
         }
         val w = r.get(wIdx) match {
@@ -225,6 +246,6 @@ object CorpusSelect {
           Some(Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ start))
         else None
       }
-    }(Encoders.row(outSchema))
+    }
   }
 }

@@ -335,6 +335,12 @@ object Vecs {
       numPartitions: Int = 0): Long = {
     val spark = df.sparkSession
     val k = kinds(kind)
+    // validate BEFORE the destructive cleanup below — a bad-argument call
+    // must not wipe a previous valid export and then throw
+    val isBinaryCol = df.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    require(!isBinaryCol || k.ext == "bvecs",
+      s"a BinaryType vector column exports as bvecs, not .${k.ext}")
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
@@ -357,12 +363,8 @@ object Vecs {
     import spark.implicits._
     // BinaryType vector columns (the engine's packed-code surface) export
     // straight to bvecs — no float adapter round-trip
-    val isBinary = df.schema(vecCol).dataType ==
-      org.apache.spark.sql.types.BinaryType
     val written =
-      if (isBinary) {
-        require(ext == "bvecs",
-          s"a BinaryType vector column exports as bvecs, not .$ext")
+      if (isBinaryCol) {
         writeTasks[Array[Byte]](
           arranged.select(col(vecCol).as("v")).as[Array[Byte]],
           dir, ext, conf, { b =>

@@ -105,10 +105,13 @@ class VecsSourceSpec extends GraftSuite {
     back.foreach { case (rid, b) =>
       assert(b.map(_ & 0xff).toSeq === Seq((rid % 256).toInt, (255 - rid % 256).toInt))
     }
+    // validation precedes cleanup: the bad-kind call must throw WITHOUT
+    // wiping the existing export in the same dir
     val e = intercept[IllegalArgumentException] {
-      Vecs.exportPartitioned(rows, "v", tmp() + "/x", "fvecs", Some("id"))
+      Vecs.exportPartitioned(rows, "v", dir, "fvecs", Some("id"))
     }
     assert(e.getMessage.contains("bvecs"))
+    assert(spark.read.format("vecs").load(dir).count() === 40L)
   }
 
   test("re-export with fewer partitions leaves no stale part files") {
