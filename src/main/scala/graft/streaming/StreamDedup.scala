@@ -150,4 +150,62 @@ object StreamDedup {
       .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
     graft.dedup.Dedup.pairJaccard(pairs, threshold)
   }
+
+  /** Streaming decontamination — the ingest-time twin of
+    * `Dedup.decontaminate`: drop every arriving doc that shares at least
+    * `minHits` distinct word n-grams with the (static) evaluation corpus.
+    *
+    * STATELESS by construction: a doc arrives whole in one microbatch and
+    * the eval set never changes mid-stream, so contamination is a pure
+    * per-doc decision. The eval grams materialize ONCE into a sorted
+    * primitive hash array (the same 8-byte md5-derived hashes as the
+    * batch op) broadcast to every microbatch; each arriving doc counts
+    * shared grams by a linear merge of two sorted arrays with an early
+    * exit at `minHits` — no state store, no shuffle, no join. Same
+    * flag/keep decision as the batch operator on every doc.
+    *
+    * The eval gram set collects to the driver (like every broadcast): an
+    * eval benchmark is tiny next to the corpus; for a giant holdout run
+    * the batch `decontaminate(broadcastEval = false)` at rest instead.
+    */
+  def decontaminated(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      shingleN: Int = 3,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1 (got $minHits)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hashes = graft.dedup.Dedup.withShingles(
+        evalDocs.select(col(evalTextCol))
+          .withColumn("__eid", monotonically_increasing_id()),
+        "__eid", evalTextCol, shingleN)
+      .select(explode(col("toks")).as("g")).distinct()
+      .as[Long].collect()
+    java.util.Arrays.sort(hashes)
+    val bc = spark.sparkContext.broadcast(hashes)
+    val tIdx = stream.schema.fieldIndex(textCol)
+    val schema = stream.schema
+    val n = shingleN
+    val mh = minHits
+    stream.mapPartitions { rows =>
+      val ev = bc.value
+      rows.filter { r =>
+        // hashedShingles is sorted distinct (ShingleHash contract) —
+        // linear merge against the sorted eval array, stop at minHits
+        val hs = graft.dedup.ShingleHash.hashedShingles(r.getString(tIdx), n)
+        var i = 0; var j = 0; var inter = 0
+        while (i < hs.length && j < ev.length && inter < mh) {
+          val a = hs(i); val b = ev(j)
+          if (a == b) { inter += 1; i += 1; j += 1 }
+          else if (a < b) i += 1
+          else j += 1
+        }
+        inter < mh // keep = NOT contaminated
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

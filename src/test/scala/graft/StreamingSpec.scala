@@ -74,6 +74,33 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("sdedup_spec").count() === expected.size.toLong)
   }
 
+  test("streaming decontamination keeps exactly the batch operator's survivors") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+      .select($"doc_id", $"text")
+    val evalDocs = docs.filter($"doc_id" % 7 === 0)
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val expected = graft.dedup.Dedup.decontaminate(
+        train, "doc_id", "text", evalDocs, "text", shingleN = 3, minHits = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val stream = MemoryStream[StreamTextDoc]
+    val q = graft.streaming.StreamDedup.decontaminated(
+        stream.toDF(), "doc_id", "text", evalDocs, "text",
+        shingleN = 3, minHits = 5)
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("sdecontam_spec")
+      .outputMode("append").start()
+    try {
+      val all = train.as[StreamTextDoc].collect().toSeq
+      all.grouped(math.max(1, all.size / 3)).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("sdecontam_spec").as[Long].collect().toSet
+    assert(got === expected)
+    assert(expected.size < train.count()) // the filter actually dropped docs
+  }
+
   test("streaming LSH near-dup converges to the batch pair set, any arrival order") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = spark.read.parquet(s"$sf0/documents.parquet")
