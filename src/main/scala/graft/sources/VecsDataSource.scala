@@ -363,7 +363,7 @@ object Vecs {
     import spark.implicits._
     // BinaryType vector columns (the engine's packed-code surface) export
     // straight to bvecs — no float adapter round-trip
-    val written =
+    val parts =
       if (isBinaryCol) {
         writeTasks[Array[Byte]](
           arranged.select(col(vecCol).as("v")).as[Array[Byte]],
@@ -377,19 +377,77 @@ object Vecs {
           arranged.select(col(vecCol).cast("array<float>").as("v")).as[Array[Float]],
           dir, ext, conf, v => Vecs.recordArray(kk, v))
       }
-    fs.create(new Path(dirPath, "_SUCCESS"), true).close()
+    val written = parts.map(_._2).sum
+    // _SUCCESS doubles as a manifest: per-part record counts let a reader
+    // (or validateExport) detect truncated/missing/extra part files
+    // without trusting file sizes alone
+    val manifest = parts.sortBy(_._1)
+      .map { case (p, c) => s""""${partName(p, ext)}":$c""" }
+      .mkString(s"""{"records":$written,"parts":{""", ",", "}}")
+    val out = fs.create(new Path(dirPath, "_SUCCESS"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     written
+  }
+
+  private def partName(pid: Int, ext: String): String = f"part-$pid%09d.$ext"
+
+  /** Re-derive every part file's record count from its size and dim
+    * header and compare against the `_SUCCESS` manifest — catches
+    * truncated, missing, or stray part files after transport. Throws with
+    * a per-file diagnosis on any mismatch.
+    */
+  def validateExport(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val sPath = new Path(dirPath, "_SUCCESS")
+    require(fs.exists(sPath), s"$dir: no _SUCCESS manifest — incomplete export")
+    val in = fs.open(sPath)
+    val manifest = try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readTree(in)
+    } finally in.close()
+    val declared = {
+      val parts = manifest.get("parts")
+      val it = parts.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val f = it.next(); b += (f -> parts.get(f).asLong()) }
+      b.result()
+    }
+    val actual = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && kinds.keys.exists(x => st.getPath.getName.endsWith(s".$x")))
+      .map { st =>
+        val name = st.getPath.getName
+        val ext = name.substring(name.lastIndexOf('.') + 1)
+        val dim = headerDim(st.getPath, conf)
+        val rec = recordBytes(kinds(ext), dim)
+        require(st.getLen % rec == 0,
+          s"$name: size ${st.getLen} is not a multiple of the $rec-byte record — truncated?")
+        (name, st.getLen / rec)
+      }.toMap
+    val problems =
+      declared.collect {
+        case (f, c) if !actual.contains(f) => s"$f: in manifest, file missing"
+        case (f, c) if actual(f) != c      => s"$f: manifest says $c records, file holds ${actual(f)}"
+      } ++
+      actual.keys.filterNot(declared.contains).map(f => s"$f: stray file not in manifest")
+    require(problems.isEmpty, s"$dir: export validation failed — ${problems.mkString("; ")}")
+    val total = manifest.get("records").asLong()
+    require(declared.values.sum == total,
+      s"$dir: manifest parts sum ${declared.values.sum} != records $total")
   }
 
   /** One export task per partition: stream records through `encode` into
     * `part-NNNNNNNNN.<ext>` with an attempt-safe rename commit (9-digit
     * padding keeps path-sort == partition order past 1e5 partitions).
+    * Returns (partition id, records written) per non-empty partition.
     */
   private def writeTasks[T](
       ds: org.apache.spark.sql.Dataset[T],
       dir: String, ext: String,
       conf: SerializableConfiguration,
-      encode: T => Array[Byte]): Long =
+      encode: T => Array[Byte]): Seq[(Int, Long)] =
     ds.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -408,8 +466,9 @@ object Vecs {
           if (!tfs.exists(fin))
             throw new java.io.IOException(s"vecs export commit failed for $fin")
         }
-        Iterator.single(n)
+        Iterator.single((pid, n))
       }
-    }(org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sum
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq
 }

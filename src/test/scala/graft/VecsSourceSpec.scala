@@ -114,6 +114,33 @@ class VecsSourceSpec extends GraftSuite {
     assert(spark.read.format("vecs").load(dir).count() === 40L)
   }
 
+  test("export manifest validates; truncation and missing parts are diagnosed") {
+    val dir = tmp() + "/val"
+    Vecs.exportPartitioned(
+      (0 until 200).map(i => (i.toLong, Array(i.toFloat, 2f * i))).toDF("id", "v"),
+      "v", dir, "fvecs", Some("id"), numPartitions = 4)
+    Vecs.validateExport(spark, dir) // clean export passes
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fvecs"))
+    assert(parts.nonEmpty)
+    // truncate one part mid-record
+    val victim = parts.head
+    val ch = java.nio.file.Files.newByteChannel(victim.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(victim.length() - 5) finally ch.close()
+    val e1 = intercept[IllegalArgumentException] { Vecs.validateExport(spark, dir) }
+    assert(e1.getMessage.contains("truncated") || e1.getMessage.contains("record"))
+    // restore to a record boundary (still the wrong count) -> count mismatch
+    val ch2 = java.nio.file.Files.newByteChannel(victim.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch2.truncate(victim.length() - 7) finally ch2.close() // 12-byte records
+    val e2 = intercept[IllegalArgumentException] { Vecs.validateExport(spark, dir) }
+    assert(e2.getMessage.contains("manifest says"))
+    // missing part
+    assert(victim.delete())
+    val e3 = intercept[IllegalArgumentException] { Vecs.validateExport(spark, dir) }
+    assert(e3.getMessage.contains("file missing"))
+  }
+
   test("re-export with fewer partitions leaves no stale part files") {
     val dir = tmp() + "/out"
     val mk = (n: Int) => (0 until n).map(i => (i.toLong, Array(i.toFloat))).toDF("id", "v")
