@@ -345,8 +345,13 @@ object Vecs {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
     fs.mkdirs(dirPath)
-    Option(fs.globStatus(new Path(dirPath, s"part-*.${k.ext}*")))
-      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    // overwrite semantics across EVERY kind: a re-export with a different
+    // kind must not leave the old kind's parts behind (the reader would
+    // ingest both mixed and validateExport would flag strays)
+    kinds.keys.foreach { x =>
+      Option(fs.globStatus(new Path(dirPath, s"part-*.$x*")))
+        .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    }
     fs.delete(new Path(dirPath, "_SUCCESS"), false)
 
     val arranged = orderCol match {
@@ -390,7 +395,10 @@ object Vecs {
     written
   }
 
-  private def partName(pid: Int, ext: String): String = f"part-$pid%09d.$ext"
+  /** 9-digit padding keeps path-sort == partition order past 1e5 parts;
+    * the ONLY definition of the part-file format (writer + manifest).
+    */
+  private[sources] def partName(pid: Int, ext: String): String = f"part-$pid%09d.$ext"
 
   /** Re-derive every part file's record count from its size and dim
     * header and compare against the `_SUCCESS` manifest — catches
@@ -408,6 +416,11 @@ object Vecs {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       m.readTree(in)
     } finally in.close()
+    // a zero-byte _SUCCESS (plain Spark marker / pre-manifest export)
+    // parses to a missing node — diagnose instead of NPEing below
+    require(manifest != null && manifest.has("parts") && manifest.has("records"),
+      s"$dir: _SUCCESS carries no manifest (empty or pre-manifest export) — " +
+        "re-export to validate record counts")
     val declared = {
       val parts = manifest.get("parts")
       val it = parts.fieldNames()
@@ -453,8 +466,10 @@ object Vecs {
       else {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val fin = new Path(dir, f"part-$pid%09d.$ext")
-        val tmp = new Path(dir, f"part-$pid%09d.$ext.attempt-${tc.taskAttemptId()}")
+        // partName is the single source of the format — the manifest keys
+        // must match the written files byte-for-byte
+        val fin = new Path(dir, Vecs.partName(pid, ext))
+        val tmp = new Path(dir, s"${Vecs.partName(pid, ext)}.attempt-${tc.taskAttemptId()}")
         val tfs = fin.getFileSystem(conf.value)
         val out = new java.io.BufferedOutputStream(tfs.create(tmp, true), 1 << 16)
         var n = 0L

@@ -170,7 +170,6 @@ object StreamDedup {
     */
   def decontaminated(
       stream: DataFrame,
-      idCol: String,
       textCol: String,
       evalDocs: DataFrame,
       evalTextCol: String,

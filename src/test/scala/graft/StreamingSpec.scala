@@ -85,7 +85,7 @@ class StreamingSpec extends GraftSuite {
       .select($"doc_id").as[Long].collect().toSet
     val stream = MemoryStream[StreamTextDoc]
     val q = graft.streaming.StreamDedup.decontaminated(
-        stream.toDF(), "doc_id", "text", evalDocs, "text",
+        stream.toDF(), "text", evalDocs, "text",
         shingleN = 3, minHits = 5)
       .select($"doc_id")
       .writeStream.format("memory").queryName("sdecontam_spec")

@@ -139,6 +139,24 @@ class VecsSourceSpec extends GraftSuite {
     assert(victim.delete())
     val e3 = intercept[IllegalArgumentException] { Vecs.validateExport(spark, dir) }
     assert(e3.getMessage.contains("file missing"))
+    // a legacy zero-byte _SUCCESS is diagnosed, not an NPE
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array[Byte]())
+    val e4 = intercept[IllegalArgumentException] { Vecs.validateExport(spark, dir) }
+    assert(e4.getMessage.contains("carries no manifest"))
+  }
+
+  test("re-export with a different kind removes the old kind's parts") {
+    val dir = tmp() + "/swap"
+    Vecs.exportPartitioned(
+      (0 until 30).map(i => (i.toLong, Array(i.toFloat))).toDF("id", "v"),
+      "v", dir, "fvecs", Some("id"), numPartitions = 2)
+    Vecs.exportPartitioned(
+      (0 until 30).map(i => (i.toLong, Array(i.toByte))).toDF("id", "v"),
+      "v", dir, "bvecs", Some("id"), numPartitions = 2)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".fvecs")))
+    Vecs.validateExport(spark, dir) // manifest matches the bvecs-only dir
+    assert(spark.read.format("vecs").load(dir).count() === 30L)
   }
 
   test("re-export with fewer partitions leaves no stale part files") {
