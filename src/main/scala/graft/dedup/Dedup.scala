@@ -422,7 +422,7 @@ object Dedup {
     val buckets = (0 until tables).map { tbl =>
       val planeVecs = Array.fill(planes, dim)(rng.nextGaussian().toFloat)
       val sig = planeVecs.zipWithIndex.map { case (p, i) =>
-        when(graft.functions.inner_product(col(vecCol), array(p.map(lit(_)): _*)) >= 0,
+        when(graft.functions.inner_product(col(vecCol), array(p.toIndexedSeq.map(lit(_)): _*)) >= 0,
           shiftleft(lit(1L), i)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(tbl).as("tbl"), sig.as("sig"))

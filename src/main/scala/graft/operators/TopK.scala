@@ -41,11 +41,11 @@ object TopK {
     // "smallest" order matches), then tie-breaks, then the full payload
     val sortKey = if (ascending) col(scoreCol) else negate(col(scoreCol))
     val fields = struct(
-      (sortKey.as("__sk") +: tieBreak.map(col) :+ struct(df.columns.map(col): _*).as("__p")): _*)
+      (sortKey.as("__sk") +: tieBreak.map(col) :+ struct(df.columns.toIndexedSeq.map(col): _*).as("__p")): _*)
     df.groupBy(col(groupCol))
       .agg(graft.functions.topk_rows(fields, k, 1 + tieBreak.length).as("__top"))
       .select(explode(col("__top")).as("__r"))
-      .select(df.columns.map(c => col(s"__r.__p.$c")): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"__r.__p.$c")): _*)
   }
 
   /** Window-based reference implementation of [[perGroup]] (kept for

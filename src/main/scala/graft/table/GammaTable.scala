@@ -648,7 +648,7 @@ class GammaTable private (
       // scale)
       val proj = docs.select((key +: req.fields).distinct.map(col): _*)
       proj.join(broadcast(hits), Seq(key), "inner")
-        .select((hits.columns.map(col) ++ req.fields.filterNot(_ == key).map(col)): _*)
+        .select((hits.columns.toIndexedSeq.map(col) ++ req.fields.filterNot(_ == key).map(col)): _*)
     }
   }
 
