@@ -94,6 +94,13 @@ class PlanSpec extends GraftSuite {
     assert(df.columns.contains("label") && df.count() === 5)
   }
 
+  test("decontamination probes the eval grams through a broadcast join") {
+    val p = plan(SparkEntry.queries("q_decontam")(spark, sf0))
+    // the eval gram set is the broadcast side; the doc-gram stream must
+    // not shuffle against it
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("allowed-set semi-join: broadcast only when the filter is selective (X2)") {
     val root = java.nio.file.Files.createTempDirectory("graft_plan_sel").toString
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
