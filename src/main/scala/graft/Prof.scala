@@ -15,6 +15,46 @@ object Prof {
     emb.count() // warm the file scan
     val docs = emb.select("vec_id", "embedding")
 
+    // q_table_persisted stage breakdown (run with PROF_ONLY=persist to skip
+    // the rest): mirrors SparkEntry's lifecycle exactly
+    if (sys.env.get("PROF_ONLY").contains("persist")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      (1 to 2).foreach { pass =>
+        System.err.println(s"[prof] === persisted lifecycle, pass $pass ===")
+        val root = java.nio.file.Files.createTempDirectory("graft_prof_persist").toString
+        val docs0 = graft.core.Tables.load(spark, dir, "part")
+          .join(emb, col("p_partkey") === col("vec_id"))
+          .select(col("p_partkey").cast("string").as("_id"),
+            col("p_size"), col("embedding").as("vec"))
+        val tbl = time("persist: create") {
+          graft.table.GammaTable.create(spark, root, "persisted", "_id", docs0,
+            Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+        }
+        val ix = time("persist: buildIndex") {
+          tbl.buildIndex("vec", graft.index.IndexParams(ncentroids = 4), persist = true)
+        }
+        val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+          .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+        time("persist: addOrUpdate") { tbl.addOrUpdate(delta) }
+        time("persist: refresh") { ix.refresh() }
+        time("persist: deleteByQuery") { tbl.deleteByQuery(col("p_size").between(10, 12)) }
+        val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+          .as[Array[Float]].head()
+        val reloaded = time("persist: load") { graft.table.GammaTable.load(spark, root) }
+        spark.conf.set("spark.graft.filter.exactFallbackRows", "0")
+        try time("persist: search+collect") {
+          reloaded.search(graft.core.SearchRequest(
+              topn = 10,
+              vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+              rangeFilters = Seq(graft.core.RangeFilter("p_size", Some(1), Some(40))),
+              metric = graft.core.Metric.L2))
+            .select(col("_id"), round(col("score"), 6).as("score")).collect()
+        } finally spark.conf.unset("spark.graft.filter.exactFallbackRows")
+      }
+      spark.stop(); return
+    }
+
     val centers = time("trainCoarse(32)") {
       graft.index.Ivf.trainCoarse(docs, "embedding", 32, 200000, 42L)
     }

@@ -414,6 +414,36 @@ object SparkEntry {
       one("IVFFLAT").unionByName(one("IVFPQ"))
     }),
 
+    // Per-request recall_num (reference request.fbs:38 / gamma_common_data
+    // .h:89 / parse at gamma_index_ivfpq.h:707+): the index is BUILT with
+    // a deliberately-starved recall_num=10 (approximate by default); the
+    // REQUEST overrides it to exhaustive, which with full probes makes the
+    // result exact — the oracle hash-match proves the override reached the
+    // scan.
+    "q_ivfpq_recallnum" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_rn").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = emb.select(col("vec_id").cast("string").as("_id"),
+        col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "rn", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64, retrievalType = "IVFPQ")),
+        nBuckets = 8)
+      tbl.buildIndex("vec",
+        graft.index.IndexParams(ncentroids = 8, nsubvector = 8,
+          recallNum = 10, nprobe = 8),
+        retrievalType = "IVFPQ")
+      val qvec = emb.filter(col("vec_id") === 0).select("embedding")
+        .as[Array[Float]].head()
+      tbl.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec,
+            nprobe = Some(8), recallNum = Some(1000000))),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // M7 — the Catalyst rewrite surface: plain SQL `WHERE ... ORDER BY
     // l2_sq(...) LIMIT k` routed through the registered index by
     // AnnTopKRewrite. Full probes keep it exact, so the filtered single-
@@ -867,6 +897,17 @@ object SparkEntry {
         shingleN = 3, minHits = 5)
     }),
 
+    // Sliding-window decontamination (the GPT-3-style "any overlapping
+    // n-gram" rule counts window POSITIONS, not distinct grams): every
+    // occurrence of an eval trigram in the doc counts toward hits.
+    "q_decontam_window" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.contaminationHits(
+        d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text",
+        shingleN = 3, minHits = 5, windowed = true)
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (decode
     // itself is stubbed — see graft.media.MediaOps).
     "q_media_meta" -> ((s, dir) => {
@@ -1129,6 +1170,16 @@ object SparkEntry {
         |       * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
         |  FROM embeddings d, q
         |  WHERE d.label BETWEEN 7 AND 7 AND d.vec_id BETWEEN 0 AND 100),
+        |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+        |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_ivfpq_recallnum" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT CAST(d.vec_id AS VARCHAR) AS _id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM embeddings d, q),
         |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
         |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
@@ -1400,7 +1451,7 @@ object SparkEntry {
         |      list_distinct(list_transform(
         |        list_transform(range(1, len(string_split(text,' ')) - 1),
         |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
-        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT))
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT))
         |    ELSE [] END) AS g
         |  FROM documents WHERE doc_id % 7 <> 0),
         |eg AS (SELECT DISTINCT unnest(
@@ -1408,7 +1459,29 @@ object SparkEntry {
         |      list_transform(
         |        list_transform(range(1, len(string_split(text,' ')) - 1),
         |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
-        |        s -> ('0x'||substr(md5(s),1,8))::BIGINT)
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT)
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS hits
+        |FROM tg JOIN eg USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin,
+
+    // window variant: tg keeps EVERY sliding position (no list_distinct)
+    "q_decontam_window" ->
+      """WITH tg AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT)
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |eg AS (SELECT DISTINCT unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT)
         |    ELSE [] END) AS g
         |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT doc_id, count(*) AS hits

@@ -57,7 +57,13 @@ case class VecQuery(
     vectors: Seq[Array[Float]] = Nil,
     retrievalType: Option[String] = None,
     nprobe: Option[Int] = None,
-    efSearch: Option[Int] = None) {
+    efSearch: Option[Int] = None,
+    // per-request candidate-pool size and exact-re-rank toggle (the
+    // reference's request param JSON carries recall_num / has_rank next to
+    // nprobe: common/gamma_common_data.h:89, request.fbs:38, parsed at
+    // gamma_index_ivfpq.h:707+); None = the index's build-time setting
+    recallNum: Option[Int] = None,
+    hasRank: Option[Boolean] = None) {
   def batch: Seq[(Long, Array[Float])] =
     if (vectors.nonEmpty) vectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     else Seq((0L, vector))

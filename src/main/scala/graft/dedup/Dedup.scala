@@ -93,7 +93,8 @@ object Dedup {
     * the DuckDB oracle (same hash).
     */
   private[graft] def withShingles(
-      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      hashChars: Int = 8, distinctGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // repartition: a small parquet file arrives as ONE partition, which
@@ -103,7 +104,12 @@ object Dedup {
     val schema = StructType(Seq(
       in.schema("id"), StructField("toks", ArrayType(LongType, containsNull = false))))
     in.mapPartitions { rows =>
-      rows.map(r => Row(r.get(0), ShingleHash.hashedShingles(r.getString(1), shingleN).toSeq))
+      rows.map { r =>
+        val hs =
+          if (distinctGrams) ShingleHash.hashedShingles(r.getString(1), shingleN, hashChars)
+          else ShingleHash.slidingHashes(r.getString(1), shingleN, hashChars)
+        Row(r.get(0), hs.toSeq)
+      }
     }(Encoders.row(schema))
   }
 
@@ -242,16 +248,25 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,
       shingleN: Int = 3, minHits: Int = 1,
-      broadcastEval: Boolean = true): DataFrame = {
-    val docGrams = withShingles(docs, idCol, textCol, shingleN)
+      broadcastEval: Boolean = true,
+      windowed: Boolean = false,
+      hashChars: Int = 15): DataFrame = {
+    // hashChars defaults to 15 (60-bit): at corpus scale, 32-bit gram
+    // hashes collide against a ~1e6-gram eval set often enough to falsely
+    // drop clean docs when minHits is small; 60 bits makes that negligible
+    val docGrams = withShingles(docs, idCol, textCol, shingleN,
+        hashChars, distinctGrams = !windowed)
       .select(col("id"), explode(col("toks")).as("g"))
     val evalGrams = withShingles(
         evalDocs.select(col(evalTextCol)).withColumn("__eid", monotonically_increasing_id()),
-        "__eid", evalTextCol, shingleN)
+        "__eid", evalTextCol, shingleN, hashChars)
       .select(explode(col("toks")).as("g")).distinct()
     val probe = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    // toks are distinct per doc (ShingleHash contract) and the eval side is
-    // distinct, so plain count(*) IS the distinct shared-gram count
+    // distinct mode: toks are distinct per doc (ShingleHash contract) and
+    // the eval side is distinct, so count(*) IS the distinct shared-gram
+    // count. windowed mode: toks carry one entry PER SLIDING POSITION, so
+    // count(*) counts every overlapping window ("any 13-gram overlap"
+    // rules count occurrences, not distinct grams)
     docGrams.join(probe, Seq("g"))
       .groupBy(col("id")).agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
@@ -265,9 +280,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String,
       shingleN: Int = 3, minHits: Int = 1,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true,
+      windowed: Boolean = false,
+      hashChars: Int = 15): DataFrame = {
     val flagged = contaminationHits(docs, idCol, textCol, evalDocs, evalTextCol,
-      shingleN, minHits, broadcastEval)
+      shingleN, minHits, broadcastEval, windowed, hashChars)
     docs.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
   }
 

@@ -44,6 +44,7 @@ object ShingleHash {
     * hash-set builds.
     */
   def shingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty // null doc = empty set, not an NPE
     val toks = text.split(" ", -1)
     if (toks.length < n) Array.empty
     else {
@@ -75,11 +76,31 @@ object ShingleHash {
   /** Sorted distinct 32-bit hashes of the shingle set — the set-identity
     * payload for pair joins (8 bytes/shingle instead of a ~25-char string).
     */
-  def hashedShingles(text: String, n: Int): Array[Long] = {
-    val hs = shingles(text, n).map(tokenHash32)
+  def hashedShingles(text: String, n: Int): Array[Long] = hashedShingles(text, n, 8)
+
+  /** Sorted distinct md5-prefix hashes at `hashChars` hex chars of width
+    * (8 = 32-bit for pair-join payloads where the oracle shares the
+    * collision behavior; 15 = 60-bit where false positives carry a cost,
+    * e.g. decontamination dropping clean docs on a collision).
+    */
+  def hashedShingles(text: String, n: Int, hashChars: Int): Array[Long] = {
+    val hs = shingles(text, n).map(md5HexPrefix(_, hashChars))
     val d = hs.distinct
     java.util.Arrays.sort(d)
     d
+  }
+
+  /** NON-distinct, position-ordered gram hashes — one entry per sliding-
+    * window position (the "any overlapping window" decontamination rule
+    * counts occurrences, not distinct grams).
+    */
+  def slidingHashes(text: String, n: Int, hashChars: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1) { i =>
+      md5HexPrefix(toks.slice(i, i + n).mkString(" "), hashChars)
+    }
   }
 
   /** Jaccard of two SORTED distinct long arrays via linear merge. */

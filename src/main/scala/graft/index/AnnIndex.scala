@@ -43,6 +43,15 @@ trait AnnIndex {
     * next search's plan.
     */
   def excluding(ids: DataFrame): AnnIndex
+
+  /** Same index, different hyper-parameters — the hook for PER-REQUEST
+    * knob overrides (the reference's request param JSON carries
+    * recall_num and the exact-re-rank toggle `has_rank` alongside nprobe,
+    * common/gamma_common_data.h:89, idl/fbs/request.fbs:38, parsed at
+    * gamma_index_ivfpq.h:707+). Costless: quantizers/lists/graphs are
+    * shared, only the param record changes.
+    */
+  def withParams(p: IndexParams): AnnIndex
 }
 
 object AnnIndex {

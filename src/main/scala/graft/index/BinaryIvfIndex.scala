@@ -101,6 +101,9 @@ class BinaryIvfIndex(
     new BinaryIvfIndex(spark,
       data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
       idCol, codeCol, centroids, params, listSizes)
+
+  override def withParams(p: IndexParams): AnnIndex =
+    new BinaryIvfIndex(spark, data, idCol, codeCol, centroids, p, listSizes)
 }
 
 object BinaryIvfIndex {

@@ -307,6 +307,9 @@ class HnswIndex(
     new HnswIndex(spark, graphs, idCol, vecCol, params, Some(merged), segmentAvg)
   }
 
+  override def withParams(p: IndexParams): AnnIndex =
+    new HnswIndex(spark, graphs, idCol, vecCol, p, excluded, segmentAvg)
+
   def save(path: String): Unit =
     graphs.write.mode("overwrite").parquet(s"$path/graphs")
 

@@ -40,6 +40,8 @@ case class FlatIndex(
 
   override def excluding(ids: DataFrame): AnnIndex =
     copy(docs = docs.join(ids.toDF(idCol), Seq(idCol), "left_anti"))
+
+  override def withParams(p: IndexParams): AnnIndex = copy(params = p)
 }
 
 /** Shared coarse-quantizer machinery for the IVF family — the Spark
@@ -304,6 +306,9 @@ class IvfFlatIndex(
     new IvfFlatIndex(spark,
       data.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
       idCol, vecCol, centers, params, listSizes)
+
+  override def withParams(p: IndexParams): AnnIndex =
+    new IvfFlatIndex(spark, data, idCol, vecCol, centers, p, listSizes)
 
   /** Persist inverted lists partitioned by centroid_id so probe filters
     * prune files (T4).

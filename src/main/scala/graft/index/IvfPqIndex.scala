@@ -176,6 +176,10 @@ class IvfPqIndex(
       codes.join(ids.toDF(idCol), Seq(idCol), "left_anti"),
       rawDocs, idCol, vecCol, centers, codebooks, params, rotation, listSizes)
 
+  override def withParams(p: IndexParams): AnnIndex =
+    new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks,
+      p, rotation, listSizes)
+
   def save(path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
     saveQuantizers(path)

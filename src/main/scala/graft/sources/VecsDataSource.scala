@@ -325,6 +325,12 @@ object Vecs {
     * correct. Pre-existing part files in `dir` are removed first
     * (overwrite semantics), so a re-export with fewer partitions cannot
     * leave stale tails.
+    *
+    * FILESYSTEM CONTRACT: the commit relies on atomic single-writer-wins
+    * `rename` — HDFS/POSIX semantics. On object stores (S3A) rename is a
+    * non-atomic copy+delete, so a speculative duplicate attempt can
+    * interleave with the winner; export to HDFS/local and upload, or run
+    * with speculation off when `dir` is an object store.
     */
   def exportPartitioned(
       df: org.apache.spark.sql.DataFrame,
@@ -375,6 +381,16 @@ object Vecs {
           dir, ext, conf, { b =>
             val bb = ByteBuffer.allocate(4 + b.length).order(ByteOrder.LITTLE_ENDIAN)
             bb.putInt(b.length); bb.put(b); bb.array()
+          })
+      } else if (k.ext == "ivecs") {
+        // integer-typed path: routing ivecs through array<float> would
+        // silently corrupt components above 2^24 (float32 mantissa) —
+        // TEXMEX ground-truth ids in billion-scale corpora exceed that
+        writeTasks[Array[Int]](
+          arranged.select(col(vecCol).cast("array<int>").as("v")).as[Array[Int]],
+          dir, ext, conf, { v =>
+            val bb = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(v.length); v.foreach(bb.putInt); bb.array()
           })
       } else {
         val kk = k

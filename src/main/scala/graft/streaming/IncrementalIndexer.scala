@@ -518,7 +518,9 @@ class IncrementalIndexer(
       allowedIds: Option[DataFrame] = None,
       minScore: Option[Double] = None,
       maxScore: Option[Double] = None,
-      allowedCount: Long = -1L): DataFrame = {
+      allowedCount: Long = -1L,
+      recallNum: Option[Int] = None,
+      hasRank: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
     // binary fields store packed bytes; their queries ride the float
@@ -609,8 +611,15 @@ class IncrementalIndexer(
         // result admission). rebuilt() first so the IVFPQ re-rank source
         // re-binds the CURRENT doc table.
         val freshIdx = rebuilt(idx, listsOf(idx))
-        val cleanIdx =
-          (if (partialProbe) withListStats(freshIdx) else freshIdx).excluding(invalid)
+        val statsIdx = if (partialProbe) withListStats(freshIdx) else freshIdx
+        // per-request recall_num / has_rank override (X1 per-request param
+        // JSON): a params copy shares quantizers/lists — no rebuild cost
+        val tunedIdx =
+          if (recallNum.isEmpty && hasRank.isEmpty) statsIdx
+          else statsIdx.withParams(statsIdx.params.copy(
+            recallNum = recallNum.getOrElse(statsIdx.params.recallNum),
+            hasRank = hasRank.getOrElse(statsIdx.params.hasRank)))
+        val cleanIdx = tunedIdx.excluding(invalid)
         // inverse-selectivity widening: with an allowed fraction of s, a
         // probed list holds ~s of its usual share of allowed docs, so the
         // probe budget grows by ~1/s to keep ~k allowed candidates in

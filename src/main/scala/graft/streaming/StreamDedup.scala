@@ -174,14 +174,15 @@ object StreamDedup {
       evalDocs: DataFrame,
       evalTextCol: String,
       shingleN: Int = 3,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1,
+      hashChars: Int = 15): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1 (got $minHits)")
     val spark = stream.sparkSession
     import spark.implicits._
     val hashes = graft.dedup.Dedup.withShingles(
         evalDocs.select(col(evalTextCol))
           .withColumn("__eid", monotonically_increasing_id()),
-        "__eid", evalTextCol, shingleN)
+        "__eid", evalTextCol, shingleN, hashChars)
       .select(explode(col("toks")).as("g")).distinct()
       .as[Long].collect()
     java.util.Arrays.sort(hashes)
@@ -190,12 +191,16 @@ object StreamDedup {
     val schema = stream.schema
     val n = shingleN
     val mh = minHits
+    val hc = hashChars
     stream.mapPartitions { rows =>
       val ev = bc.value
       rows.filter { r =>
-        // hashedShingles is sorted distinct (ShingleHash contract) —
-        // linear merge against the sorted eval array, stop at minHits
-        val hs = graft.dedup.ShingleHash.hashedShingles(r.getString(tIdx), n)
+        // hashedShingles is sorted distinct (ShingleHash contract; null
+        // text hashes to the empty set, so one bad record cannot abort
+        // the stream) — linear merge against the sorted eval array,
+        // stop at minHits
+        val hs = graft.dedup.ShingleHash.hashedShingles(
+          if (r.isNullAt(tIdx)) null else r.getString(tIdx), n, hc)
         var i = 0; var j = 0; var inter = 0
         while (i < hs.length && j < ev.length && inter < mh) {
           val a = hs(i); val b = ev(j)

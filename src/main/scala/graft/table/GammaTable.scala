@@ -493,11 +493,31 @@ class GammaTable private (
     // semi-join, and the HNSW key collect all reuse the same blocks
     // instead of re-running the filtered scan 2-3x per request. Lazy: the
     // brute/filter-only paths never pay the job.
-    lazy val allowed: Option[DataFrame] =
-      if (hasFilters) Some(base.filter(pred).select(key).localCheckpoint(true)) else None
+    lazy val allowedPair: Option[(DataFrame, Long)] =
+      if (!hasFilters) None
+      else {
+        // the policy count rides the SAME job as the checkpoint
+        // materialization (observe metrics accumulate while blocks write)
+        // instead of a second count() pass — one fewer driver round-trip
+        // per filtered search, which compounds at serving query volume
+        val obs = new org.apache.spark.sql.Observation()
+        val df = base.filter(pred).select(key)
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        // the observation lands via an async listener a few ms after the
+        // checkpoint action returns — bounded wait, then fall back to a
+        // (cheap: block-count over checkpointed partitions) count job
+        val cnt =
+          try scala.concurrent.Await
+            .result(obs.future, scala.concurrent.duration.Duration(2, "s"))
+            .getLong(0)
+          catch { case _: java.util.concurrent.TimeoutException => df.count() }
+        Some((df, cnt))
+      }
+    lazy val allowed: Option[DataFrame] = allowedPair.map(_._1)
     // drives the indexer's filtered-ANN policy (exact fallback vs
     // broadcast pushdown + widened probes vs shuffle semi-join)
-    lazy val allowedCnt: Long = allowed.map(_.count()).getOrElse(-1L)
+    lazy val allowedCnt: Long = allowedPair.map(_._2).getOrElse(-1L)
     val kCand = math.max(req.topn * CandidateFactor, req.topn)
     // req_num batching (request.fbs:28): every field must carry the same
     // number of query vectors; qid identifies the batch position
@@ -544,7 +564,8 @@ class GammaTable private (
           val probeOverride =
             if (ix.retrievalType.equalsIgnoreCase("HNSW")) vq.efSearch else vq.nprobe
           val h0 = ix.search(vq.batch, kCand, probeOverride, allowed, pushLo, pushHi,
-            if (allowed.isDefined) allowedCnt else -1L)
+            if (allowed.isDefined) allowedCnt else -1L,
+            recallNum = vq.recallNum, hasRank = vq.hasRank)
           if (wantSqrt) h0.withColumn("score", sqrt(col("score"))) else h0
         case _ =>
           // Hamming requests target a BinaryType field: queries ride the

@@ -302,4 +302,32 @@ class IndexSpec extends GraftSuite {
       .select($"id").as[Long].collect().toSet
     assert(bgot.intersect(bban.toSet).isEmpty, "BINARYIVF returned excluded ids")
   }
+
+  test("per-request recall_num/has_rank override (withParams) is real, not vacuous") {
+    // starved build: recall_num=10 re-ranks only the top-10 ADC candidates,
+    // so the k=10 result inherits ADC's approximation error
+    val starved = IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 10)
+    val idx = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding", starved)
+    val truth = groundTruth(10)
+    val rStarved = recallAt(idx.search(queries, 10, Some(8)), truth)
+    // the override must restore exactness with no rebuild (shared quantizers)
+    val exhaustive = idx.withParams(starved.copy(recallNum = 1000000))
+    val rFull = recallAt(exhaustive.search(queries, 10, Some(8)), truth)
+    assert(rFull === 1.0, s"exhaustive recall_num override gave recall $rFull")
+    // non-vacuous: the starved default must actually be worse, or the
+    // override test proves nothing
+    assert(rStarved < 1.0,
+      s"recall_num=10 build unexpectedly exact (recall $rStarved) — gate is vacuous")
+
+    // has_rank=false override: scores become ADC values (no exact re-rank);
+    // same ids as an index BUILT with hasRank=false
+    val adcIdx = idx.withParams(starved.copy(hasRank = false))
+    val builtAdc = IndexRegistry.build("IVFPQ", spark, emb, "vec_id", "embedding",
+      starved.copy(hasRank = false))
+    val a = adcIdx.search(queries, 10, Some(8))
+      .select($"qid", $"id", $"score").as[(Long, Long, Double)].collect().sorted
+    val b = builtAdc.search(queries, 10, Some(8))
+      .select($"qid", $"id", $"score").as[(Long, Long, Double)].collect().sorted
+    assert(a.sameElements(b), "has_rank override != hasRank-built index")
+  }
 }
