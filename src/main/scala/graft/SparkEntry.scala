@@ -886,6 +886,23 @@ object SparkEntry {
           col("sel_offset"))
     }),
 
+    // Waterfill: global 20k-token budget with per-domain ceilings — a
+    // domain that underflows its ceiling spills its unused allowance to
+    // the others (stage 1 caps per domain, stage 2 fills the global budget
+    // over survivors in global quality order).
+    "q_corpus_select_waterfill" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        (col("doc_id") % 101).cast("long").as("score"))
+      graft.operators.CorpusSelect.selectWaterfill(
+          d, "doc_id", "lang", "score", "n_chars",
+          globalBudget = 20000L,
+          ceilings = Map("en" -> 12000L, "de" -> 6000L),
+          defaultCeiling = 4000L)
+        .select(col("doc_id"), col("lang"), col("score"), col("n_chars"),
+          col("domain_offset"), col("sel_offset"))
+    }),
+
     // Benchmark decontamination: docs sharing >= 5 distinct trigrams with
     // the "eval" slice (doc_id % 7 == 0 stands in for a benchmark corpus)
     // are flagged with their distinct-overlap count.
@@ -1444,6 +1461,20 @@ object SparkEntry {
         |SELECT doc_id, lang, score, n_chars, sel_offset
         |FROM c WHERE sel_offset + n_chars <=
         |  CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000 ELSE 5000 END""".stripMargin,
+
+    "q_corpus_select_waterfill" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |            CAST(doc_id % 101 AS BIGINT) AS score FROM documents),
+        |dd AS (SELECT *, CAST(sum(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY score DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS domain_offset FROM s),
+        |d AS (SELECT * FROM dd WHERE domain_offset + n_chars <=
+        |  CASE lang WHEN 'en' THEN 12000 WHEN 'de' THEN 6000 ELSE 4000 END),
+        |c AS (SELECT *, CAST(sum(n_chars) OVER (
+        |        ORDER BY score DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS sel_offset FROM d)
+        |SELECT doc_id, lang, score, n_chars, domain_offset, sel_offset
+        |FROM c WHERE sel_offset + n_chars <= 20000""".stripMargin,
 
     "q_decontam" ->
       """WITH tg AS (SELECT doc_id, unnest(

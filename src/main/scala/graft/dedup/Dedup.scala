@@ -210,7 +210,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       blockCol: Option[String] = None): DataFrame = {
-    val toks = withShingles(df, idCol, textCol, shingleN)
+    // materialize the shingle pass ONCE: it feeds 4 plan references
+    // (prefix explode + both verify-join sides), and the executed plan
+    // does NOT reuse the exchange across them (plan-asserted in PlanSpec)
+    // — unmaterialized, the corpus would be re-shingled per reference
+    val toks = withShingles(df, idCol, textCol, shingleN).localCheckpoint(true)
     // toks are sorted ascending (ShingleHash contract) = the global order
     val prefLen = greatest(lit(1),
       (size(col("toks")) - ceil(size(col("toks")) * threshold) + 1).cast("int"))

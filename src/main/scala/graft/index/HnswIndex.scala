@@ -362,18 +362,30 @@ class HnswIndex(
 object HnswIndex {
 
   /** Per-segment beam width: scale the requested `ef` by the segment's
-    * share of the average segment size, floored at `k` (the local ask can
-    * never shrink below the merge's per-segment contribution) and capped
-    * at `ef` (a balanced or oversized segment searches exactly as before —
-    * the adaptive path can only REDUCE work, never recall-relevant beam
-    * below k). `ceil` keeps segments at or above average at the full ef.
+    * share of the average segment size, capped at `ef` (a balanced or
+    * oversized segment searches exactly as before — the adaptive path can
+    * only REDUCE work, never widen it).
+    *
+    * Recall-safety floors: (a) never below `k` (the merge's per-segment
+    * contribution); (b) a segment SMALLER than `ef` is searched with beam
+    * >= its node count — near-exhaustive, so a tiny (often freshest
+    * incremental) segment that happens to hold the true neighbors cannot
+    * be under-searched by the proportional cut. The floor costs nothing at
+    * scale: beam <= nodes bounds the walk by the segment's own (small)
+    * size. Proportional reduction therefore only applies to segments with
+    * more than `ef` nodes, where the share-of-average argument is the
+    * statistically sound one.
     */
   def segmentEf(ef: Int, k: Int, nodes: Int, avgNodes: Double): Int =
     if (avgNodes <= 0) ef
-    // ef.toDouble first: Int `ef * nodes` overflows at nodes > 2^31/ef
-    // (a few million nodes at ef=512), which would wrap negative and
-    // silently collapse the beam to k on exactly the largest segments
-    else math.min(ef, math.max(k, math.ceil(ef.toDouble * nodes / avgNodes).toInt))
+    else {
+      // ef.toDouble first: Int `ef * nodes` overflows at nodes > 2^31/ef
+      // (a few million nodes at ef=512), which would wrap negative and
+      // silently collapse the beam to k on exactly the largest segments
+      val proportional = math.ceil(ef.toDouble * nodes / avgNodes).toInt
+      val smallFloor = if (nodes <= ef) nodes else 0
+      math.min(ef, math.max(math.max(k, smallFloor), proportional))
+    }
 
   /** Adaptive per-segment ef is on unless explicitly disabled. */
   def adaptiveEfEnabled(spark: SparkSession): Boolean =

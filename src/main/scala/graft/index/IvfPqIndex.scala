@@ -36,6 +36,16 @@ class IvfPqIndex(
 
   override def retrievalType: String = "IVFPQ"
 
+  /** Rows actually read by the LAST search's ADC scan — filled by a
+    * LongAccumulator once the caller runs an action on the returned frame
+    * (-1 before any search). Feedback surface for the indexer's probe-cost
+    * bound: the uniform-volume row prediction is calibrated against this
+    * (IncrementalIndexer.rowCalibration).
+    */
+  @transient @volatile private[graft] var lastScanAcc
+      : Option[org.apache.spark.util.LongAccumulator] = None
+  def lastScannedRows: Long = lastScanAcc.map(_.value.longValue).getOrElse(-1L)
+
   /** Same index, fresher per-list stats. */
   def withListSizes(s: Option[Array[Long]]): IvfPqIndex =
     new IvfPqIndex(spark, codes, rawDocs, idCol, vecCol, centers, codebooks,
@@ -110,11 +120,14 @@ class IvfPqIndex(
       in.schema(idCol).copy(name = "id"),
       org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val scanAcc = spark.sparkContext.longAccumulator("graft.ivfpq.scannedRows")
+    lastScanAcc = Some(scanAcc)
     val adc = in.mapPartitions { rows =>
       val (cs, cbs) = bcQuant.value
       var curCid = Integer.MIN_VALUE
       val luts = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
       rows.flatMap { r =>
+        scanAcc.add(1L) // code rows read (once per row, not per query)
         val cid = r.getInt(0)
         if (cid != curCid) { luts.clear(); curCid = cid }
         val qs = bcQ.value.getOrElse(cid, null)

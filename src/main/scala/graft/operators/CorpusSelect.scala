@@ -147,6 +147,40 @@ object CorpusSelect {
     * Partitions where EVERY overlapping domain's base is already past its
     * budget are pruned before the second pass.
     */
+  /** Waterfill selection: fill a GLOBAL budget with PER-DOMAIN ceilings —
+    * the corpus-curation composition "at most C_g tokens of each domain,
+    * B tokens overall, best-first". When a domain underflows its ceiling,
+    * the unused allowance spills to other domains automatically: stage 1
+    * caps each domain at its ceiling (per-domain quality order), stage 2
+    * fills the global budget over the survivors in GLOBAL quality order.
+    * Deterministic (ties on id), exactly the two-window SQL formulation.
+    *
+    * Output = input columns + `domain_offset` (exclusive running weight
+    * within the domain) + `sel_offset` (exclusive running weight over
+    * capped survivors in global order).
+    *
+    * Scale: two [[selectByBudget]]-shaped passes, each with its own
+    * partition pruning — a tight global budget still never reads the dead
+    * tail of the capped survivors twice.
+    */
+  def selectWaterfill(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      weightCol: String,
+      globalBudget: Long,
+      ceilings: Map[String, Long],
+      defaultCeiling: Long = Long.MaxValue,
+      numPartitions: Int = 0,
+      reliable: Boolean = false): DataFrame = {
+    val capped = selectByBudgetPerGroup(df, idCol, groupCol, scoreCol,
+        weightCol, ceilings, defaultCeiling, numPartitions, reliable)
+      .withColumnRenamed("sel_offset", "domain_offset")
+    selectByBudget(capped, idCol, scoreCol, weightCol, globalBudget,
+      numPartitions, reliable)
+  }
+
   def selectByBudgetPerGroup(
       df: DataFrame,
       idCol: String,

@@ -162,6 +162,28 @@ class IncrementalIndexer(
   // per-segment beam from the cached scalar
   @volatile private var hnswAvgCache: (Long, Long, Option[Double]) = (-2L, -2L, None)
 
+  /** Probe-cost feedback: (predicted scanned rows, the searched IVFPQ
+    * instance whose accumulator fills when the caller runs an action).
+    * Folded into [[rowCalibration]] at the NEXT search. Only unfiltered
+    * probes register — an allowed-set semi-join shrinks the measured scan
+    * by the filter's selectivity, which would mis-teach the volume model.
+    */
+  @volatile private var pendingFeedback: Option[(Long, IvfPqIndex)] = None
+
+  /** EWMA of measured/predicted scanned rows (clamped to [0.01, 100]) —
+    * corrects the uniform-volume probe-cost model under list skew.
+    * Accumulator counts include any re-executed tasks (Spark only
+    * de-duplicates accumulators inside actions), which at worst nudges the
+    * bound conservative — the safe direction.
+    */
+  @volatile private[graft] var rowCalibration: Double = 1.0
+
+  /** Scanned-row count measured for the last feedback-registered probe
+    * (-1 until the caller has materialized that search's result).
+    */
+  def lastMeasuredScanRows: Long =
+    pendingFeedback.map(_._2.lastScannedRows).getOrElse(-1L)
+
   private def cachedSegmentAvg(graphs: DataFrame): Option[Double] = {
     if (!HnswIndex.adaptiveEfEnabled(spark)) return None
     val cur = hnswAvgCache
@@ -523,6 +545,18 @@ class IncrementalIndexer(
       hasRank: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     graft.functions.registerAll(spark)
+    // fold in the PREVIOUS search's measured scan (its accumulator filled
+    // when the caller ran an action on the returned frame): EWMA of
+    // measured/predicted scanned rows corrects the uniform-volume model
+    // under list skew the cached stats have not caught up with
+    pendingFeedback.foreach { case (pred, pq) =>
+      val m = pq.lastScannedRows
+      if (m > 0 && pred > 0) {
+        rowCalibration = math.max(0.01, math.min(100.0,
+          0.5 * rowCalibration + 0.5 * (m.toDouble / pred)))
+        pendingFeedback = None
+      }
+    }
     // binary fields store packed bytes; their queries ride the float
     // surface as byte values (BinaryIvfIndex adapter) — the exact-scan
     // paths need a BinaryType query column for the hamming kernel
@@ -564,7 +598,8 @@ class IncrementalIndexer(
           val sizes =
             if (partialListProbe(ix)) cachedListSizes(listsOf(ix), ncentOf(ix)) else None
           IncrementalIndexer.probeCostRows(
-            ix, math.max(table.meta.maxDocid, 1L), aCount, nprobe, sizes)
+            ix, math.max(table.meta.maxDocid, 1L), aCount, nprobe, sizes,
+            rowCalibration)
         }.getOrElse(0L)
         math.max(math.max(16L * k, 65536L), probeCost)
       }
@@ -649,6 +684,16 @@ class IncrementalIndexer(
             (None, math.min(k.toLong * factor * 2L, math.max(k.toLong, 1L << 16)).toInt)
           else (allowedHinted, k)
         val fromIndex0 = cleanIdx.search(queries, fetchK, effNprobe, pushIds, minScore, maxScore)
+        cleanIdx match {
+          case pq: IvfPqIndex if pushIds.isEmpty =>
+            val effNp = math.min(
+              effNprobe.getOrElse(params.nprobe).toLong, pq.centers.length.toLong)
+            pendingFeedback = Some((
+              IncrementalIndexer.uniformProbeRows(
+                pq.centers.length, math.max(table.meta.maxDocid, 1L), effNp),
+              pq))
+          case _ =>
+        }
         val fromIndex =
           if (hnswHuge) {
             val ids = allowedIds.get
@@ -687,9 +732,19 @@ object IncrementalIndexer {
     * probes are size-biased toward heavy lists, so this upper bound sends
     * borderline requests to the exact path, which is always correct.
     */
+  /** Uniform-volume scanned-row prediction for an eff-list probe — the
+    * quantity the accumulator feedback calibrates (scanned rows are
+    * measurable; the compressed-row cost DISCOUNT is a relative CPU cost
+    * and is not).
+    */
+  private[graft] def uniformProbeRows(ncent: Int, total: Long, eff: Long): Long =
+    if (ncent <= 0) 0L
+    else total / ncent * eff + (total % ncent) * eff / ncent // overflow-safe total*eff/ncent
+
   private[graft] def probeCostRows(
       idx: AnnIndex, total: Long, aCount: Long, nprobe: Option[Int],
-      listSizes: Option[Array[Long]] = None): Long = {
+      listSizes: Option[Array[Long]] = None,
+      calibration: Double = 1.0): Long = {
     if (aCount <= 0L) return 0L
     val (ncent, compressed) = idx match {
       case f: IvfFlatIndex   => (f.centers.length, false)
@@ -709,7 +764,9 @@ object IncrementalIndexer {
         while (i < desc.length && i < eff) { s += desc(i); i += 1 }
         s
       case _ =>
-        total / ncent * eff + (total % ncent) * eff / ncent // overflow-safe total*eff/ncent
+        // uniform model corrected by measured-feedback calibration (actual
+        // per-list row counts, when cached, need no correction)
+        (uniformProbeRows(ncent, total, eff) * calibration).toLong
     }
     if (compressed) rows / 4 else rows
   }

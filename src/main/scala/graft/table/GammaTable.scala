@@ -447,6 +447,47 @@ class GammaTable private (
     victims
   }
 
+  /** Remove bucket version directories SUPERSEDED by the current manifest
+    * (plus any crash-orphaned staging dirs) — the storage GC every
+    * MVCC-style layout needs on a long-lived table: each upsert/delete
+    * writes affected buckets at a new version and the old dirs otherwise
+    * accumulate forever. Returns the number of directories removed.
+    *
+    * Contract (Delta-VACUUM-style): DataFrames bound to PRE-vacuum
+    * versions (e.g. the frame `deleteByQuery` returned before a later
+    * commit) must be materialized before vacuuming — their files are the
+    * ones being removed. The CURRENT manifest's files are never touched,
+    * and the manifest itself is not rewritten, so a concurrent reader of
+    * the current version is safe.
+    */
+  def vacuum(): Int = {
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataRoot)) return 0
+    val bv = meta0.bucketVersions
+    var removed = 0
+    fs.listStatus(dataRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".staging_")) {
+        // staging dirs are pre-commit scratch; any still on disk belong to
+        // a crashed writeVersion and are dead by construction
+        if (fs.delete(st.getPath, true)) removed += 1
+      } else if (name.startsWith("b") && st.isDirectory) {
+        val cur = bv.get(name.drop(1)).map(v => s"v$v")
+        fs.listStatus(st.getPath).foreach { vst =>
+          val vn = vst.getPath.getName
+          // an UNTRACKED bucket's dirs are all dead (fully-emptied buckets
+          // drop out of the manifest); a tracked bucket keeps only its
+          // current version
+          if (vn.startsWith("v") && !cur.contains(vn)) {
+            if (fs.delete(vst.getPath, true)) removed += 1
+          }
+        }
+      }
+    }
+    removed
+  }
+
   // ---------------------------------------------------------------- search
 
   /** The reference's read path (search/gamma_engine.cc:299-464): scalar

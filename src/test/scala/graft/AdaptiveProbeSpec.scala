@@ -179,4 +179,49 @@ class AdaptiveProbeSpec extends GraftSuite {
     // unfiltered stays out of the volume model even with stats
     assert(IncrementalIndexer.probeCostRows(flat, 1000L, -1L, None, sizes) === 0L)
   }
+
+  test("probeCostRows calibration scales the uniform model, not the stats branch") {
+    val docs = (0 until 64).map(i => (i.toLong, Seq(i.toFloat, 0.0f))).toDF("vec_id", "embedding")
+    val flat = IvfFlatIndex.build(spark, docs, "vec_id", "embedding",
+      IndexParams(ncentroids = 4, nprobe = 1))
+    // uniform branch: 1000*2/4 = 500 rows, x1.5 calibration = 750
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 500L, None,
+      calibration = 1.5) === 750L)
+    // actual-size branch is measured data already — calibration must not touch it
+    val sizes = Some(Array(700L, 200L, 60L, 40L))
+    assert(IncrementalIndexer.probeCostRows(flat, 1000L, 500L, None, sizes, 1.5) === 900L)
+  }
+
+  test("probe-cost feedback: measured scan converges the bound on skewed lists") {
+    // skewed corpus: tiny cluster at the query, heavy mass far away — the
+    // uniform model overpredicts the scan for query-side probes
+    val rows = (0 until 20).map(i => (i.toString, Seq(0f + i * 0.01f, 0f))) ++
+      (100 until 420).map(i => (i.toString, Seq(10f + (i % 7) * 0.1f, 10f + (i % 5) * 0.1f)))
+    val docs = rows.toDF("_id", "vec")
+    val root = java.nio.file.Files.createTempDirectory("graft_feedback").toString
+    val tbl = GammaTable.create(spark, root, "fb", "_id", docs,
+      Seq(graft.table.VectorFieldDef("vec", 2)), nBuckets = 4)
+    val ix = tbl.buildIndex("vec",
+      IndexParams(ncentroids = 4, nsubvector = 2, nprobe = 2, recallNum = 10),
+      retrievalType = "IVFPQ")
+    assert(ix.rowCalibration === 1.0)
+    val q = Seq((0L, Array(0f, 0f)))
+    // unfiltered partial probe registers feedback; the accumulator fills
+    // on the collect
+    ix.search(q, 5, Some(2)).collect()
+    val measured = ix.lastMeasuredScanRows
+    assert(measured > 0, "accumulator did not record the scan")
+    val total = tbl.meta.maxDocid
+    val predicted = IncrementalIndexer.uniformProbeRows(4, total, 2L)
+    assert(predicted === total / 2)
+    // skew: the query-side probes read far fewer rows than the uniform model
+    assert(measured < predicted,
+      s"expected skewed scan ($measured) below uniform prediction ($predicted)")
+    // the NEXT search folds the measurement into the EWMA
+    ix.search(q, 5, Some(2)).collect()
+    val expected = 0.5 * 1.0 + 0.5 * (measured.toDouble / predicted)
+    assert(math.abs(ix.rowCalibration - expected) < 1e-9,
+      s"rowCalibration ${ix.rowCalibration} != expected $expected")
+    assert(ix.rowCalibration < 1.0)
+  }
 }

@@ -519,4 +519,34 @@ class GammaTableSpec extends GraftSuite {
     assert(!viaIdx.exists(_.getString(0) == "7"))
     assert(!viaIdx.exists(_.getString(0) == "11"))
   }
+
+  test("vacuum removes superseded bucket versions, keeps the current state") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "vac", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    // three commits: upsert (rewrites ~all buckets), delete, upsert again
+    t.addOrUpdate(t.docs.filter($"_id".cast("long") % 3 === 0)
+      .select($"_id", $"tokens", ($"p_size" + 1).as("p_size"),
+        $"p_retailprice", $"vec"))
+    t.deleteByQuery($"p_size" > 40)
+    t.addOrUpdate(t.docs.filter($"_id".cast("long") % 5 === 0)
+      .select($"_id", $"tokens", ($"p_size" + 2).as("p_size"),
+        $"p_retailprice", $"vec"))
+    val before = t.docs.select($"_id", $"p_size").collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versionDirs(): Int = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data/b*/v*")).length
+    val preDirs = versionDirs()
+    val removed = t.vacuum()
+    assert(removed > 0, s"expected superseded versions among $preDirs dirs")
+    // exactly the manifest's current versions remain
+    assert(versionDirs() === t.meta.bucketVersions.size)
+    // current state unharmed, and a reload reads it identically
+    assert(t.docs.select($"_id", $"p_size").collect().toSet === before)
+    val reloaded = GammaTable.load(spark, root)
+    assert(reloaded.docs.select($"_id", $"p_size").collect().toSet === before)
+    // idempotent
+    assert(t.vacuum() === 0)
+  }
 }

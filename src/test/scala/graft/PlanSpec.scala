@@ -101,6 +101,20 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("ngram-jaccard computes the shingle pass once, not per plan reference") {
+    // the shingle kernel (mapPartitions over the corpus text) feeds the
+    // prefix explode and both verify-join sides. Spark does NOT reuse the
+    // exchange across those references (verified empirically — no
+    // ReusedExchange in the final adaptive plan), so the operator
+    // checkpoints the pass: every reference must read the materialized
+    // RDD, and the raw documents scan must appear NOWHERE in the plan
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sf0)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
   test("allowed-set semi-join: broadcast only when the filter is selective (X2)") {
     val root = java.nio.file.Files.createTempDirectory("graft_plan_sel").toString
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
