@@ -55,27 +55,29 @@ object Prof {
       spark.stop(); return
     }
 
-    val centers = time("trainCoarse(32)") {
-      graft.index.Ivf.trainCoarse(docs, "embedding", 32, 200000, 42L)
-    }
-    time("assignWithCenters+count") {
-      graft.index.Ivf.assignWithCenters(docs, "embedding", centers).count()
-    }
-    val params = graft.index.IndexParams(ncentroids = 32)
-    val pq = time("IvfPqIndex.build") {
-      graft.index.IvfPqIndex.build(spark, docs, "vec_id", "embedding", params)
-    }
-    time("pq codes count") { pq.codes.count() }
-    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
-      .select("embedding").collect()(0).getSeq[Float](0).toArray
-    time("pq search k=10") { pq.search(Seq((0L, q)), 10).collect() }
-    time("IvfFlatIndex.build") {
-      graft.index.IvfFlatIndex.build(spark, docs, "vec_id", "embedding", params)
-        .data.count()
+    if (sys.env.get("PROF_ONLY").isEmpty) {
+      val centers = time("trainCoarse(32)") {
+        graft.index.Ivf.trainCoarse(docs, "embedding", 32, 200000, 42L)
+      }
+      time("assignWithCenters+count") {
+        graft.index.Ivf.assignWithCenters(docs, "embedding", centers).count()
+      }
+      val params = graft.index.IndexParams(ncentroids = 32)
+      val pq = time("IvfPqIndex.build") {
+        graft.index.IvfPqIndex.build(spark, docs, "vec_id", "embedding", params)
+      }
+      time("pq codes count") { pq.codes.count() }
+      val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      time("pq search k=10") { pq.search(Seq((0L, q)), 10).collect() }
+      time("IvfFlatIndex.build") {
+        graft.index.IvfFlatIndex.build(spark, docs, "vec_id", "embedding", params)
+          .data.count()
+      }
     }
 
-    // q_binaryivf_lifecycle stage breakdown
-    {
+    // q_binaryivf_lifecycle stage breakdown (PROF_ONLY=bin runs just this)
+    if (!sys.env.get("PROF_ONLY").exists(_ != "bin")) {
       import org.apache.spark.sql.functions._
       import spark.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft_prof_bin").toString

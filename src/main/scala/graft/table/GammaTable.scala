@@ -391,10 +391,12 @@ class GammaTable private (
     matched
   }
 
-  /** Point lookup by key (S3) — reads exactly one bucket's files. */
+  /** Point lookup by key (S3) — reads exactly one bucket's files; bucket
+    * routing evaluates driver-side (no job).
+    */
   def get(keyValue: Any): DataFrame = {
     val key = meta0.keyField
-    val b = spark.range(1).select(bucketOf(lit(keyValue), meta0.nBuckets)).head().getLong(0)
+    val b = bucketOfValue(keyValue, meta0.nBuckets)
     readBuckets(Seq(b)) match {
       case None     => docs.limit(0)
       case Some(df) => df.filter(!col(DeletedCol) && col(key) === lit(keyValue))
@@ -765,8 +767,20 @@ object GammaTable {
     */
   val CandidateFactor = 4
 
-  private[table] def bucketOf(keyCol: Column, n: Int): Column =
+  private[graft] def bucketOf(keyCol: Column, n: Int): Column =
     pmod(xxhash64(keyCol), lit(n.toLong))
+
+  /** Driver-side twin of [[bucketOf]] for point routing: evaluates the
+    * SAME Catalyst XxHash64 expression on a literal, so a `get(key)` costs
+    * zero Spark jobs (the previous shape ran a one-row job just to learn
+    * the bucket — pure scheduler latency on a serving path).
+    */
+  private[graft] def bucketOfValue(keyValue: Any, n: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    val lit = Literal.create(keyValue)
+    Pmod(new XxHash64(Seq(lit)), Literal(n.toLong))
+      .eval(null).asInstanceOf[Long]
+  }
 
   /** (bucket, column) -> (min, max) folded across write tasks. Min/max
     * merge is idempotent and monotone, so retried/speculative tasks

@@ -119,4 +119,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: driver-side bucket routing equals the Column hash") {
+    // get(key)'s job-free routing must agree with the bucket column every
+    // write stamps — a disagreement would make point lookups miss
+    trials(3) { rng =>
+      val keys = (0 until 30).map(_ => rng.alphanumeric.take(8).mkString) ++
+        (0 until 10).map(_ => rng.nextLong().toString)
+      val n = 1 + rng.nextInt(64)
+      val viaColumn = keys.toDF("k")
+        .select(col("k"), graft.table.GammaTable.bucketOf(col("k"), n).as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      keys.foreach { k =>
+        assert(graft.table.GammaTable.bucketOfValue(k, n) === viaColumn(k),
+          s"driver/Column bucket disagreement for key $k nBuckets=$n")
+      }
+    }
+    // long-typed keys route identically too
+    val longs = Seq(0L, -1L, 42L, Long.MaxValue, Long.MinValue + 1)
+    val viaCol = longs.toDF("k")
+      .select(col("k"), graft.table.GammaTable.bucketOf(col("k"), 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    longs.foreach { k =>
+      assert(graft.table.GammaTable.bucketOfValue(k, 16) === viaCol(k))
+    }
+  }
 }
