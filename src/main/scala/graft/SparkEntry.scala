@@ -776,6 +776,19 @@ object SparkEntry {
       graft.dedup.Dedup.duplicateClusters(pairs)
     }),
 
+    // Quality-keeper dedup: of every near-dup cluster keep the
+    // best-scoring member (ties: min doc_id); singletons untouched.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+      val clusters = graft.dedup.Dedup.duplicateClusters(pairs)
+      graft.dedup.Dedup.keepBestPerCluster(
+          d.select(col("doc_id"), col("lang"),
+            (col("doc_id") % 101).cast("long").as("score")),
+          "doc_id", "score", clusters)
+        .select(col("doc_id"), col("lang"), col("score"))
+    }),
+
     // SimHash near-dup: 60-bit signature, 4x15-bit block candidates,
     // hamming verify.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -1322,6 +1335,24 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // same clusters, then per-cluster argmax(score) with min-id tie-break;
+    // docs outside every cluster survive unconditionally
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShingleCte, $MinhashPairCtes,
+         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |w AS (SELECT cl.id, row_number() OVER (PARTITION BY cl.cluster
+         |        ORDER BY (d.doc_id % 101) DESC, cl.id ASC) AS rn
+         |      FROM cl JOIN documents d ON d.doc_id = cl.id)
+         |SELECT d.doc_id, d.lang, CAST(d.doc_id % 101 AS BIGINT) AS score
+         |FROM documents d LEFT JOIN w ON w.id = d.doc_id
+         |WHERE w.rn IS NULL OR w.rn = 1""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $ShingleCte,

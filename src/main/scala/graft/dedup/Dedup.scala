@@ -302,6 +302,34 @@ object Dedup {
     * rounds, each one join + groupBy). Deterministic: labels only ever
     * decrease, fixpoint independent of partitioning.
     */
+  /** Near-dup retention by QUALITY: keep the best-`scoreCol` doc of every
+    * duplicate cluster (ties: min id) and every unclustered doc untouched —
+    * the curation recipe where dedup should not keep an arbitrary copy but
+    * the highest-quality one. `clusters` is [[duplicateClusters]] output
+    * (`id`, `cluster`).
+    *
+    * Scale design: only CLUSTER MEMBERS (the pair-derived set, a tiny
+    * fraction of the corpus) flow through the per-cluster window; the
+    * corpus itself is touched once by a left-anti join against the loser
+    * ids. Putting the whole corpus through a window partitioned by a
+    * mostly-null cluster key would funnel every unclustered row into one
+    * task — designed out.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = clusters.select(col("id"), col("cluster"))
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+    val losers = members
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("__s").desc, col("id").asc)))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   def duplicateClusters(
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {

@@ -167,6 +167,40 @@ class VecsSourceSpec extends GraftSuite {
     assert(spark.read.format("vecs").load(dir).count() === 10L)
   }
 
+  test("SIFT-style recall flow: fixture -> fvecs export -> re-read -> partial-probe IVFPQ") {
+    // the reference's benchmark method end-to-end through OUR corpus
+    // format: a clustered fixture exported to fvecs, re-read through the
+    // splittable source (row_id = rank, the TEXMEX contract), indexed,
+    // and recall-gated at a partial probe — proving the vecs reader feeds
+    // the index path losslessly
+    val dir = tmp() + "/sift"
+    val fix = graft.index.GaussianFixture
+      .mixtureOfGaussians(spark, 20000L, 16, 32, sigma = 0.8, seed = 5L)
+    Vecs.exportPartitioned(fix, "embedding", dir, "fvecs",
+      orderCol = Some("vec_id"), numPartitions = 8)
+    val corpus = spark.read.format("vecs").load(dir)
+      .select($"row_id".as("vec_id"), $"vec".as("embedding"))
+    assert(corpus.count() === 20000L)
+    val queries = corpus.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val idx = graft.index.IndexRegistry.build("IVFPQ", spark, corpus,
+      "vec_id", "embedding",
+      graft.index.IndexParams(ncentroids = 32, nsubvector = 8, recallNum = 100))
+    val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+    val truth = graft.operators.Knn.flatSearch(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", 10, graft.core.Metric.L2)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // nprobe=3/32 < 10% probe fraction — the baseline's operating regime
+    val got = idx.search(queries, 10, Some(3))
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (qi, t) =>
+      got.getOrElse(qi, Set.empty).count(t).toDouble / t.size
+    }.sum / truth.size
+    assert(recall >= 0.95, s"partial-probe recall through the vecs source: $recall")
+  }
+
   test("corrupt sizes fail fast") {
     val dir = tmp()
     // plain-java write (no hadoop .crc sidecar): a valid 2-float record
