@@ -11,6 +11,10 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
+    sys.env.get("PROF_ONLY").foreach { v =>
+      require(v == "persist" || v == "bin",
+        s"unknown PROF_ONLY=$v (expected: persist | bin)")
+    }
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     emb.count() // warm the file scan
     val docs = emb.select("vec_id", "embedding")

@@ -209,12 +209,21 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      reliable: Boolean = false): DataFrame = {
     // materialize the shingle pass ONCE: it feeds 4 plan references
     // (prefix explode + both verify-join sides), and the executed plan
     // does NOT reuse the exchange across them (plan-asserted in PlanSpec)
-    // — unmaterialized, the corpus would be re-shingled per reference
-    val toks = withShingles(df, idCol, textCol, shingleN).localCheckpoint(true)
+    // — unmaterialized, the corpus would be re-shingled per reference.
+    // `reliable=true` checkpoints to fault-tolerant storage (same executor-
+    // loss rationale as SeqPack/CorpusSelect: localCheckpoint blocks die
+    // with their executor); the local variant stays the local-mode default
+    if (reliable) require(
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "ngramJaccardPairs(reliable=true) needs sparkContext.setCheckpointDir")
+    val toks0 = withShingles(df, idCol, textCol, shingleN)
+    val toks = if (reliable) toks0.checkpoint(eager = true)
+               else toks0.localCheckpoint(true)
     // toks are sorted ascending (ShingleHash contract) = the global order
     val prefLen = greatest(lit(1),
       (size(col("toks")) - ceil(size(col("toks")) * threshold) + 1).cast("int"))

@@ -550,7 +550,12 @@ class IncrementalIndexer(
     // measured/predicted scanned rows corrects the uniform-volume model
     // under list skew the cached stats have not caught up with
     pendingFeedback.foreach { case (pred, pq) =>
-      val m = pq.lastScannedRows
+      // clamp to the index's total rows: a caller that materialized the
+      // frame more than once re-ran the scan into the SAME accumulator
+      // (Spark only de-duplicates inside one action), and a probe can
+      // never truly read more than the whole code table — the clamp
+      // bounds that inflation at "full scan", the conservative direction
+      val m = math.min(pq.lastScannedRows, math.max(table.meta.maxDocid, 1L))
       if (m > 0 && pred > 0) {
         rowCalibration = math.max(0.01, math.min(100.0,
           0.5 * rowCalibration + 0.5 * (m.toDouble / pred)))
@@ -685,7 +690,12 @@ class IncrementalIndexer(
           else (allowedHinted, k)
         val fromIndex0 = cleanIdx.search(queries, fetchK, effNprobe, pushIds, minScore, maxScore)
         cleanIdx match {
-          case pq: IvfPqIndex if pushIds.isEmpty =>
+          case pq: IvfPqIndex if pushIds.isEmpty && queries.size == 1 =>
+            // single-query probes only: the accumulator measures the UNION
+            // of the batch's probed lists, so a req_num>1 measurement
+            // against a per-query prediction would inflate the ratio by up
+            // to the batch size (the serving point-query is the case the
+            // calibration targets anyway)
             val effNp = math.min(
               effNprobe.getOrElse(params.nprobe).toLong, pq.centers.length.toLong)
             pendingFeedback = Some((

@@ -396,7 +396,10 @@ class GammaTable private (
     */
   def get(keyValue: Any): DataFrame = {
     val key = meta0.keyField
-    val b = bucketOfValue(keyValue, meta0.nBuckets)
+    val keyType =
+      if (meta0.bucketVersions.isEmpty) None
+      else allDocs.schema.fields.find(_.name == key).map(_.dataType)
+    val b = bucketOfValue(keyValue, meta0.nBuckets, keyType)
     readBuckets(Seq(b)) match {
       case None     => docs.limit(0)
       case Some(df) => df.filter(!col(DeletedCol) && col(key) === lit(keyValue))
@@ -458,32 +461,48 @@ class GammaTable private (
     * Contract (Delta-VACUUM-style): DataFrames bound to PRE-vacuum
     * versions (e.g. the frame `deleteByQuery` returned before a later
     * commit) must be materialized before vacuuming — their files are the
-    * ones being removed. The CURRENT manifest's files are never touched,
-    * and the manifest itself is not rewritten, so a concurrent reader of
-    * the current version is safe.
+    * ones being removed. The PERSISTED manifest is re-read first and
+    * adopted if ahead (a stale handle must not delete versions a newer
+    * commit made current), its current files are never touched, and
+    * version/staging dirs ABOVE the committed version are spared (they
+    * belong to the single permitted in-flight writer). Same single-writer
+    * contract as every other write path; concurrent readers of the
+    * current version are safe.
     */
   def vacuum(): Int = {
     val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
     val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dataRoot)) return 0
+    // authoritative manifest = the PERSISTED one (every commit writes it
+    // synchronously): a stale in-memory handle must not delete versions a
+    // newer commit made current. If disk is ahead, adopt it — this handle
+    // was stale anyway and adopting is strictly fresher.
+    val diskMeta = GammaTable.readMeta(spark, s"$root/meta")
+    if (diskMeta.version > meta0.version) meta0 = diskMeta
     val bv = meta0.bucketVersions
+    val cutoff = meta0.version
     var removed = 0
     fs.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(".staging_")) {
-        // staging dirs are pre-commit scratch; any still on disk belong to
-        // a crashed writeVersion and are dead by construction
-        if (fs.delete(st.getPath, true)) removed += 1
+        // staging at a version AT OR BELOW the committed cutoff is a
+        // crashed writeVersion's scratch; a version ABOVE it may be an
+        // IN-FLIGHT writer (single-writer contract: version+1) — spare it
+        val sv = name.stripPrefix(".staging_v")
+        val dead = scala.util.Try(sv.toLong).toOption.exists(_ <= cutoff)
+        if (dead && fs.delete(st.getPath, true)) removed += 1
       } else if (name.startsWith("b") && st.isDirectory) {
         val cur = bv.get(name.drop(1)).map(v => s"v$v")
         fs.listStatus(st.getPath).foreach { vst =>
           val vn = vst.getPath.getName
-          // an UNTRACKED bucket's dirs are all dead (fully-emptied buckets
-          // drop out of the manifest); a tracked bucket keeps only its
-          // current version
-          if (vn.startsWith("v") && !cur.contains(vn)) {
-            if (fs.delete(vst.getPath, true)) removed += 1
-          }
+          // an UNTRACKED bucket keeps nothing at or below the cutoff
+          // (fully-emptied buckets drop out of the manifest); a tracked
+          // bucket keeps only its current version. Versions ABOVE the
+          // cutoff are never touched (in-flight rename targets).
+          val vNum = scala.util.Try(vn.stripPrefix("v").toLong).toOption
+          val dead = vn.startsWith("v") && !cur.contains(vn) &&
+            vNum.exists(_ <= cutoff)
+          if (dead && fs.delete(vst.getPath, true)) removed += 1
         }
       }
     }
@@ -774,10 +793,24 @@ object GammaTable {
     * SAME Catalyst XxHash64 expression on a literal, so a `get(key)` costs
     * zero Spark jobs (the previous shape ran a one-row job just to learn
     * the bucket — pure scheduler latency on a serving path).
+    *
+    * `keyType` (the key COLUMN's type, when known) casts the value first:
+    * xxhash64 hashes by type, so `get(42L)` against a string-keyed table
+    * must hash the string "42" — the same cast the equality filter
+    * applies — or it would silently route to the wrong bucket.
     */
-  private[graft] def bucketOfValue(keyValue: Any, n: Int): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
-    val lit = Literal.create(keyValue)
+  private[graft] def bucketOfValue(
+      keyValue: Any, n: Int,
+      keyType: Option[org.apache.spark.sql.types.DataType] = None): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    val lit0 = Literal.create(keyValue)
+    val lit = keyType match {
+      case Some(dt) if dt != lit0.dataType =>
+        // Cast.eval yields the INTERNAL value (e.g. UTF8String) — wrap it
+        // with the internal-form Literal constructor, not Literal.create
+        Literal(Cast(lit0, dt, ansiEnabled = false).eval(null), dt)
+      case _ => lit0
+    }
     Pmod(new XxHash64(Seq(lit)), Literal(n.toLong))
       .eval(null).asInstanceOf[Long]
   }

@@ -520,6 +520,19 @@ class GammaTableSpec extends GraftSuite {
     assert(!viaIdx.exists(_.getString(0) == "11"))
   }
 
+  test("get() with a type-mismatched key routes to the same bucket as the filter cast") {
+    // string-keyed table, long lookup value: xxhash64 hashes by TYPE, so
+    // routing must hash the value AS the key column's type or the lookup
+    // silently lands in the wrong bucket and returns nothing
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "gtype", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 8)
+    val viaString = t.get("42").select($"_id").as[String].collect().toSeq
+    assert(viaString === Seq("42"))
+    assert(t.get(42L).select($"_id").as[String].collect().toSeq === viaString)
+    assert(t.get(42).select($"_id").as[String].collect().toSeq === viaString)
+  }
+
   test("vacuum removes superseded bucket versions, keeps the current state") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "vac", "_id", docTable(),
