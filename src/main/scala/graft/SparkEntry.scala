@@ -776,6 +776,13 @@ object SparkEntry {
       graft.dedup.Dedup.duplicateClusters(pairs)
     }),
 
+    // C4-style span dedup: every 15-word span occurring anywhere else in
+    // the corpus survives only at its first occurrence (min doc_id, pos);
+    // each document's text is rebuilt from its surviving spans.
+    "q_text_dedup_spans" -> ((s, dir) =>
+      graft.text.TextOps.dedupSpans(
+        t(s, dir, "documents"), "doc_id", "text", spanWords = 15)),
+
     // Quality-keeper dedup: of every near-dup cluster keep the
     // best-scoring member (ties: min doc_id); singletons untouched.
     "q_dedup_keep_best" -> ((s, dir) => {
@@ -1335,6 +1342,22 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    "q_text_dedup_spans" ->
+      """WITH sp0 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT) + 1),
+        |    i -> {'pos': i,
+        |          'span': array_to_string(list_slice(string_split(text, ' '),
+        |                    (i-1)*15 + 1, i*15), ' ')})) AS s
+        |  FROM documents),
+        |sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp0),
+        |r AS (SELECT doc_id, pos, span,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |      FROM sp),
+        |agg AS (SELECT doc_id, array_to_string(list(span ORDER BY pos), ' ') AS text
+        |        FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     // same clusters, then per-cluster argmax(score) with min-id tie-break;
     // docs outside every cluster survive unconditionally

@@ -177,4 +177,46 @@ object TextOps {
       transform(tokens(text), t => tokenHash32(t) % P),
       lit(0L),
       (acc, h) => (acc * 31L + h) % P)
+
+  /** Span-level corpus dedup (the C4-style "remove duplicated spans across
+    * documents" rule, adapted to span = `spanWords` consecutive words): a
+    * span occurring anywhere else in the corpus survives ONLY at its
+    * first occurrence (min doc id, then position); every document's text
+    * is rebuilt from its surviving spans in order. Returns
+    * `(idCol, textCol)` with the rewritten text ('' when nothing
+    * survives) — callers join back for other columns.
+    *
+    * Scale design: one shuffle keyed by span hash (row_number picks the
+    * global keeper occurrence) and one groupBy doc for reassembly — no
+    * pair joins, no driver state; spans partition the word sequence, so
+    * rejoining with single spaces reproduces the original text wherever
+    * nothing was removed.
+    */
+  def dedupSpans(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 15): org.apache.spark.sql.DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
+    import org.apache.spark.sql.expressions.Window
+    val words = tokens(col(textCol))
+    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
+    val spans = df.select(
+      col(idCol).as("__id"),
+      posexplode(transform(
+        sequence(lit(0), greatest(nSpans - 1, lit(0))),
+        i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords))))))
+      .toDF("__id", "__pos", "__span")
+    val keepers = spans
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("__span")))
+          .orderBy(col("__id").asc, col("__pos").asc)))
+      .filter(col("__rn") === 1)
+    val rebuilt = keepers
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__span")))),
+        s => s.getField("__span"))).as("__text"))
+    df.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
 }
