@@ -101,6 +101,11 @@ object Bench {
       // probe-fraction sweep on the clustered fixture (the baseline's
       // recall-vs-nprobe curve shape, benchs/README.md:30-40)
       val fSweep = Seq(2, 4) .map(np => np -> recallAt(fidx, fq, 10, np, ft10)) :+ (8 -> r10)
+      // V5 recall evidence on the same fixture (default efSearch beam) —
+      // the graph model's row in the emitted gate, not just a spec
+      val hidx = graft.index.IndexRegistry.build(
+        "HNSW", spark, fix, "vec_id", "embedding", graft.index.IndexParams())
+      val hnswR10 = recallAt(hidx, fq, 10, 64, ft10)
 
       // SECONDARY — the near-uniform sf embeddings proxy retained for
       // round-over-round continuity (its recall only saturates near full
@@ -134,9 +139,13 @@ object Bench {
           .select(col("qid"), col("id")).collect()
       }
       // the gate VERDICT rides in the JSON: within 2pp of the published
-      // SIFT1M rows, at a comparable (partial) probe fraction on
-      // comparably-clustered data
-      val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02
+      // SIFT1M rows at a comparable (partial) probe fraction on
+      // comparably-clustered data, AND the sweep's sensitive point (a 1.6%
+      // probe must still clear 0.9 — the regression canary when the
+      // headline saturates at 1.0), AND the graph model's recall floor
+      val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02 &&
+        fSweep.head._2 >= 0.9 && hnswR10 >= 0.95
+      System.err.println(f"[bench] hnsw recall@10=$hnswR10%.4f (ef=64)")
       System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f ok=$ok " +
         f"qps(ivfpq)=$qpsIdx%.1f qps(flat)=$qpsFlat%.1f " +
         "(clustered fixture, ncentroids=128 nprobe=8 m=32; " +
@@ -146,6 +155,7 @@ object Bench {
       s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
         s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
         s""""probe_fraction":0.0625,"baseline_probe_fraction":0.0391,""" +
+        s""""hnsw_recall_at_10":$hnswR10,""" +
         s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
         s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
         s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries; ok = within 0.02 of baseline SIFT1M rows at 4% probe"},""" +
