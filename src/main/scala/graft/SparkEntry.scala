@@ -776,6 +776,41 @@ object SparkEntry {
       graft.dedup.Dedup.duplicateClusters(pairs)
     }),
 
+    // INT8 vector value type (reference retrieval_model.h:18 declares
+    // FLOAT|BINARY|INT8): symmetric per-vector scalar quantization
+    // (scale = max|v|/127) — 4x smaller storage. Roundtrip gate: per-doc
+    // scale and max reconstruction error, formula-mirrored in DuckDB.
+    "q_int8_roundtrip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val withQ = emb
+        .withColumn("q8", graft.functions.Quant.int8Encode(col("embedding")))
+        .withColumn("dec", graft.functions.Quant.int8Decode(col("q8")))
+      withQ.select(col("vec_id"),
+        round(col("q8").getField("scale"), 9).as("scale"),
+        round(aggregate(
+          zip_with(col("dec"), col("embedding"),
+            (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"))
+    }),
+
+    // KNN over INT8-stored vectors: encode the corpus AND the query,
+    // search the decoded surface exactly — the (deterministic) quantized
+    // distance function hash-matches the oracle computing the same codes.
+    "q_knn_int8" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val dec = emb.select(col("vec_id"),
+        graft.functions.Quant.int8Decode(
+          graft.functions.Quant.int8Encode(col("embedding"))).as("embedding"))
+      val qv = dec.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val q = Seq((0L, qv.toSeq)).toDF("qid", "qvec")
+      graft.operators.Knn.flatSearch(
+          dec, "vec_id", "embedding", q, "qid", "qvec", 10, Metric.L2)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    }),
+
     // C4-style span dedup: every 15-word span occurring anywhere else in
     // the corpus survives only at its first occurrence (min doc_id, pos);
     // each document's text is rebuilt from its surviving spans.
@@ -1342,6 +1377,38 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    "q_int8_roundtrip" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, scale, embedding, list_transform(embedding,
+        |    x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale, 0) AS TINYINT)
+        |         AS DOUBLE) * scale AS FLOAT)) AS dec
+        |  FROM e)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  round(list_max(list_transform(range(1, len(embedding) + 1),
+        |    i -> abs(CAST(dec[i] AS DOUBLE) - CAST(embedding[i] AS DOUBLE)))), 9)
+        |    AS max_err
+        |FROM d""".stripMargin,
+
+    "q_knn_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale, 0) AS TINYINT)
+        |         AS DOUBLE) * scale AS FLOAT)) AS dv
+        |  FROM e),
+        |q AS (SELECT dv AS qv FROM d WHERE vec_id = 0),
+        |s AS (SELECT d.vec_id AS id, list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.dv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.dv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM d, q),
+        |r AS (SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn FROM s)
+        |SELECT id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
     "q_text_dedup_spans" ->
       """WITH sp0 AS (SELECT doc_id, unnest(list_transform(
