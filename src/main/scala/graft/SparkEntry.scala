@@ -811,6 +811,31 @@ object SparkEntry {
         .select(col("id"), round(col("score"), 6).as("score"))
     }),
 
+    // INT8 as a TABLE store type (reference store_type per vector field,
+    // vector_manager.cc:79-95): vectors land on disk as
+    // struct(scale, tinyint codes), 4x smaller; every read path decodes
+    // back to the float surface. Brute search over the stored table must
+    // hash-match the oracle computing the same quantized vectors.
+    "q_table_int8" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_i8").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = emb.select(col("vec_id").cast("string").as("_id"),
+        col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "i8", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64, store = "INT8")), nBuckets = 8)
+      // query through the TABLE's decoded surface so corpus and query ride
+      // the same quantization (the oracle quantizes its query identically)
+      val qvec = tbl.docs.filter(col("_id") === "0").select("vec")
+        .as[Array[Float]].head()
+      tbl.search(graft.core.SearchRequest(
+          topn = 10,
+          vecQueries = Seq(graft.core.VecQuery("vec", qvec)),
+          metric = Metric.L2))
+        .select(col("_id"), round(col("score"), 6).as("score"))
+    }),
+
     // C4-style span dedup: every 15-word span occurring anywhere else in
     // the corpus survives only at its first occurrence (min doc_id, pos);
     // each document's text is rebuilt from its surviving spans.
@@ -1409,6 +1434,24 @@ object SparkEntry {
         |  FROM d, q),
         |r AS (SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn FROM s)
         |SELECT id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_table_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale, 0) AS TINYINT)
+        |         AS DOUBLE) * scale AS FLOAT)) AS dv
+        |  FROM e),
+        |q AS (SELECT dv AS qv FROM d WHERE vec_id = 0),
+        |s AS (SELECT CAST(d.vec_id AS VARCHAR) AS _id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (CAST(d.dv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+        |       * (CAST(d.dv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS dist
+        |  FROM d, q),
+        |r AS (SELECT _id, dist, row_number() OVER (ORDER BY dist, _id) AS rn FROM s)
+        |SELECT _id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
 
     "q_text_dedup_spans" ->
       """WITH sp0 AS (SELECT doc_id, unnest(list_transform(

@@ -14,7 +14,13 @@ case class VectorFieldDef(
     name: String,
     dim: Int,
     metric: String = "L2", // L2 | InnerProduct | Cosine | Hamming
-    retrievalType: String = "FLAT")
+    retrievalType: String = "FLAT",
+    // vector store type (reference retrieval_model.h:18 FLOAT|BINARY|INT8;
+    // store_type per field, vector/vector_manager.cc:79-95): INT8 stores
+    // struct(scale, codes array<tinyint>) at rest — 4x smaller — and every
+    // read path decodes back to the float surface. BINARY fields carry
+    // BinaryType columns directly (no codec needed).
+    store: String = "FLOAT")
 
 /** Table metadata persisted alongside the data (the reference's `.schema`
   * file + engine counters, search/gamma_engine.cc:607-612, 651-657).
@@ -75,11 +81,50 @@ class GammaTable private (
     sel.flatMap(b => bv.get(b.toString).map(v => bucketPath(b, v)))
   }
 
-  /** All documents, including logically-deleted ones. */
-  def allDocs: DataFrame = {
+  /** Raw at-rest rows (INT8-stored vector fields appear as their encoded
+    * structs) — the surface every WRITE path must use, so rewrites keep
+    * the storage encoding instead of materializing decoded floats.
+    */
+  private def rawAllDocs: DataFrame = {
     val paths = currentPaths()
     if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
   }
+
+  private def int8Fields: Seq[String] =
+    meta0.vectorFields.collect {
+      case f if f.store != null && f.store.equalsIgnoreCase("INT8") => f.name
+    }
+
+  /** Decode INT8-stored vector fields back to the float surface (type-
+    * guarded: already-float columns pass through, so mixed/legacy frames
+    * are safe).
+    */
+  private def decodeStored(df: DataFrame): DataFrame =
+    int8Fields.foldLeft(df) { (d, f) =>
+      d.schema.fields.find(_.name == f) match {
+        case Some(sf) if sf.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          d.withColumn(f, graft.functions.Quant.int8Decode(col(f)))
+        case _ => d
+      }
+    }
+
+  /** Encode float vector columns declared INT8 for writing (type-guarded
+    * and idempotent: the max component quantizes to exactly +-127, so
+    * re-encoding a decoded frame reproduces the same scale and codes).
+    */
+  private def encodeStored(df: DataFrame): DataFrame =
+    int8Fields.foldLeft(df) { (d, f) =>
+      d.schema.fields.find(_.name == f) match {
+        case Some(sf) if sf.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          d.withColumn(f, graft.functions.Quant.int8Encode(col(f)))
+        case _ => d
+      }
+    }
+
+  /** All documents, including logically-deleted ones (vector fields on
+    * the FLOAT surface regardless of store type).
+    */
+  def allDocs: DataFrame = decodeStored(rawAllDocs)
 
   /** Live documents (every reference read path filters the delete bitmap,
     * common/gamma_common_data.h:99-108).
@@ -98,7 +143,7 @@ class GammaTable private (
       case (b, bv) if bv > v => bucketPath(b.toLong, bv)
     }.toSeq
     if (paths.isEmpty) allDocs.limit(0)
-    else spark.read.parquet(paths: _*)
+    else decodeStored(spark.read.parquet(paths: _*))
   }
 
   private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
@@ -225,7 +270,10 @@ class GammaTable private (
   def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
     val key = meta0.keyField
     val v = meta0.version + 1
-    val d0 = Crud.dedupLastWins(delta, key, orderCol)
+    // INT8-declared fields encode at the write boundary; rows merged back
+    // from storage (readBuckets) are already encoded, so the merge below
+    // is struct-vs-struct
+    val d0 = Crud.dedupLastWins(encodeStored(delta), key, orderCol)
     // cache the (O(delta)-sized) batch: it is consumed by the stats pass,
     // the merge join and the write job — recomputing an arbitrary upstream
     // plan for each would triple the commit cost. persist + one stats job
@@ -402,7 +450,8 @@ class GammaTable private (
     val b = bucketOfValue(keyValue, meta0.nBuckets, keyType)
     readBuckets(Seq(b)) match {
       case None     => docs.limit(0)
-      case Some(df) => df.filter(!col(DeletedCol) && col(key) === lit(keyValue))
+      case Some(df) =>
+        decodeStored(df).filter(!col(DeletedCol) && col(key) === lit(keyValue))
     }
   }
 
@@ -418,7 +467,9 @@ class GammaTable private (
       indexers.values.foreach(_.excludePurged(purged))
     }
     val v = meta0.version + 1
-    val (written, stats) = writeVersion(docs, buckets, v)
+    // RAW read: a rewrite must carry the at-rest encoding through, not
+    // materialize decoded floats
+    val (written, stats) = writeVersion(rawAllDocs.filter(!col(DeletedCol)), buckets, v)
     commit(buckets, written, v, 0L, stats)
   }
 
@@ -527,7 +578,7 @@ class GammaTable private (
     // remaining predicate still applies on the pruned scan.
     val base = keyTermBuckets(req) match {
       case Some(bs) =>
-        readBuckets(bs).map(_.filter(!col(DeletedCol))).getOrElse(docs.limit(0))
+        readBuckets(bs).map(b => decodeStored(b).filter(!col(DeletedCol))).getOrElse(docs.limit(0))
       case None => rangeStatBuckets(req) match {
         // manifest min/max pruning (S5/P2): only buckets whose recorded
         // column ranges can overlap every range filter are read at all —
@@ -536,7 +587,7 @@ class GammaTable private (
         // zero-match bitmap (gamma_engine.cc:368-371)
         case Some(bs) if bs.isEmpty => docs.limit(0)
         case Some(bs) =>
-          readBuckets(bs).map(_.filter(!col(DeletedCol))).getOrElse(docs.limit(0))
+          readBuckets(bs).map(b => decodeStored(b).filter(!col(DeletedCol))).getOrElse(docs.limit(0))
         case None => docs
       }
     }
@@ -883,9 +934,14 @@ object GammaTable {
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
-    val m = spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+    val m0 = spark.read.schema(enc.schema).json(path).as[TableMeta].head()
     // metas written before bucketStats existed read the field as null
-    if (m.bucketStats == null) m.copy(bucketStats = Map.empty) else m
+    val m = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
+    // metas written before the store field read it as null -> FLOAT
+    if (m.vectorFields.exists(_.store == null))
+      m.copy(vectorFields = m.vectorFields.map(f =>
+        if (f.store == null) f.copy(store = "FLOAT") else f))
+    else m
   }
 
   /** Driver-side single-file JSON write (readable by `spark.read.json`). */
@@ -898,7 +954,8 @@ object GammaTable {
       .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val vf = m.vectorFields.map(f =>
       s"""{"name":${q(f.name)},"dim":${f.dim},"metric":${q(f.metric)},""" +
-        s""""retrievalType":${q(f.retrievalType)}}""").mkString("[", ",", "]")
+        s""""retrievalType":${q(f.retrievalType)},""" +
+        s""""store":${q(Option(f.store).getOrElse("FLOAT"))}}""").mkString("[", ",", "]")
     // stats bounds are always finite (writeVersion drops NaN/Inf), so
     // plain JSON numbers round-trip
     val bs = Option(m.bucketStats).getOrElse(Map.empty)

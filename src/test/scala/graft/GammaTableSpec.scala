@@ -533,6 +533,50 @@ class GammaTableSpec extends GraftSuite {
     assert(t.get(42).select($"_id").as[String].collect().toSeq === viaString)
   }
 
+  test("INT8 store type rides the full lifecycle; at-rest format is tinyint codes") {
+    val root = tmp()
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" < 400)
+      .select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"))
+    val t = GammaTable.create(spark, root, "i8life", "_id", emb,
+      Seq(VectorFieldDef("vec", 64, store = "INT8")), nBuckets = 4)
+    // at rest: struct(scale, codes array<tinyint>), NOT float arrays
+    val stored = spark.read.parquet(
+      new java.io.File(s"$root/data").listFiles().filter(_.getName.startsWith("b"))
+        .flatMap(_.listFiles()).map(_.toString).toIndexedSeq: _*)
+    val vecType = stored.schema("vec").dataType
+    assert(vecType.isInstanceOf[org.apache.spark.sql.types.StructType],
+      s"expected encoded struct at rest, got $vecType")
+    val st = vecType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+    // read surface is float
+    assert(t.docs.schema("vec").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.FloatType)
+
+    // upsert (re-encodes), delete, compact (raw rewrite), reload
+    val delta = t.docs.filter($"_id".cast("long") % 10 === 3).select($"_id", $"vec")
+    t.addOrUpdate(delta)
+    t.deleteByQuery($"_id".cast("long") % 7 === 0)
+    t.compact()
+    val reloaded = GammaTable.load(spark, root)
+    val qv = reloaded.docs.filter($"_id" === "1").select("vec")
+      .as[Array[Float]].head()
+    val viaTable = reloaded.search(graft.core.SearchRequest(
+        topn = 5, vecQueries = Seq(VecQuery("vec", qv)), metric = Metric.L2))
+      .select($"_id", $"score").as[(String, Double)].collect().toSet
+    // ground truth: brute force over the decoded surface
+    val brute = graft.operators.Knn.flatSearch(
+        reloaded.docs.select($"_id".cast("long").as("vec_id"), $"vec"),
+        "vec_id", "vec",
+        Seq((0L, qv.toSeq)).toDF("qid", "qvec"), "qid", "qvec", 5, Metric.L2)
+      .select($"id".cast("string"), $"score").as[(String, Double)].collect().toSet
+    assert(viaTable === brute)
+    // deleted keys stay gone
+    assert(!viaTable.exists(_._1.toLong % 7 == 0))
+  }
+
   test("vacuum removes superseded bucket versions, keeps the current state") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "vac", "_id", docTable(),
