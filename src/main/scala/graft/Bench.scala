@@ -158,7 +158,7 @@ object Bench {
         s""""hnsw_recall_at_10":$hnswR10,""" +
         s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
         s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
-        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries; ok = within 0.02 of baseline SIFT1M rows at 4% probe"},""" +
+        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries; ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.9 AND HNSW recall@10 >= 0.95"},""" +
         s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
     } catch {
       case e: Throwable =>

@@ -20,13 +20,24 @@ object Quant {
 
   /** `struct(scale double, codes array<tinyint>)` from an `array<float>`
     * column.
+    *
+    * The scale is bound ONCE per row as a lambda variable (the outer
+    * transform runs over a one-element array): higher-order-function
+    * lambdas re-evaluate captured expression trees per element, so
+    * embedding the O(d) array_max scan directly in the codes lambda would
+    * make encoding O(d^2) per vector — and the optimizer's project
+    * collapsing can re-inline a separately-projected scale column right
+    * back into the lambda.
     */
   def int8Encode(vec: Column): Column = {
     val scale =
       greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(Eps)) / lit(127.0)
-    struct(
-      scale.as("scale"),
-      transform(vec, x => round(x.cast("double") / scale, 0).cast("tinyint")).as("codes"))
+    element_at(
+      transform(array(scale), s =>
+        struct(
+          s.as("scale"),
+          transform(vec, x => round(x.cast("double") / s, 0).cast("tinyint")).as("codes"))),
+      1)
   }
 
   /** Decoded `array<float>` (the engine's vector surface) from an

@@ -809,7 +809,10 @@ class GammaTable private (
     * (reference gamma_engine.cc:1101-1146).
     */
   def dump(dir: String): Unit = {
-    allDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    // RAW rows: a dump is a write path — exporting the decoded float
+    // surface would silently drop the INT8 at-rest encoding (4x size) and
+    // leave the restored meta claiming a store the data no longer has
+    rawAllDocs.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     GammaTable.writeMetaTo(spark, s"$dir/meta", meta0)
     touchMarker(s"$dir/dump.done")
   }
@@ -904,6 +907,14 @@ object GammaTable {
       initial: DataFrame,
       vectorFields: Seq[VectorFieldDef] = Nil,
       nBuckets: Int = 16): GammaTable = {
+    // a misspelled store type must fail here, not silently fall back to
+    // uncompressed FLOAT storage
+    vectorFields.foreach { f =>
+      val s = Option(f.store).getOrElse("FLOAT").toUpperCase
+      require(Set("FLOAT", "BINARY", "INT8")(s),
+        s"unknown vector store type '${f.store}' for field ${f.name} " +
+          "(expected FLOAT | BINARY | INT8)")
+    }
     val t = new GammaTable(spark, root,
       TableMeta(name, keyField, nBuckets, 0L, 0L, Map.empty, vectorFields, "UNINDEXED"))
     t.addOrUpdate(initial)

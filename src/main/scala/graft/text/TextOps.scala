@@ -197,13 +197,19 @@ object TextOps {
       spanWords: Int = 15): org.apache.spark.sql.DataFrame = {
     require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
     import org.apache.spark.sql.expressions.Window
-    val words = tokens(col(textCol))
-    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
-    val spans = df.select(
-      col(idCol).as("__id"),
-      posexplode(transform(
-        sequence(lit(0), greatest(nSpans - 1, lit(0))),
-        i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords))))))
+    // bind the token array ONCE per row as a lambda variable (outer
+    // transform over a one-element array): slicing a captured tokens()
+    // expression inside the per-span lambda would re-split the whole text
+    // for every span — O(words^2/spanWords) per document
+    val spanList = element_at(
+      transform(array(tokens(col(textCol))), ws => {
+        val nSpans = ceil(size(ws) / lit(spanWords.toDouble)).cast("int")
+        transform(
+          sequence(lit(0), greatest(nSpans - 1, lit(0))),
+          i => concat_ws(" ", slice(ws, i * spanWords + 1, lit(spanWords))))
+      }),
+      1)
+    val spans = df.select(col(idCol).as("__id"), posexplode(spanList))
       .toDF("__id", "__pos", "__span")
     val keepers = spans
       .withColumn("__rn", row_number().over(

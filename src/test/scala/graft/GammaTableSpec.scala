@@ -575,6 +575,31 @@ class GammaTableSpec extends GraftSuite {
     assert(viaTable === brute)
     // deleted keys stay gone
     assert(!viaTable.exists(_._1.toLong % 7 == 0))
+
+    // dump/restore carries the at-rest encoding (a dump is a write path)
+    val dumpDir = tmp() + "/d"
+    reloaded.dump(dumpDir)
+    val dumped = spark.read.parquet(s"$dumpDir/data")
+    assert(dumped.schema("vec").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType],
+      "dump exported decoded floats instead of the INT8 encoding")
+    val restored = GammaTable.restore(spark, dumpDir, tmp() + "/r")
+    assert(restored.docs.schema("vec").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.FloatType)
+    assert(restored.docs.count() === reloaded.docs.count())
+    // and the restored table still accepts writes (struct-vs-struct merge)
+    restored.addOrUpdate(restored.docs.limit(5).select($"_id", $"vec"))
+    assert(restored.docs.count() === reloaded.docs.count())
+  }
+
+  test("unknown vector store type is rejected at create") {
+    val e = intercept[IllegalArgumentException] {
+      GammaTable.create(spark, tmp(), "bad", "_id",
+        Seq(("1", Array(1f))).toDF("_id", "vec"),
+        Seq(VectorFieldDef("vec", 1, store = "SQ8")))
+    }
+    assert(e.getMessage.contains("unknown vector store type"))
   }
 
   test("vacuum removes superseded bucket versions, keeps the current state") {
