@@ -4,9 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
-  * Runs every SparkEntry query once after a session warmup.
+  *
+  * Per-query repeats: a single timed run per query proved unadjudicable —
+  * same-HEAD totals swing ±2× with host noisy-neighbor load (SURVEY §12.1;
+  * rounds 4 and 5 both spent their top verdict slot on phantom
+  * "regressions" inside that band). Any query whose first run exceeds
+  * ~1 s is re-run (3 runs total by default) and the MEDIAN is what
+  * `queries` reports and `total` sums; per-query min/max/runs ride in
+  * `query_stats` so the spread itself is part of the artifact. Sub-second
+  * queries stay single-run — their absolute error is bounded by their
+  * size, and tripling them would only add wall-clock.
   */
 object Bench {
+  /** Lower median — for n=3 the true median; robust to one noisy run. */
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,21 +42,37 @@ object Bench {
 
     // Local-iteration filter; the driver sets no env so it always runs all.
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // N runs for any query whose FIRST run exceeds the threshold; queries
+    // are idempotent under repetition (lifecycle gates mint a fresh temp
+    // dir per invocation), so re-running in one JVM is safe.
+    val maxRuns = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val repeatAboveSec = 1.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s rows=$n")
+        sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s rows=$n")
-      name -> sec
+      val first = once()
+      val times =
+        if (first > repeatAboveSec && maxRuns > 1)
+          first +: Seq.fill(maxRuns - 1)(once())
+        else Seq(first)
+      (name, median(times), times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    val stats = results.map { case (k, m, ts) =>
+      "\"" + k + "\":" + s"""{"median":$m,"min":${ts.min},"max":${ts.max},"runs":${ts.size}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // BASELINE recall gate (reference benchs/README.md SIFT1M rows:
@@ -171,7 +199,8 @@ object Bench {
         s""","recall":{"recall_ok":false,"error":"$msg"}"""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_stats":$stats,"sf":"$sfDir"$recallJson}"""
     println(line)
     // the driver captures only the log TAIL, which truncated r4's line —
     // persist the full JSON to a file it can read whole
