@@ -80,39 +80,56 @@ object Prof {
       }
     }
 
-    // q_binaryivf_lifecycle stage breakdown (PROF_ONLY=bin runs just this)
+    // q_binaryivf_lifecycle stage breakdown (PROF_ONLY=bin runs just this).
+    // Two passes (pass 1 pays per-plan-shape codegen warmup) + a Spark job
+    // counter per stage — lifecycle cost here is scheduler latency × job
+    // count, so the job count is the number to cut.
     if (!sys.env.get("PROF_ONLY").exists(_ != "bin")) {
       import org.apache.spark.sql.functions._
       import spark.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_prof_bin").toString
-      val docs0 = graft.core.Tables.load(spark, dir, "documents")
-        .select(col("doc_id").cast("string").as("_id"),
-          unhex(md5(col("text"))).as("code"), col("lang"))
-      val tbl = time("bin: create") {
-        graft.table.GammaTable.create(spark, root, "binivf", "_id", docs0,
-          Seq(graft.table.VectorFieldDef("code", 128, metric = "Hamming",
-            retrievalType = "BINARYIVF")), nBuckets = 8)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+      def timeJ[T](name: String)(f: => T): T = {
+        val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  jobs=${jobs.get() - j0}")
+        r
       }
-      val ix = time("bin: buildIndex") {
-        tbl.buildIndex("code",
-          graft.index.IndexParams(metric = graft.core.Metric.Hamming, ncentroids = 4),
-          persist = true, retrievalType = "BINARYIVF")
-      }
-      val delta = tbl.docs.filter(col("_id").cast("long") % 7 === 3)
-        .select(col("_id"),
-          unhex(md5(concat(col("_id"), lit("v2")))).as("code"), col("lang"))
-      time("bin: addOrUpdate") { tbl.addOrUpdate(delta) }
-      time("bin: refresh") { ix.refresh() }
-      time("bin: deleteByQuery") { tbl.deleteByQuery(col("lang") === "de") }
-      val qbytes = docs0.filter(col("_id") === "0").select("code")
-        .as[Array[Byte]].head()
-      val reloaded = time("bin: load") { graft.table.GammaTable.load(spark, root) }
-      time("bin: search+collect") {
-        reloaded.search(graft.core.SearchRequest(
-            topn = 10,
-            vecQueries = Seq(graft.core.VecQuery("code",
-              graft.index.BinaryIvfIndex.bytesToFloats(qbytes), nprobe = Some(4))),
-            metric = graft.core.Metric.Hamming)).collect()
+      (1 to 2).foreach { pass =>
+        System.err.println(s"[prof] === binaryivf lifecycle, pass $pass ===")
+        val root = java.nio.file.Files.createTempDirectory("graft_prof_bin").toString
+        val docs0 = graft.core.Tables.load(spark, dir, "documents")
+          .select(col("doc_id").cast("string").as("_id"),
+            unhex(md5(col("text"))).as("code"), col("lang"))
+        val tbl = timeJ("bin: create") {
+          graft.table.GammaTable.create(spark, root, "binivf", "_id", docs0,
+            Seq(graft.table.VectorFieldDef("code", 128, metric = "Hamming",
+              retrievalType = "BINARYIVF")), nBuckets = 8)
+        }
+        val ix = timeJ("bin: buildIndex") {
+          tbl.buildIndex("code",
+            graft.index.IndexParams(metric = graft.core.Metric.Hamming, ncentroids = 4),
+            persist = true, retrievalType = "BINARYIVF")
+        }
+        val delta = tbl.docs.filter(col("_id").cast("long") % 7 === 3)
+          .select(col("_id"),
+            unhex(md5(concat(col("_id"), lit("v2")))).as("code"), col("lang"))
+        timeJ("bin: addOrUpdate") { tbl.addOrUpdate(delta) }
+        timeJ("bin: refresh") { ix.refresh() }
+        timeJ("bin: deleteByQuery") { tbl.deleteByQuery(col("lang") === "de") }
+        val qbytes = docs0.filter(col("_id") === "0").select("code")
+          .as[Array[Byte]].head()
+        val reloaded = timeJ("bin: load") { graft.table.GammaTable.load(spark, root) }
+        timeJ("bin: search+collect") {
+          reloaded.search(graft.core.SearchRequest(
+              topn = 10,
+              vecQueries = Seq(graft.core.VecQuery("code",
+                graft.index.BinaryIvfIndex.bytesToFloats(qbytes), nprobe = Some(4))),
+              metric = graft.core.Metric.Hamming)).collect()
+        }
       }
     }
     spark.stop()

@@ -79,11 +79,15 @@ class BinaryIvfIndex(
       maxScore: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val np = math.min(nprobe.getOrElse(params.nprobe), centroids.length)
-    val probeDf = queries.flatMap { case (qid, q) =>
+    // (qid, qcode, centroid_id) probe tuples — driver-computed (centroids
+    // are local), so the probed-list set is too: no Spark job here (the
+    // float IVF family does the same, IvfFlatIndex.search)
+    val probeRows = queries.flatMap { case (qid, q) =>
       probes(q, np, k).map(c => (qid, q, c))
-    }.toDF("qid", "qcode", "centroid_id")
-    val probed = probeDf.select("centroid_id").distinct().as[Int].collect()
-    val lists = data.filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+    }
+    val probeDf = probeRows.toDF("qid", "qcode", "centroid_id")
+    val probed = probeRows.map(_._3).distinct
+    val lists = data.filter(col("centroid_id").isin(probed: _*))
     // broadcast decision is the caller's (selectivity-aware) hint, not ours
     val filtered = allowedIds match {
       case Some(ids) => lists.join(ids.toDF(idCol), Seq(idCol), "left_semi")
