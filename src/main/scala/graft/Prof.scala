@@ -12,8 +12,8 @@ object Prof {
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
     sys.env.get("PROF_ONLY").foreach { v =>
-      require(v == "persist" || v == "bin",
-        s"unknown PROF_ONLY=$v (expected: persist | bin)")
+      require(Set("persist", "bin", "i8", "keepbest").contains(v),
+        s"unknown PROF_ONLY=$v (expected: persist | bin | i8 | keepbest)")
     }
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     emb.count() // warm the file scan
@@ -78,6 +78,61 @@ object Prof {
         graft.index.IvfFlatIndex.build(spark, docs, "vec_id", "embedding", params)
           .data.count()
       }
+    }
+
+    // q_knn_int8 stage breakdown (PROF_ONLY=i8): where do the seconds go —
+    // the encode/decode scan, the checkpoint, the head(), or the search?
+    if (sys.env.get("PROF_ONLY").contains("i8")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      (1 to 3).foreach { pass =>
+        System.err.println(s"[prof] === knn_int8, pass $pass ===")
+        val dec0 = emb.select(col("vec_id"),
+          graft.functions.Quant.int8Decode(
+            graft.functions.Quant.int8Encode(col("embedding"))).as("embedding"))
+        time("i8: encode+decode count") { dec0.count() }
+        val dec = time("i8: localCheckpoint") { dec0.localCheckpoint(true) }
+        val qv = time("i8: head()") {
+          dec.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+        }
+        val q = Seq((0L, qv.toSeq)).toDF("qid", "qvec")
+        time("i8: flatSearch collect") {
+          graft.operators.Knn.flatSearch(
+              dec, "vec_id", "embedding", q, "qid", "qvec", 10,
+              graft.core.Metric.L2)
+            .select(col("id"), round(col("score"), 6).as("score")).collect()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // q_dedup_keep_best stage breakdown (PROF_ONLY=keepbest): times
+    // minhashPairs / duplicateClusters / keepBestPerCluster separately
+    // across 3 repeats in one JVM — the bench showed a 4x intra-JVM spread
+    // (1.8 s first run, ~8 s repeats) so the interesting signal is which
+    // stage GROWS across passes, not the absolute first-pass numbers.
+    if (sys.env.get("PROF_ONLY").contains("keepbest")) {
+      import org.apache.spark.sql.functions._
+      val d = graft.core.Tables.load(spark, dir, "documents")
+      (1 to 3).foreach { pass =>
+        System.err.println(s"[prof] === dedup_keep_best, pass $pass ===")
+        val pairs = time("kb: minhashPairs count") {
+          val p = graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+          p.count(); p
+        }
+        val clusters = time("kb: duplicateClusters count") {
+          val c = graft.dedup.Dedup.duplicateClusters(pairs)
+          c.count(); c
+        }
+        time("kb: keepBestPerCluster count") {
+          graft.dedup.Dedup.keepBestPerCluster(
+              d.select(col("doc_id"), col("lang"),
+                (col("doc_id") % 101).cast("long").as("score")),
+              "doc_id", "score", clusters)
+            .count()
+        }
+      }
+      spark.stop(); return
     }
 
     // q_binaryivf_lifecycle stage breakdown (PROF_ONLY=bin runs just this).

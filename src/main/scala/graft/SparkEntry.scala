@@ -796,6 +796,10 @@ object SparkEntry {
     // KNN over INT8-stored vectors: encode the corpus AND the query,
     // search the decoded surface exactly — the (deterministic) quantized
     // distance function hash-matches the oracle computing the same codes.
+    // The decoded frame is materialized ONCE (localCheckpoint): without it
+    // the query-vector head() and every flatSearch scan (the distance
+    // kernel references the vector repeatedly) re-run encode+decode over
+    // the corpus per reference.
     "q_knn_int8" -> ((s, dir) => {
       GraftSession.prepare(s)
       import s.implicits._
@@ -803,6 +807,7 @@ object SparkEntry {
       val dec = emb.select(col("vec_id"),
         graft.functions.Quant.int8Decode(
           graft.functions.Quant.int8Encode(col("embedding"))).as("embedding"))
+        .localCheckpoint(true)
       val qv = dec.filter(col("vec_id") === 0)
         .select("embedding").as[Array[Float]].head()
       val q = Seq((0L, qv.toSeq)).toDF("qid", "qvec")

@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
 
 /** INT8 scalar quantization for vector storage — the reference's third
   * vector value type (`FLOAT | BINARY | INT8`, index/retrieval_model.h:18;
@@ -10,40 +16,194 @@ import org.apache.spark.sql.functions._
   * round(v_i / scale)` in [-127, 127], decode `code_i * scale` — 4x
   * smaller vector storage at ~0.4%-of-range max error.
   *
-  * Pure Column expressions (codegen'd, no UDFs), double math over float
-  * inputs so the DuckDB oracle mirrors every step bit-for-bit.
+  * Implemented as native codegen'd Catalyst expressions: the original
+  * higher-order-function Column formulation (nested `transform` + per-
+  * element `round()`) evaluated interpreted — HOFs are CodegenFallback and
+  * Spark's `round` allocates a BigDecimal per element — costing ~4 s just
+  * to materialize the sf0.1 corpus. The kernels below keep the loop on
+  * primitive ArrayData (JIT-vectorizable, zero allocation per element)
+  * while reproducing the Column version bit-for-bit: all math in double,
+  * and rounding = round-half-away-from-zero on the exact double value,
+  * which equals both Spark's `round(x, 0)` (BigDecimal HALF_UP — the
+  * shortest-decimal repr can only sit exactly on a .5 boundary when the
+  * double IS x.5) and the DuckDB oracle's `round()`.
   */
 object Quant {
 
   /** Guards the all-zero vector (scale 0 would NaN the division). */
   val Eps = 1e-30
 
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
   /** `struct(scale double, codes array<tinyint>)` from an `array<float>`
-    * column.
-    *
-    * The scale is bound ONCE per row as a lambda variable (the outer
-    * transform runs over a one-element array): higher-order-function
-    * lambdas re-evaluate captured expression trees per element, so
-    * embedding the O(d) array_max scan directly in the codes lambda would
-    * make encoding O(d^2) per vector — and the optimizer's project
-    * collapsing can re-inline a separately-projected scale column right
-    * back into the lambda.
+    * (or `array<double>`) column.
     */
-  def int8Encode(vec: Column): Column = {
-    val scale =
-      greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(Eps)) / lit(127.0)
-    element_at(
-      transform(array(scale), s =>
-        struct(
-          s.as("scale"),
-          transform(vec, x => round(x.cast("double") / s, 0).cast("tinyint")).as("codes"))),
-      1)
-  }
+  def int8Encode(vec: Column): Column = col(Int8EncodeExpr(expr(vec)))
 
   /** Decoded `array<float>` (the engine's vector surface) from an
     * [[int8Encode]] struct.
     */
-  def int8Decode(q: Column): Column =
-    transform(q.getField("codes"),
-      c => (c.cast("double") * q.getField("scale")).cast("float"))
+  def int8Decode(q: Column): Column = col(Int8DecodeExpr(expr(q)))
+}
+
+/** Shared bits of the int8 codec expressions. */
+trait Int8CodecExpr { self: UnaryExpression =>
+  /** round-half-away-from-zero of the exact double value — `a - floor(a)`
+    * is exact for |a| < 2^52, so the 0.5 comparison is exact (no
+    * `floor(x + 0.5)` double-rounding hazard).
+    */
+  @inline final def roundAway(x: Double): Double = {
+    val a = math.abs(x); val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    if (x < 0) -r else r
+  }
+
+  /** The same formula as inline Java for generated code. */
+  final def roundAwayJava(x: String, a: String, f: String, r: String): String =
+    s"""
+       |double $a = java.lang.Math.abs($x);
+       |double $f = java.lang.Math.floor($a);
+       |double $r = ($a - $f >= 0.5d) ? $f + 1.0d : $f;
+       |if ($x < 0d) $r = -$r;
+     """.stripMargin
+}
+
+/** `array<float|double>` → `struct(scale double, codes array<tinyint>)`.
+  * Null elements encode as 0 (the testdata vectors are dense; the HOF
+  * predecessor propagated per-element nulls, which no caller relied on).
+  */
+case class Int8EncodeExpr(child: Expression)
+    extends UnaryExpression with Int8CodecExpr {
+  override def prettyName: String = "int8_encode"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${dt.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val isF = elemIsFloat
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        val ax = math.abs(x)
+        if (ax > mx) mx = ax
+      }
+      i += 1
+    }
+    val scale = math.max(mx, Quant.Eps) / 127.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        codes(i) = roundAway(x / scale).toByte
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](scale, UnsafeArrayData.fromPrimitiveArray(codes)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx"); val x = ctx.freshName("x")
+      val ax = ctx.freshName("ax"); val scale = ctx.freshName("scale")
+      val codes = ctx.freshName("codes")
+      val a = ctx.freshName("ra"); val f = ctx.freshName("rf"); val r = ctx.freshName("rr")
+      val getter = if (elemIsFloat) s"(double) $in.getFloat" else s"$in.getDouble"
+      s"""
+         |int $n = $in.numElements();
+         |double $mx = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$in.isNullAt($i)) {
+         |    double $ax = java.lang.Math.abs($getter($i));
+         |    if ($ax > $mx) $mx = $ax;
+         |  }
+         |}
+         |double $scale = java.lang.Math.max($mx, ${Quant.Eps}d) / 127.0d;
+         |byte[] $codes = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$in.isNullAt($i)) {
+         |    double $x = $getter($i) / $scale;
+         |    ${roundAwayJava(x, a, f, r)}
+         |    $codes[$i] = (byte) $r;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $scale,
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `struct(scale double, codes array<tinyint>)` → decoded `array<float>`. */
+case class Int8DecodeExpr(child: Expression)
+    extends UnaryExpression with Int8CodecExpr {
+  override def prettyName: String = "int8_decode"
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+        StructField("scale", DoubleType, _, _),
+        StructField("codes", ArrayType(ByteType, _), _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct(scale double, codes array<tinyint>), " +
+        s"got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val scale = row.getDouble(0)
+    val codes = row.getArray(1)
+    val n = codes.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (!codes.isNullAt(i)) out(i) = (codes.getByte(i).toDouble * scale).toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val scale = ctx.freshName("scale"); val codes = ctx.freshName("codes")
+      val out = ctx.freshName("out")
+      s"""
+         |double $scale = $in.getDouble(0);
+         |org.apache.spark.sql.catalyst.util.ArrayData $codes = $in.getArray(1);
+         |int $n = $codes.numElements();
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$codes.isNullAt($i)) {
+         |    $out[$i] = (float) ((double) $codes.getByte($i) * $scale);
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

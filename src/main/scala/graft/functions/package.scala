@@ -49,5 +49,7 @@ package object functions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hamming", es => HammingDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pq_adc", es => PqAdcDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_encode", es => Int8EncodeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_decode", es => Int8DecodeExpr(es.head), "scala_udf")
   }
 }

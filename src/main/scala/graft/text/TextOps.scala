@@ -186,17 +186,22 @@ object TextOps {
     * `(idCol, textCol)` with the rewritten text ('' when nothing
     * survives) — callers join back for other columns.
     *
-    * Scale design: one shuffle keyed by span hash (row_number picks the
-    * global keeper occurrence) and one groupBy doc for reassembly — no
-    * pair joins, no driver state; spans partition the word sequence, so
-    * rejoining with single spaces reproduces the original text wherever
-    * nothing was removed.
+    * Scale design: the winner per distinct span is picked by
+    * `groupBy(md5(span)).agg(min(struct(id, pos)))` — partial (map-side)
+    * aggregation means ONLY (16-byte hash, id, pos) tuples ever cross the
+    * winner shuffle, never span text. Winning positions are folded to a
+    * per-doc keep-list (again just ids + int positions over the wire) and
+    * joined back to the original rows, where each text is rebuilt from its
+    * own span array in place — no exploded-span reassembly groupBy at all.
+    * Net: corpus text crosses at most ONE Exchange (the keep-list join),
+    * versus three under the previous row_number-window shape; spans
+    * partition the word sequence, so rejoining kept spans with single
+    * spaces reproduces the original text wherever nothing was removed.
     */
   def dedupSpans(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       spanWords: Int = 15): org.apache.spark.sql.DataFrame = {
     require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
-    import org.apache.spark.sql.expressions.Window
     // bind the token array ONCE per row as a lambda variable (outer
     // transform over a one-element array): slicing a captured tokens()
     // expression inside the per-span lambda would re-split the whole text
@@ -211,18 +216,28 @@ object TextOps {
       1)
     val spans = df.select(col(idCol).as("__id"), posexplode(spanList))
       .toDF("__id", "__pos", "__span")
-    val keepers = spans
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(col("__span")))
-          .orderBy(col("__id").asc, col("__pos").asc)))
-      .filter(col("__rn") === 1)
-    val rebuilt = keepers
+    // global first-occurrence per span: min(struct) orders by (id, pos)
+    // lexicographically — identical winner to the old
+    // row_number().over(partitionBy(hash).orderBy(id, pos)) === 1, but the
+    // hash-keyed Exchange carries no text (partial agg collapses each
+    // mapper's occurrences of a span to one candidate)
+    val winners = spans
+      .groupBy(md5(col("__span")).as("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__pos").as("__pos"))
+    // per-doc sorted keep-list: (id, array<int>) only
+    val keepByDoc = winners
       .groupBy(col("__id"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__pos"), col("__span")))),
-        s => s.getField("__span"))).as("__text"))
-    df.select(col(idCol))
-      .join(rebuilt, col(idCol) === col("__id"), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"))
+    // rebuild each doc from ITS OWN span array — a projection, not a
+    // groupBy: the only Exchange touching text is this join, and a doc
+    // with no surviving span is absent from keepByDoc -> ''
+    df.select(col(idCol), spanList.as("__spans"))
+      .join(keepByDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(
+          concat_ws(" ", transform(col("__keep"),
+            p => element_at(col("__spans"), p + 1))),
+          lit("")).as(textCol))
   }
 }

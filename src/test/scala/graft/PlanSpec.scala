@@ -115,6 +115,31 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("documents.parquet"), p)
   }
 
+  test("span dedup: no Exchange carries span text (winner pick is hash/id/pos only)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => nodes(q.plan)
+      case r: ReusedExchangeExec    => nodes(r.child)
+      case _                        => p.children.flatMap(nodes)
+    })
+    val df = SparkEntry.queries("q_text_dedup_spans")(spark, sf0)
+    df.count() // finalize the adaptive plan
+    val shuffles = nodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty) // the winner groupBy must still be global
+    // the exploded span text must never be shuffled — only its md5 +
+    // (id, pos) candidates and the per-doc keep-lists go over the wire
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "__span"),
+        s"span text crosses an Exchange: ${s.output.map(_.name)}")
+    }
+    // and the old row_number-window shape must not come back
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("allowed-set semi-join: broadcast only when the filter is selective (X2)") {
     val root = java.nio.file.Files.createTempDirectory("graft_plan_sel").toString
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
