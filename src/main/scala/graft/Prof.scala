@@ -150,7 +150,12 @@ object Prof {
       })
       def timeJ[T](name: String)(f: => T): T = {
         val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
-        System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  jobs=${jobs.get() - j0}")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // onJobStart arrives async on the listener bus; give stragglers a
+        // beat (untimed) to land or this stage undercounts and the next
+        // overcounts (waitUntilEmpty is private[spark], so a sleep it is)
+        Thread.sleep(100)
+        System.err.println(f"[prof] $name%-28s $sec%7.2f s  jobs=${jobs.get() - j0}")
         r
       }
       (1 to 2).foreach { pass =>
