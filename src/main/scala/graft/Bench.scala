@@ -102,7 +102,7 @@ object Bench {
     // 50 queries vs FLAT ground truth, emitted in the bench line so a
     // recall regression fails the round, not just a spec.
     val recallJson = try {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{array_sort, col, collect_list, struct, transform}
       import spark.implicits._
 
       // shared recall machinery over any (vec_id, embedding) frame
@@ -130,16 +130,49 @@ object Bench {
       // SIFT1M recall at nprobe=40/1024 ≈ 4% probe; SIFT is naturally
       // clustered). 100k mixture-of-Gaussians vectors, 128 true clusters,
       // IVFPQ ncentroids=128, nprobe=8 = 6.25% probe fraction.
-      val fix = graft.index.GaussianFixture
+      //
+      // File-based loop — the reference's own methodology (base .fvecs +
+      // query .fvecs + ground-truth .ivecs, tests/test.h:279-298,
+      // benchs/README.md:5,82-128): the fixture is exported to TEXMEX
+      // files and EVERY gate input (base, queries, truth) is re-read
+      // through the S12 vecs source, so the recall number covers the
+      // file codec end-to-end, not just the in-memory frame.
+      val vecsDir =
+        java.nio.file.Files.createTempDirectory("graft_bench_vecs").toString
+      val gen = graft.index.GaussianFixture
         .mixtureOfGaussians(spark, 100000L, 64, 128, sigma = 0.8, seed = 7L)
-        .localCheckpoint(true)
-      val fq = fix.filter(col("vec_id") < 50)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().toSeq
+      graft.sources.Vecs.exportPartitioned(gen, "embedding", s"$vecsDir/base",
+        "fvecs", orderCol = Some("vec_id"), numPartitions = 32)
+      graft.sources.Vecs.exportPartitioned(gen.filter(col("vec_id") < 50),
+        "embedding", s"$vecsDir/query", "fvecs", orderCol = Some("vec_id"),
+        numPartitions = 1)
+      // orderCol contract: row_id == rank in vec_id order == vec_id
+      def readVecs(sub: String) =
+        spark.read.format("vecs").load(s"$vecsDir/$sub")
+          .select(col("row_id").as("vec_id"), col("vec").as("embedding"))
+      val fix = readVecs("base").localCheckpoint(true)
+      val fq = readVecs("query")
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      // ground truth: exact FLAT top-10 over the FILE-READ base,
+      // rank-ordered (score, then id on exact ties), round-tripped
+      // through .ivecs exactly like SIFT's groundtruth.ivecs
+      val gtRows = graft.operators.Knn.flatSearch(fix, "vec_id", "embedding",
+          fq.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec"),
+          "qid", "qvec", 10, graft.core.Metric.L2)
+        .groupBy(col("qid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("score"), col("id")))),
+          s => s.getField("id").cast("int")).as("nn"))
+      graft.sources.Vecs.exportPartitioned(gtRows, "nn", s"$vecsDir/gt",
+        "ivecs", orderCol = Some("qid"), numPartitions = 1)
+      val gt = spark.read.format("vecs").load(s"$vecsDir/gt")
+        .select(col("row_id"), col("vec")).as[(Long, Array[Int])].collect()
+        .map { case (q, nn) => q -> nn.map(_.toLong) }.toMap
+      val ft10 = gt.map { case (q, nn) => q -> nn.toSet }
+      val ft1 = gt.map { case (q, nn) => q -> Set(nn.head) }
       val fidx = graft.index.IndexRegistry.build(
         "IVFPQ", spark, fix, "vec_id", "embedding",
         graft.index.IndexParams(ncentroids = 128, nsubvector = 32, recallNum = 100))
-      val ft1 = truthOf(fix, fq, 1); val ft10 = truthOf(fix, fq, 10)
       val r1 = recallAt(fidx, fq, 1, 8, ft1)
       val r10 = recallAt(fidx, fq, 10, 8, ft10)
       // probe-fraction sweep on the clustered fixture (the baseline's
@@ -202,7 +235,7 @@ object Bench {
         s""""hnsw_recall_at_10":$hnswR10,""" +
         s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
         s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
-        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries; ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.9 AND HNSW recall@10 >= 0.95"},""" +
+        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.9 AND HNSW recall@10 >= 0.95"},""" +
         s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
     } catch {
       case e: Throwable =>
