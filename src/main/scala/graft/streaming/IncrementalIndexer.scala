@@ -170,6 +170,13 @@ class IncrementalIndexer(
     */
   @volatile private var pendingFeedback: Option[(Long, IvfPqIndex)] = None
 
+  /** Guards the [[pendingFeedback]] -> [[rowCalibration]] read-modify-
+    * write: concurrent searches doing the unsynchronized fold could lose
+    * an EWMA update or fold one measurement twice. Reads of the volatile
+    * scalar stay lock-free.
+    */
+  private val calibLock = new Object
+
   /** EWMA of measured/predicted scanned rows (clamped to [0.01, 100]) —
     * corrects the uniform-volume probe-cost model under list skew.
     * Accumulator counts include any re-executed tasks (Spark only
@@ -549,17 +556,19 @@ class IncrementalIndexer(
     // when the caller ran an action on the returned frame): EWMA of
     // measured/predicted scanned rows corrects the uniform-volume model
     // under list skew the cached stats have not caught up with
-    pendingFeedback.foreach { case (pred, pq) =>
-      // clamp to the index's total rows: a caller that materialized the
-      // frame more than once re-ran the scan into the SAME accumulator
-      // (Spark only de-duplicates inside one action), and a probe can
-      // never truly read more than the whole code table — the clamp
-      // bounds that inflation at "full scan", the conservative direction
-      val m = math.min(pq.lastScannedRows, math.max(table.meta.maxDocid, 1L))
-      if (m > 0 && pred > 0) {
-        rowCalibration = math.max(0.01, math.min(100.0,
-          0.5 * rowCalibration + 0.5 * (m.toDouble / pred)))
-        pendingFeedback = None
+    calibLock.synchronized {
+      pendingFeedback.foreach { case (pred, pq) =>
+        // clamp to the index's total rows: a caller that materialized the
+        // frame more than once re-ran the scan into the SAME accumulator
+        // (Spark only de-duplicates inside one action), and a probe can
+        // never truly read more than the whole code table — the clamp
+        // bounds that inflation at "full scan", the conservative direction
+        val m = math.min(pq.lastScannedRows, math.max(table.meta.maxDocid, 1L))
+        if (m > 0 && pred > 0) {
+          rowCalibration = math.max(0.01, math.min(100.0,
+            0.5 * rowCalibration + 0.5 * (m.toDouble / pred)))
+          pendingFeedback = None
+        }
       }
     }
     // binary fields store packed bytes; their queries ride the float
@@ -698,10 +707,12 @@ class IncrementalIndexer(
             // calibration targets anyway)
             val effNp = math.min(
               effNprobe.getOrElse(params.nprobe).toLong, pq.centers.length.toLong)
-            pendingFeedback = Some((
-              IncrementalIndexer.uniformProbeRows(
-                pq.centers.length, math.max(table.meta.maxDocid, 1L), effNp),
-              pq))
+            calibLock.synchronized {
+              pendingFeedback = Some((
+                IncrementalIndexer.uniformProbeRows(
+                  pq.centers.length, math.max(table.meta.maxDocid, 1L), effNp),
+                pq))
+            }
           case _ =>
         }
         val fromIndex =

@@ -69,6 +69,11 @@ class GammaTable private (
     val root: String,
     @volatile private var meta0: TableMeta) {
 
+  /** Cached key-column DataType for [[get]] bucket routing (None until
+    * first derived; reset on commit).
+    */
+  @volatile private var keyTypeCache: Option[org.apache.spark.sql.types.DataType] = None
+
   import GammaTable._
 
   def meta: TableMeta = meta0
@@ -108,9 +113,13 @@ class GammaTable private (
       }
     }
 
-  /** Encode float vector columns declared INT8 for writing (type-guarded
-    * and idempotent: the max component quantizes to exactly +-127, so
-    * re-encoding a decoded frame reproduces the same scale and codes).
+  /** Encode float vector columns declared INT8 for writing (type-guarded:
+    * only array-typed columns are encoded, an already-encoded struct
+    * passes through). Re-encoding a DECODED frame is near-stable but not
+    * bit-guaranteed — the decoded max component is float(127*scale), so a
+    * fresh scale can differ in the last ulp; no write path depends on it
+    * (ingest encodes the caller's float surface once, and compaction
+    * rewrites the RAW at-rest structs without a decode round-trip).
     */
   private def encodeStored(df: DataFrame): DataFrame =
     int8Fields.foldLeft(df) { (d, f) =>
@@ -257,6 +266,7 @@ class GammaTable private (
       // the write produced no finite bounds for it)
       bucketStats = Option(meta0.bucketStats).getOrElse(Map.empty) --
         emptied -- writtenSet ++ stats.view.filterKeys(writtenSet))
+    keyTypeCache = None
     writeMeta()
   }
 
@@ -444,9 +454,16 @@ class GammaTable private (
     */
   def get(keyValue: Any): DataFrame = {
     val key = meta0.keyField
-    val keyType =
-      if (meta0.bucketVersions.isEmpty) None
-      else allDocs.schema.fields.find(_.name == key).map(_.dataType)
+    // the key column's type is fixed for the table's life, but deriving it
+    // from allDocs.schema costs a driver-side parquet footer listing —
+    // cache it on the handle (commit() invalidates, belt-and-braces)
+    val keyType = keyTypeCache.orElse {
+      val t =
+        if (meta0.bucketVersions.isEmpty) None
+        else allDocs.schema.fields.find(_.name == key).map(_.dataType)
+      keyTypeCache = t
+      t
+    }
     val b = bucketOfValue(keyValue, meta0.nBuckets, keyType)
     readBuckets(Seq(b)) match {
       case None     => docs.limit(0)
