@@ -101,7 +101,11 @@ object Bench {
     // they remain as a secondary sweep for round-over-round continuity).
     // 50 queries vs FLAT ground truth, emitted in the bench line so a
     // recall regression fails the round, not just a spec.
-    val recallJson = try {
+    // local-iteration switch (the driver never sets it): the recall gate
+    // costs ~40 s of fixture build per invocation, pure overhead when
+    // timing a GRAFT_BENCH_ONLY subset or probing a scaled directory
+    val skipRecall = sys.env.get("GRAFT_BENCH_SKIP_RECALL").contains("1")
+    val recallJson = if (skipRecall) "" else try {
       import org.apache.spark.sql.functions.{array_sort, col, collect_list, struct, transform}
       import spark.implicits._
 
@@ -217,11 +221,15 @@ object Bench {
       }
       // the gate VERDICT rides in the JSON: within 2pp of the published
       // SIFT1M rows at a comparable (partial) probe fraction on
-      // comparably-clustered data, AND the sweep's sensitive point (a 1.6%
-      // probe must still clear 0.9 — the regression canary when the
-      // headline saturates at 1.0), AND the graph model's recall floor
+      // comparably-clustered data, AND the sweep's sensitive point (the
+      // 1.6% probe — the regression canary when the headline saturates at
+      // 1.0), AND the graph model's recall floor. The canary's floor is
+      // 0.97, 1.6pp under its measured 0.986: every stage of the gate is
+      // deterministic (seeded fixture, seeded k-means, file round-trip,
+      // tie-free double distances), so the point REPRODUCES exactly and
+      // any dip below is a real ranking change, not noise.
       val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02 &&
-        fSweep.head._2 >= 0.9 && hnswR10 >= 0.95
+        fSweep.head._2 >= 0.97 && hnswR10 >= 0.95
       System.err.println(f"[bench] hnsw recall@10=$hnswR10%.4f (ef=64)")
       System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f ok=$ok " +
         f"qps(ivfpq)=$qpsIdx%.1f qps(flat)=$qpsFlat%.1f " +
@@ -235,7 +243,7 @@ object Bench {
         s""""hnsw_recall_at_10":$hnswR10,""" +
         s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
         s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
-        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.9 AND HNSW recall@10 >= 0.95"},""" +
+        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.97 (deterministic canary, measured 0.986) AND HNSW recall@10 >= 0.95"},""" +
         s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
     } catch {
       case e: Throwable =>

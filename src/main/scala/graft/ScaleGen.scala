@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator (not part of the driver contract): writes an
+  * N-times replica of an sf directory so the gate queries can be measured
+  * one decade up (the driver only ships sf0.001/0.01/0.1; the reference
+  * publishes 10M-1B-scale behavior, benchs/README.md:94-136).
+  *
+  * A naive union of identical copies would NOT be a faithful 10x: every
+  * document would gain 9 exact clones, near-dup pair counts would grow
+  * quadratically in the copy count instead of linearly in corpus size, and
+  * KNN would rank 10 tied vectors per hit. So each copy is deterministically
+  * individualized while keeping the INTRA-copy structure (the real dup
+  * rate, cluster shape, key distributions) intact:
+  *   - ids shift by copy * (max_id + 1) per key family, preserving
+  *     referential joins (part<->embeddings, orders<->lineitem, customer)
+  *   - document text is word-salted per copy (every token gets a copy
+  *     suffix), so shingle sets are disjoint across copies
+  *   - embeddings get a small deterministic per-copy perturbation, so
+  *     copies are near but not equal in vector space
+  * Copy 0 is bit-identical to the source, so id-pinned gate queries
+  * (vec_id = 0, _id = "0") still hit.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.core.GraftSession.local(32, "graft-scalegen")
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0)
+
+    /** Union `copies` shifted/transformed replicas of `df`. */
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { k =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(off * k))
+        }
+        if (k == 0) shifted else perCopy(shifted, k)
+      }.reduce(_.unionByName(_))
+
+    def write(name: String, df: DataFrame, parts: Int): Unit = {
+      val t0 = System.nanoTime()
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      val n = spark.read.parquet(s"$out/$name.parquet").count()
+      System.err.println(
+        f"[scalegen] $name%-12s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    }
+
+    def t(name: String): DataFrame = graft.core.Tables.load(spark, src, name)
+
+    // key-family offsets (one per referential group, from the SOURCE data)
+    val partOff  = maxOf(t("part"), "p_partkey")
+      .max(maxOf(t("embeddings"), "vec_id")) + 1
+    val docOff   = maxOf(t("documents"), "doc_id") + 1
+    val ordOff   = maxOf(t("orders"), "o_orderkey") + 1
+    val custOff  = maxOf(t("customer"), "c_custkey") + 1
+    val suppOff  = maxOf(t("supplier"), "s_suppkey") + 1
+    val eventOff = maxOf(t("events"), "event_id") + 1
+    val userOff  = maxOf(t("events"), "user_id") + 1
+
+    // dimension tables stay single-copy (nation/region are fixed domains)
+    Seq("nation", "region").foreach(n => write(n, t(n), 1))
+
+    write("documents", replicate(t("documents"), Map("doc_id" -> docOff),
+      (d, k) => d
+        // word-salt: every token gets a per-copy suffix => shingle sets
+        // are disjoint across copies, intra-copy dup structure untouched
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + "x" + k))
+        .withColumn("n_chars", length(col("text")))), copies)
+
+    write("embeddings", replicate(t("embeddings"), Map("vec_id" -> partOff),
+      (d, k) => d.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), i), lit(2001)) - lit(1000))
+            .cast("double") / lit(10000.0)).cast("float")))), copies)
+
+    write("part", replicate(t("part"), Map("p_partkey" -> partOff)), copies)
+    write("supplier", replicate(t("supplier"), Map("s_suppkey" -> suppOff)), 1)
+    write("customer", replicate(t("customer"), Map("c_custkey" -> custOff)), copies)
+    write("orders", replicate(t("orders"),
+      Map("o_orderkey" -> ordOff, "o_custkey" -> custOff)), copies)
+    write("lineitem", replicate(t("lineitem"),
+      Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff)), copies * 2)
+    write("events", replicate(t("events"),
+      Map("event_id" -> eventOff, "user_id" -> userOff)), copies)
+
+    System.err.println(s"[scalegen] done -> $out (x$copies of $src)")
+    spark.stop()
+  }
+}

@@ -129,16 +129,44 @@ private[index] final class HnswGraph(
 
   private def capOf(level: Int): Int = if (level == 0) maxM0 else m
 
-  /** Keep the `cap` closest links (the simple selection heuristic; the
-    * reference's hnswlib default heuristic additionally diversifies, which
-    * affects constants, not correctness).
+  /** Diversifying neighbor selection (Malkov Alg. 4; hnswlib
+    * `getNeighborsByHeuristic2`, hnswalg.h): walk candidates
+    * nearest-first and keep one only if it is closer to the base point
+    * than to every already-kept neighbor. This is NOT a constant-factor
+    * nicety: simple closest-`cap` selection turns tight clusters into
+    * cliques and prunes the inter-cluster bridges — measured on the
+    * 1M-row 128-cluster fixture (31k-node segments), recall@10 sat at
+    * ~0.78 REGARDLESS of ef, because no beam width can cross a link that
+    * was pruned away. The heuristic keeps the long-range edges.
     */
+  private def selectHeuristic(
+      base: Array[Float], cands: ArrayBuffer[(Double, Int)],
+      cap: Int): ArrayBuffer[Int] = {
+    if (cands.length <= cap) return cands.map(_._2)
+    val out = new ArrayBuffer[Int](cap)
+    var i = 0
+    while (i < cands.length && out.length < cap) {
+      val (d, e) = cands(i)
+      val ve = vecs(e)
+      var good = true
+      var j = 0
+      while (good && j < out.length) {
+        if (dist(ve, vecs(out(j))) < d) good = false
+        j += 1
+      }
+      if (good) out += e
+      i += 1
+    }
+    out
+  }
+
+  /** Re-prune an overfull adjacency list with the same heuristic. */
   private def shrink(node: Int, level: Int): Unit = {
     val l = links(node)(level)
     if (l.length > capOf(level)) {
       val v = vecs(node)
       val sorted = l.map(n => (dist(v, vecs(n)), n)).sortInPlace()(Ordering.by(_._1))
-      links(node)(level) = sorted.take(capOf(level)).map(_._2)
+      links(node)(level) = selectHeuristic(v, sorted, capOf(level))
     }
   }
 
@@ -157,8 +185,10 @@ private[index] final class HnswGraph(
     }
     while (level >= 0) { // connect at each level the node participates in
       val w = searchLayer(v, ep, efConstruction, level)
-      val neighbors = w.take(capOf(level))
-      neighbors.foreach { case (_, n) =>
+      // hnswlib connects m heuristic-selected neighbors at EVERY level
+      // (maxM0 is only the accumulated-degree cap at layer 0)
+      val neighbors = selectHeuristic(v, w, m)
+      neighbors.foreach { n =>
         links(node)(level) += n
         links(n)(level) += node
         shrink(n, level)
