@@ -75,17 +75,23 @@ object Bench {
         sweepBlocks()
         (sec, n >= 0L)
       }
-      val (first, ok) = once()
-      val times =
-        if (ok && first > repeatAboveSec && maxRuns > 1)
-          first +: Seq.fill(maxRuns - 1)(once()._1)
-        else Seq(first)
-      (name, if (ok) median(times) else -1.0, times, ok)
+      val (first, firstOk) = once()
+      val runs =
+        if (firstOk && first > repeatAboveSec && maxRuns > 1)
+          (first, firstOk) +: Seq.fill(maxRuns - 1)(once())
+        else Seq((first, firstOk))
+      // median/min/max over SUCCESSFUL runs only — a repeat that throws
+      // must not leak its time-to-exception into the stats; any failed
+      // run (first or repeat) flags the query
+      val good = runs.collect { case (sec, true) => sec }
+      val ok = good.size == runs.size
+      (name, if (good.nonEmpty) median(good) else -1.0, good, ok)
     }
     val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, m, ts, ok) =>
-      "\"" + k + "\":" + s"""{"median":$m,"min":${ts.min},"max":${ts.max},""" +
+      val (mn, mx) = if (ts.nonEmpty) (ts.min, ts.max) else (-1.0, -1.0)
+      "\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx,""" +
         s""""runs":${ts.size},"failed":${!ok}}"""
     }.mkString("{", ",", "}")
     // failed queries (reported as -1 with failed:true) don't pollute the sum
@@ -235,6 +241,14 @@ object Bench {
         f"qps(ivfpq)=$qpsIdx%.1f qps(flat)=$qpsFlat%.1f " +
         "(clustered fixture, ncentroids=128 nprobe=8 m=32; " +
         s"uniform-proxy sweep ${uSweep.map { case (n, r) => f"$n:$r%.2f" }.mkString(",")})")
+      // the exported fixture files (~27 MB/run) served their purpose once
+      // everything is read/checkpointed — don't leak them into /tmp
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(vecsDir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
       def sweepJson(s: Seq[(Int, Double)]) =
         s.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
       s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +

@@ -90,8 +90,11 @@ object Prof {
         val dec0 = emb.select(col("vec_id"),
           graft.functions.Quant.int8Decode(
             graft.functions.Quant.int8Encode(col("embedding"))).as("embedding"))
-        time("i8: encode+decode count") { dec0.count() }
-        val dec = time("i8: localCheckpoint") { dec0.localCheckpoint(true) }
+        // count() prunes the projection (it times only the parquet scan);
+        // the checkpoint stage is where the codec is actually EVALUATED —
+        // the gap between the two numbers is the codec's true cost
+        time("i8: scan-only count") { dec0.count() }
+        val dec = time("i8: eval+localCheckpoint") { dec0.localCheckpoint(true) }
         val qv = time("i8: head()") {
           dec.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
         }
@@ -116,13 +119,16 @@ object Prof {
       val d = graft.core.Tables.load(spark, dir, "documents")
       (1 to 3).foreach { pass =>
         System.err.println(s"[prof] === dedup_keep_best, pass $pass ===")
-        val pairs = time("kb: minhashPairs count") {
-          val p = graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
-          p.count(); p
+        // each stage consumes the PREVIOUS stage's materialized frame
+        // (localCheckpoint, not just count: a lazy frame would re-run the
+        // upstream pipeline inside the next stage's timing and the
+        // per-stage attribution — the whole point here — would lie)
+        val pairs = time("kb: minhashPairs") {
+          graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+            .localCheckpoint(true)
         }
-        val clusters = time("kb: duplicateClusters count") {
-          val c = graft.dedup.Dedup.duplicateClusters(pairs)
-          c.count(); c
+        val clusters = time("kb: duplicateClusters") {
+          graft.dedup.Dedup.duplicateClusters(pairs).localCheckpoint(true)
         }
         time("kb: keepBestPerCluster count") {
           graft.dedup.Dedup.keepBestPerCluster(
@@ -131,6 +137,7 @@ object Prof {
               "doc_id", "score", clusters)
             .count()
         }
+        pairs.unpersist(); clusters.unpersist()
       }
       spark.stop(); return
     }

@@ -138,9 +138,11 @@ private[index] final class HnswGraph(
     * 1M-row 128-cluster fixture (31k-node segments), recall@10 sat at
     * ~0.78 REGARDLESS of ef, because no beam width can cross a link that
     * was pruned away. The heuristic keeps the long-range edges.
+    * Precondition: `cands` is sorted ascending by its distances, which
+    * are distances TO THE BASE POINT whose neighbor list is being built.
     */
   private def selectHeuristic(
-      base: Array[Float], cands: ArrayBuffer[(Double, Int)],
+      cands: ArrayBuffer[(Double, Int)],
       cap: Int): ArrayBuffer[Int] = {
     if (cands.length <= cap) return cands.map(_._2)
     val out = new ArrayBuffer[Int](cap)
@@ -166,7 +168,7 @@ private[index] final class HnswGraph(
     if (l.length > capOf(level)) {
       val v = vecs(node)
       val sorted = l.map(n => (dist(v, vecs(n)), n)).sortInPlace()(Ordering.by(_._1))
-      links(node)(level) = selectHeuristic(v, sorted, capOf(level))
+      links(node)(level) = selectHeuristic(sorted, capOf(level))
     }
   }
 
@@ -187,7 +189,7 @@ private[index] final class HnswGraph(
       val w = searchLayer(v, ep, efConstruction, level)
       // hnswlib connects m heuristic-selected neighbors at EVERY level
       // (maxM0 is only the accumulated-degree cap at layer 0)
-      val neighbors = selectHeuristic(v, w, m)
+      val neighbors = selectHeuristic(w, m)
       neighbors.foreach { n =>
         links(node)(level) += n
         links(n)(level) += node
