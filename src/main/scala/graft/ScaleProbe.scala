@@ -57,6 +57,11 @@ object ScaleProbe {
         .select(col("qid"), col("id")).as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
+    // SCALE_ONLY=hnsw: skip the IVF family (e.g. re-running the graph
+    // model alone with a larger SPARK_DRIVER_MEM — 32 concurrent segment
+    // graphs at 10M rows need ~6 GB beyond the checkpointed fixture)
+    val hnswOnly = sys.env.get("SCALE_ONLY").contains("hnsw")
+    if (!hnswOnly) {
     // IVFPQ at the baseline's SIFT1M shape: 1024 coarse cells, nprobe=40
     val pq = time("ivfpq_build_nc1024") {
       val ix = graft.index.IndexRegistry.build(
@@ -103,6 +108,7 @@ object ScaleProbe {
       .map { case (i, b) => (i, graft.index.BinaryIvfIndex.bytesToFloats(b)) }.toSeq
     time("binaryivf_search_np40_k10") {
       bin.search(bq, 10, Some(40)).count()
+    }
     }
 
     if (sys.env.get("SCALE_HNSW").contains("1")) {
