@@ -249,12 +249,23 @@ class IncrementalIndexer(
     stale
   }
 
-  private def writeMeta(): Unit =
-    IncrementalIndexer.writeState(spark, s"$indexRoot/meta",
-      IndexState(builtVersion, listsVersion, params.metric.toString, params.ncentroids,
-        params.nprobe, params.nsubvector, params.nbits, params.recallNum,
-        params.hasRank, params.trainSampleRows, params.seed, retrievalType,
-        cleanedVersion))
+  /** Last manifest actually written — writeMeta is called per microbatch
+    * and most are no-ops; skipping the rewrite avoids both the wasted
+    * filesystem round-trip and re-opening the (small) crash window.
+    */
+  @volatile private var lastWrittenState: Option[IndexState] = None
+
+  private def writeMeta(): Unit = {
+    val st = IndexState(builtVersion, listsVersion, params.metric.toString, params.ncentroids,
+      params.nprobe, params.nsubvector, params.nbits, params.recallNum,
+      params.hasRank, params.trainSampleRows, params.seed, retrievalType,
+      cleanedVersion, params.nlinks, params.efConstruction, params.efSearch,
+      params.opq, params.opqIters)
+    if (!lastWrittenState.contains(st)) {
+      IncrementalIndexer.writeState(spark, s"$indexRoot/meta", st)
+      lastWrittenState = Some(st)
+    }
+  }
 
   private def saveCentroids(centers: Array[Array[Double]]): Unit =
     Ivf.saveCenters(spark, s"$indexRoot/centroids", centers)
@@ -265,16 +276,27 @@ class IncrementalIndexer(
   def refresh(): Unit = synchronized {
     index match {
       case None =>
-        if (table.meta.maxDocid >= indexingSize) {
+        // capture the horizon BEFORE any action runs: rows committed while
+        // the build is in flight land ABOVE it and are picked up exactly
+        // once by the next refresh; reading the version afterwards would
+        // both skip them (never indexed, tail-excluded) and, bounded the
+        // other way, double-index whatever the lazy frames happened to see
+        val targetVersion = table.meta.version
+        val live = table.docs.filter(col(VersionCol) <= targetVersion)
+        val docs = live.select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
+        // the maxDocid gate is cumulative (deletes never decrement it) —
+        // an all-tombstoned or empty table must not enter the build branch
+        // and crash k-means on an empty sample with the status stuck at
+        // INDEXING
+        if (table.meta.maxDocid >= indexingSize && !docs.isEmpty) {
           table.setIndexStatus("INDEXING")
-          val docs = table.docs.select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
           val proto: AnnIndex = retrievalType.toUpperCase match {
             case "IVFPQ" =>
               // train quantizers on the current docs, then stamp the code
               // lists with row versions via the delta-encode kernel
-              IvfPqIndex.build(spark, table.docs, key, vecCol, params)
+              IvfPqIndex.build(spark, live, key, vecCol, params)
             case "HNSW" =>
-              HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
+              HnswIndex.build(spark, live.select(col(key), col(vecCol)),
                 key, vecCol, params)
             case "BINARYIVF" =>
               val k =
@@ -317,17 +339,23 @@ class IncrementalIndexer(
               persistedData()
             } else assigned.localCheckpoint(true)
           index = Some(rebuilt(proto, data))
-          builtVersion = table.meta.version
+          builtVersion = targetVersion
           cleanedVersion = builtVersion // fresh lists: only live docs
           if (persist) writeMeta()
           table.setIndexStatus("INDEXED")
         }
       case Some(h: HnswIndex) => refreshHnsw(h)
       case Some(idx) =>
+        // capture the horizon BEFORE evaluating the delta, and bound the
+        // delta BY it: rows committed mid-refresh land above targetVersion
+        // and are picked up exactly once next refresh (unbounded, they
+        // could be both appended now and re-appended later = duplicates)
+        val targetVersion = table.meta.version
         // changed rows only live in buckets rewritten since the build —
         // an O(churn) read, not a table scan
         val delta = table.docsChangedSince(builtVersion)
-          .filter(!col(DeletedCol) && col(VersionCol) > builtVersion)
+          .filter(!col(DeletedCol) && col(VersionCol) > builtVersion &&
+            col(VersionCol) <= targetVersion)
           .select(col(key), col(vecCol), col(VersionCol).as(IxvCol))
         if (!delta.isEmpty) {
           // encode with the EXISTING quantizers — no retrain (R5/R6)
@@ -341,10 +369,13 @@ class IncrementalIndexer(
           }
           val newData =
             if (persist) {
-              writeLists(assigned, listsPath, SaveMode.Append)
-              // supersede log: any older entry of these keys is now stale
+              // supersede log FIRST: a crash between the two writes then
+              // leaves the delta rows tail-served (builtVersion unchanged)
+              // and the next refresh re-appends them — the reverse order
+              // left appended duplicates no later step ever removed
               delta.select(col(key).as("__rk"), col(IxvCol).as("__rv"))
                 .write.mode(SaveMode.Append).parquet(replacedPath)
+              writeLists(assigned, listsPath, SaveMode.Append)
               persistedData()
             } else
               listsOf(idx)
@@ -353,7 +384,7 @@ class IncrementalIndexer(
                 .localCheckpoint(true)
           index = Some(rebuilt(idx, newData))
         }
-        builtVersion = table.meta.version
+        builtVersion = targetVersion
         if (persist) writeMeta()
     }
   }
@@ -410,7 +441,8 @@ class IncrementalIndexer(
       val old = listsVersion
       listsVersion += 1
       writeMeta()
-      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
+      sweepRetired()
+      retire(s"$indexRoot/lists/v$old")
       fs.delete(new Path(excludedPath), true)
       index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
     } else index = Some(nh)
@@ -422,22 +454,29 @@ class IncrementalIndexer(
   }
 
   private def rebuildHnsw(): Unit = {
-    val nh = HnswIndex.build(spark, table.docs.select(col(key), col(vecCol)),
+    // capture BEFORE the build actions (same horizon contract as refresh)
+    val targetVersion = table.meta.version
+    val nh = HnswIndex.build(spark,
+      table.docs.filter(col(VersionCol) <= targetVersion)
+        .select(col(key), col(vecCol)),
       key, vecCol, params)
     if (persist) {
       val next = s"$indexRoot/lists/v${listsVersion + 1}"
       nh.graphs.write.mode(SaveMode.Overwrite).parquet(next)
       val old = listsVersion
       listsVersion += 1
-      builtVersion = table.meta.version
+      builtVersion = targetVersion
       cleanedVersion = builtVersion
       writeMeta()
-      fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
-      // fresh graphs hold live docs only — the standing exclusions are moot
+      sweepRetired()
+      retire(s"$indexRoot/lists/v$old")
+      // fresh graphs hold live docs only — the standing exclusions are
+      // moot; the exclusion SET readers hold is an in-memory checkpoint,
+      // so the log delete races with nothing
       fs.delete(new Path(excludedPath), true)
       index = Some(new HnswIndex(spark, persistedData(), key, vecCol, params))
     } else {
-      builtVersion = table.meta.version
+      builtVersion = targetVersion
       cleanedVersion = builtVersion
       index = Some(nh)
     }
@@ -449,6 +488,27 @@ class IncrementalIndexer(
     * them, so their index entries must be dropped or excluded NOW or
     * deleted docs would resurface in index search results.
     */
+  /** Superseded on-disk version dirs are retired with a one-compaction
+    * grace period instead of deleted inline: search() hands out LAZY
+    * frames planned over the then-current version, and an inline delete
+    * would FileNotFound any caller that materializes after a concurrent
+    * compaction. Each compaction first sweeps the dirs the PREVIOUS one
+    * retired; [[vacuumIndex]] forces the sweep.
+    */
+  private val retiredDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def retire(paths: String*): Unit = synchronized { retiredDirs ++= paths }
+
+  private def sweepRetired(): Unit = synchronized {
+    retiredDirs.foreach(p => fs.delete(new Path(p), true))
+    retiredDirs.clear()
+  }
+
+  /** Delete list/log versions superseded by earlier compactions (grace
+    * period over). Safe once no reader still holds a pre-compaction plan.
+    */
+  def vacuumIndex(): Unit = sweepRetired()
+
   private[graft] def excludePurged(purged: DataFrame): Unit = synchronized {
     index.foreach {
       case h: HnswIndex =>
@@ -473,9 +533,14 @@ class IncrementalIndexer(
         // compactIndex().
         purged.select(col(key).as("__rk"), lit(table.meta.version + 1L).as("__rv"))
           .write.mode(SaveMode.Append).parquet(replacedPath)
+        // the effective lists just shrank under an unchanged
+        // (listsVersion, builtVersion) key — drop the cached per-list
+        // sizes or probe costing/widening keeps pricing purged rows
+        sizesCache = (-2L, -2L, None)
         index = Some(rebuilt(idx, persistedData()))
       case idx =>
         // resident lists: drop the purged keys' entries — O(churn) anti-join
+        sizesCache = (-2L, -2L, None)
         index = Some(rebuilt(idx, listsOf(idx)
           .join(purged.toDF(key), Seq(key), "left_anti").localCheckpoint(true)))
     }
@@ -508,8 +573,8 @@ class IncrementalIndexer(
         // which the invalid horizon covers via builtVersion
         cleanedVersion = table.meta.version
         writeMeta()
-        fs.delete(new Path(s"$indexRoot/lists/v$old"), true)
-        fs.delete(new Path(s"$indexRoot/replaced/v$old"), true)
+        sweepRetired()
+        retire(s"$indexRoot/lists/v$old", s"$indexRoot/replaced/v$old")
         index = Some(rebuilt(idx, persistedData()))
     }
   }
@@ -603,7 +668,10 @@ class IncrementalIndexer(
       val nc = ncentOf(ix)
       nc > 0 && nprobe.getOrElse(params.nprobe) < nc
     }
-    val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
+    // lazy: only the filtered branch (aCount >= 0) consults it — an
+    // unfiltered search must not pay the probe-cost model (or the cached
+    // list-sizes job it can trigger) for a value it never reads
+    lazy val exactThreshold = spark.conf.getOption("spark.graft.filter.exactFallbackRows")
       .map(_.toLong).getOrElse {
         // cost from ACTUAL per-list row counts when the probe is partial
         // (cached stat, one job per lists version — the same stats the
@@ -808,7 +876,12 @@ object IncrementalIndexer {
       trainSampleRows: Int,
       seed: Long,
       retrievalType: String,
-      cleanedVersion: Long)
+      cleanedVersion: Long,
+      nlinks: Int,
+      efConstruction: Int,
+      efSearch: Int,
+      opq: Boolean,
+      opqIters: Int)
 
   private[streaming] def writeState(
       spark: org.apache.spark.sql.SparkSession, dir: String, s: IndexState): Unit = {
@@ -818,21 +891,48 @@ object IncrementalIndexer {
         s""""nsubvector":${s.nsubvector},"nbits":${s.nbits},"recallNum":${s.recallNum},""" +
         s""""hasRank":${s.hasRank},"trainSampleRows":${s.trainSampleRows},""" +
         s""""seed":${s.seed},"retrievalType":"${s.retrievalType}",""" +
-        s""""cleanedVersion":${s.cleanedVersion}}"""
+        s""""cleanedVersion":${s.cleanedVersion},""" +
+        s""""nlinks":${s.nlinks},"efConstruction":${s.efConstruction},""" +
+        s""""efSearch":${s.efSearch},"opq":${s.opq},"opqIters":${s.opqIters}}"""
+    // write-temp-then-rename: the old delete-dir-then-create left a window
+    // (every refresh!) where a crash stranded the index with NO manifest
+    // while its lists/quantizers were intact
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
-    val out = fs.create(new Path(dirPath, "meta.json"), true)
+    val tmp = new Path(dirPath, "meta.json.tmp")
+    val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    val dest = new Path(dirPath, "meta.json")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
   private def readState(
       spark: org.apache.spark.sql.SparkSession, dir: String): IndexState = {
+    import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[IndexState]]
-    spark.read.schema(enc.schema).json(dir).as[IndexState].head()
+    // a meta written by an OLDER build lacks later-added fields; reading
+    // with the full schema would null-crash the non-nullable encoder
+    // fields, so missing columns load as their historical defaults
+    // (cleanedVersion -1 = conservative full invalid-horizon)
+    val defaults: Map[String, Any] = Map(
+      "recallNum" -> 100, "hasRank" -> true, "cleanedVersion" -> -1L,
+      "retrievalType" -> "IVFFLAT", "nlinks" -> 32, "efConstruction" -> 200,
+      "efSearch" -> 64, "opq" -> false, "opqIters" -> 3)
+    // read the exact file, not the dir: a crash between create(tmp) and
+    // rename strands meta.json.tmp next to a valid meta.json, and a
+    // dir-wide read would load both (two rows, arbitrary head)
+    var df = spark.read.json(s"$dir/meta.json")
+    enc.schema.fields.foreach { f =>
+      df =
+        if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+        else df.withColumn(f.name, lit(defaults(f.name)).cast(f.dataType))
+    }
+    df.select(enc.schema.fieldNames.toSeq.map(col): _*).as[IndexState].head()
   }
 
   /** Restore a persisted index from `<table.root>/index/<dirName>` — the
@@ -846,7 +946,8 @@ object IncrementalIndexer {
     val root = s"${table.root}/index/$dirName"
     val st = readState(spark, s"$root/meta")
     val params = IndexParams(Metric.withName(st.metric), st.ncentroids, st.nprobe,
-      st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed)
+      st.nsubvector, st.nbits, st.recallNum, st.hasRank, st.trainSampleRows, st.seed,
+      st.nlinks, st.efConstruction, st.efSearch, st.opq, st.opqIters)
     val rt = Option(st.retrievalType).getOrElse("IVFFLAT") // pre-r2 metas lack it
     val ix = new IncrementalIndexer(table, vecCol, params, 0L, persist = true, rt)
     // serve from the dir we FOUND, whatever naming scheme wrote it
