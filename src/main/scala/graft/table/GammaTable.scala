@@ -74,6 +74,21 @@ class GammaTable private (
     */
   @volatile private var keyTypeCache: Option[org.apache.spark.sql.types.DataType] = None
 
+  /** Filtered-key frames persist()ed per search request, released FIFO
+    * once enough newer requests have arrived — without this, sustained
+    * filtered-search volume accumulates dead blocks in executor storage
+    * until driver GC + ContextCleaner get around to them (which this
+    * repo's perf notes record being GC-starved). Unpersist here is safe
+    * at ANY time: persist keeps lineage, so a caller still holding an
+    * old request's result frame just recomputes the filter scan.
+    */
+  private val allowedRetired = new java.util.ArrayDeque[DataFrame]()
+
+  private def retireAllowed(df: DataFrame): Unit = allowedRetired.synchronized {
+    allowedRetired.addLast(df)
+    while (allowedRetired.size > 8) allowedRetired.removeFirst().unpersist(false)
+  }
+
   import GammaTable._
 
   def meta: TableMeta = meta0
@@ -249,7 +264,25 @@ class GammaTable private (
           c -> Seq(lo, hi)
         }.toMap
       }
-    (written, stats)
+    // the schema lives ONLY in the data files, so the manifest must never
+    // go empty: a column-less scan would throw UNRESOLVED_COLUMN on every
+    // internal-column read (docs, get, search, status, index refresh)
+    // instead of returning empty results. When this commit would empty it
+    // (all rows deleted then compacted, or create() on an empty frame),
+    // keep one bucket holding a zero-row schema-bearing file.
+    val emptiedAll = written.isEmpty &&
+      (meta0.bucketVersions.keySet -- buckets.map(_.toString)).isEmpty
+    if (emptiedAll) {
+      val b = buckets.headOption.getOrElse(0L)
+      val dest = new org.apache.hadoop.fs.Path(bucketPath(b, v))
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest) && !fs.delete(dest, true))
+        throw new java.io.IOException(s"cannot clear stale $dest")
+      // repartition(1): a zero-partition frame would write no files at all
+      base.limit(0).drop("_bp").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+      (Seq(b), stats)
+    } else (written, stats)
   }
 
   private def commit(
@@ -452,18 +485,21 @@ class GammaTable private (
   /** Point lookup by key (S3) — reads exactly one bucket's files; bucket
     * routing evaluates driver-side (no job).
     */
-  def get(keyValue: Any): DataFrame = {
-    val key = meta0.keyField
-    // the key column's type is fixed for the table's life, but deriving it
-    // from allDocs.schema costs a driver-side parquet footer listing —
-    // cache it on the handle (commit() invalidates, belt-and-braces)
-    val keyType = keyTypeCache.orElse {
+  /** The key column's type — fixed for the table's life, but deriving it
+    * from allDocs.schema costs a driver-side parquet footer listing, so
+    * it is cached on the handle (commit() invalidates, belt-and-braces).
+    */
+  private def keyType: Option[org.apache.spark.sql.types.DataType] =
+    keyTypeCache.orElse {
       val t =
         if (meta0.bucketVersions.isEmpty) None
-        else allDocs.schema.fields.find(_.name == key).map(_.dataType)
+        else allDocs.schema.fields.find(_.name == meta0.keyField).map(_.dataType)
       keyTypeCache = t
       t
     }
+
+  def get(keyValue: Any): DataFrame = {
+    val key = meta0.keyField
     val b = bucketOfValue(keyValue, meta0.nBuckets, keyType)
     readBuckets(Seq(b)) match {
       case None     => docs.limit(0)
@@ -613,35 +649,28 @@ class GammaTable private (
     if (req.vecQueries.isEmpty) {
       // filter-only path (reference gamma_engine.cc:405-457)
       val out = base.filter(pred).orderBy(col(DocidCol).asc).limit(req.topn)
-      return project(out.withColumn("qid", lit(0)).withColumn("score", lit(0.0)), req)
+      return project(out.withColumn("qid", lit(0)).withColumn("score", lit(0.0)), req, base)
     }
 
     val metric = req.metric
     val hasFilters = req.termFilters.nonEmpty || req.rangeFilters.nonEmpty
-    // ONE narrow filtered scan, materialized ONCE (localCheckpoint) the
-    // first time an index route touches it — the policy count, every index
-    // semi-join, and the HNSW key collect all reuse the same blocks
-    // instead of re-running the filtered scan 2-3x per request. Lazy: the
-    // brute/filter-only paths never pay the job.
+    // ONE narrow filtered scan, materialized ONCE the first time an index
+    // route touches it — the policy count, every index semi-join, and the
+    // HNSW key collect all reuse the same blocks instead of re-running
+    // the filtered scan 2-3x per request. Lazy: the brute/filter-only
+    // paths never pay the job. persist (lineage kept), NOT localCheckpoint
+    // (lineage cut): the bounded release queue below can then unpersist
+    // older requests' frames at any time — a late caller just recomputes —
+    // where freeing a checkpointed frame would lose its only copy. The
+    // count() doubles as the materializing action (one job, and the count
+    // itself comes back on its driver round-trip).
     lazy val allowedPair: Option[(DataFrame, Long)] =
       if (!hasFilters) None
       else {
-        // the policy count rides the SAME job as the checkpoint
-        // materialization (observe metrics accumulate while blocks write)
-        // instead of a second count() pass — one fewer driver round-trip
-        // per filtered search, which compounds at serving query volume
-        val obs = new org.apache.spark.sql.Observation()
         val df = base.filter(pred).select(key)
-          .observe(obs, count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        // the observation lands via an async listener a few ms after the
-        // checkpoint action returns — bounded wait, then fall back to a
-        // (cheap: block-count over checkpointed partitions) count job
-        val cnt =
-          try scala.concurrent.Await
-            .result(obs.future, scala.concurrent.duration.Duration(2, "s"))
-            .getLong(0)
-          catch { case _: java.util.concurrent.TimeoutException => df.count() }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = df.count()
+        retireAllowed(df)
         Some((df, cnt))
       }
     lazy val allowed: Option[DataFrame] = allowedPair.map(_._1)
@@ -738,7 +767,7 @@ class GammaTable private (
         TopK.perGroup(withDocid, "qid", DocidCol, ascending = true, req.topn, Nil)
           .drop(DocidCol)
       }
-    project(ranked, req)
+    project(ranked, req, base)
   }
 
   /** Buckets whose manifest min/max stats can overlap EVERY range filter
@@ -779,25 +808,30 @@ class GammaTable private (
       t.field == key && t.mode == graft.core.TermMode.Union &&
         t.values.nonEmpty && t.values.size <= 1024 &&
         meta0.bucketVersions.nonEmpty &&
-        allDocs.schema(key).dataType == StringType)
+        keyType.contains(StringType))
       .map { t =>
-        import spark.implicits._
-        t.values.toDF(key)
-          .select(bucketOf(col(key), meta0.nBuckets)).distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
+        // driver-side hash twin (same Catalyst XxHash64 as bucketOf) — a
+        // ≤1024-value map, not a per-request Spark job on the serving path
+        t.values.map(v =>
+            GammaTable.bucketOfValue(v, meta0.nBuckets, Some(StringType)))
+          .distinct.sorted
       }
   }
 
-  private def project(hits: DataFrame, req: SearchRequest): DataFrame = {
+  /** `scan` is the (possibly bucket-pruned) live scan the hits were drawn
+    * from: joining against it instead of the full `docs` keeps a pruned
+    * request's projection I/O at the pruned size — hit keys are a subset
+    * of its keys by construction, so the join result is identical.
+    */
+  private def project(hits: DataFrame, req: SearchRequest, scan: DataFrame): DataFrame = {
     val key = meta0.keyField
     if (req.fields.isEmpty) hits
     else {
-      // hit keys come from this table's docs, so inner == left here; the
-      // inner shape lets the topn-row hit set broadcast while the doc
-      // table streams (broadcasting the PRESERVED side of an outer join
-      // is not a thing, and shuffling the table for topn rows is wrong at
-      // scale)
-      val proj = docs.select((key +: req.fields).distinct.map(col): _*)
+      // hit keys come from the scan, so inner == left here; the inner
+      // shape lets the topn-row hit set broadcast while the doc table
+      // streams (broadcasting the PRESERVED side of an outer join is not
+      // a thing, and shuffling the table for topn rows is wrong at scale)
+      val proj = scan.select((key +: req.fields).distinct.map(col): _*)
       proj.join(broadcast(hits), Seq(key), "inner")
         .select((hits.columns.toIndexedSeq.map(col) ++ req.fields.filterNot(_ == key).map(col)): _*)
     }
@@ -962,7 +996,14 @@ object GammaTable {
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
-    val m0 = spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+    // read the exact file, not the dir: a crash between create(tmp) and
+    // rename strands meta.json.tmp next to a valid meta.json, and a
+    // dir-wide read would load both (two rows, arbitrary head). Legacy
+    // dirs without a meta.json fall back to the dir read.
+    val metaFile = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(metaFile)) metaFile.toString else path
+    val m0 = spark.read.schema(enc.schema).json(src).as[TableMeta].head()
     // metas written before bucketStats existed read the field as null
     val m = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
     // metas written before the store field read it as null -> FLOAT
@@ -997,13 +1038,21 @@ object GammaTable {
         s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
         s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
         s""""bucketStats":$bs}"""
+    // write-temp-then-rename: delete-dir-then-create left a window (every
+    // commit!) where a crash stranded the table with NO manifest while its
+    // data files were intact — and a concurrent load() in that window
+    // failed the same way
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dirPath, true) // stale multi-file spark-written meta would double-read
     fs.mkdirs(dirPath)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, "meta.json"), true)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, "meta.json.tmp")
+    val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    val dest = new org.apache.hadoop.fs.Path(dirPath, "meta.json")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
   /** Restore from a dump produced by [[GammaTable.dump]] into `newRoot`. */

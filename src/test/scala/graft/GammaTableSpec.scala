@@ -631,4 +631,26 @@ class GammaTableSpec extends GraftSuite {
     // idempotent
     assert(t.vacuum() === 0)
   }
+
+  test("deleting every row then compacting keeps the table readable") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "wipe", "_id", docTable().limit(40),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    t.delete(t.docs.select($"_id"))
+    t.compact()
+    // the manifest keeps a schema-bearing empty bucket: every read path
+    // resolves its columns and returns empty instead of throwing
+    assert(t.docs.count() === 0)
+    assert(t.get("7").count() === 0)
+    assert(t.search(SearchRequest(topn = 5,
+      termFilters = Seq(TermFilter("tokens", Seq("red"))))).count() === 0)
+    val st = t.status.head()
+    assert(st.getAs[Long]("live_docs") === 0L)
+    // a reload sees the same empty-but-typed table
+    assert(GammaTable.load(spark, root).docs.count() === 0)
+    // and the table comes back to life on a fresh add
+    t.addOrUpdate(docTable().limit(10))
+    assert(t.docs.count() === 10)
+    assert(t.get("1").count() === 1)
+  }
 }
