@@ -99,17 +99,34 @@ object IndexRegistry {
       idCol: String,
       vecCol: String,
       params: IndexParams = IndexParams()): AnnIndex =
-    builders.getOrElse(name.toUpperCase,
+    builders.getOrElse(name.toUpperCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(
         s"unknown retrieval type $name; known: ${builders.keys.mkString(",")}"))(
       spark, docs, idCol, vecCol, params)
 }
 
+/** splitmix64 finalizer (public-domain, Steele et al.) — the ONE copy:
+  * HNSW level assignment, the binary coarse trainer's sample shuffle, and
+  * the Gaussian fixture all depend on these exact constants, and a
+  * silently-diverging copy would change persisted-index determinism.
+  */
+private[index] object Mix {
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
 /** Index hyper-parameters; defaults follow the reference's engine defaults
-  * (ncentroids=2048 scaled down by table size, nprobe=80, nsubvector=64,
-  * nbits=8, recall_num=100 — reference index/impl/gamma_index_ivfpq.h:633,
+  * (ncentroids=2048 scaled down by table size, nprobe=80, nbits=8,
+  * recall_num=100 — reference index/impl/gamma_index_ivfpq.h:633,
   * 690-705; HNSW nlinks=32, efConstruction=200, efSearch=64 —
-  * gamma_index_ivfpq.h:692-694, hnswlib/gamma_index_hnswlib.cc:29-37).
+  * gamma_index_ivfpq.h:692-694, hnswlib/gamma_index_hnswlib.cc:29-37) —
+  * EXCEPT nsubvector, which defaults to 8 (the reference's 64 assumes
+  * >=64-dim vectors; dim must divide by nsubvector, and 8 serves small
+  * test dims too — set 64 explicitly for reference-parity compression).
   * `ncentroids <= 0` means auto: ~sqrt(n) capped to [4, 2048].
   */
 case class IndexParams(

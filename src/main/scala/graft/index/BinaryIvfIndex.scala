@@ -123,12 +123,7 @@ object BinaryIvfIndex {
   def floatsToBytes(v: Array[Float]): Array[Byte] = v.map(f => f.toInt.toByte)
   def bytesToFloats(b: Array[Byte]): Array[Float] = b.map(x => (x & 0xff).toFloat)
 
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def splitmix(x0: Long): Long = Mix.splitmix64(x0)
 
   /** Trained binary coarse quantizer — k-majority Lloyd on a bounded
     * driver-side sample (the reference trains its binary IVF quantizer,

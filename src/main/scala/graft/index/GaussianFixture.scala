@@ -19,16 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GaussianFixture {
 
-  /** splitmix64 — public-domain mix (Steele et al., same constants as
-    * java.util.SplittableRandom): decorrelates sequential ids into
+  /** splitmix64 ([[Mix.splitmix64]]): decorrelates sequential ids into
     * independent per-row seeds.
     */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = Mix.splitmix64(z0)
 
   /** (vec_id long, embedding array&lt;float&gt;) with `n` rows in `k`
     * Gaussian clusters of dimension `dim`.

@@ -72,10 +72,7 @@ private[index] final class HnswGraph(
 
   private def levelOf(id: Long): Int = {
     // splitmix64 of the id -> uniform in (0,1) -> geometric level
-    var z = id + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
+    val z = Mix.splitmix64(id)
     val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble
     (-math.log(u) * mL).toInt
   }
@@ -465,7 +462,13 @@ object HnswIndex {
     val metricName = params.metric.toString
     val graphs = in.mapPartitions { rows =>
       val g = new HnswGraph(m, efC, metricName)
-      rows.foreach(r => g.add(r.getLong(0), r.getSeq[Float](1).toArray))
+      rows.foreach { r =>
+        // diagnosable failure for non-long-castable keys (the search-side
+        // keyArray guard's build twin) instead of an opaque executor NPE
+        require(!r.isNullAt(0),
+          s"HNSW graphs key by long node ids; a value of id column did not cast to long")
+        g.add(r.getLong(0), r.getSeq[Float](1).toArray)
+      }
       if (g.size == 0) Iterator.empty
       else Iterator(Row(serialize(g)))
     }(Encoders.row(schema)).localCheckpoint(true)

@@ -332,8 +332,13 @@ object IvfFlatIndex {
       if (params.ncentroids > 0) params.ncentroids
       else Ivf.autoNcentroids(docs.count(), -1)
     val centers = Ivf.trainCoarse(docs, vecCol, k, params.trainSampleRows, params.seed)
+    // materialize the assignment ONCE (like the PQ/BINARY/HNSW builders):
+    // left lazy, every search re-ran the O(n·ncentroids·dim) nearest-
+    // centroid pass over the whole table before its list filter could
+    // prune anything
     val data = Ivf.assignWithCenters(
       docs.select(col(idCol), col(vecCol)), vecCol, centers, params.metric)
+      .localCheckpoint(true)
     new IvfFlatIndex(spark, data, idCol, vecCol, centers, params)
   }
 

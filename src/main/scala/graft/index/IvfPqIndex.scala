@@ -260,17 +260,21 @@ object IvfPqIndex {
       idCol: String,
       vecCol: String,
       params: IndexParams): IvfPqIndex = {
-    // the full-table count only feeds auto centroid sizing and the tiny-
-    // table ksub guard; a BOUNDED count (first 2^nbits rows) answers both
-    // without scanning the table (Long math: a plain n.toInt would
-    // overflow past 2^31 rows and silently collapse every codebook)
+    // auto centroid sizing needs the FULL count; with explicit ncentroids
+    // a BOUNDED count (first 2^nbits+1 rows) answers the remaining use —
+    // the tiny-table ksub guard — without scanning the table. ONE count
+    // job either way. (Long math: a plain n.toInt would overflow past
+    // 2^31 rows and silently collapse every codebook.)
     val ksubCap = 1L << params.nbits
-    val bounded = docs.limit(math.min(ksubCap + 1, Int.MaxValue.toLong).toInt).count()
+    val counted =
+      if (params.ncentroids > 0)
+        docs.limit(math.min(ksubCap + 1, Int.MaxValue.toLong).toInt).count()
+      else docs.count()
     val ncent =
       if (params.ncentroids > 0) params.ncentroids
-      else Ivf.autoNcentroids(docs.count(), -1)
+      else Ivf.autoNcentroids(counted, -1)
     val m = params.nsubvector
-    val ksub = math.min(ksubCap, math.max(2L, bounded)).toInt
+    val ksub = math.min(ksubCap, math.max(2L, counted)).toInt
 
     // ONE bounded driver-side sample feeds OPQ, coarse, and PQ training —
     // the reference's faiss train() likewise sees a single sampled x and
@@ -289,10 +293,16 @@ object IvfPqIndex {
     // (coarse + PQ) in rotated coordinates; L2 is rotation-invariant so
     // probes stay geometrically correct and the exact re-rank uses the
     // untouched originals
+    // rotation training is driver-side (per-subspace k-means + dim x dim
+    // SVD per iteration), so cap the sample — but scale it with
+    // trainSampleRows instead of a hardcoded 1024, which for large
+    // dim/ksub under-determined the fit badly enough to make OPQ-on
+    // worse than OPQ-off (e.g. 4 samples per codebook entry at ksub=256)
+    val opqCap = math.min(params.trainSampleRows, 16384)
     val rotation =
       if (!params.opq) None
       else Some(Opq.trainRotation(
-        sampleRaw.take(1024).map(_.map(_.toDouble)), m, ksub,
+        sampleRaw.take(opqCap).map(_.map(_.toDouble)), m, ksub,
         params.opqIters, params.seed))
     val sample = rotation.map(r => sampleRaw.map(Opq.rotate(r, _))).getOrElse(sampleRaw)
 

@@ -58,7 +58,6 @@ object LocalKMeans {
     }
     val centers = BDM.tabulate(k, d)((c, j) => x(perm(c), j))
 
-    val assign = new Array[Int](n)
     // FIXED chunk size: per-chunk partial sums are reduced in chunk order,
     // so a core-count-derived chunking would change the floating-point
     // accumulation grouping across machines and break the "deterministic
@@ -100,7 +99,6 @@ object LocalKMeans {
               if (dist < bestD) { bestD = dist; best = cc }
               cc += 1
             }
-            assign(s0 + r) = best
             cost += math.max(0.0, bestD)
             var j = 0
             while (j < d) { sums(best, j) += x(s0 + r, j); j += 1 }

@@ -228,7 +228,7 @@ object Vecs {
   /** Kind from the `format` option or the first file's extension. */
   private[sources] def kindOf(
       options: CaseInsensitiveStringMap, first: Option[FileStatus]): Kind = {
-    val byOpt = Option(options.get("vecformat")).map(_.toLowerCase)
+    val byOpt = Option(options.get("vecformat")).map(_.toLowerCase(java.util.Locale.ROOT))
     val byExt = first.map(_.getPath.getName).flatMap { n =>
       n.lastIndexOf('.') match { case -1 => None; case i => Some(n.substring(i + 1)) }
     }

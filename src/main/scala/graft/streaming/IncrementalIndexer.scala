@@ -55,7 +55,7 @@ class IncrementalIndexer(
     val persist: Boolean = false,
     val retrievalType: String = "IVFFLAT") {
 
-  require(Set("IVFFLAT", "IVFPQ", "HNSW", "BINARYIVF").contains(retrievalType.toUpperCase),
+  require(Set("IVFFLAT", "IVFPQ", "HNSW", "BINARYIVF").contains(retrievalType.toUpperCase(java.util.Locale.ROOT)),
     s"IncrementalIndexer serves IVFFLAT, IVFPQ, HNSW or BINARYIVF (got $retrievalType); " +
       "other models build via IndexRegistry without incremental maintenance")
   require(!retrievalType.equalsIgnoreCase("BINARYIVF") || params.metric == Metric.Hamming,
@@ -78,12 +78,12 @@ class IncrementalIndexer(
   // the bare field dir) stay loadable after naming-scheme changes
   private[streaming] var dirName = {
     val declared = table.meta.vectorFields.find(_.name == vecCol)
-      .map(_.retrievalType.toUpperCase)
+      .map(_.retrievalType.toUpperCase(java.util.Locale.ROOT))
     // an UNDECLARED field's bare dir belongs to the indexer-default model
     // (IVFFLAT) only — any other model suffixes, so two persisted models on
     // the same undeclared field never share (and corrupt) one directory
-    if (declared.getOrElse("IVFFLAT") == retrievalType.toUpperCase) vecCol
-    else s"$vecCol@${retrievalType.toUpperCase}"
+    if (declared.getOrElse("IVFFLAT") == retrievalType.toUpperCase(java.util.Locale.ROOT)) vecCol
+    else s"$vecCol@${retrievalType.toUpperCase(java.util.Locale.ROOT)}"
   }
   private def indexRoot = s"${table.root}/index/$dirName"
 
@@ -137,6 +137,12 @@ class IncrementalIndexer(
   // request would add a job to the hot path for a stat that only moves
   // on refresh/compaction)
   @volatile private var sizesCache: (Long, Long, Option[Array[Long]]) = (-2L, -2L, None)
+
+  /** The probe base the last index-routed search stamped into its params
+    * (the value probeTarget widens against) — observability for specs;
+    * -1 until an index-routed search runs.
+    */
+  @volatile private[graft] var lastProbeBase: Int = -1
 
   private def cachedListSizes(lists: DataFrame, ncent: Int): Option[Array[Long]] = {
     if (!Ivf.adaptiveEnabled(spark) || ncent <= 0) return None
@@ -290,7 +296,7 @@ class IncrementalIndexer(
         // INDEXING
         if (table.meta.maxDocid >= indexingSize && !docs.isEmpty) {
           table.setIndexStatus("INDEXING")
-          val proto: AnnIndex = retrievalType.toUpperCase match {
+          val proto: AnnIndex = retrievalType.toUpperCase(java.util.Locale.ROOT) match {
             case "IVFPQ" =>
               // train quantizers on the current docs, then stamp the code
               // lists with row versions via the delta-encode kernel
@@ -625,9 +631,12 @@ class IncrementalIndexer(
       pendingFeedback.foreach { case (pred, pq) =>
         // clamp to the index's total rows: a caller that materialized the
         // frame more than once re-ran the scan into the SAME accumulator
-        // (Spark only de-duplicates inside one action), and a probe can
-        // never truly read more than the whole code table — the clamp
-        // bounds that inflation at "full scan", the conservative direction
+        // (Spark only de-duplicates inside one action; task retries and
+        // speculative duplicates inflate it the same way — accumulators in
+        // transformations are best-effort), and a probe can never truly
+        // read more than the whole code table — the clamp bounds that
+        // inflation at "full scan", the conservative direction, and the
+        // EWMA washes residual skew out over subsequent clean searches
         val m = math.min(pq.lastScannedRows, math.max(table.meta.maxDocid, 1L))
         if (m > 0 && pred > 0) {
           rowCalibration = math.max(0.01, math.min(100.0,
@@ -729,13 +738,25 @@ class IncrementalIndexer(
         // re-binds the CURRENT doc table.
         val freshIdx = rebuilt(idx, listsOf(idx))
         val statsIdx = if (partialProbe) withListStats(freshIdx) else freshIdx
+        // the request's PRE-widening probe base (override or configured
+        // default) — stamped into the params copy below so the model's
+        // probeTarget computes its widening ratio against the true base:
+        // against the configured default, an override BELOW it floored
+        // the ratio to 1 and the adaptive row target never widened with
+        // the filter (starving the candidate heap on skewed lists)
+        val baseNp = nprobe.getOrElse(
+          if (retrievalType.equalsIgnoreCase("HNSW")) params.efSearch else params.nprobe)
         // per-request recall_num / has_rank override (X1 per-request param
         // JSON): a params copy shares quantizers/lists — no rebuild cost
         val tunedIdx =
-          if (recallNum.isEmpty && hasRank.isEmpty) statsIdx
+          if (recallNum.isEmpty && hasRank.isEmpty && nprobe.isEmpty) statsIdx
           else statsIdx.withParams(statsIdx.params.copy(
+            nprobe =
+              if (retrievalType.equalsIgnoreCase("HNSW")) statsIdx.params.nprobe
+              else baseNp,
             recallNum = recallNum.getOrElse(statsIdx.params.recallNum),
             hasRank = hasRank.getOrElse(statsIdx.params.hasRank)))
+        lastProbeBase = tunedIdx.params.nprobe
         val cleanIdx = tunedIdx.excluding(invalid)
         // inverse-selectivity widening: with an allowed fraction of s, a
         // probed list holds ~s of its usual share of allowed docs, so the
@@ -747,11 +768,8 @@ class IncrementalIndexer(
         val total = math.max(table.meta.maxDocid, 1L)
         val factor = math.max(1L, (total + aCount - 1L) / aCount)
         val effNprobe =
-          if (aCount > 0L) {
-            val base = nprobe.getOrElse(
-              if (retrievalType.equalsIgnoreCase("HNSW")) params.efSearch else params.nprobe)
-            Some(math.min(base.toLong * factor, 1L << 20).toInt)
-          } else nprobe
+          if (aCount > 0L) Some(math.min(baseNp.toLong * factor, 1L << 20).toInt)
+          else nprobe
         // HNSW is the one model whose allowed-set pushdown materializes the
         // set on the DRIVER (sorted primitive array broadcast) — for a
         // weakly selective filter that is exactly the driver-side blowup
@@ -956,7 +974,7 @@ object IncrementalIndexer {
     ix.builtVersion = st.builtVersion
     ix.cleanedVersion = st.cleanedVersion
     val key = table.meta.keyField
-    ix.index = Some(rt.toUpperCase match {
+    ix.index = Some(rt.toUpperCase(java.util.Locale.ROOT) match {
       case "IVFPQ" =>
         val (centers, codebooks, rotation) = IvfPqIndex.loadQuantizers(spark, root)
         new IvfPqIndex(spark, ix.persistedData(),

@@ -408,7 +408,7 @@ class GammaTable private (
     val ix = new graft.streaming.IncrementalIndexer(
       this, vecField, params, indexingSize, persist, retrievalType)
     ix.refresh()
-    indexers.put((vecField, retrievalType.toUpperCase), ix)
+    indexers.put((vecField, retrievalType.toUpperCase(java.util.Locale.ROOT)), ix)
     ix
   }
 
@@ -427,7 +427,7 @@ class GammaTable private (
     */
   def attachedIndex(field: String): Option[graft.streaming.IncrementalIndexer] = {
     val declared = meta0.vectorFields.find(_.name == field)
-      .map(_.retrievalType.toUpperCase)
+      .map(_.retrievalType.toUpperCase(java.util.Locale.ROOT))
     declared.flatMap(rt => indexers.get((field, rt))).orElse {
       val forField = indexers.collect { case ((f, _), ix) if f == field => ix }
       if (forField.size == 1) Some(forField.head) else None
@@ -435,7 +435,7 @@ class GammaTable private (
   }
 
   def attachedIndex(field: String, retrievalType: String): Option[graft.streaming.IncrementalIndexer] =
-    indexers.get((field, retrievalType.toUpperCase))
+    indexers.get((field, retrievalType.toUpperCase(java.util.Locale.ROOT)))
 
   /** Logical delete by key set (R3, reference gamma_engine.cc:802-824).
     * The key frame stays distributed end-to-end — only the (bounded-by-
@@ -691,7 +691,7 @@ class GammaTable private (
       // declared/sole index answers
       val routed = vq.retrievalType match {
         case Some(rt) =>
-          val ix = indexers.getOrElse((vq.field, rt.toUpperCase),
+          val ix = indexers.getOrElse((vq.field, rt.toUpperCase(java.util.Locale.ROOT)),
             throw new IllegalArgumentException(
               s"no $rt index attached to field ${vq.field}; attached: " +
                 indexers.keys.filter(_._1 == vq.field).map(_._2).mkString(",")))
@@ -961,7 +961,7 @@ object GammaTable {
     // a misspelled store type must fail here, not silently fall back to
     // uncompressed FLOAT storage
     vectorFields.foreach { f =>
-      val s = Option(f.store).getOrElse("FLOAT").toUpperCase
+      val s = Option(f.store).getOrElse("FLOAT").toUpperCase(java.util.Locale.ROOT)
       require(Set("FLOAT", "BINARY", "INT8")(s),
         s"unknown vector store type '${f.store}' for field ${f.name} " +
           "(expected FLOAT | BINARY | INT8)")
@@ -984,7 +984,7 @@ object GammaTable {
       fs.listStatus(ixRoot).filter(_.isDirectory).foreach { st =>
         val dir = st.getPath.getName // `<field>` or `<field>@<TYPE>` (V10)
         val ix = graft.streaming.IncrementalIndexer.load(t, dir)
-        t.indexers.put((dir.split('@')(0), ix.retrievalType.toUpperCase), ix)
+        t.indexers.put((dir.split('@')(0), ix.retrievalType.toUpperCase(java.util.Locale.ROOT)), ix)
       }
     }
     t

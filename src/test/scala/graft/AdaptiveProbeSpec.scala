@@ -148,6 +148,48 @@ class AdaptiveProbeSpec extends GraftSuite {
     assert(got === exact)
   }
 
+  test("filter widening holds when the request nprobe is below the default") {
+    // three well-separated collinear clusters: tiny near (2), mid (6),
+    // far big (40) — ranked probe order is tiny, mid, big for a query at
+    // the tiny cluster's center
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    def clustered(base: Float, n: Int, from: Long) =
+      (0 until n).map(i => (from + i, Seq(base + i * 0.01f, 0.0f, 0.0f, 0.0f)))
+    val rows = clustered(0f, 2, 0L) ++ clustered(10f, 6, 2L) ++ clustered(20f, 40, 8L)
+    val docs = rows.toDF("_id", "vec")
+    val t = GammaTable.create(spark, dir, "widen_t", "_id", docs, nBuckets = 2)
+    // configured default nprobe=4; the REQUEST overrides it DOWN to 1
+    val ix = new IncrementalIndexer(t, "vec",
+      IndexParams(ncentroids = 3, nprobe = 4, recallNum = 5, trainSampleRows = 1000),
+      indexingSize = 0)
+    ix.refresh()
+    // filter allows only the far big list: selectivity 40/48 -> the probe
+    // budget widens 2x (effNprobe = 1*2) and the ROW target must widen
+    // with it — measured against the configured default (the old bug) the
+    // ratio floored to 1, the target stayed at recallNum, the widened
+    // probe stopped at the mid list, and zero allowed candidates survived
+    val allowed = (8L until 48L).toDF("_id")
+    val queries = Seq((0L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    spark.conf.set("spark.graft.filter.exactFallbackRows", "0")
+    try {
+      val got = ix.search(queries, 5, Some(1), Some(allowed))
+        .select($"id").as[Long].collect().toSet
+      // the model's probeTarget must widen against the REQUEST base (1),
+      // not the configured default (4) — deterministic regardless of how
+      // k-means realized the clusters (the functional assertions below
+      // can be insensitive when the big cluster splits)
+      assert(ix.lastProbeBase === 1)
+      assert(got.size === 5)
+      assert(got.subsetOf((8L until 48L).toSet))
+      // and they are the exact filtered top-5
+      val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+      val exact = Knn.flatSearch(t.docs.join(allowed, Seq("_id"), "left_semi"),
+        "_id", "vec", q, "qid", "qvec", 5, Metric.L2)
+        .select($"id").as[Long].collect().toSet
+      assert(got === exact)
+    } finally spark.conf.unset("spark.graft.filter.exactFallbackRows")
+  }
+
   // --- cost-based exact-fallback bound ---
 
   test("probeCostRows estimates the filtered probe volume") {
