@@ -137,9 +137,16 @@ object Bench {
 
       // HEADLINE GATE — clustered fixture at PARTIAL probe, mirroring the
       // baseline's operating point (benchs/README.md:82-92 publishes
-      // SIFT1M recall at nprobe=40/1024 ≈ 4% probe; SIFT is naturally
+      // SIFT1M recall at nprobe=40/1024 ≈ 3.9% probe; SIFT is naturally
       // clustered). 100k mixture-of-Gaussians vectors, 128 true clusters,
-      // IVFPQ ncentroids=128, nprobe=8 = 6.25% probe fraction.
+      // IVFPQ ncentroids=128, nprobe=5 = the SAME 3.9% probe fraction.
+      //
+      // sigma=1.2 (was 0.8 through r6): at 0.8 every gated point
+      // saturated at 1.0 and the "within 2pp of baseline" comparison
+      // could no longer measure drift (r6 verdict Missing #3 / task #6).
+      // At 1.2 the clusters overlap enough that the headline lands at
+      // 0.982 — in the 0.95–0.99 band where a ranking regression moves
+      // the number — while staying within 2pp of the baseline rows.
       //
       // File-based loop — the reference's own methodology (base .fvecs +
       // query .fvecs + ground-truth .ivecs, tests/test.h:279-298,
@@ -150,7 +157,7 @@ object Bench {
       val vecsDir =
         java.nio.file.Files.createTempDirectory("graft_bench_vecs").toString
       val gen = graft.index.GaussianFixture
-        .mixtureOfGaussians(spark, 100000L, 64, 128, sigma = 0.8, seed = 7L)
+        .mixtureOfGaussians(spark, 100000L, 64, 128, sigma = 1.2, seed = 7L)
       graft.sources.Vecs.exportPartitioned(gen, "embedding", s"$vecsDir/base",
         "fvecs", orderCol = Some("vec_id"), numPartitions = 32)
       graft.sources.Vecs.exportPartitioned(gen.filter(col("vec_id") < 50),
@@ -183,11 +190,11 @@ object Bench {
       val fidx = graft.index.IndexRegistry.build(
         "IVFPQ", spark, fix, "vec_id", "embedding",
         graft.index.IndexParams(ncentroids = 128, nsubvector = 32, recallNum = 100))
-      val r1 = recallAt(fidx, fq, 1, 8, ft1)
-      val r10 = recallAt(fidx, fq, 10, 8, ft10)
+      val r1 = recallAt(fidx, fq, 1, 5, ft1)
+      val r10 = recallAt(fidx, fq, 10, 5, ft10)
       // probe-fraction sweep on the clustered fixture (the baseline's
       // recall-vs-nprobe curve shape, benchs/README.md:30-40)
-      val fSweep = Seq(2, 4) .map(np => np -> recallAt(fidx, fq, 10, np, ft10)) :+ (8 -> r10)
+      val fSweep = Seq(2, 3) .map(np => np -> recallAt(fidx, fq, 10, np, ft10)) :+ (5 -> r10)
       // V5 recall evidence on the same fixture (default efSearch beam) —
       // the graph model's row in the emitted gate, not just a spec
       val hidx = graft.index.IndexRegistry.build(
@@ -217,7 +224,7 @@ object Bench {
         fq.size.toDouble / ((System.nanoTime() - t0) / 1e9)
       }
       val qpsIdx = qpsOf {
-        fidx.search(fq, 10, Some(8)).select(col("qid"), col("id")).collect()
+        fidx.search(fq, 10, Some(5)).select(col("qid"), col("id")).collect()
       }
       val qpsFlat = qpsOf {
         val q = fq.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
@@ -226,20 +233,21 @@ object Bench {
           .select(col("qid"), col("id")).collect()
       }
       // the gate VERDICT rides in the JSON: within 2pp of the published
-      // SIFT1M rows at a comparable (partial) probe fraction on
-      // comparably-clustered data, AND the sweep's sensitive point (the
-      // 1.6% probe — the regression canary when the headline saturates at
-      // 1.0), AND the graph model's recall floor. The canary's floor is
-      // 0.97, 1.6pp under its measured 0.986: every stage of the gate is
-      // deterministic (seeded fixture, seeded k-means, file round-trip,
-      // tie-free double distances), so the point REPRODUCES exactly and
-      // any dip below is a real ranking change, not noise.
+      // SIFT1M rows at the SAME probe fraction (5/128 = 40/1024 = 3.9%)
+      // on comparably-clustered data, AND the 1.6%-probe canary, AND the
+      // graph model's recall floor. The headline sits at 0.982 — below
+      // saturation, so the 2pp baseline-delta comparison itself measures
+      // drift; the canary floor is 0.93, 1.6pp under its measured 0.946:
+      // every stage of the gate is deterministic (seeded fixture, seeded
+      // k-means, file round-trip, tie-free double distances), so both
+      // points REPRODUCE exactly and any dip below is a real ranking
+      // change, not noise.
       val ok = r1 >= 0.9814 - 0.02 && r10 >= 0.9902 - 0.02 &&
-        fSweep.head._2 >= 0.97 && hnswR10 >= 0.95
+        fSweep.head._2 >= 0.93 && hnswR10 >= 0.95
       System.err.println(f"[bench] hnsw recall@10=$hnswR10%.4f (ef=64)")
       System.err.println(f"[bench] recall@1=$r1%.4f recall@10=$r10%.4f ok=$ok " +
         f"qps(ivfpq)=$qpsIdx%.1f qps(flat)=$qpsFlat%.1f " +
-        "(clustered fixture, ncentroids=128 nprobe=8 m=32; " +
+        "(clustered fixture, ncentroids=128 nprobe=5 m=32; " +
         s"uniform-proxy sweep ${uSweep.map { case (n, r) => f"$n:$r%.2f" }.mkString(",")})")
       // the exported fixture files (~27 MB/run) served their purpose once
       // everything is read/checkpointed — don't leak them into /tmp
@@ -253,11 +261,11 @@ object Bench {
         s.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
       s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
         s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
-        s""""probe_fraction":0.0625,"baseline_probe_fraction":0.0391,""" +
+        s""""probe_fraction":0.0391,"baseline_probe_fraction":0.0391,""" +
         s""""hnsw_recall_at_10":$hnswR10,""" +
         s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
         s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
-        s""""config":"IVFPQ ncentroids=128 nprobe=8 (6.25% probe) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=0.8), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at 4% probe AND nprobe=2 sweep point >= 0.97 (deterministic canary, measured 0.986) AND HNSW recall@10 >= 0.95"},""" +
+        s""""config":"IVFPQ ncentroids=128 nprobe=5 (3.9% probe, same fraction as baseline nprobe=40/1024) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=1.2 — tuned so the headline sits in the 0.95-0.99 discriminating band instead of saturating at 1.0), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at the same probe fraction AND nprobe=2 sweep point >= 0.93 (deterministic canary, measured 0.946) AND HNSW recall@10 >= 0.95"},""" +
         s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
     } catch {
       case e: Throwable =>
