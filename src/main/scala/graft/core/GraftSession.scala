@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // take/limit escalation: the default starts at 1 partition and
+      // re-schedules 4x wider on a miss — a second ~120 ms driver
+      // round-trip on every head()/sample-collect that doesn't fit in
+      // partition 0 (k-means sample draws, point lookups). Scanning a few
+      // partitions up-front is cheaper than a second scheduling round,
+      // on a cluster as much as on local[32].
+      .config("spark.sql.limit.initialNumPartitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

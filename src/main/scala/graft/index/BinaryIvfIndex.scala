@@ -265,9 +265,15 @@ object BinaryIvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadCenters(spark: SparkSession, path: String): Array[Array[Byte]] =
-    spark.read.parquet(path)
-      .orderBy("centroid_id").collect().map(_.getAs[Array[Byte]](1))
+  def loadCenters(spark: SparkSession, path: String): Array[Array[Byte]] = {
+    // explicit schema: footer inference costs a Spark job per load
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(StructField("centroid_id", IntegerType),
+      StructField("code", BinaryType)))
+    // driver-side sort: orderBy on the k-row frame costs an AQE shuffle job
+    spark.read.schema(s).parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getAs[Array[Byte]](1))
+  }
 
   /** Build: train the k-majority quantizer, then one assignment pass. */
   def build(

@@ -165,9 +165,15 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(path)
-      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+  def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] = {
+    // explicit schema: footer inference costs a Spark job per load
+    import org.apache.spark.sql.types._
+    val s = StructType(Seq(StructField("centroid_id", IntegerType),
+      StructField("center", ArrayType(DoubleType))))
+    // driver-side sort: orderBy on the k-row frame costs an AQE shuffle job
+    spark.read.schema(s).parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+  }
 
   /** Driver-side probe selection: top-nprobe centroids per query, under
     * the SAME quantizer metric as list assignment (the reference's coarse

@@ -238,19 +238,27 @@ object IvfPqIndex {
   /** Counterpart of [[IvfPqIndex.saveQuantizers]]. */
   def loadQuantizers(spark: SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], Option[Array[Array[Double]]]) = {
+    import org.apache.spark.sql.types._
     val centers = Ivf.loadCenters(spark, s"$path/centroids")
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("subspace", "code").collect()
+    // explicit schemas: footer inference costs a Spark job per load
+    val cbSchema = StructType(Seq(StructField("subspace", IntegerType),
+      StructField("code", IntegerType), StructField("center", ArrayType(DoubleType))))
+    // driver-side sorts below: orderBy on these tiny frames costs an AQE
+    // shuffle job each
+    val cbRows = spark.read.schema(cbSchema).parquet(s"$path/codebooks")
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
     val codebooks = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
       rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }.toArray
     val rotPath = new org.apache.hadoop.fs.Path(s"$path/rotation")
     val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rotation =
-      if (fs.exists(rotPath))
-        Some(spark.read.parquet(rotPath.toString).orderBy("i").collect()
-          .map(_.getSeq[Double](1).toArray))
-      else None
+      if (fs.exists(rotPath)) {
+        val rotSchema = StructType(Seq(StructField("i", IntegerType),
+          StructField("r", ArrayType(DoubleType))))
+        Some(spark.read.schema(rotSchema).parquet(rotPath.toString).collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+      } else None
     (centers, codebooks, rotation)
   }
 

@@ -240,14 +240,30 @@ class IncrementalIndexer(
   /** Persisted lists minus superseded entries: an index row is stale iff a
     * later version of its key was appended (`_ixv < replaced.ixv`).
     */
+  // lists-at-rest schema, seeded at write time (and persisted in the index
+  // manifest) so reads skip parquet footer inference — one Spark job per
+  // read on the build/refresh/load/search paths otherwise
+  @volatile private[streaming] var listsSchemaCache: org.apache.spark.sql.types.StructType = null
+
+  private def readLists(): DataFrame = Option(listsSchemaCache) match {
+    case Some(s) => spark.read.schema(s).parquet(listsPath)
+    case None =>
+      val d = spark.read.parquet(listsPath)
+      listsSchemaCache = d.schema
+      d
+  }
+
   private def persistedData(): DataFrame = {
-    val lists = spark.read.parquet(listsPath)
+    val lists = readLists()
     val stale =
       if (fs.exists(new Path(replacedPath))) {
         // no forced broadcast: the log is O(churn-since-compaction) and a
         // compaction-starved table could grow it past executor memory —
         // parquet size stats let the planner broadcast exactly when small
-        val replaced = spark.read.parquet(replacedPath)
+        import org.apache.spark.sql.types._
+        val rs = StructType(Seq(StructField("__rk", lists.schema(key).dataType),
+          StructField("__rv", LongType)))
+        val replaced = spark.read.schema(rs).parquet(replacedPath)
         lists.join(replaced,
           lists(key) === replaced("__rk") && lists(IxvCol) < replaced("__rv"),
           "left_anti")
@@ -266,7 +282,8 @@ class IncrementalIndexer(
       params.nprobe, params.nsubvector, params.nbits, params.recallNum,
       params.hasRank, params.trainSampleRows, params.seed, retrievalType,
       cleanedVersion, params.nlinks, params.efConstruction, params.efSearch,
-      params.opq, params.opqIters)
+      params.opq, params.opqIters,
+      Option(listsSchemaCache).map(_.json).orNull)
     if (!lastWrittenState.contains(st)) {
       IncrementalIndexer.writeState(spark, s"$indexRoot/meta", st)
       lastWrittenState = Some(st)
@@ -400,10 +417,19 @@ class IncrementalIndexer(
     * and persist as plain parquet.
     */
   private def writeLists(df: DataFrame, path: String, mode: SaveMode): Unit =
-    if (df.columns.contains("centroid_id"))
+    if (df.columns.contains("centroid_id")) {
       df.repartition(col("centroid_id"))
         .write.mode(mode).partitionBy("centroid_id").parquet(path)
-    else df.write.mode(mode).parquet(path)
+      // partition discovery appends the partition column after the file
+      // columns — seed the read schema in that order
+      listsSchemaCache = graft.core.ManifestIO.asNullable(
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.filterNot(_.name == "centroid_id") :+
+            df.schema("centroid_id")))
+    } else {
+      df.write.mode(mode).parquet(path)
+      listsSchemaCache = graft.core.ManifestIO.asNullable(df.schema)
+    }
 
   /** HNSW graphs are immutable segments: a refresh does NOT advance
     * `builtVersion` — updated/deleted keys are excluded from the graphs at
@@ -444,6 +470,7 @@ class IncrementalIndexer(
     if (persist) {
       val next = s"$indexRoot/lists/v${listsVersion + 1}"
       nh.graphs.write.mode(SaveMode.Overwrite).parquet(next)
+      listsSchemaCache = graft.core.ManifestIO.asNullable(nh.graphs.schema)
       val old = listsVersion
       listsVersion += 1
       writeMeta()
@@ -469,6 +496,7 @@ class IncrementalIndexer(
     if (persist) {
       val next = s"$indexRoot/lists/v${listsVersion + 1}"
       nh.graphs.write.mode(SaveMode.Overwrite).parquet(next)
+      listsSchemaCache = graft.core.ManifestIO.asNullable(nh.graphs.schema)
       val old = listsVersion
       listsVersion += 1
       builtVersion = targetVersion
@@ -899,7 +927,10 @@ object IncrementalIndexer {
       efConstruction: Int,
       efSearch: Int,
       opq: Boolean,
-      opqIters: Int)
+      opqIters: Int,
+      // at-rest lists schema (StructType json) so load() skips parquet
+      // footer inference; null on manifests that predate the field
+      listsSchema: String = null)
 
   private[streaming] def writeState(
       spark: org.apache.spark.sql.SparkSession, dir: String, s: IndexState): Unit = {
@@ -911,7 +942,14 @@ object IncrementalIndexer {
         s""""seed":${s.seed},"retrievalType":"${s.retrievalType}",""" +
         s""""cleanedVersion":${s.cleanedVersion},""" +
         s""""nlinks":${s.nlinks},"efConstruction":${s.efConstruction},""" +
-        s""""efSearch":${s.efSearch},"opq":${s.opq},"opqIters":${s.opqIters}}"""
+        s""""efSearch":${s.efSearch},"opq":${s.opq},"opqIters":${s.opqIters}""" +
+        Option(s.listsSchema).map { ls =>
+          val q = ls.flatMap {
+            case '"' => "\\\""; case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+          }
+          s""","listsSchema":"$q""""
+        }.getOrElse("") + "}"
     // write-temp-then-rename: the old delete-dir-then-create left a window
     // (every refresh!) where a crash stranded the index with NO manifest
     // while its lists/quantizers were intact
@@ -943,12 +981,19 @@ object IncrementalIndexer {
       "efSearch" -> 64, "opq" -> false, "opqIters" -> 3)
     // read the exact file, not the dir: a crash between create(tmp) and
     // rename strands meta.json.tmp next to a valid meta.json, and a
-    // dir-wide read would load both (two rows, arbitrary head)
-    var df = spark.read.json(s"$dir/meta.json")
+    // dir-wide read would load both (two rows, arbitrary head). Driver-side
+    // read + local-relation from_json: ZERO Spark jobs (the old
+    // spark.read.json cost a schema-inference job plus a head() job per
+    // index load). from_json leaves absent fields null, so historical
+    // defaults apply via coalesce (manifests never write explicit nulls).
+    val json = graft.core.ManifestIO.readString(spark, s"$dir/meta.json")
+      .getOrElse(throw new java.io.FileNotFoundException(s"$dir/meta.json"))
+    var df = graft.core.ManifestIO.parseDF(spark, json, enc.schema)
     enc.schema.fields.foreach { f =>
-      df =
-        if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-        else df.withColumn(f.name, lit(defaults(f.name)).cast(f.dataType))
+      defaults.get(f.name).foreach { d =>
+        df = df.withColumn(f.name,
+          org.apache.spark.sql.functions.coalesce(col(f.name), lit(d).cast(f.dataType)))
+      }
     }
     df.select(enc.schema.fieldNames.toSeq.map(col): _*).as[IndexState].head()
   }
@@ -973,6 +1018,12 @@ object IncrementalIndexer {
     ix.listsVersion = st.listsVersion
     ix.builtVersion = st.builtVersion
     ix.cleanedVersion = st.cleanedVersion
+    // manifest-carried lists schema: the first lists read skips footer
+    // inference (legacy manifests leave it null -> infer once and cache)
+    Option(st.listsSchema).foreach { j =>
+      ix.listsSchemaCache = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     val key = table.meta.keyField
     ix.index = Some(rt.toUpperCase(java.util.Locale.ROOT) match {
       case "IVFPQ" =>
@@ -987,11 +1038,16 @@ object IncrementalIndexer {
         // purge nothing in the table can re-derive them
         val exclDir = new Path(s"$root/excluded")
         val hfs = exclDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pd = ix.persistedData()
         val excl =
-          if (hfs.exists(exclDir))
-            Some(spark.read.parquet(exclDir.toString).distinct())
-          else None
-        new HnswIndex(spark, ix.persistedData(), key, vecCol, params, excl)
+          if (hfs.exists(exclDir)) {
+            // single key column, typed off the table's manifest-carried
+            // schema (the graphs nest keys inside segment structs)
+            val es = org.apache.spark.sql.types.StructType(
+              Seq(table.docs.schema(key).copy(nullable = true)))
+            Some(spark.read.schema(es).parquet(exclDir.toString).distinct())
+          } else None
+        new HnswIndex(spark, pd, key, vecCol, params, excl)
       case "BINARYIVF" =>
         new BinaryIvfIndex(spark, ix.persistedData(), key, vecCol,
           BinaryIvfIndex.loadCenters(spark, s"$root/centroids_bin"), params)

@@ -41,7 +41,11 @@ case class TableMeta(
     bucketVersions: Map[String, Long],
     vectorFields: Seq[VectorFieldDef],
     indexStatus: String, // UNINDEXED | INDEXING | INDEXED (reference gamma_engine.h:28)
-    bucketStats: Map[String, Map[String, Seq[Double]]] = Map.empty)
+    bucketStats: Map[String, Map[String, Seq[Double]]] = Map.empty,
+    // at-rest file schema (StructType json, captured at write time) so
+    // readers never pay a parquet footer-inference job; null on legacy
+    // manifests -> readers infer once and cache on the handle
+    dataSchema: String = null)
 
 /** A gamma "table" re-expressed Spark-first: one parquet dataset of
   * scalar+vector documents, hash-bucketed by primary key with a per-bucket
@@ -107,7 +111,37 @@ class GammaTable private (
     */
   private def rawAllDocs: DataFrame = {
     val paths = currentPaths()
-    if (paths.isEmpty) spark.emptyDataFrame else spark.read.parquet(paths: _*)
+    if (paths.isEmpty) spark.emptyDataFrame else readData(paths)
+  }
+
+  // parsed form of meta0.dataSchema (memoized: the json string is stable
+  // across commits once set) plus a fallback cache for legacy manifests
+  // that predate the field
+  @volatile private var schemaParseCache: (String, org.apache.spark.sql.types.StructType) = null
+  @volatile private var inferredSchemaCache: org.apache.spark.sql.types.StructType = null
+
+  private def atRestSchema: Option[org.apache.spark.sql.types.StructType] =
+    Option(meta0.dataSchema).map { j =>
+      val c = schemaParseCache
+      if (c != null && (c._1 eq j)) c._2
+      else {
+        val s = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        schemaParseCache = (j, s)
+        s
+      }
+    }.orElse(Option(inferredSchemaCache))
+
+  /** Read at-rest bucket files. With the manifest-carried schema the scan
+    * skips parquet footer inference — one fewer Spark job on EVERY read
+    * path (search fires three of these per request).
+    */
+  private def readData(paths: Seq[String]): DataFrame = atRestSchema match {
+    case Some(s) => spark.read.schema(s).parquet(paths: _*)
+    case None =>
+      val df = spark.read.parquet(paths: _*)
+      inferredSchemaCache = df.schema
+      df
   }
 
   private def int8Fields: Seq[String] =
@@ -167,12 +201,12 @@ class GammaTable private (
       case (b, bv) if bv > v => bucketPath(b.toLong, bv)
     }.toSeq
     if (paths.isEmpty) allDocs.limit(0)
-    else decodeStored(spark.read.parquet(paths: _*))
+    else decodeStored(readData(paths))
   }
 
   private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
     val paths = currentPaths(buckets)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None else Some(readData(paths))
   }
 
   /** Write per-bucket data as version `v` in ONE Spark job: partitionBy
@@ -183,10 +217,19 @@ class GammaTable private (
     * (no extra job — the manifest-stat analog of the reference's filter
     * index being maintained at write time, table/field_range_index.cc).
     */
+  // at-rest schema of the frame most recently written by writeVersion;
+  // commit() folds it into the manifest (writes are single-threaded per
+  // handle, like the rest of the write path)
+  @volatile private var writtenSchemaJson: String = null
+
   private def writeVersion(
       df: DataFrame, buckets: Seq[Long], v: Long)
       : (Seq[Long], Map[String, Map[String, Seq[Double]]]) = {
     import org.apache.spark.sql.types._
+    // files carry exactly df's columns (the `_bp` partition copy stays in
+    // the directory layout); record it fully-nullable to match what
+    // footer inference would return (file relations force nullability)
+    writtenSchemaJson = graft.core.ManifestIO.asNullable(df.schema).json
     val staging = new org.apache.hadoop.fs.Path(s"$root/data/.staging_v$v")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // repartition by bucket so each bucket dir gets ~1 file instead of one
@@ -298,7 +341,8 @@ class GammaTable private (
       // a rewritten bucket's stats are replaced wholesale (or dropped when
       // the write produced no finite bounds for it)
       bucketStats = Option(meta0.bucketStats).getOrElse(Map.empty) --
-        emptied -- writtenSet ++ stats.view.filterKeys(writtenSet))
+        emptied -- writtenSet ++ stats.view.filterKeys(writtenSet),
+      dataSchema = Option(writtenSchemaJson).getOrElse(meta0.dataSchema))
     keyTypeCache = None
     writeMeta()
   }
@@ -1000,10 +1044,14 @@ object GammaTable {
     // rename strands meta.json.tmp next to a valid meta.json, and a
     // dir-wide read would load both (two rows, arbitrary head). Legacy
     // dirs without a meta.json fall back to the dir read.
-    val metaFile = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = metaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = if (fs.exists(metaFile)) metaFile.toString else path
-    val m0 = spark.read.schema(enc.schema).json(src).as[TableMeta].head()
+    val m0 = graft.core.ManifestIO.readString(spark, s"$path/meta.json") match {
+      // driver-side read + local-relation from_json: ZERO Spark jobs on
+      // the load path (was one head() job per manifest read)
+      case Some(json) =>
+        graft.core.ManifestIO.parseDF(spark, json, enc.schema).as[TableMeta].head()
+      case None => // legacy dirs without a meta.json fall back to the dir read
+        spark.read.schema(enc.schema).json(path).as[TableMeta].head()
+    }
     // metas written before bucketStats existed read the field as null
     val m = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
     // metas written before the store field read it as null -> FLOAT
@@ -1033,11 +1081,12 @@ object GammaTable {
           s"${q(c)}:[${mm.mkString(",")}]"
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+    val ds = Option(m.dataSchema).map(s => s""","dataSchema":${q(s)}""").getOrElse("")
     val json =
       s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
         s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
         s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
-        s""""bucketStats":$bs}"""
+        s""""bucketStats":$bs$ds}"""
     // write-temp-then-rename: delete-dir-then-create left a window (every
     // commit!) where a crash stranded the table with NO manifest while its
     // data files were intact — and a concurrent load() in that window

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, SearchRequest, VecQuery}
+import graft.index.IndexParams
+import graft.table.{GammaTable, VectorFieldDef}
+
+/** Regression guard for driver round-trips on the serving path. Every
+  * Spark job costs ~100 ms scheduler latency regardless of data size, so
+  * manifest reads and schema derivation must stay job-free: the table
+  * manifest carries the at-rest data schema and the index manifest the
+  * lists schema (both captured at write time), and manifest JSON parses
+  * through a local relation instead of spark.read.json.
+  */
+class JobCountSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_jobs").toString
+
+  /** Count jobs started while `f` runs (listener bus is async: settle by
+    * polling until the count is stable).
+    */
+  private val lastJobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  private def jobsDuring[T](f: => T): (T, Int) = {
+    val n = new AtomicInteger(0)
+    lastJobSites.clear()
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        lastJobSites.add(
+          desc + " @ " + js.stageInfos.map(_.name).distinct.mkString(" | "))
+        n.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = f
+      var prev = -1
+      var cur = n.get()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = n.get(); spins += 1
+      }
+      (r, cur)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def docTable() = {
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    spark.read.parquet(s"$sf0/part.parquet")
+      .filter($"p_partkey" < 400)
+      .join(emb, $"p_partkey" === $"vec_id")
+      .select($"p_partkey".cast("string").as("_id"), $"p_size",
+        $"embedding".as("vec"))
+  }
+
+  test("table load and schema derivation launch zero Spark jobs") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "jc", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    assert(t.meta.dataSchema != null, "commit must record the at-rest schema")
+
+    val (loaded, loadJobs) = jobsDuring(GammaTable.load(spark, root))
+    assert(loadJobs === 0, s"manifest-only load ran $loadJobs jobs")
+
+    // schema of the at-rest scan comes from the manifest, not a footer job
+    val (schema, schemaJobs) = jobsDuring(loaded.docs.schema)
+    assert(schemaJobs === 0, s"schema derivation ran $schemaJobs jobs")
+    assert(schema.fieldNames.contains("vec") && schema.fieldNames.contains("p_size"))
+
+    // and the data read through the manifest schema is the data written
+    assert(loaded.docs.count() === t.docs.count())
+  }
+
+  test("persisted-index restore skips footer inference on lists and state") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "jci", "_id", docTable(),
+      Seq(VectorFieldDef("vec", 64)), nBuckets = 4)
+    t.buildIndex("vec", IndexParams(metric = Metric.L2, ncentroids = 4),
+      persist = true)
+
+    val (loaded, loadJobs) = jobsDuring(GammaTable.load(spark, root))
+    // restore reads manifests (0 jobs) + coarse centroids (1 collect);
+    // anything above that is a reintroduced inference/head job
+    assert(loadJobs <= 2,
+      s"index restore ran $loadJobs jobs: ${lastJobSites.toArray.mkString("; ")}")
+
+    val hits = loaded.search(SearchRequest(topn = 5,
+      vecQueries = Seq(VecQuery("vec",
+        docTable().select("vec").as[Array[Float]].head()))))
+    assert(hits.count() === 5)
+  }
+}
