@@ -15,8 +15,18 @@ object JobTrace {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val cs = js.stageInfos.map(_.name).distinct.mkString(" | ")
-        System.err.println(s"[trace] $stage :: job ${js.jobId} :: $cs")
+        val eid = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))).getOrElse("-")
+        System.err.println(s"[trace] $stage :: job ${js.jobId} :: exec $eid :: $cs")
       }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            val head = s.physicalPlanDescription.linesIterator
+              .filter(_.nonEmpty).take(4).mkString(" / ")
+            System.err.println(s"[trace] $stage :: EXEC ${s.executionId} :: $head")
+          case _ =>
+        }
     })
     def in[T](s: String)(f: => T): T = { stage = s; val r = f; Thread.sleep(150); r }
 

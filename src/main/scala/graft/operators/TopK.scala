@@ -42,10 +42,15 @@ object TopK {
     val sortKey = if (ascending) col(scoreCol) else negate(col(scoreCol))
     val fields = struct(
       (sortKey.as("__sk") +: tieBreak.map(col) :+ struct(df.columns.toIndexedSeq.map(col): _*).as("__p")): _*)
+    // keep the OUTER group key through the explode and project it (not the
+    // struct copy): the surviving attribute preserves hashpartitioning on
+    // the key, so a downstream same-key aggregation (chained topk merges on
+    // the search path) reuses the shuffle instead of exchanging again
     df.groupBy(col(groupCol))
       .agg(graft.functions.topk_rows(fields, k, 1 + tieBreak.length).as("__top"))
-      .select(explode(col("__top")).as("__r"))
-      .select(df.columns.toIndexedSeq.map(c => col(s"__r.__p.$c")): _*)
+      .select(col(groupCol), explode(col("__top")).as("__r"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (c == groupCol) col(groupCol) else col(s"__r.__p.$c")): _*)
   }
 
   /** Window-based reference implementation of [[perGroup]] (kept for
