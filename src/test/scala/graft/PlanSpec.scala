@@ -175,6 +175,33 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("chained per-group top-k merges reuse one shuffle (key partitioning survives)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => nodes(q.plan)
+      case r: ReusedExchangeExec    => nodes(r.child)
+      case _                        => p.children.flatMap(nodes)
+    })
+    // search-path shape: candidates -> topk(40) -> topk(40) -> topk(10),
+    // all keyed by qid. Only the FIRST reduction may shuffle; the merges
+    // must reuse its partitioning (TopK.perGroup projects the outer key
+    // attribute precisely so this holds).
+    val cand = spark.range(0, 20000)
+      .select((col("id") % 8).as("qid"), col("id").as("_id"),
+        (col("id") % 997).cast("double").as("score"))
+    val t1 = graft.operators.TopK.perGroup(cand, "qid", "score", ascending = true, 40, Seq("_id"))
+    val t2 = graft.operators.TopK.perGroup(t1, "qid", "score", ascending = true, 40, Seq("_id"))
+    val t3 = graft.operators.TopK.perGroup(t2, "qid", "score", ascending = true, 10, Seq("_id"))
+    assert(t3.count() === 80)
+    val shuffles = nodes(t3.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size === 1,
+      s"chained topk re-shuffled: ${shuffles.size} exchanges\n${t3.queryExecution.executedPlan}")
+  }
+
   test("Catalyst rule rewrites ORDER BY l2_sq LIMIT k into the index path (M7)") {
     import spark.implicits._
     graft.plans.AnnRewrite.install(spark)
