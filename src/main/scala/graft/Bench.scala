@@ -111,7 +111,9 @@ object Bench {
     // costs ~40 s of fixture build per invocation, pure overhead when
     // timing a GRAFT_BENCH_ONLY subset or probing a scaled directory
     val skipRecall = sys.env.get("GRAFT_BENCH_SKIP_RECALL").contains("1")
-    val recallJson = if (skipRecall) "" else try {
+    // (full, compact) — identical numbers; compact replaces the ~700-char
+    // config prose with a pointer so the stdout line stays tail-safe
+    val (recallJson, recallCompact) = if (skipRecall) ("", "") else try {
       import org.apache.spark.sql.functions.{array_sort, col, collect_list, struct, transform}
       import spark.implicits._
 
@@ -259,14 +261,17 @@ object Bench {
       } catch { case _: Throwable => }
       def sweepJson(s: Seq[(Int, Double)]) =
         s.map { case (np, r) => s""""$np":$r""" }.mkString("{", ",", "}")
-      s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
-        s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
-        s""""probe_fraction":0.0391,"baseline_probe_fraction":0.0391,""" +
-        s""""hnsw_recall_at_10":$hnswR10,""" +
-        s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
-        s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
-        s""""config":"IVFPQ ncentroids=128 nprobe=5 (3.9% probe, same fraction as baseline nprobe=40/1024) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=1.2 — tuned so the headline sits in the 0.95-0.99 discriminating band instead of saturating at 1.0), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at the same probe fraction AND nprobe=2 sweep point >= 0.93 (deterministic canary, measured 0.946) AND HNSW recall@10 >= 0.95"},""" +
-        s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
+      def block(cfg: String) =
+        s""","recall":{"recall_at_1":$r1,"recall_at_10":$r10,"recall_ok":$ok,""" +
+          s""""baseline_recall_at_1":0.9814,"baseline_recall_at_10":0.9902,""" +
+          s""""probe_fraction":0.0391,"baseline_probe_fraction":0.0391,""" +
+          s""""hnsw_recall_at_10":$hnswR10,""" +
+          s""""sweep_recall_at_10_by_nprobe":${sweepJson(fSweep)},""" +
+          s""""uniform_proxy_sweep_at_10_by_nprobe":${sweepJson(uSweep)},""" +
+          s""""config":"$cfg"},""" +
+          s""""qps":{"ivfpq_batch50_k10":$qpsIdx,"flat_batch50_k10":$qpsFlat}"""
+      (block("IVFPQ ncentroids=128 nprobe=5 (3.9% probe, same fraction as baseline nprobe=40/1024) nsubvector=32 recall_num=100 vs FLAT ground truth; 100k-row 128-cluster mixture-of-Gaussians fixture (sigma=1.2 — tuned so the headline sits in the 0.95-0.99 discriminating band instead of saturating at 1.0), 50 queries, base/query exported to .fvecs and ground truth to .ivecs then re-read through the vecs source (SIFT-style file loop); ok = within 0.02 of baseline SIFT1M rows at the same probe fraction AND nprobe=2 sweep point >= 0.93 (deterministic canary, measured 0.946) AND HNSW recall@10 >= 0.95"),
+       block("full config prose in the GRAFT_BENCH_OUT file"))
     } catch {
       case e: Throwable =>
         // a crashed gate must be VISIBLE in the emitted line (recall_ok
@@ -275,18 +280,22 @@ object Bench {
         // strip the WHOLE control class + quote/backslash: any U+0000-001F
         // raw inside a quoted JSON string makes the line unparseable
         val msg = String.valueOf(e.getMessage).replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
-        s""","recall":{"recall_ok":false,"error":"$msg"}"""
+        val b = s""","recall":{"recall_ok":false,"error":"$msg"}"""
+        (b, b)
     }
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""query_stats":$stats,"sf":"$sfDir"$recallJson}"""
-    println(line)
-    // the driver captures only the log TAIL, which truncated r4's line —
-    // persist the full JSON to a file it can read whole
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"""
+    val line = head + s""""query_stats":$stats,"sf":"$sfDir"$recallJson}"""
+    // the driver captures only a bounded log TAIL: r4's full line was cut
+    // at the front, and r7's tail started mid-JSON and parsed:null. The
+    // full artifact (per-query stats + config prose) goes to the file; the
+    // stdout line is a COMPACT equivalent (~3 KB, same metric/queries/
+    // recall numbers) printed as the very last output so any sane tail
+    // window contains it whole.
     val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    println(head + s""""sf":"$sfDir"$recallCompact}""")
     spark.stop()
   }
 }

@@ -17,13 +17,26 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter; the driver sets no env so it always runs all.
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must FAIL the round, not vanish from it: write a
+        // one-row poison result whose schema can never match any oracle,
+        // so the driver's compare records an explicit mismatch instead of
+        // silently omitting the query (r7: q_sessionize disappeared from
+        // CORRECTNESS with no err record).
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage).take(500)
+        try {
+          import spark.implicits._
+          Seq(("VERIFY_QUERY_THREW", String.valueOf(e.getMessage).take(500)))
+            .toDF("__verify_error", "__verify_message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure manifest next to the results (driver may or
+    // may not read it; the poison parquet above is the hard gate)
+    val errJson = failed
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -56,10 +56,23 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions.expr
-      // integer division: ns-since-epoch ~1.7e18 exceeds double precision
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) read as long under nanosAsLong; integer
+        // division: ns-since-epoch ~1.7e18 exceeds double precision
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ;
+        // the oracle (DuckDB epoch_us) and every downstream consumer treat
+        // the naive reading as a UTC instant. timestampdiff from the NTZ
+        // epoch is session-timezone-independent — a plain cast would shift
+        // by the session offset on non-UTC sessions.
+        case TimestampNTZType =>
+          df.withColumn("ts", expr(
+            "timestamp_micros(timestampdiff(MICROSECOND, " +
+              "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -40,8 +40,17 @@ object Sessionize {
       gapSeconds: Long): DataFrame = {
     val gapUs = gapSeconds * 1000000L
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    // unix_micros only accepts TIMESTAMP (LTZ); a TIMESTAMP_NTZ input
+    // (e.g. parquet micros with isAdjustedToUTC=false) is measured from
+    // the NTZ epoch instead — same naive micros, session-tz-independent.
+    val usExpr = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"timestampdiff(MICROSECOND, " +
+          s"TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
+      case _ => unix_micros(col(tsCol))
+    }
     events
-      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__us", usExpr)
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
