@@ -170,4 +170,29 @@ class OperatorsSpec extends GraftSuite {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Regression (r7 break): the driver-generated events.parquet switched to
+  // TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark reads as
+  // TIMESTAMP_NTZ; the loader must normalize it to a UTC-instant TIMESTAMP
+  // so unix_micros consumers keep working, and Sessionize.batch must accept
+  // an un-normalized NTZ column directly with identical session boundaries.
+  test("events ts loads as TIMESTAMP and Sessionize handles NTZ input") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ev = graft.core.Tables.load(spark, sf0, "events")
+    assert(ev.schema("ts").dataType === TimestampType)
+    // naive micros: positive and stable through unix_micros
+    val us = ev.select(unix_micros($"ts")).as[Long].head()
+    assert(us > 0L)
+
+    val ltz = ev.orderBy($"event_id").limit(500)
+    val ntz = ltz.withColumn("ts", $"ts".cast(TimestampNTZType))
+    assert(ntz.schema("ts").dataType === TimestampNTZType)
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Sessionize
+        .batch(df, "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+        .select($"user_id", $"session_id", $"session_start_us",
+          $"session_end_us", $"n_events", $"sum_value")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(sess(ntz) === sess(ltz))
+  }
 }
