@@ -271,9 +271,14 @@ object SparkEntry {
           lit("Brand#UP").as("p_brand"),
           (col("p_size") + 100).as("p_size"),
           round(col("p_retailprice") * 2, 2).as("p_retailprice"))
+      // insert keys offset past max(p_partkey) so they are fresh AT ANY
+      // SCALE — a fixed +100000 collided with real keys on the 10x
+      // replica (keys to 200000), making the delta carry duplicate keys
+      // (update + shifted insert) and the gate ill-defined as an upsert
+      val off = part.agg(max(col("p_partkey"))).head().getLong(0) + 1
       val inserts = part.filter(col("p_partkey") % 13 === 0)
         .select(
-          (col("p_partkey") + 100000).as("p_partkey"),
+          (col("p_partkey") + off).as("p_partkey"),
           lit("Brand#NEW").as("p_brand"),
           col("p_size"),
           col("p_retailprice"))
@@ -1334,8 +1339,8 @@ object SparkEntry {
         |         round(p_retailprice * 2, 2) AS p_retailprice
         |  FROM part WHERE p_partkey % 7 = 0),
         |inserts AS (
-        |  SELECT p_partkey + 100000 AS p_partkey, 'Brand#NEW' AS p_brand,
-        |         p_size, p_retailprice
+        |  SELECT p_partkey + (SELECT max(p_partkey) + 1 FROM part) AS p_partkey,
+        |         'Brand#NEW' AS p_brand, p_size, p_retailprice
         |  FROM part WHERE p_partkey % 13 = 0),
         |delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
         |SELECT p_partkey, p_brand, p_size, p_retailprice FROM part

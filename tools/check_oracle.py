@@ -58,11 +58,24 @@ def compare(name, spark_df, oracle_df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is a single file; ScaleGen replicas are Spark
+        # parquet DIRECTORIES — glob the part files in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_SKIP / CHECK_ONLY: comma-separated query names. Some oracles are
+    # intentionally naive (e.g. q_ngram_jaccard's all-pairs join) and become
+    # intractable on scaled replicas even though the engine side is fine.
+    skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("CHECK_ONLY", "").split(",")))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip or (only and name not in only):
+            continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
