@@ -1700,8 +1700,8 @@ object SparkEntry {
 
     "q_mix_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE CAST((((doc_id % 1048573) * 2654435761
-        |             + ((doc_id // 1048573) % 1048573) * 40503)
+        |WHERE CAST((((doc_id & 1048575) * 2654435761
+        |             + ((doc_id >> 20) & 1048575) * 40503)
         |            % 4294967296) AS DOUBLE) / 4294967296.0
         |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 ELSE 0.1 END""".stripMargin,
 

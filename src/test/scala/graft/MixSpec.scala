@@ -18,6 +18,24 @@ class MixSpec extends GraftSuite {
     assert(u.collect().toSeq === ids.select(Mix.uniform($"id").as("u")).collect().toSeq)
   }
 
+  // Regression (caught by the 100x oracle sweep): the old `(id / M) % M`
+  // limb ran through Spark's DOUBLE division and wrapped the 2^32 fold for
+  // ~1 in 1e5 ids (doc_id 415338: exact 0.9999977 vs computed 1.4e-6). The
+  // uniform must match exact int64 arithmetic BITWISE for every id.
+  test("uniform matches exact integer arithmetic bitwise") {
+    def ref(id: Long): Double =
+      (((id & 1048575L) * 2654435761L + ((id >>> 20) & 1048575L) * 40503L)
+        % 4294967296L).toDouble / 4294967296.0
+    val ids = ((0L until 4096L) ++
+      Seq(415338L, 1048575L, 1048576L, (1L << 40) + 12345L, (1L << 52) + 7L))
+      .toDF("id")
+    val got = ids.select($"id", Mix.uniform($"id").as("u"))
+      .as[(Long, Double)].collect()
+    got.foreach { case (id, u) =>
+      assert(u === ref(id), s"id=$id spark=$u ref=${ref(id)}")
+    }
+  }
+
   test("per-group fractions are respected") {
     val docs = (0L until 30000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("id", "lang")
