@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Scaled-correctness sweep: full DuckDB oracle parity on ScaleGen replicas.
+#
+# Round 7 measured only TIMINGS at 10x/100x; this sweep runs the actual
+# per-query oracle compare there, and caught two bugs timing curves never
+# would (SURVEY §14.5): the upsert gate's fixed insert-key offset colliding
+# with live keys past 100k rows, and Mix.uniform's double-division wrap.
+#
+# Usage: tools/scale_oracle_sweep.sh [workdir]   (defaults to /tmp)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK=${1:-/tmp}
+
+# Oracles that are intentionally naive and intractable on scaled replicas
+# (all-pairs joins); engine-side parity for these stands at sf0.01/sf0.1.
+QUADRATIC="q_ngram_jaccard,q_embed_neardup"
+# MemoryStream TEST FEEDS collect the corpus driver-side; skip at 100x only.
+STREAMS="q_stream_dedup,q_stream_neardup,q_stream_upsert"
+
+echo "== 10x replica (sf1-scale)"
+sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $WORK/graft_sf1 10"
+sbt -batch "runMain graft.Verify $WORK/graft_sf1 $WORK/verify_x10"
+CHECK_SKIP="$QUADRATIC" python3 -u tools/check_oracle.py \
+  "$WORK/graft_sf1" "$WORK/verify_x10"
+
+echo "== 100x replica"
+sbt -batch "runMain graft.ScaleGen $WORK/graft_sf1 $WORK/graft_sf10 10"
+SKIP="$QUADRATIC,$STREAMS"
+ONLY=$(python3 - "$WORK/verify_x10/oracle_sql.json" "$SKIP" <<'EOF'
+import json, sys
+skip = set(sys.argv[2].split(','))
+print(','.join(q for q in sorted(json.load(open(sys.argv[1]))) if q not in skip))
+EOF
+)
+GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_CPUS=16 \
+  sbt -batch -J-Xmx48g "runMain graft.Verify $WORK/graft_sf10 $WORK/verify_x100"
+CHECK_ONLY="$ONLY" python3 -u tools/check_oracle.py \
+  "$WORK/graft_sf10" "$WORK/verify_x100"
