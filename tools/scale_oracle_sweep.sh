@@ -36,3 +36,7 @@ GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_CPUS=16 \
   sbt -batch -J-Xmx48g "runMain graft.Verify $WORK/graft_sf10 $WORK/verify_x100"
 CHECK_ONLY="$ONLY" python3 -u tools/check_oracle.py \
   "$WORK/graft_sf10" "$WORK/verify_x100"
+
+echo "== stream operators via real file-source ingest (no driver feed)"
+sbt -batch "runMain graft.StreamScaleProbe $WORK/graft_sf1 2"
+sbt -batch -J-Xmx48g "runMain graft.StreamScaleProbe $WORK/graft_sf10 2"
