@@ -950,6 +950,55 @@ object SparkEntry {
         col("doc_id"), graft.text.TextOps.redactPii(pii).as("clean"))
     }),
 
+    // BM25 lexical top-k: inverted-index build (one corpus shuffle) +
+    // broadcast-query search; per-term contributions quantized to exact
+    // integer micro-units so the score sum is order-independent.
+    "q_bm25_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      val q = d.filter(col("doc_id") % 97 === 0).select(
+        col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
+    }),
+
+    // Hybrid retrieval: BM25 text arm + exact-cosine vector arm fused by
+    // reciprocal rank (integer RRF micro-scores; rank ties broken by id).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      val q = d.filter(col("doc_id") % 97 === 0)
+      val qt = q.select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val textArm = graft.text.TextIndex.rankHits(
+        graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
+        "qid", "id", "score_micro", ascending = false)
+      val qv = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vecArm = graft.text.TextIndex.rankHits(
+        Knn.flatSearch(e, "vec_id", "embedding", qv, "qid", "qvec",
+          k = 20, metric = Metric.Cosine),
+        "qid", "id", "score", ascending = false)
+      graft.text.TextIndex.rrfFuse(textArm, vecArm, k = 10)
+    }),
+
+    // Token-window chunking with overlap — pure projection + posexplode,
+    // zero shuffle.
+    "q_text_chunk" -> ((s, dir) => {
+      graft.text.TextOps.chunk(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+    }),
+
+    // Corpus-trained bigram-LM quality score (CCNet-style): top-512
+    // bigram model (broadcast), exact integer log-prob micro-units.
+    "q_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = graft.text.LangModel.train(d, "text", maxBigrams = 512)
+      graft.text.LangModel.score(d, "doc_id", "text", model)
+    }),
+
     // Token-budget corpus selection: greedy take in (score DESC, doc_id)
     // order while the doc still fits the global budget — distributed
     // prefix sum + budget-pruned second pass.
@@ -1617,6 +1666,115 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.)[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (SELECT t.term AS term, doc_id, len(w) AS dl, count(*) AS tf
+        |         FROM d, unnest(w) AS t(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
+        |      FROM d WHERE doc_id % 97 = 0),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |qw AS (SELECT qid, term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |       FROM qt JOIN tstat USING (term), st),
+        |co AS (SELECT qid, doc_id AS id,
+        |         CAST(floor((idf * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))
+        |           * 1000000.0) AS BIGINT) AS c
+        |       FROM qw JOIN post USING (term), st),
+        |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |r AS (SELECT qid, id, score_micro,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rn
+        |      FROM sc)
+        |SELECT qid, id, score_micro FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (SELECT t.term AS term, doc_id, len(w) AS dl, count(*) AS tf
+        |         FROM d, unnest(w) AS t(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
+        |      FROM d WHERE doc_id % 97 = 0),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |qw AS (SELECT qid, term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |       FROM qt JOIN tstat USING (term), st),
+        |co AS (SELECT qid, doc_id AS id,
+        |         CAST(floor((idf * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))
+        |           * 1000000.0) AS BIGINT) AS c
+        |       FROM qw JOIN post USING (term), st),
+        |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |ta AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rnk
+        |       FROM sc QUALIFY rnk <= 20),
+        |vs AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+        |         (list_sum(list_transform(range(1, 65),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(range(1, 65),
+        |               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(range(1, 65),
+        |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))) AS cos
+        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |va AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rnk
+        |       FROM vs QUALIFY rnk <= 20),
+        |f AS (SELECT coalesce(ta.qid, va.qid) AS qid, coalesce(ta.id, va.id) AS id,
+        |        coalesce(CAST(floor(1000000000.0 / (60.0 + CAST(ta.rnk AS DOUBLE))) AS BIGINT), 0)
+        |      + coalesce(CAST(floor(1000000000.0 / (60.0 + CAST(va.rnk AS DOUBLE))) AS BIGINT), 0)
+        |          AS rrf_micro
+        |      FROM ta FULL OUTER JOIN va ON ta.qid = va.qid AND ta.id = va.id),
+        |r AS (SELECT qid, id, rrf_micro,
+        |        row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id) AS rn
+        |      FROM f)
+        |SELECT qid, id, rrf_micro FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS nt,
+        |        CASE WHEN len(w) <= 32 THEN 1
+        |             ELSE CAST(ceil(CAST(len(w) - 32 AS DOUBLE) / 24.0) AS BIGINT) + 1
+        |        END AS nc
+        |      FROM d),
+        |e AS (SELECT doc_id, w, nt, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(least(nt - i * 24, 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(w) >= 2 THEN
+        |           list_transform(range(1, len(w)),
+        |             i -> array_to_string(list_slice(w, i, i + 1), ' '))
+        |         ELSE [] END AS grams
+        |       FROM d),
+        |ge AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |cc AS (SELECT gram, count(*) AS c2 FROM ge GROUP BY 1),
+        |hh AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM cc GROUP BY 1),
+        |m0 AS (SELECT gram, c2, row_number() OVER (ORDER BY c2 DESC, gram) AS rn FROM cc),
+        |m AS (SELECT m0.gram,
+        |        CAST(floor(ln(CAST(m0.c2 AS DOUBLE) / CAST(hh.c1 AS DOUBLE)) * 1000000.0)
+        |          AS BIGINT) AS lp
+        |      FROM m0 JOIN hh ON string_split(m0.gram, ' ')[1] = hh.w1
+        |      WHERE rn <= 512),
+        |s1 AS (SELECT ge.doc_id, count(m.lp) AS n_scored, sum(m.lp) AS lpsum
+        |       FROM ge LEFT JOIN m USING (gram) GROUP BY 1)
+        |SELECT g0.doc_id, CAST(len(g0.grams) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s1.n_scored, 0) AS BIGINT) AS n_scored,
+        |  CASE WHEN coalesce(s1.n_scored, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(s1.lpsum AS DOUBLE) / CAST(s1.n_scored AS DOUBLE), 4)
+        |  END AS avg_logp_micro
+        |FROM g0 LEFT JOIN s1 USING (doc_id)""".stripMargin,
 
     "q_corpus_select" ->
       """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus: a BM25 inverted-index
+  * analog plus reciprocal-rank fusion for hybrid (text + vector) search.
+  *
+  * The reference engine fuses multi-vector scores with per-field boosts
+  * (search/gamma_engine.cc multi-vector merge; `boost` in the request
+  * JSON) but has no lexical index — BM25/RRF are part of the
+  * beyond-the-reference training-pipeline operator set (retrieval for
+  * RAG-style data curation). Formulas are the published ones: Robertson
+  * et al.'s BM25 and Cormack et al.'s reciprocal-rank fusion
+  * (1/(k0+rank), k0=60).
+  *
+  * Scale design:
+  *  - [[build]] runs ONE shuffle over the corpus (the (term, doc)
+  *    aggregation — the inverted index). Term statistics derive from the
+  *    postings with a second, vocabulary-sized aggregation. Both land as
+  *    plain DataFrames a caller can persist/bucket by term.
+  *  - [[bm25]] never shuffles the corpus at query time: query terms
+  *    (tiny) broadcast into the term-stats scan, the weighted query
+  *    terms (still tiny) broadcast into the postings scan, and the only
+  *    data Exchange is the per-(query, doc) partial-aggregated score
+  *    sum, followed by the k-bounded top-k heap.
+  *  - Ubiquitous terms (df > maxDfRatio·N) are dropped from the term
+  *    stats — the classic stopword guard that also kills the hot-term
+  *    skew a 100 TB corpus would otherwise send through the score agg.
+  *  - Per-term contributions are quantized to integer micro-units and
+  *    summed EXACTLY (long arithmetic), so scores are independent of
+  *    partitioning/evaluation order and mirror the DuckDB oracle
+  *    bit-for-bit. (Verified: floor(ln(x)*1e6) agrees between Java and
+  *    C libm across the full rational input range these formulas
+  *    produce.)
+  */
+object TextIndex {
+
+  /** A built lexical index: postings (__term, __doc, __dl, __tf), term
+    * stats (__term, __df), corpus doc count and average doc length.
+    */
+  case class BuiltIndex(
+      postings: DataFrame, termStats: DataFrame, nDocs: Long, avgDl: Double)
+
+  /** Postings list: one row per (term, doc) with the term frequency and
+    * the doc's token length — the inverted-index payload.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("__doc"), toks.as("__toks"))
+      .select(col("__doc"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy(col("__term"), col("__doc"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+  }
+
+  /** Build the index: postings + document-frequency stats + corpus
+    * constants (one small stats job). Terms appearing in more than
+    * `maxDfRatio` of documents are dropped from the stats (and thus
+    * contribute zero at query time).
+    */
+  def build(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDfRatio: Double = 0.5): BuiltIndex = {
+    val post = postings(docs, idCol, textCol)
+    val st = docs.agg(
+      count(lit(1)).as("n"),
+      avg(size(TextOps.tokens(col(textCol)))).as("avgdl")).head()
+    val n = st.getLong(0)
+    val avgDl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    val dfCap = math.floor(maxDfRatio * n).toLong
+    val stats = post.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+    BuiltIndex(post, stats, n, avgDl)
+  }
+
+  /** BM25 top-k: returns (qid, id, score_micro) — `score_micro` is the
+    * exact long sum of per-term floor(idf·tfNorm·1e6) contributions,
+    * k rows per query, ties broken by ascending id.
+    */
+  def bm25(
+      ix: BuiltIndex, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("__term"))
+    // idf on the (tiny) matched query-term set; parenthesization mirrors
+    // the oracle SQL exactly: ln(1 + ((n - df) + 0.5) / (df + 0.5))
+    val idf = log(
+      lit(1.0) + ((lit(ix.nDocs) - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val qWeighted = ix.termStats
+      .join(broadcast(qterms), "__term")
+      .select(col("__qid"), col("__term"), idf.as("__idf"))
+    // tf normalizer: (tf·(k1+1)) / (tf + k1·((1-b) + (b·dl)/avgdl))
+    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          (lit(b) * col("__dl").cast("double")) / lit(ix.avgDl)))
+    val scored = ix.postings
+      .join(broadcast(qWeighted), "__term")
+      .select(col("__qid"), col("__doc"),
+        floor((col("__idf") * tfNorm) * lit(1e6)).cast("long").as("__c"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .toDF("qid", "id", "score_micro")
+    graft.operators.TopK.perGroup(
+      scored, "qid", "score_micro", ascending = false, k, Seq("id"))
+  }
+
+  /** Attach a dense 1-based rank to a per-query hit list (qid, id,
+    * score): rank 1 = best. The window runs over k-bounded lists (the
+    * output of a top-k), so the per-qid sort is bounded and cheap.
+    */
+  def rankHits(
+      hits: DataFrame, qidCol: String, idCol: String, scoreCol: String,
+      ascending: Boolean): DataFrame = {
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    hits.select(col(qidCol).as("qid"), col(idCol).as("id"),
+      row_number().over(
+        Window.partitionBy(col(qidCol)).orderBy(ord: _*)).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (qid, id, rank):
+    * rrf_micro = Σ floor(1e9 / (k0 + rank)) over the lists the item
+    * appears in — pure integer arithmetic, so fusion is deterministic
+    * under any evaluation order. Returns the top `k` per query,
+    * ties broken by ascending id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    def contrib(r: Column): Column = coalesce(
+      floor(lit(1e9) / (lit(k0.toDouble) + r.cast("double"))).cast("long"),
+      lit(0L))
+    val fused = a.select(col("qid"), col("id"), col("rank").as("__ra"))
+      .join(b.select(col("qid"), col("id"), col("rank").as("__rb")),
+        Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (contrib(col("__ra")) + contrib(col("__rb"))).as("rrf_micro"))
+    graft.operators.TopK.perGroup(
+      fused, "qid", "rrf_micro", ascending = false, k, Seq("id"))
+  }
+}

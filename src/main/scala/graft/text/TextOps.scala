@@ -178,6 +178,45 @@ object TextOps {
       lit(0L),
       (acc, h) => (acc * 31L + h) % P)
 
+  /** Token-window document chunking — the "split long documents into
+    * max-token training sequences with overlap" pipeline step (every
+    * context-bounded consumer needs it: embedding models, RAG indexing,
+    * sequence packing). Chunk i covers tokens
+    * [i·stride+1, i·stride+maxTokens] with stride = maxTokens − overlap;
+    * a doc with ≤ maxTokens tokens yields exactly one chunk. Returns
+    * (idCol, chunk_id, n_tokens, chunk_text).
+    *
+    * Scale design: a pure projection + posexplode — NO shuffle at all;
+    * chunking composes with downstream repartitioning (e.g. SeqPack)
+    * without adding an Exchange of its own. The token array binds once
+    * per row (outer-transform trick, see [[dedupSpans]]), so cost is
+    * O(tokens) per doc, not O(tokens·chunks).
+    */
+  def chunk(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens (got maxTokens=$maxTokens overlap=$overlap)")
+    val stride = maxTokens - overlap
+    val chunkList = element_at(
+      transform(array(tokens(col(textCol))), ws => {
+        val n = size(ws)
+        // mirrored 1:1 by the oracle: 1 chunk when n <= maxTokens, else
+        // ceil((n - maxTokens) / stride) + 1
+        val nChunks = when(n <= maxTokens, lit(1)).otherwise(
+          ceil((n - lit(maxTokens)).cast("double") / lit(stride.toDouble))
+            .cast("int") + 1)
+        transform(sequence(lit(0), nChunks - 1), i => struct(
+          least(n - i * stride, lit(maxTokens)).cast("long").as("nt"),
+          concat_ws(" ", slice(ws, i * stride + 1, lit(maxTokens))).as("t")))
+      }),
+      1)
+    df.select(col(idCol), posexplode(chunkList))
+      .toDF(idCol, "chunk_id", "__c")
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.nt").as("n_tokens"), col("__c.t").as("chunk_text"))
+  }
+
   /** Span-level corpus dedup (the C4-style "remove duplicated spans across
     * documents" rule, adapted to span = `spanWords` consecutive words): a
     * span occurring anywhere else in the corpus survives ONLY at its

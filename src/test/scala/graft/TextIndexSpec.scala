@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{LangModel, TextIndex, TextOps}
+
+/** BM25 lexical retrieval, RRF hybrid fusion, token-window chunking and
+  * bigram-LM scoring — correctness against naive reference shapes plus
+  * the plan-level scale contracts (broadcast query side, shuffle-free
+  * chunking).
+  */
+class TextIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = graft.core.Tables.load(spark, sf0, "documents")
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Naive BM25 on the same quantized-contribution formula: window
+    * row_number over every (query, doc) score — the semantics bm25()
+    * must reproduce with its broadcast/heap shape.
+    */
+  private def naiveBm25(
+      d: DataFrame, q: DataFrame, k: Int,
+      maxDfRatio: Double = 0.5): DataFrame = {
+    val rows = d.select(col("doc_id"), TextOps.tokens(col("text")).as("w")).collect()
+    val n = rows.length
+    val docToks = rows.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    val dfm = docToks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+      .filter { case (_, df) => df <= math.floor(maxDfRatio * n).toLong }
+    val qrows = q.collect().map(r => r.getLong(0) -> r.getString(1))
+    val scored = for {
+      (qid, qtext) <- qrows.toSeq
+      (doc, toks) <- docToks
+      terms = qtext.split(" ").distinct.filter(dfm.contains)
+      if terms.exists(toks.contains)
+    } yield {
+      val dl = toks.size
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else {
+          val df = dfm(t)
+          val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+          val norm = (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl.toDouble) / avgdl))
+          math.floor((idf * norm) * 1e6).toLong
+        }
+      }.sum
+      (qid, doc, s)
+    }
+    scored.toDF("qid", "id", "score_micro")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col("id").asc)))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private lazy val queries = docs.filter(col("doc_id") % 7 === 0)
+    .select(col("doc_id").as("qid"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+
+  test("bm25 equals the naive quantized-window reference") {
+    // 0.98: the synthetic corpus has a tiny vocabulary, so most words
+    // appear in >50% of docs — the gate uses the same ratio
+    val ix = TextIndex.build(docs, "doc_id", "text", maxDfRatio = 0.98)
+    val got = TextIndex.bm25(ix, queries, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = naiveBm25(docs, queries, k = 5, maxDfRatio = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("maxDfRatio drops ubiquitous terms from the index stats") {
+    val d = Seq(
+      (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"),
+      (4L, "common delta")).toDF("doc_id", "text")
+    val ix = TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.5)
+    // "common" is in 4/4 docs > 0.5 — must be pruned; the others stay
+    val terms = ix.termStats.select("__term").as[String].collect().toSet
+    assert(!terms.contains("common"))
+    assert(terms == Set("alpha", "beta", "gamma", "delta"))
+    // a query of ONLY the pruned term matches nothing
+    val q = Seq((0L, "common")).toDF("qid", "qtext")
+    assert(TextIndex.bm25(ix, q, "qid", "qtext", k = 3).count() == 0)
+  }
+
+  test("bm25 query path broadcasts the query side (no sort-merge join)") {
+    val ix = TextIndex.build(docs, "doc_id", "text")
+    val p = TextIndex.bm25(ix, queries, "qid", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  // ----------------------------------------------------------------- RRF
+
+  test("rrfFuse: hand-checked integer fusion with full-outer semantics") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("qid", "id", "rank")
+    val got = TextIndex.rrfFuse(a, b, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    def c(r: Int): Long = math.floor(1e9 / (60.0 + r)).toLong
+    assert(got == Map(
+      10L -> c(1), 11L -> (c(2) + c(1)), 12L -> c(3), 13L -> c(2)))
+  }
+
+  test("hybrid rrf is deterministic across runs") {
+    val ix = TextIndex.build(docs, "doc_id", "text")
+    def run(): Seq[(Long, Long, Long)] = {
+      val ta = TextIndex.rankHits(
+        TextIndex.bm25(ix, queries, "qid", "qtext", k = 10),
+        "qid", "id", "score_micro", ascending = false)
+      val e = graft.core.Tables.load(spark, sf0, "embeddings")
+      val qv = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val va = TextIndex.rankHits(
+        graft.operators.Knn.flatSearch(e, "vec_id", "embedding",
+          qv, "qid", "qvec", k = 10, metric = graft.core.Metric.Cosine),
+        "qid", "id", "score", ascending = false)
+      TextIndex.rrfFuse(ta, va, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    }
+    val r1 = run(); val r2 = run()
+    assert(r1 == r2)
+    assert(r1.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  test("chunk: stripping the overlap reconstructs every document") {
+    val maxT = 12; val ov = 4; val stride = maxT - ov
+    val out = TextOps.chunk(docs, "doc_id", "text", maxT, ov)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == orig.keySet)
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // chunk 0 whole + each later chunk minus its `ov`-token overlap
+      val rebuilt = (sorted.head._4.split(" ").toSeq ++
+        sorted.tail.toSeq.flatMap(c => c._4.split(" ").drop(ov).toSeq)).mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id")
+      // every chunk except the last is exactly maxT tokens; token counts
+      // in the n_tokens column match the text
+      sorted.init.foreach(c => assert(c._3 == maxT))
+      sorted.foreach(c => assert(c._4.split(" ").length == c._3))
+      // consecutive chunks agree on their shared overlap
+      sorted.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(p._4.split(" ").takeRight(ov).sameElements(
+            c._4.split(" ").take(ov)))
+        case _ =>
+      }
+    }
+  }
+
+  test("chunk: short docs yield exactly one chunk; plan has no Exchange") {
+    val d = Seq((1L, "a b c"), (2L, (1 to 40).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(d, "doc_id", "text", maxTokens = 32, overlap = 8)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getLong(2) == 3)
+    assert(byDoc(2L).length == 2)
+    val p = TextOps.chunk(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  // ------------------------------------------------------------ bigram LM
+
+  test("bigram LM: hand-computed scores on a tiny corpus") {
+    val d = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "z")        // no bigrams
+    ).toDF("doc_id", "text")
+    val m = LangModel.train(d, "text", maxBigrams = 100)
+    val mm = m.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // c2: "a b"->3, "b a"->1, "b c"->1; c1 heads: a->3, b->2
+    assert(mm == Map(
+      "a b" -> (3L, 3L), "b a" -> (1L, 2L), "b c" -> (1L, 2L)))
+    def lp(c2: Long, c1: Long): Long =
+      math.floor(math.log(c2.toDouble / c1.toDouble) * 1e6).toLong
+    val got = LangModel.score(d, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val d1 = (lp(3, 3) * 2 + lp(1, 2)).toDouble / 3
+    val d2 = (lp(3, 3) + lp(1, 2)).toDouble / 2
+    assert(got(1L) == ((3L, 3L,
+      BigDecimal(d1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((2L, 2L,
+      BigDecimal(d2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("bigram LM: the maxBigrams cut is deterministic (count desc, gram asc)") {
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    // counts: "a b"->2, "a c"->1 — cap 1 keeps "a b" only
+    val m1 = LangModel.train(d, "text", maxBigrams = 1)
+      .select("gram").as[String].collect().toSeq
+    assert(m1 == Seq("a b"))
+    // equal counts tie-break by gram ascending
+    val d2 = Seq((1L, "b z"), (2L, "a z")).toDF("doc_id", "text")
+    val m2 = LangModel.train(d2, "text", maxBigrams = 1)
+      .select("gram").as[String].collect().toSeq
+    assert(m2 == Seq("a z"))
+  }
+
+  test("bigram LM scoring plan: model side broadcasts, corpus never sorts") {
+    val m = LangModel.train(docs, "text", maxBigrams = 512)
+    val p = LangModel.score(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
