@@ -40,6 +40,18 @@ object SparkEntry {
     knnQueries(s, dir).as[(Long, Array[Float])].collect().toSeq
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` = n, restoring after.
+    * Structured-streaming state partitioning = shuffle partitions at query
+    * start, so the stream gates size their state stores to the gate's
+    * microbatch load (a real deployment tunes this per query; 32 state
+    * partitions × 5 batches of ~1k docs is pure per-store overhead).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on sf=0.001: filtered exact KNN — the minimum
     * end-to-end slice of SURVEY.md §7.3.
     */
@@ -712,17 +724,19 @@ object SparkEntry {
       val step = (n + 4) / 5
       val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
-      val q = graft.streaming.StreamDedup.firstSeen(stream.toDF(), "doc_id", "text")
-        .toDF("digest", "keeper")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        (0 until 5).foreach { i =>
-          stream.addData(docs
-            .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-            .as[StreamTextDoc].collect().toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamDedup.firstSeen(stream.toDF(), "doc_id", "text")
+          .toDF("digest", "keeper")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          (0 until 5).foreach { i =>
+            stream.addData(docs
+              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+              .as[StreamTextDoc].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink).select(col("digest"), col("keeper"))
     }),
 
@@ -739,17 +753,19 @@ object SparkEntry {
       val step = (n + 4) / 5
       val sink = s"stream_neardup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
-      val q = graft.streaming.StreamDedup
-        .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        (0 until 5).foreach { i =>
-          stream.addData(docs
-            .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-            .as[StreamTextDoc].collect().toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamDedup
+          .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try {
+          (0 until 5).foreach { i =>
+            stream.addData(docs
+              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+              .as[StreamTextDoc].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink).select(col("a"), col("b"), col("jaccard")).distinct()
     }),
 

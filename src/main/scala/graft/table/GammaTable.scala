@@ -280,7 +280,16 @@ class GammaTable private (
           }
         }
       }(org.apache.spark.sql.Encoders.row(base.schema))
-    observed.write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
+    // Commit plans are fixed-shape (explicit bucket-hash repartition,
+    // stats-planned broadcasts over the delta cache): AQE's runtime
+    // re-planning buys nothing here but costs one scheduler round-trip
+    // per query stage — a third of the lifecycle's job count was AQE
+    // stage bookkeeping on tiny commit writes. Disabled for the write
+    // action only (commits are exclusive per table handle).
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try observed.write.mode(SaveMode.Overwrite).partitionBy("_bp").parquet(staging.toString)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     val written = buckets.filter { b =>
       val part = new org.apache.hadoop.fs.Path(staging, s"_bp=$b")
       if (fs.exists(part)) {
