@@ -1015,6 +1015,15 @@ object SparkEntry {
       graft.text.LangModel.score(d, "doc_id", "text", model)
     }),
 
+    // Deterministic stratified sampling: exactly ceil(0.2·|lang|) docs
+    // per language, membership by shared md5-hash order — only
+    // (group, id, hash) triplets cross the rank shuffle.
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sample.stratifiedExact(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", frac = 0.2)
+    }),
+
     // Token-budget corpus selection: greedy take in (score DESC, doc_id)
     // order while the doc still fits the global budget — distributed
     // prefix sum + budget-pruned second pass.
@@ -1791,6 +1800,17 @@ object SparkEntry {
         |       ELSE round(CAST(s1.lpsum AS DOUBLE) / CAST(s1.n_scored AS DOUBLE), 4)
         |  END AS avg_logp_micro
         |FROM g0 LEFT JOIN s1 USING (doc_id)""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |          FROM documents),
+        |c AS (SELECT lang, count(*) AS n FROM h GROUP BY 1),
+        |r AS (SELECT h.doc_id, h.lang, h.n_chars, c.n,
+        |        row_number() OVER (PARTITION BY h.lang ORDER BY hh, doc_id) AS rn
+        |      FROM h JOIN c ON h.lang = c.lang)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)""".stripMargin,
 
     "q_corpus_select" ->
       """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -214,6 +214,29 @@ class TextIndexSpec extends GraftSuite {
     assert(m2 == Seq("a z"))
   }
 
+  // ---------------------------------------------------- stratified sampling
+
+  test("stratifiedExact: exact per-group quotas, deterministic, payload-preserving") {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s1 = graft.operators.Sample.stratifiedExact(d, "lang", "doc_id", 0.2)
+    val s2 = graft.operators.Sample.stratifiedExact(d, "lang", "doc_id", 0.2)
+    val got = s1.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == s2.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    // exact quota per group
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val picked = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (g, n) =>
+      assert(picked.getOrElse(g, 0L) == math.ceil(0.2 * n).toLong, s"group $g")
+    }
+    // selected rows carry the original payload columns
+    assert(s1.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    // frac=1.0 keeps everything; frac=0.0 keeps nothing
+    assert(graft.operators.Sample.stratifiedExact(d, "lang", "doc_id", 1.0).count() == d.count())
+    assert(graft.operators.Sample.stratifiedExact(d, "lang", "doc_id", 0.0).count() == 0)
+  }
+
   test("bigram LM scoring plan: model side broadcasts, corpus never sorts") {
     val m = LangModel.train(docs, "text", maxBigrams = 512)
     val p = LangModel.score(docs, "doc_id", "text", m)
