@@ -1015,6 +1015,18 @@ object SparkEntry {
       graft.text.LangModel.score(d, "doc_id", "text", model)
     }),
 
+    // JL sign random projection: 64-dim float embeddings compressed to
+    // 16-dim — data-independent, md5-derived sign matrix, zero shuffle.
+    "q_embed_project" -> ((s, dir) => {
+      // flattened to (vec_id, dim, val) rows — the driver's compare
+      // sorts rows by column values, which needs scalars
+      graft.operators.Project.signProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dIn = 64, dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .toDF("vec_id", "dim", "val")
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("val"))
+    }),
+
     // Deterministic stratified sampling: exactly ceil(0.2·|lang|) docs
     // per language, membership by shared md5-hash order — only
     // (group, id, hash) triplets cross the rank shuffle.
@@ -1800,6 +1812,16 @@ object SparkEntry {
         |       ELSE round(CAST(s1.lpsum AS DOUBLE) / CAST(s1.n_scored AS DOUBLE), 4)
         |  END AS avg_logp_micro
         |FROM g0 LEFT JOIN s1 USING (doc_id)""".stripMargin,
+
+    "q_embed_project" ->
+      """WITH jj AS (SELECT unnest(range(0, 16)) AS dim)
+        |SELECT e.vec_id, CAST(jj.dim AS BIGINT) AS dim,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(e.embedding[i] AS DOUBLE) *
+        |    (CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '_'
+        |                 || CAST(jj.dim AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6) AS val
+        |FROM embeddings e, jj""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,

@@ -237,6 +237,46 @@ class TextIndexSpec extends GraftSuite {
     assert(graft.operators.Sample.stratifiedExact(d, "lang", "doc_id", 0.0).count() == 0)
   }
 
+  // ------------------------------------------------------- JL projection
+
+  test("signProject: deterministic, shuffle-free, JL distance-preserving") {
+    val e = graft.core.Tables.load(spark, sf0, "embeddings")
+    val p = graft.operators.Project.signProject(e, "vec_id", "embedding", 64, 16)
+    // plan: pure projection
+    assert(!p.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = p.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got2 = graft.operators.Project.signProject(e, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet == got2.keySet)
+    got.foreach { case (k, v) => assert(v.sameElements(got2(k))) }
+    // matches a driver-side reference projection
+    val orig = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ref = orig.view.mapValues { v =>
+      (0 until 16).map { j =>
+        val s = (0 until 64).map(i => v(i) * graft.operators.Project.sign(i, j)).sum
+        BigDecimal(s / 4.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }.toMap
+    got.foreach { case (k, v) =>
+      v.zip(ref(k)).foreach { case (a, b) => assert(math.abs(a - b) < 2e-6, s"id $k") }
+    }
+    // JL property: projected pairwise L2 within a loose distortion band of
+    // the original (k=16 -> rough preservation, not exactness)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(12)
+    val ratios = for {
+      Seq(a, b) <- ids.combinations(2).toSeq
+      o = d2(orig(a), orig(b)) if o > 1e-9
+    } yield d2(got(a), got(b)) / o
+    assert(ratios.nonEmpty)
+    // mean ratio near 1 (unbiased), individual ratios within [0.2, 2.5]
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.5, s"mean distortion $mean")
+    ratios.foreach(r => assert(r > 0.2 && r < 2.5, s"ratio $r"))
+  }
+
   test("bigram LM scoring plan: model side broadcasts, corpus never sorts") {
     val m = LangModel.train(docs, "text", maxBigrams = 512)
     val p = LangModel.score(docs, "doc_id", "text", m)
