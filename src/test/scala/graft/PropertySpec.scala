@@ -144,4 +144,72 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.table.GammaTable.bucketOfValue(k, 16) === viaCol(k))
     }
   }
+
+  test("property: chunk reconstructs the doc for any (maxTokens, overlap)") {
+    trials(8) { rng =>
+      val maxT = 2 + rng.nextInt(30)
+      val ov = rng.nextInt(maxT) // 0 <= ov < maxT
+      val docs = (0 until 25).map { i =>
+        (i.toLong, (0 until (1 + rng.nextInt(90))).map(j => s"w${rng.nextInt(40)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = graft.text.TextOps.chunk(docs, "doc_id", "text", maxT, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      val orig = docs.as[(Long, String)].collect().toMap
+      assert(chunks.keySet == orig.keySet)
+      chunks.foreach { case (id, cs) =>
+        val sorted = cs.sortBy(_._2)
+        val rebuilt = (sorted.head._4.split(" ").toSeq ++
+          sorted.tail.toSeq.flatMap(c => c._4.split(" ").drop(ov).toSeq)).mkString(" ")
+        assert(rebuilt == orig(id), s"maxT=$maxT ov=$ov doc=$id")
+        sorted.foreach(c => assert(c._3 <= maxT && c._3 >= 1))
+      }
+    }
+  }
+
+  test("property: stratified sample hits its exact quota for any frac") {
+    trials(6) { rng =>
+      val frac = rng.nextDouble()
+      val df = (0 until 120)
+        .map(i => (i.toLong, s"g${rng.nextInt(5)}", rng.nextInt(100)))
+        .toDF("id", "g", "x")
+      val out = graft.operators.Sample.stratifiedExact(df, "g", "id", frac)
+      val want = df.groupBy("g").count().collect()
+        .map(r => r.getString(0) -> math.ceil(frac * r.getLong(1)).toLong).toMap
+      val got = out.groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      want.foreach { case (g, n) =>
+        assert(got.getOrElse(g, 0L) == n, s"frac=$frac group=$g")
+      }
+      // membership is a subset of the input and monotone in frac: every
+      // selected id is also selected at any larger fraction
+      val bigger = graft.operators.Sample
+        .stratifiedExact(df, "g", "id", math.min(1.0, frac + 0.3))
+        .select("id").as[Long].collect().toSet
+      val small = out.select("id").as[Long].collect().toSet
+      assert(small.subsetOf(bigger), s"frac=$frac not monotone")
+    }
+  }
+
+  test("property: bm25 ranking is invariant to corpus partitioning") {
+    trials(4) { rng =>
+      val vocabW = (0 until 12).map(i => s"t$i")
+      val docs = (0 until 60).map { i =>
+        (i.toLong, (0 until (3 + rng.nextInt(20)))
+          .map(_ => vocabW(rng.nextInt(vocabW.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val q = (0 until 4).map(i =>
+        (i.toLong, (0 until 3).map(_ => vocabW(rng.nextInt(vocabW.size)))
+          .mkString(" "))).toDF("qid", "qtext")
+      def run(d: org.apache.spark.sql.DataFrame) = {
+        val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+        graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(identity).toSeq
+      }
+      assert(run(docs) == run(docs.repartition(7)),
+        "bm25 results changed under repartitioning")
+    }
+  }
 }
