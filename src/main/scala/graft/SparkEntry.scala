@@ -703,10 +703,15 @@ object SparkEntry {
       def batch(i: Int) = ev
         .filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
         .withColumn("_seq", col("event_id"))
-      val tbl = graft.table.GammaTable.create(s, root, "se", "_id",
-        Crud.dedupLastWins(batch(0), "_id", Some("_seq")).drop("_seq"), nBuckets = 8)
-      (1 until 5).foreach(i => tbl.addOrUpdate(batch(i), Some("_seq")))
-      tbl.docs.select(col("_id"), col("event_id"), col("event_type"), col("value"))
+      // commit shuffles sized to the microbatch (same per-query sizing as
+      // the structured-streaming gates): 5 sequential ~O(100k-row) commits
+      // don't need 32-task shuffle stages each
+      withShufflePartitions(s, 8) {
+        val tbl = graft.table.GammaTable.create(s, root, "se", "_id",
+          Crud.dedupLastWins(batch(0), "_id", Some("_seq")).drop("_seq"), nBuckets = 8)
+        (1 until 5).foreach(i => tbl.addOrUpdate(batch(i), Some("_seq")))
+        tbl.docs.select(col("_id"), col("event_id"), col("event_type"), col("value"))
+      }
     }),
 
     // Streaming ingest dedup: the document stream replayed as 5 id-ordered
