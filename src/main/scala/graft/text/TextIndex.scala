@@ -37,11 +37,19 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** A built lexical index: postings (__term, __doc, __dl, __tf), term
-    * stats (__term, __df), corpus doc count and average doc length.
+  /** A built lexical index: postings (__term, __doc, __dl, __tf),
+    * UNFILTERED term stats (__term, __df), corpus doc count, total token
+    * count (avgDl = dlSum/nDocs, exact in doubles since dlSum < 2^53) and
+    * the df-ratio guard applied AT QUERY TIME — keeping the stats raw is
+    * what makes [[appendDelta]] O(delta): a term pruned under one corpus
+    * size can fall back under the cap as the corpus grows, which filtered
+    * stats could not express without re-reading the postings.
     */
   case class BuiltIndex(
-      postings: DataFrame, termStats: DataFrame, nDocs: Long, avgDl: Double)
+      postings: DataFrame, termStats: DataFrame, nDocs: Long, dlSum: Long,
+      maxDfRatio: Double) {
+    def avgDl: Double = dlSum.toDouble / nDocs
+  }
 
   /** Postings list: one row per (term, doc) with the term frequency and
     * the doc's token length — the inverted-index payload.
@@ -56,10 +64,10 @@ object TextIndex {
       .agg(count(lit(1)).as("__tf"))
   }
 
-  /** Build the index: postings + document-frequency stats + corpus
+  /** Build the index: postings + raw document-frequency stats + corpus
     * constants (one small stats job). Terms appearing in more than
-    * `maxDfRatio` of documents are dropped from the stats (and thus
-    * contribute zero at query time).
+    * `maxDfRatio` of documents are excluded AT QUERY TIME (and thus
+    * contribute zero).
     */
   def build(
       docs: DataFrame, idCol: String, textCol: String,
@@ -67,14 +75,32 @@ object TextIndex {
     val post = postings(docs, idCol, textCol)
     val st = docs.agg(
       count(lit(1)).as("n"),
-      avg(size(TextOps.tokens(col(textCol)))).as("avgdl")).head()
+      sum(size(TextOps.tokens(col(textCol))).cast("long")).as("dlsum")).head()
     val n = st.getLong(0)
-    val avgDl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
-    val dfCap = math.floor(maxDfRatio * n).toLong
-    val stats = post.groupBy(col("__term"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap)
-    BuiltIndex(post, stats, n, avgDl)
+    val dlSum = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val stats = post.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    BuiltIndex(post, stats, n, dlSum, maxDfRatio)
+  }
+
+  /** Incremental maintenance — the BM25 analog of the ANN indexes'
+    * O(delta) append refresh (reference R5/R7): extend a built index
+    * with a batch of NEW documents (fresh ids; updates = delete+append
+    * at the table layer). Postings gain the delta's postings; term
+    * stats merge per term; corpus constants add. Nothing re-reads the
+    * standing corpus — cost is one shuffle over the DELTA plus a
+    * vocabulary-sized stats merge, and the df-ratio guard stays correct
+    * because it re-evaluates against the NEW corpus size at query time.
+    */
+  def appendDelta(
+      ix: BuiltIndex, docs: DataFrame, idCol: String,
+      textCol: String): BuiltIndex = {
+    val d = build(docs, idCol, textCol, ix.maxDfRatio)
+    val merged = ix.termStats
+      .join(d.termStats.withColumnRenamed("__df", "__df2"), Seq("__term"), "full_outer")
+      .select(col("__term"),
+        (coalesce(col("__df"), lit(0L)) + coalesce(col("__df2"), lit(0L))).as("__df"))
+    BuiltIndex(ix.postings.unionByName(d.postings), merged,
+      ix.nDocs + d.nDocs, ix.dlSum + d.dlSum, ix.maxDfRatio)
   }
 
   /** BM25 top-k: returns (qid, id, score_micro) — `score_micro` is the
@@ -91,7 +117,9 @@ object TextIndex {
     val idf = log(
       lit(1.0) + ((lit(ix.nDocs) - col("__df")).cast("double") + lit(0.5)) /
         (col("__df").cast("double") + lit(0.5)))
+    val dfCap = math.floor(ix.maxDfRatio * ix.nDocs).toLong
     val qWeighted = ix.termStats
+      .filter(col("__df") <= dfCap)
       .join(broadcast(qterms), "__term")
       .select(col("__qid"), col("__term"), idf.as("__idf"))
     // tf normalizer: (tf·(k1+1)) / (tf + k1·((1-b) + (b·dl)/avgdl))

@@ -97,4 +97,32 @@ class JobCountSpec extends GraftSuite {
         docTable().select("vec").as[Array[Float]].head()))))
     assert(hits.count() === 5)
   }
+
+  test("commit path job counts stay bounded (AQE off for the fixed-shape write)") {
+    // Regression guard for the r8 commit-cost work: the write action runs
+    // WITHOUT adaptive execution (fixed-shape plan), so each commit is
+    // stats-pass jobs + broadcast builds + ONE write job — not one job
+    // per AQE query stage. Bounds are the measured counts + 1 slack.
+    val root = tmp()
+    val input = docTable() // parquet schema inference happens here, not in the window
+    val (t, createJobs) = jobsDuring {
+      GammaTable.create(spark, root, "jcc", "_id", input, Nil, nBuckets = 4)
+    }
+    assert(createJobs <= 5,
+      s"create ran $createJobs jobs: ${lastJobSites.toArray.mkString("; ")}")
+
+    val delta = t.docs.filter(col("_id").cast("long") % 5 === 0)
+      .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      .localCheckpoint(true)
+    val (_, upsertJobs) = jobsDuring(t.addOrUpdate(delta))
+    assert(upsertJobs <= 9,
+      s"addOrUpdate ran $upsertJobs jobs: ${lastJobSites.toArray.mkString("; ")}")
+
+    val (_, delJobs) = jobsDuring(t.deleteByQuery(col("p_size").between(10, 12)))
+    assert(delJobs <= 7,
+      s"deleteByQuery ran $delJobs jobs: ${lastJobSites.toArray.mkString("; ")}")
+
+    // the AQE toggle must be restored after every commit
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
 }

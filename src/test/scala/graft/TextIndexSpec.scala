@@ -75,18 +75,35 @@ class TextIndexSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
-  test("maxDfRatio drops ubiquitous terms from the index stats") {
+  test("maxDfRatio drops ubiquitous terms at query time") {
     val d = Seq(
       (1L, "common alpha"), (2L, "common beta"), (3L, "common gamma"),
       (4L, "common delta")).toDF("doc_id", "text")
     val ix = TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.5)
-    // "common" is in 4/4 docs > 0.5 — must be pruned; the others stay
-    val terms = ix.termStats.select("__term").as[String].collect().toSet
-    assert(!terms.contains("common"))
-    assert(terms == Set("alpha", "beta", "gamma", "delta"))
-    // a query of ONLY the pruned term matches nothing
+    // stats stay RAW (append-mergeable); the cap applies at query time:
+    // a query of ONLY the ubiquitous term (4/4 docs > 0.5) matches nothing
     val q = Seq((0L, "common")).toDF("qid", "qtext")
     assert(TextIndex.bm25(ix, q, "qid", "qtext", k = 3).count() == 0)
+    // a rarer term still matches
+    val q2 = Seq((0L, "alpha")).toDF("qid", "qtext")
+    assert(TextIndex.bm25(ix, q2, "qid", "qtext", k = 3).count() == 1)
+  }
+
+  test("appendDelta == build on the full corpus (O(delta) maintenance)") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val inc = TextIndex.appendDelta(
+      TextIndex.build(half1, "doc_id", "text", maxDfRatio = 0.98),
+      half2, "doc_id", "text")
+    val full = TextIndex.build(docs, "doc_id", "text", maxDfRatio = 0.98)
+    assert(inc.nDocs == full.nDocs && inc.dlSum == full.dlSum)
+    def hits(ix: TextIndex.BuiltIndex) =
+      TextIndex.bm25(ix, queries, "qid", "qtext", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val (a, b) = (hits(inc), hits(full))
+    assert(a == b)
+    assert(a.nonEmpty)
   }
 
   test("bm25 query path broadcasts the query side (no sort-merge join)") {
