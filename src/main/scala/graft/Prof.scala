@@ -12,8 +12,47 @@ object Prof {
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
     sys.env.get("PROF_ONLY").foreach { v =>
-      require(Set("persist", "bin", "i8", "keepbest").contains(v),
-        s"unknown PROF_ONLY=$v (expected: persist | bin | i8 | keepbest)")
+      require(Set("persist", "bin", "i8", "keepbest", "neardup").contains(v),
+        s"unknown PROF_ONLY=$v (expected: persist | bin | i8 | keepbest | neardup)")
+    }
+
+    // q_stream_neardup stage breakdown (PROF_ONLY=neardup): where do the
+    // seconds go — the static-side checkpoint at stream start, the
+    // MemoryStream feed collects, or the per-microbatch processing?
+    if (sys.env.get("PROF_ONLY").contains("neardup")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val step = (n + 4) / 5
+      (1 to 2).foreach { pass =>
+        System.err.println(s"[prof] === stream_neardup, pass $pass ===")
+        val t0 = System.nanoTime()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val sink = s"ndprof_${pass}"
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.StreamTextDoc]
+        val q = graft.streaming.StreamDedup
+          .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        System.err.println(f"[prof] nd: start+static ckpt    ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        try {
+          (0 until 5).foreach { i =>
+            val t1 = System.nanoTime()
+            val data = docs
+              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+              .as[graft.StreamTextDoc].collect().toSeq
+            val t2 = System.nanoTime()
+            stream.addData(data)
+            q.processAllAvailable()
+            System.err.println(f"[prof] nd: batch $i collect     ${(t2 - t1) / 1e9}%7.2f s  process ${(System.nanoTime() - t2) / 1e9}%7.2f s")
+          }
+        } finally q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        System.err.println(f"[prof] nd: total              ${(System.nanoTime() - t0) / 1e9}%7.2f s  pairs=${spark.table(sink).distinct().count()}")
+      }
+      spark.stop(); return
     }
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     emb.count() // warm the file scan
