@@ -802,6 +802,16 @@ object SparkEntry {
       graft.dedup.Dedup.duplicateClusters(pairs)
     }),
 
+    // Same clusters through the DISTRIBUTED path (maxDriverEdges = 0
+    // disables the driver union-find shortcut): alternating large-star /
+    // small-star contraction, held to the exact transitive-closure oracle.
+    // The scale algorithm is gate-checked, not just spec-checked.
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      graft.dedup.Dedup.duplicateClusters(pairs, maxDriverEdges = 0L)
+    }),
+
     // INT8 vector value type (reference retrieval_model.h:18 declares
     // FLOAT|BINARY|INT8): symmetric per-vector scalar quantization
     // (scale = max|v|/127) — 4x smaller storage. Roundtrip gate: per-doc
@@ -1213,6 +1223,52 @@ object SparkEntry {
           window(col("ts"), "1 hour").getField("start").as("ws"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // As-of join (beyond-reference; Spark has no such operator): each
+    // click attached to the SAME user's latest view at-or-before it —
+    // union-and-sweep, one keyed Exchange, never an inequality nested
+    // loop. Oracle independence: DuckDB's native ASOF LEFT JOIN (a
+    // different algorithm entirely) over a max-tie-deduped build side.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsofJoin.backward(
+          clicks, views, Seq("user_id"), "ts", "ts", "view_id",
+          Seq("view_id" -> "view_id", "ts" -> "view_ts",
+            "view_value" -> "view_value"))
+        // unmatched clicks keep LEFT semantics but surface as -1
+        // sentinels: a NULL in the gate output would hash NaN vs NaN in
+        // the driver's pandas compare
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"),
+          coalesce(round(col("view_value"), 2), lit(-1.0)).as("view_value"))
+    }),
+
+    // Range join (beyond-reference): clicks inside 4-hour post-purchase
+    // promo windows per user, via domain binning — equi-join on
+    // (user, bin) + residual BETWEEN, never a BroadcastNestedLoopJoin.
+    // Oracle is the plain inequality join, independent of the binning.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val promos = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("promo_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(14400000000L)).as("end_us"))
+      graft.operators.RangeJoin.binned(
+          clicks, promos, Seq("user_id"), "click_us", "start_us", "end_us",
+          binWidth = 14400000000L)
+        .select(col("user_id"), col("click_id"), col("promo_id"),
+          col("click_us"), col("start_us"))
     })
   )
 
@@ -1494,15 +1550,11 @@ object SparkEntry {
     // same pair derivation as q_dedup_minhash (shared CTE val — oracle
     // drift between the two would be a gate-integrity bug), then
     // transitive closure to min-id components via a recursive CTE
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $ShingleCte, $MinhashPairCtes,
-         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
-         |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
-         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_clusters" -> oracleSqlClusters,
+
+    // identical oracle by construction: the distributed star-contraction
+    // path must produce the exact same components as the driver shortcut
+    "q_dedup_clusters_star" -> oracleSqlClusters,
 
     "q_int8_roundtrip" ->
       """WITH e AS (SELECT vec_id, embedding,
@@ -1970,7 +2022,32 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ASOF LEFT JOIN is DuckDB-native — a genuinely independent algorithm
+    // from the engine's union-and-sweep window. The build side dedups to
+    // max event_id per (user, ts) = the operator's tie contract.
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id,
+        |             arg_max(value, event_id) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.click_us,
+        |       coalesce(v.view_id, -1) AS view_id,
+        |       coalesce(epoch_us(v.ts), -1) AS view_us,
+        |       coalesce(round(v.view_value, 2), -1.0) AS view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS promo_id, epoch_us(ts) AS start_us,
+        |             epoch_us(ts) + 14400000000 AS end_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.promo_id, c.click_us, p.start_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |             AND c.click_us BETWEEN p.start_us AND p.end_us""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
@@ -2002,6 +2079,21 @@ object SparkEntry {
     * with columns a, b, jaccard) — used verbatim by q_dedup_minhash and
     * q_dedup_clusters so the two oracles cannot drift apart.
     */
+  /** Shared clusters oracle (q_dedup_clusters and q_dedup_clusters_star):
+    * the same pair derivation as q_dedup_minhash, then transitive closure
+    * to min-id components via a recursive CTE. One val — the driver path
+    * and the distributed star path cannot drift against different SQL.
+    */
+  private lazy val oracleSqlClusters: String =
+    s"""WITH RECURSIVE $ShingleCte, $MinhashPairCtes,
+       |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
   private val MinhashPairCtes: String =
     """hs AS (SELECT doc_id,
       |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs

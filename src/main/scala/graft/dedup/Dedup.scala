@@ -367,29 +367,82 @@ object Dedup {
       edges.unpersist()
       return out
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
-    // each round checkpoints a new labels frame; unpersist the previous
-    // one once the new round has materialized, or block-manager storage
-    // grows O(component diameter) rounds (GraphX/Pregel does the same)
-    var prevCp: DataFrame = labels
+    val out = starComponents(edges)
+    edges.unpersist()
+    out
+  }
+
+  /** Distributed connected components by alternating LARGE-STAR /
+    * SMALL-STAR edge contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — O(log^2 n) rounds versus min-label
+    * propagation's O(component diameter): the scale path for chain-shaped
+    * near-dup clusters (doc1~doc2~...~docN), where label propagation pays
+    * a full shuffle round per hop. Output contract identical to
+    * [[duplicateClusters]]: every node labeled with its component's
+    * MINIMUM id under the id column's natural ordering.
+    *
+    * Shape notes for the 100 TB case: both star operations are a
+    * groupBy-min + equi-join — per-node reduce state is a single running
+    * min, never a collected neighbor list, so a celebrity node costs a
+    * bigger reduce group, not executor memory. Edge frames shrink
+    * monotonically toward the star fixpoint and each round's frame is
+    * localCheckpointed while the previous one is unpersisted (bounded
+    * block-manager footprint, same discipline as GraphX/Pregel).
+    *
+    * Invariant used below: every emitted edge (s, g) keeps s < g — for
+    * large-star the new endpoint m = min(N(u) ∪ {u}) <= u < v; for
+    * small-star m is the group minimum — so the canonical edge direction
+    * never needs re-sorting between rounds.
+    */
+  private[graft] def starComponents(edges0: DataFrame): DataFrame = {
+    // canonical undirected edge set (s < g), self-loops dropped
+    var edges = edges0
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("g"))
+      .filter(col("s") =!= col("g"))
+      .distinct().localCheckpoint(true)
+    val allNodes = edges.select(col("s").as("id"))
+      .unionByName(edges.select(col("g").as("id")))
+      .distinct().localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("__nc"))
-      // carry the previous label so convergence is a filter on the SAME
-      // checkpointed frame — no second join+shuffle per round
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), col("__nc")).as("cluster"),
-          col("cluster").as("__old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("cluster") =!= col("__old")).count()
-      prevCp.unpersist()
-      prevCp = next
-      labels = next.drop("__old")
+      // LARGE-STAR: for each node u, connect every strictly-larger
+      // neighbor v to m = min(N(u) ∪ {u})
+      val bi = edges.select(col("s").as("u"), col("g").as("v"))
+        .unionByName(edges.select(col("g").as("u"), col("s").as("v")))
+      val lmin = bi.groupBy("u").agg(min(col("v")).as("mv"))
+      val ls = bi.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("mv"), col("u")).as("s"), col("v").as("g"))
+        .filter(col("s") =!= col("g"))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR: on edges directed larger -> smaller, connect u and all
+      // its smaller neighbors to m = min(N_<(u) ∪ {u}) (= min over the
+      // incoming s side, which is < u by the invariant)
+      val dirMin = ls.groupBy(col("g").as("u")).agg(min(col("s")).as("mv"))
+      val ssSmall = ls.join(dirMin, ls("g") === dirMin("u"))
+        .select(col("mv").as("s"), ls("s").as("g"))
+        .filter(col("s") =!= col("g"))
+      val ssSelf = dirMin
+        .select(col("mv").as("s"), col("u").as("g"))
+        .filter(col("s") =!= col("g"))
+      val next = ssSmall.unionByName(ssSelf).distinct().localCheckpoint(true)
+      ls.unpersist()
+      // fixpoint = edge set unchanged (the paper's termination condition);
+      // the symmetric difference runs over the contracted (small) edge
+      // frames, not the corpus
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges.unpersist()
+      edges = next
     }
+    // at the fixpoint edges form stars centered at component minima;
+    // nodes with no incoming star edge are their component's minimum
+    val centerOf = edges.groupBy(col("g").as("id")).agg(min(col("s")).as("__c"))
+    val out = allNodes.join(centerOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
     edges.unpersist()
-    labels
+    allNodes.unpersist()
+    out
   }
 
   /** Edge-count ceiling for the driver union-find shortcut (~32 MB of

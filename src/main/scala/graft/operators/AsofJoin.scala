@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal point-in-time) join: for every left row, the single
+  * latest right row whose timestamp is <= (backward, inclusive) or <
+  * (backward, strict) the left row's timestamp, within equal join keys.
+  * The staple for "attach the most recent prior state" lookups — last
+  * view before a click, last quote before a trade, last config before an
+  * event — which plain SQL can only express as an inequality join plus a
+  * per-left-row argmax.
+  *
+  * Spark has no as-of join operator; the naive encodings are either a
+  * BroadcastNestedLoopJoin on the inequality (O(|L|·|R|) comparisons) or
+  * an equi-join on key that inflates to every (left, earlier-right) pair
+  * before a window prunes it. This operator is the UNION-AND-SWEEP shape
+  * instead: tag both sides, union, and run one running `last(right_payload,
+  * ignoreNulls)` window over (key) ordered by (ts, side, tie) — each left
+  * row reads the nearest preceding right payload in O(1) per row.
+  *
+  * Scale design: ONE hash Exchange on the join keys over the union (the
+  * same data movement a sort-merge equi-join pays), then a per-partition
+  * sort; the running `last` carries O(1) state — no per-row lookback, no
+  * intermediate inflation (output is exactly |left| rows). Skewed keys
+  * behave like any keyed window (one task per hot key); at 100 TB the
+  * move is salting the key and as-of-joining per salt when the right side
+  * is replicable.
+  *
+  * Determinism: among right rows tied on (key, ts) the greatest `rightTie`
+  * wins (window order is tie-ascending, `last` takes the final one); left
+  * rows never need an intra-order because every left row at a given ts
+  * sees the same right prefix.
+  */
+object AsofJoin {
+
+  /** Backward as-of join (the common direction).
+    *
+    * @param on        equi-join key column names (present on both sides)
+    * @param leftTs    left timestamp/ordering column (any orderable type,
+    *                  must match the right column's type)
+    * @param rightTs   right timestamp/ordering column
+    * @param rightTie  right tie-break column — greatest wins among rows
+    *                  tied on (key, ts)
+    * @param rightCols (rightColumn, outputName) pairs appended to every
+    *                  left row; null when no right row qualifies
+    * @param inclusive true: match rightTs <= leftTs; false: rightTs < leftTs
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[(String, String)],
+      inclusive: Boolean = true): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    val keyCols = on.map(col)
+
+    // side ordering encodes the bound: inclusive puts right rows BEFORE
+    // left rows at equal ts (visible to them), strict puts them after
+    val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
+
+    val rPayload = struct(rightCols.map { case (c, o) => col(c).as(o) }: _*)
+    val rPrep = right
+      .select(keyCols ++ Seq(
+        col(rightTs).as("__ts"),
+        col(rightTie).as("__tie"),
+        rPayload.as("__r")): _*)
+      .withColumn("__side", lit(rightSide))
+    val rType = rPrep.schema("__r").dataType
+    val tieType = rPrep.schema("__tie").dataType
+
+    val lPrep = left
+      .select(keyCols ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(null).cast(tieType).as("__tie"),
+        lit(null).cast(rType).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+      .withColumn("__side", lit(leftSide))
+
+    val union = lPrep.unionByName(rPrep.withColumn(
+      "__l", lit(null).cast(lPrep.schema("__l").dataType)))
+
+    val w = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    union
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lit(leftSide))
+      .select(col("__l.*") +: rightCols.map { case (_, o) =>
+        col("__m").getField(o).as(o)
+      }: _*)
+  }
+}

@@ -35,6 +35,27 @@ class DedupTextSpec extends GraftSuite {
     assert(a === b && a.nonEmpty)
   }
 
+  test("star contraction matches union-find on adversarial graph shapes") {
+    // long chain (worst case for label propagation: diameter = n), a
+    // cycle, star, two merged blobs, and a deterministic random graph —
+    // all labeled against the driver union-find ground truth
+    val rnd = new scala.util.Random(7)
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val star = (201L to 208L).map(v => (200L, v))
+    val blobs = Seq.fill(80)((300L + rnd.nextInt(20), 300L + rnd.nextInt(20))) ++
+      Seq.fill(80)((400L + rnd.nextInt(20), 400L + rnd.nextInt(20))) ++
+      Seq((305L, 405L)) // bridge the blobs
+    val pairs = (chain ++ cycle ++ star ++ blobs).toDF("a", "b")
+    val want = graft.dedup.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val got = graft.dedup.Dedup.duplicateClusters(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // chain collapses to min label 0; bridged blobs share one min
+    assert(got(59L) === 0L && got(419L) === got(301L))
+  }
+
   test("minhash LSH candidates contain every true high-jaccard pair") {
     val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
