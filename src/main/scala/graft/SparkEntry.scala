@@ -1269,6 +1269,47 @@ object SparkEntry {
           binWidth = 14400000000L)
         .select(col("user_id"), col("click_id"), col("promo_id"),
           col("click_us"), col("start_us"))
+    }),
+
+    // URL hygiene (CCNet/RefinedWeb-style curation): host extraction,
+    // registered-domain reduction, tracking-param-stripping normalization,
+    // broadcast blocklist flag. URLs are derived deterministically from
+    // doc fields (mixed case, ports, utm params, fragments), so the oracle
+    // constructs the EXPECTED outputs directly from the fields while the
+    // engine must parse them back out of the string — two independent
+    // derivations of the same answer.
+    "q_url_ops" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTPS://"),
+        when(id % 7 === 0, lit("CDN.")).otherwise(lit("")),
+        col("source"), lit("."), col("lang"), lit("-Cdn.ORG"),
+        when(id % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), id.cast("string"),
+        when(id % 3 === 0, concat(lit("?utm_source=feed&id="), id.cast("string")))
+          .when(id % 5 === 0, concat(lit("?id="), id.cast("string"), lit("&utm_medium=x")))
+          .otherwise(lit("")),
+        when(id % 2 === 0, concat(lit("#sec"), (id % 4).cast("string")))
+          .otherwise(lit("")))
+      val blockDf = Seq("zh-cdn.org").toDF("domain")
+      graft.text.UrlOps.withUrlColumns(docs.select(id, url.as("url")), "url")
+        .join(broadcast(blockDf), col("registered_domain") === col("domain"), "left")
+        .select(id, col("host"), col("registered_domain"), col("url_norm"),
+          col("domain").isNotNull.as("blocked"))
+    }),
+
+    // Per-group quantile quality filter: keep the best 25% of every
+    // language by quality score — rank-exact, score rounded so rank order
+    // cannot hinge on float ulps; only (lang, score, id) triplets cross
+    // the rank shuffle, the payload semi-joins back.
+    "q_quality_topfrac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = round(graft.text.TextOps.qualityScore(col("text")), 6)
+      graft.operators.Sample.topFractionPerGroup(docs, "lang", "doc_id", q, 0.25)
+        .select(col("doc_id"), col("lang"),
+          round(graft.text.TextOps.qualityScore(col("text")), 6).as("quality"))
     })
   )
 
@@ -1694,19 +1735,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_quality" ->
-      """SELECT doc_id, round(
-        |  least(CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100 AS DOUBLE),
-        |        CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-        |  + (CAST(1 AS DOUBLE) -
-        |     CAST(list_sum(list_transform(string_split(text,' '),
-        |       t -> CASE WHEN list_contains(['the','a','and','of','to','in'], t)
-        |            THEN 1 ELSE 0 END)) AS DOUBLE)
-        |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-        |  + least((CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS DOUBLE)
-        |       / CAST(len(string_split(text,' ')) AS DOUBLE)) / CAST(8 AS DOUBLE),
-        |       CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE),
-        |  6) AS quality
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, $QualitySql AS quality FROM documents",
 
     "q_text_langid" ->
       """WITH sc AS (
@@ -2047,7 +2076,31 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT c.user_id, c.click_id, p.promo_id, c.click_us, p.start_us
         |FROM c JOIN p ON c.user_id = p.user_id
-        |             AND c.click_us BETWEEN p.start_us AND p.end_us""".stripMargin
+        |             AND c.click_us BETWEEN p.start_us AND p.end_us""".stripMargin,
+
+    // expected outputs constructed DIRECTLY from the doc fields — the
+    // engine's generic parser must recover them from the URL string
+    "q_url_ops" ->
+      """WITH u AS (SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END AS sub,
+        |    CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END AS port
+        |  FROM documents)
+        |SELECT doc_id,
+        |  sub || source || '.' || lang || '-cdn.org' AS host,
+        |  lang || '-cdn.org' AS registered_domain,
+        |  'https://' || sub || source || '.' || lang || '-cdn.org' || port ||
+        |    '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
+        |         THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END AS url_norm,
+        |  (lang = 'zh') AS blocked
+        |FROM u""".stripMargin,
+
+    "q_quality_topfrac" ->
+      s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents),
+         |r AS (SELECT doc_id, lang, quality,
+         |        row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, quality FROM r WHERE rn <= ceil(0.25 * n)""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
@@ -2079,6 +2132,24 @@ object SparkEntry {
     * with columns a, b, jaccard) — used verbatim by q_dedup_minhash and
     * q_dedup_clusters so the two oracles cannot drift apart.
     */
+  /** Shared quality-score SQL (DuckDB mirror of TextOps.qualityScore,
+    * rounded to 6): one val for q_text_quality and q_quality_topfrac so
+    * the scoring and the quantile filter built on it cannot drift apart.
+    */
+  private val QualitySql: String =
+    """round(
+      |  least(CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100 AS DOUBLE),
+      |        CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+      |  + (CAST(1 AS DOUBLE) -
+      |     CAST(list_sum(list_transform(string_split(text,' '),
+      |       t -> CASE WHEN list_contains(['the','a','and','of','to','in'], t)
+      |            THEN 1 ELSE 0 END)) AS DOUBLE)
+      |       / CAST(len(string_split(text,' ')) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+      |  + least((CAST(list_sum(list_transform(string_split(text,' '), t -> len(t))) AS DOUBLE)
+      |       / CAST(len(string_split(text,' ')) AS DOUBLE)) / CAST(8 AS DOUBLE),
+      |       CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE),
+      |  6)""".stripMargin
+
   /** Shared clusters oracle (q_dedup_clusters and q_dedup_clusters_star):
     * the same pair derivation as q_dedup_minhash, then transitive closure
     * to min-id components via a recursive CTE. One val — the driver path

@@ -46,4 +46,36 @@ object Sample {
     df.join(keep, Seq(groupCol, idCol), "left_semi")
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /** Keep the top ceil(frac·|group|) rows of every group by DESCENDING
+    * `score` (ties: ascending id) — per-domain quality filtering ("keep
+    * the best quarter of every source/language"), the rank-based exact
+    * form of quantile thresholding. Same triplet shape as
+    * [[stratifiedExact]]: only (group, score, id) cross the rank shuffle,
+    * the payload rejoins by semi-join.
+    *
+    * Scale note: the exact per-group quantile needs the one rank shuffle.
+    * When an approximate cut is acceptable at extreme scale, compute a
+    * per-group threshold with approx_percentile and filter — no window at
+    * all; the exact contract here is what the oracle can check. Callers
+    * should pass a DETERMINISTICALLY ROUNDED score (e.g. round(q, 6)) so
+    * rank order cannot hinge on last-ulp float noise.
+    */
+  def topFractionPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, score: org.apache.spark.sql.Column,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1] (got $frac)")
+    val triplets = df.select(col(groupCol), col(idCol), score.as("__s"))
+    val counts = triplets.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val keep = triplets
+      .join(counts, Seq(groupCol))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("__s").desc, col(idCol).asc)))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .select(col(groupCol), col(idCol))
+    df.join(keep, Seq(groupCol, idCol), "left_semi")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
 }
