@@ -1251,6 +1251,30 @@ object SparkEntry {
           coalesce(round(col("view_value"), 2), lit(-1.0)).as("view_value"))
     }),
 
+    // Forward as-of with tolerance (the rest of the merge_asof surface):
+    // each click attached to the SAME user's NEXT purchase, nulled to -1
+    // sentinels when it is more than two hours out — the attribution-
+    // window shape. Oracle: DuckDB ASOF with the reversed inequality plus
+    // a tolerance CASE.
+    "q_asof_fwd_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("buy_id"), col("value").as("buy_value"))
+      graft.operators.AsofJoin.asof(
+          clicks, buys, Seq("user_id"), "ts", "ts", "buy_id",
+          Seq("buy_id" -> "buy_id", "ts" -> "buy_ts",
+            "buy_value" -> "buy_value"),
+          forward = true, tolerance = Some(7200000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(unix_micros(col("buy_ts")), lit(-1L)).as("buy_us"),
+          coalesce(round(col("buy_value"), 2), lit(-1.0)).as("buy_value"))
+    }),
+
     // Range join (beyond-reference): clicks inside 4-hour post-purchase
     // promo windows per user, via domain binning — equi-join on
     // (user, bin) + residual BETWEEN, never a BroadcastNestedLoopJoin.
@@ -2067,6 +2091,21 @@ object SparkEntry {
         |       coalesce(epoch_us(v.ts), -1) AS view_us,
         |       coalesce(round(v.view_value, 2), -1.0) AS view_value
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "q_asof_fwd_tol" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, max(event_id) AS buy_id,
+        |             arg_max(value, event_id) AS buy_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.click_us,
+        |  CASE WHEN v.ts IS NOT NULL AND epoch_us(v.ts) - c.click_us <= 7200000000
+        |       THEN v.buy_id ELSE -1 END AS buy_id,
+        |  CASE WHEN v.ts IS NOT NULL AND epoch_us(v.ts) - c.click_us <= 7200000000
+        |       THEN epoch_us(v.ts) ELSE -1 END AS buy_us,
+        |  CASE WHEN v.ts IS NOT NULL AND epoch_us(v.ts) - c.click_us <= 7200000000
+        |       THEN round(v.buy_value, 2) ELSE -1.0 END AS buy_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts""".stripMargin,
 
     "q_range_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us

@@ -395,54 +395,58 @@ object Dedup {
     * never needs re-sorting between rounds.
     */
   private[graft] def starComponents(edges0: DataFrame): DataFrame = {
-    // canonical undirected edge set (s < g), self-loops dropped
-    var edges = edges0
+    import org.apache.spark.sql.expressions.Window
+    // canonical undirected edge set (s < g), self-loops dropped; kept
+    // checkpointed until the end (the node universe derives from it)
+    val init = edges0
       .select(least(col("src"), col("dst")).as("s"),
         greatest(col("src"), col("dst")).as("g"))
       .filter(col("s") =!= col("g"))
       .distinct().localCheckpoint(true)
-    val allNodes = edges.select(col("s").as("id"))
-      .unionByName(edges.select(col("g").as("id")))
-      .distinct().localCheckpoint(true)
+    var edges = init
     var changed = 1L
     while (changed > 0) {
       // LARGE-STAR: for each node u, connect every strictly-larger
-      // neighbor v to m = min(N(u) ∪ {u})
+      // neighbor v to m = min(N(u) ∪ {u}). One window pass — the group
+      // min rides a partitionBy(u) window over the UNFILTERED neighbor
+      // frame, so no groupBy+join round-trip (each extra Spark job here
+      // is a fixed scheduler cost per CC round).
       val bi = edges.select(col("s").as("u"), col("g").as("v"))
         .unionByName(edges.select(col("g").as("u"), col("s").as("v")))
-      val lmin = bi.groupBy("u").agg(min(col("v")).as("mv"))
-      val ls = bi.join(lmin, Seq("u"))
+      val ls = bi
+        .withColumn("mv", min(col("v")).over(Window.partitionBy("u")))
         .filter(col("v") > col("u"))
         .select(least(col("mv"), col("u")).as("s"), col("v").as("g"))
         .filter(col("s") =!= col("g"))
+      // SMALL-STAR: on edges directed larger -> smaller, connect u and
+      // all its smaller neighbors to m = min(N_<(u) ∪ {u}) (= min over
+      // the incoming s side, which is < u by the invariant). Both output
+      // families — (m, each smaller neighbor) and (m, u itself) — come
+      // out of ONE projection via explode, so ls is consumed once.
+      val next = ls
+        .withColumn("mv", min(col("s")).over(Window.partitionBy("g")))
+        .select(explode(array(
+          struct(col("mv").as("s"), col("s").as("g")),
+          struct(col("mv").as("s"), col("g").as("g")))).as("e"))
+        .select(col("e.s").as("s"), col("e.g").as("g"))
+        .filter(col("s") =!= col("g"))
         .distinct().localCheckpoint(true)
-      // SMALL-STAR: on edges directed larger -> smaller, connect u and all
-      // its smaller neighbors to m = min(N_<(u) ∪ {u}) (= min over the
-      // incoming s side, which is < u by the invariant)
-      val dirMin = ls.groupBy(col("g").as("u")).agg(min(col("s")).as("mv"))
-      val ssSmall = ls.join(dirMin, ls("g") === dirMin("u"))
-        .select(col("mv").as("s"), ls("s").as("g"))
-        .filter(col("s") =!= col("g"))
-      val ssSelf = dirMin
-        .select(col("mv").as("s"), col("u").as("g"))
-        .filter(col("s") =!= col("g"))
-      val next = ssSmall.unionByName(ssSelf).distinct().localCheckpoint(true)
-      ls.unpersist()
-      // fixpoint = edge set unchanged (the paper's termination condition);
-      // the symmetric difference runs over the contracted (small) edge
-      // frames, not the corpus
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
-      edges.unpersist()
+      // fixpoint = edge set unchanged (the paper's termination
+      // condition). Both sides are distinct, so |symmetric difference| =
+      // count of size-1 groups in the two-side union — ONE job instead
+      // of two exceptAll passes.
+      changed = next.unionByName(edges).groupBy("s", "g").count()
+        .filter(col("count") === 1).count()
+      if (edges ne init) edges.unpersist()
       edges = next
     }
     // at the fixpoint edges form stars centered at component minima;
     // nodes with no incoming star edge are their component's minimum
     val centerOf = edges.groupBy(col("g").as("id")).agg(min(col("s")).as("__c"))
-    val out = allNodes.join(centerOf, Seq("id"), "left")
+    val allNodes = init.select(col("s").as("id"))
+      .unionByName(init.select(col("g").as("id"))).distinct()
+    allNodes.join(centerOf, Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
-    edges.unpersist()
-    allNodes.unpersist()
-    out
   }
 
   /** Edge-count ceiling for the driver union-find shortcut (~32 MB of

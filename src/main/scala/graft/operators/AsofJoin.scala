@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,7 +35,35 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Backward as-of join (the common direction).
+  /** Backward as-of join (the common direction): latest rightTs <= leftTs. */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[(String, String)],
+      inclusive: Boolean = true): DataFrame =
+    asof(left, right, on, leftTs, rightTs, rightTie, rightCols,
+      forward = false, inclusive = inclusive, tolerance = None)
+
+  /** Forward as-of join: EARLIEST rightTs >= leftTs — "the next purchase
+    * after this click" attribution shape.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[(String, String)],
+      inclusive: Boolean = true): DataFrame =
+    asof(left, right, on, leftTs, rightTs, rightTie, rightCols,
+      forward = true, inclusive = inclusive, tolerance = None)
+
+  /** General as-of join (the pandas merge_asof surface).
     *
     * @param on        equi-join key column names (present on both sides)
     * @param leftTs    left timestamp/ordering column (any orderable type,
@@ -45,9 +73,16 @@ object AsofJoin {
     *                  tied on (key, ts)
     * @param rightCols (rightColumn, outputName) pairs appended to every
     *                  left row; null when no right row qualifies
-    * @param inclusive true: match rightTs <= leftTs; false: rightTs < leftTs
+    * @param forward   false: latest rightTs <= leftTs; true: earliest
+    *                  rightTs >= leftTs
+    * @param inclusive false makes the bound strict (< / >)
+    * @param tolerance max |leftTs - rightTs| for a match to stand, in
+    *                  MICROSECONDS for timestamp columns and raw units for
+    *                  numeric ones; the nearest-row match is nulled out
+    *                  when it falls beyond the tolerance (merge_asof
+    *                  semantics — no fallback to the second-nearest)
     */
-  def backward(
+  def asof(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
@@ -55,7 +90,9 @@ object AsofJoin {
       rightTs: String,
       rightTie: String,
       rightCols: Seq[(String, String)],
-      inclusive: Boolean = true): DataFrame = {
+      forward: Boolean = false,
+      inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     val keyCols = on.map(col)
 
@@ -63,7 +100,11 @@ object AsofJoin {
     // left rows at equal ts (visible to them), strict puts them after
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
 
-    val rPayload = struct(rightCols.map { case (c, o) => col(c).as(o) }: _*)
+    // the matched right ts rides inside the payload for the tolerance
+    // check; __asof_ts is internal and never reaches the output
+    val rPayload = struct(
+      col(rightTs).as("__asof_ts") +:
+        rightCols.map { case (c, o) => col(c).as(o) }: _*)
     val rPrep = right
       .select(keyCols ++ Seq(
         col(rightTs).as("__ts"),
@@ -84,16 +125,40 @@ object AsofJoin {
     val union = lPrep.unionByName(rPrep.withColumn(
       "__l", lit(null).cast(lPrep.schema("__l").dataType)))
 
+    // backward sweeps time ascending; forward sweeps descending, so the
+    // nearest FUTURE right row is the last one seen before each left row.
+    // Ties on (key, ts, side) stay tie-ascending: `last` picks the
+    // greatest rightTie in both directions.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tsOrder, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    union
+    // |leftTs - rightTs| as exact int64 — micros for timestamps, raw
+    // units for numerics (the double cast a `-` on mixed types would
+    // pick could round at the tolerance edge)
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val tsType = lPrep.schema("__ts").dataType
+
+    val matched = union
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === lit(leftSide))
-      .select(col("__l.*") +: rightCols.map { case (_, o) =>
-        col("__m").getField(o).as(o)
-      }: _*)
+    val gated = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(col("__m").isNotNull &&
+            abs(asLong(col("__ts"), tsType) -
+              asLong(col("__m").getField("__asof_ts"), tsType)) <= lit(tol),
+            col("__m")))
+    }
+    gated.select(col("__l.*") +: rightCols.map { case (_, o) =>
+      col("__m").getField(o).as(o)
+    }: _*)
   }
 }

@@ -41,6 +41,43 @@ class AsofRangeJoinSpec extends GraftSuite {
     }
   }
 
+  private def naiveForward(inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Long]] = {
+    val l = mkLeft.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r = mkRight.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    l.map { case (k, t, lid) =>
+      val cand = r.filter(x => x._1 == k && (if (inclusive) x._2 >= t else x._2 > t))
+      // earliest ts wins; among ts ties the greatest tie (rid) wins
+      val m = if (cand.isEmpty) None
+              else Some(cand.minBy(x => (x._2, -x._3)))
+      lid -> m.filter(x => tol.forall(tl => x._2 - t <= tl)).map(_._3)
+    }.toMap
+  }
+
+  test("asof forward matches a naive reference, with and without tolerance") {
+    for (inclusive <- Seq(true, false); tol <- Seq(None, Some(7L))) {
+      val got = graft.operators.AsofJoin.asof(
+          mkLeft, mkRight, Seq("k"), "t", "t", "rid",
+          Seq("rid" -> "rid"), forward = true, inclusive = inclusive,
+          tolerance = tol)
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got === naiveForward(inclusive, tol), s"inclusive=$inclusive tol=$tol")
+    }
+  }
+
+  test("asof backward tolerance nulls out matches beyond the window") {
+    val l = Seq((1L, 100L, 1L), (1L, 105L, 2L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 98L, 10L)).toDF("k", "t", "rid")
+    val got = graft.operators.AsofJoin.asof(
+        l, r, Seq("k"), "t", "t", "rid", Seq("rid" -> "rid"),
+        tolerance = Some(3L))
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // lid 1 is 2 units after the right row (within 3); lid 2 is 7 out
+    assert(got === Map(1L -> 10L, 2L -> -1L))
+  }
+
   test("asof output is exactly |left| rows and never inflates") {
     val out = AsofJoin.backward(mkLeft, mkRight, Seq("k"), "t", "t", "rid",
       Seq("rid" -> "rid"))
