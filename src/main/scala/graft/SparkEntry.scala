@@ -1334,6 +1334,102 @@ object SparkEntry {
       graft.operators.Sample.topFractionPerGroup(docs, "lang", "doc_id", q, 0.25)
         .select(col("doc_id"), col("lang"),
           round(graft.text.TextOps.qualityScore(col("text")), 6).as("quality"))
+    }),
+
+    // Nearest as-of join (the third merge_asof direction): each click
+    // attached to the SAME user's closest view in either time direction
+    // (tie -> backward, pandas semantics), nulled past a 1-hour
+    // tolerance. Oracle: DuckDB's native ASOF joins BOTH ways + a
+    // closer-pick CASE — a different algorithm from the engine's
+    // one-Exchange two-window sweep.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsofJoin.nearest(
+          clicks, views, Seq("user_id"), "ts", "ts", "view_id",
+          Seq("view_id" -> "view_id", "ts" -> "view_ts",
+            "view_value" -> "view_value"),
+          tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(unix_micros(col("view_ts")), lit(-1L)).as("view_us"),
+          coalesce(round(col("view_value"), 2), lit(-1.0)).as("view_value"))
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023): hashed unigram+bigram
+    // target-vs-raw log-likelihood ratios in exact integer micro-units.
+    // Target = the 'en' slice, raw = the full corpus; the 1024-bucket
+    // dense model broadcasts, scoring is one per-doc integer sum.
+    "q_dsir_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = graft.text.Dsir.model(
+        d.filter(col("lang") === "en"), d, "text", buckets = 1024)
+      graft.text.Dsir.score(d, "doc_id", "text", m, buckets = 1024)
+    }),
+
+    // BPE iteration-0 statistics: corpus-wide adjacent character-pair
+    // counts over words, top 50 by (count desc, pair asc) — one
+    // partial-aggregated shuffle, k-bounded TakeOrdered. (The full
+    // merge-loop trainer Bpe.train is spec-gated against a Scala
+    // reference; its per-iteration kernel is this same aggregation.)
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.text.Bpe.pairCounts(t(s, dir, "documents"), "text", k = 50)
+    }),
+
+    // Temperature-based mixture sampling (alpha = 0.5 multilingual-LM
+    // re-weighting): per-source keep rates derived in exact integer
+    // micro-units from the domain counts; keep = pure function of
+    // (doc_id, counts), no corpus shuffle.
+    "q_mix_temperature" -> ((s, dir) => {
+      graft.operators.Mix.temperatureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", targetRows = 2000, alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("keep_rate_micro"))
+    }),
+
+    // Leakage-safe train/val/test split: the split label hashes the
+    // (source, lang) GROUP, so all docs of a group share a split and
+    // near-duplicates within a source can never straddle the
+    // train/eval boundary. Pure projection; exact micro-unit thresholds.
+    "q_split_group" -> ((s, dir) => {
+      graft.operators.Sample.splitByGroupHash(
+          t(s, dir, "documents")
+            .select(col("doc_id"), concat(col("source"), lit(":"), col("lang")).as("grp")),
+          "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("grp"), col("split"))
+    }),
+
+    // Hybrid retrieval through the REAL index path (the documented scale
+    // story for q_hybrid_rrf's brute-force arm): BM25 text arm + IVFPQ
+    // vector arm at an exact operating point (full probe + exhaustive
+    // exact rerank), fused by integer RRF. The oracle's vector arm is an
+    // independent brute-force L2 scan.
+    "q_hybrid_rrf_ivf" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      val qt = d.filter(col("doc_id") % 97 === 0).select(
+        col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val textArm = graft.text.TextIndex.rankHits(
+        graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
+        "qid", "id", "score_micro", ascending = false)
+      val idx = graft.index.IndexRegistry.build("IVFPQ", s, e, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000))
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val vecArm = graft.text.TextIndex.rankHits(
+        idx.search(qs, k = 20, nprobe = Some(8)),
+        "qid", "id", "score", ascending = true)
+      graft.text.TextIndex.rrfFuse(textArm, vecArm, k = 10)
     })
   )
 
@@ -2139,7 +2235,151 @@ object SparkEntry {
          |r AS (SELECT doc_id, lang, quality,
          |        row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
          |        count(*) OVER (PARTITION BY lang) AS n FROM q)
-         |SELECT doc_id, lang, quality FROM r WHERE rn <= ceil(0.25 * n)""".stripMargin
+         |SELECT doc_id, lang, quality FROM r WHERE rn <= ceil(0.25 * n)""".stripMargin,
+
+    // both directions via DuckDB-native ASOF, closer-pick in exact micros
+    // (tie -> backward), then the tolerance CASE — independent of the
+    // engine's two-window sweep
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS click_us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id,
+        |             arg_max(value, event_id) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT c.event_id, v.ts AS mts, v.view_id AS mid, v.view_value AS mval
+        |      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (SELECT c.event_id, v.ts AS mts, v.view_id AS mid, v.view_value AS mval
+        |      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts),
+        |p AS (SELECT c.event_id, c.user_id, c.click_us,
+        |        CASE WHEN b.mts IS NOT NULL AND (f.mts IS NULL
+        |               OR c.click_us - epoch_us(b.mts) <= epoch_us(f.mts) - c.click_us)
+        |             THEN b.mts ELSE f.mts END AS mts,
+        |        CASE WHEN b.mts IS NOT NULL AND (f.mts IS NULL
+        |               OR c.click_us - epoch_us(b.mts) <= epoch_us(f.mts) - c.click_us)
+        |             THEN b.mid ELSE f.mid END AS mid,
+        |        CASE WHEN b.mts IS NOT NULL AND (f.mts IS NULL
+        |               OR c.click_us - epoch_us(b.mts) <= epoch_us(f.mts) - c.click_us)
+        |             THEN b.mval ELSE f.mval END AS mval
+        |      FROM c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT event_id, user_id, click_us,
+        |  CASE WHEN mts IS NOT NULL AND abs(epoch_us(mts) - click_us) <= 3600000000
+        |       THEN mid ELSE -1 END AS view_id,
+        |  CASE WHEN mts IS NOT NULL AND abs(epoch_us(mts) - click_us) <= 3600000000
+        |       THEN epoch_us(mts) ELSE -1 END AS view_us,
+        |  CASE WHEN mts IS NOT NULL AND abs(epoch_us(mts) - click_us) <= 3600000000
+        |       THEN round(mval, 2) ELSE -1.0 END AS view_value
+        |FROM p""".stripMargin,
+
+    // the dense 1024-bucket model restricted to buckets that occur in
+    // the raw corpus — every scored gram's bucket has a raw count >= 1
+    // by construction, so the restriction drops nothing
+    "q_dsir_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(w) AS gram FROM d
+        |      UNION ALL
+        |      SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+        |          list_transform(range(1, len(w)),
+        |            i -> array_to_string(list_slice(w, i, i + 1), ' '))
+        |        ELSE [] END) AS gram FROM d),
+        |gb AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket
+        |       FROM g),
+        |tc AS (SELECT bucket, count(*) AS c FROM gb JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY 1),
+        |tt AS (SELECT count(*) AS nt FROM gb JOIN documents USING (doc_id)
+        |       WHERE lang = 'en'),
+        |rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+        |rt AS (SELECT count(*) AS nr FROM gb),
+        |m AS (SELECT rc.bucket,
+        |        CAST(floor(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+        |                      / CAST(tt.nt + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      - CAST(floor(ln(CAST(rc.c + 1 AS DOUBLE)
+        |                      / CAST(rt.nr + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS lr
+        |      FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+        |s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(m.lr) AS dsir
+        |      FROM gb JOIN m USING (bucket) GROUP BY 1)
+        |SELECT d0.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(s.dsir, 0) AS BIGINT) AS dsir_micro
+        |FROM documents d0 LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        |p AS (SELECT unnest(CASE WHEN len(wd) >= 2 THEN
+        |          list_transform(range(1, len(wd)), i -> substr(wd, i, 2))
+        |        ELSE [] END) AS pair FROM w),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // exact integer micro-unit rate derivation; // is DuckDB integer
+    // division, mirroring the engine's exact-multiple intDiv
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t0 AS (SELECT sum(n) AS nn FROM c),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+        |          * 1000000.0) AS BIGINT) AS wm FROM c, t0),
+        |wt AS (SELECT sum(wm) AS wtot FROM w),
+        |r AS (SELECT source,
+        |        least(1000000, (2000 * ((wm * 1000000) // wtot)) // n) AS r_micro
+        |      FROM w, wt)
+        |SELECT d.doc_id, d.source, r.r_micro AS keep_rate_micro
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((((d.doc_id & 1048575) * 2654435761
+        |         + ((d.doc_id >> 20) & 1048575) * 40503) % 4294967296)
+        |       * 1000000) // 4294967296 < r.r_micro""".stripMargin,
+
+    "q_split_group" ->
+      """WITH g AS (SELECT doc_id, source || ':' || lang AS grp FROM documents),
+        |h AS (SELECT doc_id, grp,
+        |        ('0x' || substr(md5(grp), 1, 8))::BIGINT AS h32 FROM g)
+        |SELECT doc_id, grp,
+        |  CASE WHEN (h32 * 1000000) // 4294967296 < 800000 THEN 'train'
+        |       WHEN (h32 * 1000000) // 4294967296 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
+    // q_hybrid_rrf's oracle with the vector arm swapped to brute-force
+    // L2 ascending — the engine side must reproduce it through the
+    // IVFPQ index at its exact operating point
+    "q_hybrid_rrf_ivf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (SELECT t.term AS term, doc_id, len(w) AS dl, count(*) AS tf
+        |         FROM d, unnest(w) AS t(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
+        |      FROM d WHERE doc_id % 97 = 0),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |qw AS (SELECT qid, term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |       FROM qt JOIN tstat USING (term), st),
+        |co AS (SELECT qid, doc_id AS id,
+        |         CAST(floor((idf * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))
+        |           * 1000000.0) AS BIGINT) AS c
+        |       FROM qw JOIN post USING (term), st),
+        |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |ta AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rnk
+        |       FROM sc QUALIFY rnk <= 20),
+        |vs AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+        |         list_sum(list_transform(range(1, 65),
+        |             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+        |                * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))) AS dist
+        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |va AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+        |       FROM vs QUALIFY rnk <= 20),
+        |f AS (SELECT coalesce(ta.qid, va.qid) AS qid, coalesce(ta.id, va.id) AS id,
+        |        coalesce(CAST(floor(1000000000.0 / (60.0 + CAST(ta.rnk AS DOUBLE))) AS BIGINT), 0)
+        |      + coalesce(CAST(floor(1000000000.0 / (60.0 + CAST(va.rnk AS DOUBLE))) AS BIGINT), 0)
+        |          AS rrf_micro
+        |      FROM ta FULL OUTER JOIN va ON ta.qid = va.qid AND ta.id = va.id),
+        |r AS (SELECT qid, id, rrf_micro,
+        |        row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id) AS rn
+        |      FROM f)
+        |SELECT qid, id, rrf_micro FROM r WHERE rn <= 10""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

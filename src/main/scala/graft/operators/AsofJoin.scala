@@ -161,4 +161,95 @@ object AsofJoin {
       col("__m").getField(o).as(o)
     }: _*)
   }
+
+  /** Nearest as-of join — the third pandas merge_asof direction: each
+    * left row takes the right row whose ts is closest in ABSOLUTE
+    * distance (ties between an equally-near earlier and later row go to
+    * the earlier/backward one, matching pandas). Same key-tagged
+    * union-and-sweep as [[asof]], but the union is swept TWICE — one
+    * running-`last` window per direction — over the SAME keyed
+    * partitioning, so the plan pays exactly one hashpartitioning
+    * Exchange (two Sorts reuse it); the pick between the two candidates
+    * is a per-row exact-int64 distance comparison, no further movement.
+    *
+    * `inclusive=false` excludes exact-ts matches from BOTH directions
+    * (pandas `allow_exact_matches=False`). `tolerance` nulls the chosen
+    * nearest match when its |delta| exceeds the bound (micros for
+    * timestamps, raw units for numerics) — merge_asof semantics: no
+    * fallback to the other direction's candidate.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      rightCols: Seq[(String, String)],
+      inclusive: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    val keyCols = on.map(col)
+    // right-before-left at equal ts makes the exact match visible to the
+    // sweep in BOTH directions (side order is direction-independent)
+    val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
+
+    val rPayload = struct(
+      col(rightTs).as("__asof_ts") +:
+        rightCols.map { case (c, o) => col(c).as(o) }: _*)
+    val rPrep = right
+      .select(keyCols ++ Seq(
+        col(rightTs).as("__ts"),
+        col(rightTie).as("__tie"),
+        rPayload.as("__r")): _*)
+      .withColumn("__side", lit(rightSide))
+    val rType = rPrep.schema("__r").dataType
+    val tieType = rPrep.schema("__tie").dataType
+
+    val lPrep = left
+      .select(keyCols ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(null).cast(tieType).as("__tie"),
+        lit(null).cast(rType).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+      .withColumn("__side", lit(leftSide))
+
+    val union = lPrep.unionByName(rPrep.withColumn(
+      "__l", lit(null).cast(lPrep.schema("__l").dataType)))
+
+    def sweep(forward: Boolean) = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val tsType = lPrep.schema("__ts").dataType
+    def delta(m: Column): Column =
+      abs(asLong(col("__ts"), tsType) - asLong(m.getField("__asof_ts"), tsType))
+
+    val matched = union
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(sweep(forward = false)))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(sweep(forward = true)))
+      .filter(col("__side") === lit(leftSide))
+      // tie in absolute distance -> backward, per pandas
+      .withColumn("__m",
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(delta(col("__mb")) <= delta(col("__mf")), col("__mb"))
+          .otherwise(col("__mf")))
+    val gated = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(col("__m").isNotNull && delta(col("__m")) <= lit(tol), col("__m")))
+    }
+    gated.select(col("__l.*") +: rightCols.map { case (_, o) =>
+      col("__m").getField(o).as(o)
+    }: _*)
+  }
 }

@@ -78,4 +78,35 @@ object Sample {
     df.join(keep, Seq(groupCol, idCol), "left_semi")
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /** Leakage-safe train/val/test assignment: every row gets a split
+    * label decided by a hash of its GROUP value (site, registered
+    * domain, author, …), so all rows of one group land in the same
+    * split and near-duplicates sharing a group can never straddle the
+    * train/eval boundary — the standard contamination-safe carving rule.
+    *
+    * `splits` are (label, fraction) pairs; the last label absorbs any
+    * remainder. Assignment is exact integer arithmetic on the md5-prefix
+    * group hash (micro-unit thresholds), a pure per-row projection — no
+    * shuffle, no RNG state, byte-identical across engines/retries.
+    */
+  def splitByGroupHash(
+      df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions exceed 1")
+    val h32 = conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // exact micro-unit position of the group hash in [0, 1e6)
+    val u = ((h32 * 1000000L - pmod(h32 * 1000000L, lit(4294967296L))) /
+      lit(4294967296L)).cast("long")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.floor(f * 1e6).toLong
+    }.tail
+    val assigned = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((label, _), cut), acc) => when(u < cut, label).otherwise(acc)
+    }
+    df.withColumn(outCol, assigned)
+  }
 }

@@ -120,6 +120,46 @@ class AsofRangeJoinSpec extends GraftSuite {
     assert(got === Set((1L, 11L), (2L, 11L)))
   }
 
+  private def naiveNearest(inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Long]] = {
+    val l = mkLeft.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r = mkRight.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    l.map { case (k, t, lid) =>
+      val back = r.filter(x => x._1 == k && (if (inclusive) x._2 <= t else x._2 < t))
+      val fwd = r.filter(x => x._1 == k && (if (inclusive) x._2 >= t else x._2 > t))
+      val b = if (back.isEmpty) None else Some(back.maxBy(x => (x._2, x._3)))
+      val f = if (fwd.isEmpty) None else Some(fwd.minBy(x => (x._2, -x._3)))
+      // closer wins; equal distance -> backward (pandas semantics)
+      val m = (b, f) match {
+        case (Some(bb), Some(ff)) =>
+          if (t - bb._2 <= ff._2 - t) Some(bb) else Some(ff)
+        case (x, y) => x.orElse(y)
+      }
+      lid -> m.filter(x => tol.forall(tl => math.abs(x._2 - t) <= tl)).map(_._3)
+    }.toMap
+  }
+
+  test("asof nearest matches a naive reference (inclusive/strict x tolerance)") {
+    for (inclusive <- Seq(true, false); tol <- Seq(None, Some(5L))) {
+      val got = AsofJoin.nearest(
+          mkLeft, mkRight, Seq("k"), "t", "t", "rid",
+          Seq("rid" -> "rid"), inclusive = inclusive, tolerance = tol)
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got === naiveNearest(inclusive, tol), s"inclusive=$inclusive tol=$tol")
+    }
+  }
+
+  test("asof nearest plan: the two sweeps share one keyed Exchange") {
+    val out = AsofJoin.nearest(mkLeft, mkRight, Seq("k"), "t", "t", "rid",
+      Seq("rid" -> "rid"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 keyed Exchange, got $exchanges\n$p")
+    assert(out.count() === 400)
+  }
+
   test("range join plan: equi-join shape, never a nested loop") {
     val points = spark.range(0, 100).select(col("id").as("p"), col("id").as("pid"))
     val ranges = spark.range(0, 10).select(

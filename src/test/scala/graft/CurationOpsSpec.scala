@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Mix, Sample}
+import graft.text.{Bpe, Dsir}
+
+/** Round-8 curation operators: BPE tokenizer training, DSIR importance
+  * weighting, temperature mixing, leakage-safe splits — each against an
+  * independent driver-side Scala reference.
+  */
+class CurationOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "low lower lowest low low"),
+    (2L, "new newer newest new low"),
+    (3L, "wide wider widest new newer"),
+    (4L, "low new wide wide")).toDF("doc_id", "text")
+
+  // ------------------------------------------------------------ BPE
+
+  private def refPairCounts(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.split(" ")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+
+  test("bpe pairCounts matches a sliding-window reference") {
+    val want = refPairCounts(corpus.select("text").as[String].collect().toSeq)
+    val got = Bpe.pairCounts(corpus, "text", k = 1000)
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  /** Reference sequential BPE over a word-frequency map. */
+  private def refBpe(words0: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var words = words0.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty || counts.values.max < 2) done = true
+      else {
+        // greatest count; ties by ascending pair key (a + sep + b)
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + "\u0001" + b) }._1
+        merges += best
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == best._1 && s == best._2) {
+              out(out.size - 1) = best._1 + best._2
+            } else out += s
+          }
+          (out.toVector, f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("bpe train reproduces the sequential reference merge list") {
+    val wf = corpus.select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val want = refBpe(wf, 8)
+    val (got, _) = Bpe.train(corpus, "text", nMerges = 8)
+    assert(got === want)
+  }
+
+  test("bpe applyMerge is left-to-right non-overlapping") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a", "a"))
+      .toDF("s")
+    val got = df.select(Bpe.applyMerge(col("s"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa")))
+  }
+
+  test("bpe segment concatenates back to the original words") {
+    val (merges, _) = Bpe.train(corpus, "text", nMerges = 6)
+    assert(merges.nonEmpty)
+    val out = Bpe.segment(corpus, "text", merges, "toks")
+      .select(col("doc_id"), concat_ws("", col("toks")).as("joined"),
+        regexp_replace(col("text"), " ", "").as("orig"))
+      .filter(col("joined") =!= col("orig"))
+    assert(out.count() === 0)
+  }
+
+  // ------------------------------------------------------------ DSIR
+
+  private def md5Bucket(s: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  test("dsir score matches an integer-arithmetic Scala reference") {
+    val B = 64
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    def gramsOf(t: String): Seq[String] = {
+      val w = t.split(" ", -1).toSeq
+      w ++ (if (w.size >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+    }
+    val target = docs.filter(_._1 % 2 == 0) // doc_ids 2, 4
+    val tCounts = target.flatMap(d => gramsOf(d._2)).map(md5Bucket(_, B))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rCounts = docs.flatMap(d => gramsOf(d._2)).map(md5Bucket(_, B))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val nt = tCounts.values.sum; val nr = rCounts.values.sum
+    def lnMicro(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+    def lr(b: Long): Long =
+      lnMicro(tCounts.getOrElse(b, 0L) + 1, nt + B) -
+        lnMicro(rCounts.getOrElse(b, 0L) + 1, nr + B)
+    val want = docs.map { case (id, t) =>
+      val g = gramsOf(t)
+      (id, g.size.toLong, g.map(x => lr(md5Bucket(x, B))).sum)
+    }.toSet
+
+    val m = Dsir.model(corpus.filter(col("doc_id") % 2 === 0), corpus, "text", B)
+    assert(m.count() === B, "model must be dense over all buckets")
+    val got = Dsir.score(corpus, "doc_id", "text", m, B)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  // ------------------------------------- temperature mixing / splits
+
+  test("temperature sampling: rates are exact, kept count tracks target") {
+    val df = spark.range(0, 10000).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 0, "rare").otherwise("common").as("src"))
+    val out = Mix.temperatureSample(df, "doc_id", "src", targetRows = 2000)
+    val rates = out.select("src", "keep_rate_micro").distinct()
+      .as[(String, Long)].collect().toMap
+    // Scala reference of the exact integer derivation
+    def ref(): Map[String, Long] = {
+      val n = Map("rare" -> 1000L, "common" -> 9000L); val tot = 10000L
+      val w = n.map { case (k, v) =>
+        k -> math.floor(math.sqrt(v.toDouble / tot) * 1e6).toLong }
+      val wtot = w.values.sum
+      n.map { case (k, v) =>
+        k -> math.min(1000000L, 2000L * (w(k) * 1000000L / wtot) / v) }
+    }
+    assert(rates === ref())
+    // rare keeps a ~3x higher rate than proportional; total lands near 2000
+    assert(rates("rare") > rates("common"))
+    val kept = out.count()
+    assert(kept > 1500 && kept < 2500, s"kept=$kept")
+    // pure function of id: stable under repartition
+    val again = Mix.temperatureSample(df.repartition(13), "doc_id", "src", 2000)
+    assert(again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
+  }
+
+  test("group-hash split: groups never straddle splits, labels exhaustive") {
+    val df = spark.range(0, 5000).select(col("id").as("doc_id"),
+      (col("id") % 97).cast("string").as("grp"))
+    val out = Sample.splitByGroupHash(df, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every group maps to exactly one split
+    assert(out.select("grp", "split").distinct().groupBy("grp").count()
+      .filter(col("count") > 1).count() === 0)
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    // zero-shuffle projection
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+}
