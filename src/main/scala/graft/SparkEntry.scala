@@ -1430,6 +1430,23 @@ object SparkEntry {
         idx.search(qs, k = 20, nprobe = Some(8)),
         "qid", "id", "score", ascending = true)
       graft.text.TextIndex.rrfFuse(textArm, vecArm, k = 10)
+    }),
+
+    // MMR diversification re-rank (Carbonell & Goldstein): top-20 cosine
+    // candidates per query, then 4 greedy picks maximizing
+    // 0.7·rel − (1−0.7)·maxSim over unit-vector dot products — the
+    // K-bounded per-query greedy runs as flatMapGroups, parallel across
+    // queries. Oracle: the same greedy unrolled as 4 pick CTEs.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = Knn.flatSearch(e, "vec_id", "embedding", qv, "qid", "qvec",
+        k = 20, metric = Metric.Cosine)
+      graft.operators.Mmr.rerank(cands, "qid", "id",
+          e, "vec_id", "embedding", k = 4, lambda = 0.7)
+        .select(col("qid"), col("id"), col("mmr_rank"),
+          round(col("mmr_score"), 6).as("mmr_score"))
     })
   )
 
@@ -2379,7 +2396,66 @@ object SparkEntry {
         |r AS (SELECT qid, id, rrf_micro,
         |        row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id) AS rn
         |      FROM f)
-        |SELECT qid, id, rrf_micro FROM r WHERE rn <= 10""".stripMargin
+        |SELECT qid, id, rrf_micro FROM r WHERE rn <= 10""".stripMargin,
+
+    // the engine's greedy unrolled: candidate set by raw cosine (same
+    // formula as the flat-search arm), picks by unit-dot rel/sim with
+    // (1.0 - 0.7) written out so the double matches the runtime value
+    "q_mmr_rerank" ->
+      """WITH nrm AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+        |      / sqrt(list_sum(list_transform(embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings),
+        |cand0 AS (SELECT q.vec_id AS qid, e.vec_id AS id,
+        |    (list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        |     / (sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))) AS cos
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |cand AS (SELECT qid, id FROM (SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        |  FROM cand0) WHERE rn <= 20),
+        |c AS (SELECT cand.qid, cand.id, nd.u AS du,
+        |    list_sum(list_transform(range(1, 65), i -> nd.u[i] * nq.u[i])) AS rel
+        |  FROM cand JOIN nrm nd ON cand.id = nd.vec_id
+        |            JOIN nrm nq ON cand.qid = nq.vec_id),
+        |p1 AS (SELECT qid, id, du, sc FROM (SELECT qid, id, du, 0.7 * rel AS sc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY 0.7 * rel DESC, id) AS rn
+        |  FROM c) WHERE rn = 1),
+        |m2 AS (SELECT c.qid, c.id, c.du,
+        |    0.7 * c.rel - (1.0 - 0.7) * list_sum(list_transform(range(1, 65),
+        |        i -> c.du[i] * p1.du[i])) AS sc
+        |  FROM c JOIN p1 ON c.qid = p1.qid AND c.id <> p1.id),
+        |p2 AS (SELECT qid, id, du, sc FROM (SELECT qid, id, du, sc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sc DESC, id) AS rn
+        |  FROM m2) WHERE rn = 1),
+        |m3 AS (SELECT c.qid, c.id, c.du,
+        |    0.7 * c.rel - (1.0 - 0.7) * greatest(
+        |      list_sum(list_transform(range(1, 65), i -> c.du[i] * p1.du[i])),
+        |      list_sum(list_transform(range(1, 65), i -> c.du[i] * p2.du[i]))) AS sc
+        |  FROM c JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+        |  WHERE c.id <> p1.id AND c.id <> p2.id),
+        |p3 AS (SELECT qid, id, du, sc FROM (SELECT qid, id, du, sc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sc DESC, id) AS rn
+        |  FROM m3) WHERE rn = 1),
+        |m4 AS (SELECT c.qid, c.id, c.du,
+        |    0.7 * c.rel - (1.0 - 0.7) * greatest(
+        |      list_sum(list_transform(range(1, 65), i -> c.du[i] * p1.du[i])),
+        |      list_sum(list_transform(range(1, 65), i -> c.du[i] * p2.du[i])),
+        |      list_sum(list_transform(range(1, 65), i -> c.du[i] * p3.du[i]))) AS sc
+        |  FROM c JOIN p1 ON c.qid = p1.qid JOIN p2 ON c.qid = p2.qid
+        |         JOIN p3 ON c.qid = p3.qid
+        |  WHERE c.id <> p1.id AND c.id <> p2.id AND c.id <> p3.id),
+        |p4 AS (SELECT qid, id, du, sc FROM (SELECT qid, id, du, sc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sc DESC, id) AS rn
+        |  FROM m4) WHERE rn = 1)
+        |SELECT qid, id, CAST(1 AS BIGINT) AS mmr_rank, round(sc, 6) AS mmr_score FROM p1
+        |UNION ALL SELECT qid, id, CAST(2 AS BIGINT), round(sc, 6) FROM p2
+        |UNION ALL SELECT qid, id, CAST(3 AS BIGINT), round(sc, 6) FROM p3
+        |UNION ALL SELECT qid, id, CAST(4 AS BIGINT), round(sc, 6) FROM p4""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

@@ -153,6 +153,40 @@ class CurationOpsSpec extends GraftSuite {
     assert(again.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
   }
 
+  test("mmr rerank diversifies: near-duplicate of pick 1 is demoted") {
+    import graft.operators.Mmr
+    // q = e1 direction; id 2 duplicates id 1 exactly, id 3 is diverse.
+    // At lambda=0.4: dup scores 0.4·1 − 0.6·1 = −0.2, diverse scores
+    // 0.4·0.6 − 0.6·0.6 = −0.12 → the duplicate is demoted to rank 3.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (9L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("qid", "id")
+    val got = Mmr.rerank(cands, "qid", "id", vecs, "vec_id", "embedding",
+        k = 3, lambda = 0.4)
+      .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
+    // pure relevance order would be 1, 2, 3; MMR demotes the duplicate 2
+    assert(got === Seq(1L, 3L, 2L))
+  }
+
+  test("mmr picks are distinct, ranked 1..k, first pick is argmax relevance") {
+    import graft.operators.Mmr
+    val vecs = spark.range(0, 200).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin(col("id") * (d + 1)).cast("float")): _*).as("embedding"))
+    val cands = spark.range(0, 200).select(lit(7L).as("qid"), col("id"))
+    val out = Mmr.rerank(cands, "qid", "id", vecs, "vec_id", "embedding",
+      k = 5, lambda = 0.5).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(1)).distinct.length === 5)
+    assert(out.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // rank 1 must be the pure-relevance argmax (query id 7 itself)
+    val r1 = out.find(_.getLong(2) == 1L).get.getLong(1)
+    assert(r1 === 7L)
+  }
+
   test("group-hash split: groups never straddle splits, labels exhaustive") {
     val df = spark.range(0, 5000).select(col("id").as("doc_id"),
       (col("id") % 97).cast("string").as("grp"))
