@@ -1447,6 +1447,21 @@ object SparkEntry {
           e, "vec_id", "embedding", k = 4, lambda = 0.7)
         .select(col("qid"), col("id"), col("mmr_rank"),
           round(col("mmr_score"), 6).as("mmr_score"))
+    }),
+
+    // Tar-shard (WebDataset-layout) round-trip: the documents table
+    // writes out as hash-routed tar shards and reads back through the
+    // DSv2 source. The oracle derives entry/length/digest DIRECTLY from
+    // the source strings — two independent derivations; the engine's
+    // must survive the tar encode/decode byte-exactly.
+    "q_tar_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_tar").toString
+      val d = t(s, dir, "documents").select(
+        concat(col("doc_id").cast("string"), lit(".txt")).as("entry"),
+        col("text").cast("binary").as("data"))
+      graft.sources.TarShards.write(d, "entry", "data", root, numShards = 4)
+      s.read.format("tarshard").load(root + "/*.tar")
+        .select(col("entry"), col("length"), md5(col("data")).as("digest"))
     })
   )
 
@@ -2455,7 +2470,15 @@ object SparkEntry {
         |SELECT qid, id, CAST(1 AS BIGINT) AS mmr_rank, round(sc, 6) AS mmr_score FROM p1
         |UNION ALL SELECT qid, id, CAST(2 AS BIGINT), round(sc, 6) FROM p2
         |UNION ALL SELECT qid, id, CAST(3 AS BIGINT), round(sc, 6) FROM p3
-        |UNION ALL SELECT qid, id, CAST(4 AS BIGINT), round(sc, 6) FROM p4""".stripMargin
+        |UNION ALL SELECT qid, id, CAST(4 AS BIGINT), round(sc, 6) FROM p4""".stripMargin,
+
+    // expected outputs derived from the source strings, independent of
+    // the tar encode/decode the engine side round-trips through
+    "q_tar_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS entry,
+        |       CAST(strlen(text) AS BIGINT) AS length,
+        |       md5(text) AS digest
+        |FROM documents""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
