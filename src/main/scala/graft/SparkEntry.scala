@@ -1462,6 +1462,22 @@ object SparkEntry {
       graft.sources.TarShards.write(d, "entry", "data", root, numShards = 4)
       s.read.format("tarshard").load(root + "/*.tar")
         .select(col("entry"), col("length"), md5(col("data")).as("digest"))
+    }),
+
+    // Exact heavy hitters at bounded memory: Misra-Gries candidate pass
+    // (k slots per map task, one k-bounded summary per partition over
+    // the shuffle) + exact recount of the ≤ k candidates. The item
+    // domain is a Zipf-like derived host column — 7 hot hosts over a
+    // singleton tail far wider than k, so the sketch genuinely
+    // compresses. Exact by the MG superset guarantee (ratio ≥ 1/(k+1));
+    // oracle is the plain GROUP BY / HAVING.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("host-"), (col("doc_id") % 7).cast("string")))
+          .otherwise(concat(lit("host-"), col("doc_id").cast("string")))
+          .as("item"))
+      graft.text.HeavyHitters.exact(d, "item", minFreqRatio = 0.01, k = 128)
     })
   )
 
@@ -2478,7 +2494,16 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS entry,
         |       CAST(strlen(text) AS BIGINT) AS length,
         |       md5(text) AS digest
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH i AS (SELECT CASE WHEN doc_id % 2 = 0
+        |             THEN 'host-' || CAST(doc_id % 7 AS VARCHAR)
+        |             ELSE 'host-' || CAST(doc_id AS VARCHAR) END AS item
+        |           FROM documents),
+        |t0 AS (SELECT count(item) AS n FROM i)
+        |SELECT item, count(*) AS cnt FROM i, t0 GROUP BY item, n
+        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

@@ -41,6 +41,13 @@ package object functions {
   def topk_rows(structCol: Column, k: Int, numSortFields: Int = 0): Column =
     col(TopKRows(expr(structCol), k, numSortFields).toAggregateExpression())
 
+  /** Misra-Gries heavy-hitter summary aggregate: ≤ k (item, count) slots,
+    * returned as `(items map<string,bigint>, seen bigint)`. Every item
+    * with true frequency > seen/(k+1) is guaranteed present.
+    */
+  def mg_sketch(itemCol: Column, k: Int): Column =
+    col(MgSketch(expr(itemCol), k).toAggregateExpression())
+
   /** Register the kernels in the session's function registry for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

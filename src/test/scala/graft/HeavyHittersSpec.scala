@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.HeavyHitters
+
+/** Misra-Gries sketch guarantees + the exact two-phase heavy hitters. */
+class HeavyHittersSpec extends GraftSuite {
+  import spark.implicits._
+
+  // Zipf-ish stream: item j appears ~ n/(j+1) times, plus a singleton tail
+  private def skewed(n: Int) = spark.range(0, n).select(
+    when(col("id") % 3 =!= 0, concat(lit("hot-"), (col("id") % 5).cast("string")))
+      .otherwise(concat(lit("tail-"), col("id").cast("string"))).as("item"))
+
+  test("mg sketch keeps every item above the seen/(k+1) guarantee") {
+    val df = skewed(9000)
+    val row = df.agg(graft.functions.mg_sketch(col("item"), 16).as("s"))
+      .select(col("s.items"), col("s.seen")).head()
+    val items = row.getMap[String, Long](0)
+    val seen = row.getLong(1)
+    assert(seen === 9000)
+    val truth = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    val bound = seen.toDouble / (16 + 1)
+    for ((item, c) <- truth if c > bound)
+      assert(items.contains(item), s"$item (freq $c > $bound) missing from sketch")
+    // estimates never overcount
+    for ((item, est) <- items)
+      assert(est <= truth(item), s"$item est $est > true ${truth(item)}")
+  }
+
+  test("exact() equals the full groupBy/HAVING answer despite a tiny sketch") {
+    val df = skewed(9000)
+    val got = HeavyHitters.exact(df, "item", minFreqRatio = 0.08, k = 16)
+      .as[(String, Long)].collect().toMap
+    val n = df.count()
+    val want = df.groupBy("item").count()
+      .filter(col("count").cast("double") > lit(0.08) * n.toDouble)
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce at least one heavy hitter")
+  }
+
+  test("exact() is invariant to input partitioning") {
+    val df = skewed(5000)
+    val a = HeavyHitters.exact(df, "item", 0.08, 16).as[(String, Long)].collect().toSet
+    val b = HeavyHitters.exact(df.repartition(17), "item", 0.08, 16)
+      .as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("exact() rejects a k too small for the requested ratio") {
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exact(skewed(100), "item", minFreqRatio = 0.01, k = 16)
+    }
+    assert(e.getMessage.contains("too small"))
+  }
+}
