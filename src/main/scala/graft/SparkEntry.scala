@@ -1367,8 +1367,8 @@ object SparkEntry {
     // dense model broadcasts, scoring is one per-doc integer sum.
     "q_dsir_score" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val m = graft.text.Dsir.model(
-        d.filter(col("lang") === "en"), d, "text", buckets = 1024)
+      val m = graft.text.Dsir.modelFromSlice(
+        d, "text", col("lang") === "en", buckets = 1024)
       graft.text.Dsir.score(d, "doc_id", "text", m, buckets = 1024)
     }),
 

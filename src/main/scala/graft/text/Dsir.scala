@@ -65,13 +65,44 @@ object Dsir {
         .crossJoin(broadcast(total))
         .select(col("bucket"), coalesce(col("c"), lit(0L)).as(cCol), col(nCol))
     }
+    fromCounts(
+      side(target, "__ct", "__nt").join(side(raw, "__cr", "__nr"), Seq("bucket")),
+      buckets)
+  }
+
+  /** [[model]] for the common "target is a slice of the raw corpus" case:
+    * ONE gram-explode pass computes both sides' bucket counts (the raw
+    * count plus a conditional count of rows satisfying `targetCond`) —
+    * half the corpus work of the two-corpus form.
+    */
+  def modelFromSlice(
+      raw: DataFrame, textCol: String,
+      targetCond: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    val s = raw.sparkSession
+    val counts = raw
+      .select(targetCond.as("__t"), explode(grams(col(textCol))).as("__g"))
+      .select(col("__t"), bucketOf(col("__g"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__cr"),
+        count(when(col("__t"), lit(1))).as("__ct"))
+    val totals = counts.agg(
+      sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val dense = s.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        col("__nr"), col("__nt"))
+    fromCounts(dense, buckets)
+  }
+
+  private def fromCounts(joined: DataFrame, buckets: Int): DataFrame = {
     def lnMicro(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       floor(log(num.cast("double") / den.cast("double")) * lit(1e6)).cast("long")
-    side(target, "__ct", "__nt")
-      .join(side(raw, "__cr", "__nr"), Seq("bucket"))
-      .select(col("bucket"),
-        (lnMicro(col("__ct") + 1, col("__nt") + buckets) -
-          lnMicro(col("__cr") + 1, col("__nr") + buckets)).as("lr_micro"))
+    joined.select(col("bucket"),
+      (lnMicro(col("__ct") + 1, col("__nt") + buckets) -
+        lnMicro(col("__cr") + 1, col("__nr") + buckets)).as("lr_micro"))
   }
 
   /** Per-document importance weight against a `buckets`-slot model (the

@@ -126,6 +126,17 @@ class CurationOpsSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("dsir modelFromSlice equals the two-corpus model bit-for-bit") {
+    val B = 64
+    val a = graft.text.Dsir.model(
+      corpus.filter(col("doc_id") % 2 === 0), corpus, "text", B)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.text.Dsir.modelFromSlice(
+      corpus, "text", col("doc_id") % 2 === 0, B)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   // ------------------------------------- temperature mixing / splits
 
   test("temperature sampling: rates are exact, kept count tracks target") {
