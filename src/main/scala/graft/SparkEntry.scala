@@ -1478,6 +1478,22 @@ object SparkEntry {
           .otherwise(concat(lit("host-"), col("doc_id").cast("string")))
           .as("item"))
       graft.text.HeavyHitters.exact(d, "item", minFreqRatio = 0.01, k = 128)
+    }),
+
+    // RefinedWeb-style boilerplate removal: a deterministic 8-word
+    // banner is injected into every third doc, then every span occurring
+    // in > 5% of documents is stripped. Sketch-then-verify keeps state
+    // k-bounded and the rewrite a pure projection — corpus text never
+    // crosses an Exchange. Oracle recomputes the whole pipeline (spans,
+    // doc-frequencies, filter, ordered reassembly) from the strings.
+    "q_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("never miss our daily deals subscribe right now "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.text.TextOps.removeBoilerplateSpans(
+          d, "doc_id", "text", spanWords = 8, minDocFreqRatio = 0.05)
+        .select(col("doc_id"), col("text").as("clean"))
     })
   )
 
@@ -2503,7 +2519,30 @@ object SparkEntry {
         |           FROM documents),
         |t0 AS (SELECT count(item) AS n FROM i)
         |SELECT item, count(*) AS cnt FROM i, t0 GROUP BY item, n
-        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin
+        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin,
+
+    // full independent recomputation: spans, doc frequencies, the 5%
+    // filter and the ordered reassembly, all from the injected strings
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |      THEN 'never miss our daily deals subscribe right now ' || text
+        |      ELSE text END AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        |n AS (SELECT doc_id, ws,
+        |        greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1) AS ns FROM w),
+        |e AS (SELECT doc_id, ws, unnest(range(0, ns)) AS i FROM n),
+        |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |         array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS span
+        |       FROM e),
+        |dfc AS (SELECT span, count(DISTINCT doc_id) AS df FROM sp GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |bo AS (SELECT span FROM dfc, nd
+        |       WHERE CAST(df AS DOUBLE) > 0.05 * CAST(n AS DOUBLE)),
+        |o AS (SELECT sp.doc_id, string_agg(sp.span, ' ' ORDER BY sp.i) AS clean
+        |      FROM sp LEFT JOIN bo ON sp.span = bo.span
+        |      WHERE bo.span IS NULL GROUP BY 1)
+        |SELECT d.doc_id, coalesce(o.clean, '') AS clean
+        |FROM d LEFT JOIN o USING (doc_id)""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

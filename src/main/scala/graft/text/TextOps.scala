@@ -237,15 +237,15 @@ object TextOps {
     * partition the word sequence, so rejoining kept spans with single
     * spaces reproduces the original text wherever nothing was removed.
     */
-  def dedupSpans(
-      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      spanWords: Int = 15): org.apache.spark.sql.DataFrame = {
-    require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
-    // bind the token array ONCE per row as a lambda variable (outer
-    // transform over a one-element array): slicing a captured tokens()
-    // expression inside the per-span lambda would re-split the whole text
-    // for every span — O(words^2/spanWords) per document
-    val spanList = element_at(
+  /** Word-span array of a text column: consecutive `spanWords`-word
+    * windows (last may be partial). The token array binds ONCE per row
+    * as a lambda variable (outer transform over a one-element array):
+    * slicing a captured tokens() expression inside the per-span lambda
+    * would re-split the whole text for every span —
+    * O(words^2/spanWords) per document.
+    */
+  private def spanListOf(textCol: String, spanWords: Int): Column =
+    element_at(
       transform(array(tokens(col(textCol))), ws => {
         val nSpans = ceil(size(ws) / lit(spanWords.toDouble)).cast("int")
         transform(
@@ -253,6 +253,12 @@ object TextOps {
           i => concat_ws(" ", slice(ws, i * spanWords + 1, lit(spanWords))))
       }),
       1)
+
+  def dedupSpans(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 15): org.apache.spark.sql.DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
+    val spanList = spanListOf(textCol, spanWords)
     val spans = df.select(col(idCol).as("__id"), posexplode(spanList))
       .toDF("__id", "__pos", "__span")
     // global first-occurrence per span: min(struct) orders by (id, pos)
@@ -278,5 +284,61 @@ object TextOps {
           concat_ws(" ", transform(col("__keep"),
             p => element_at(col("__spans"), p + 1))),
           lit("")).as(textCol))
+  }
+
+  /** RefinedWeb-style boilerplate removal: strip every span that occurs
+    * in more than `minDocFreqRatio` of DOCUMENTS (nav bars, cookie
+    * banners, subscribe prompts — high-document-frequency lines that
+    * survive per-doc dedup because each doc has only one copy).
+    *
+    * Built on the exact sketch-then-verify shape
+    * ([[graft.text.HeavyHitters]]): a Misra-Gries pass over per-doc
+    * DISTINCT span hashes finds candidates with k-bounded state, the
+    * ≤ k candidates get an exact document-frequency recount, and the
+    * bounded boilerplate hash set (≤ k by construction) folds into a
+    * pure per-row rebuild filter — corpus TEXT never crosses an
+    * Exchange at all (the sketch moves k-bounded summaries, the recount
+    * moves 16-byte hashes, the rewrite is a projection). Exactness is
+    * guarded at run time: the sketch guarantees every span with
+    * df > totalItems/(k+1) a slot, so the call fails loudly unless
+    * minDocFreqRatio·nDocs ≥ totalItems/(k+1) (totalItems = Σ per-doc
+    * distinct spans — checked from the sketch's own `seen`, two 1-row
+    * driver reads, same bounded-action class as the cluster loop).
+    */
+  def removeBoilerplateSpans(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      spanWords: Int, minDocFreqRatio: Double,
+      k: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive (got $spanWords)")
+    require(minDocFreqRatio > 0.0 && minDocFreqRatio < 1.0,
+      s"minDocFreqRatio must be in (0,1), got $minDocFreqRatio")
+    val spanList = spanListOf(textCol, spanWords)
+    val docSpans = df
+      .select(col(idCol).as("__id"), explode(array_distinct(spanList)).as("__span"))
+      .select(col("__id"), md5(col("__span")).as("__h"))
+    val sk = docSpans
+      .agg(graft.functions.mg_sketch(col("__h"), k).as("__s"))
+      .select(col("__s.items").as("__items"), col("__s.seen").as("__seen"))
+      .head()
+    val totalItems = sk.getLong(1)
+    val nDocs = df.count()
+    require(minDocFreqRatio * nDocs >= totalItems.toDouble / (k + 1),
+      s"k=$k too small for exact boilerplate detection: need " +
+        s"ratio*nDocs (${minDocFreqRatio * nDocs}) >= totalItems/(k+1) " +
+        s"(${totalItems.toDouble / (k + 1)}) — raise k or the ratio")
+    val candidates = sk.getMap[String, Long](0).keys.toSeq
+    // exact df recount of the <= k candidates; boilerplate set is bounded
+    val boiler =
+      if (candidates.isEmpty) Array.empty[String]
+      else docSpans
+        .filter(col("__h").isInCollection(candidates))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").cast("double") > lit(minDocFreqRatio) * nDocs.toDouble)
+        .select(col("__h")).collect().map(_.getString(0))
+    // pure per-row rebuild: keep spans outside the bounded boilerplate set
+    val kept =
+      if (boiler.isEmpty) spanList
+      else filter(spanList, s => !md5(s).isInCollection(boiler.toSeq))
+    df.withColumn(textCol, concat_ws(" ", kept))
   }
 }

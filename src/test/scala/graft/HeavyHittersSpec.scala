@@ -55,4 +55,35 @@ class HeavyHittersSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("too small"))
   }
+
+  // -------------------------- boilerplate removal built on the sketch
+
+  // 200 distinct 12-word docs; a 4-word banner heads every other one
+  private def banner = "click here to subscribe"
+  private def boilerDocs = spark.range(0, 200).select(
+    col("id").as("doc_id"),
+    concat_ws(" ", (0 until 12).map(j =>
+      concat(lit(s"w$j"), (col("id") * (j + 3) % 97).cast("string"))): _*).as("orig"))
+    .withColumn("text",
+      when(col("doc_id") % 2 === 0, concat(lit(banner + " "), col("orig")))
+        .otherwise(col("orig")))
+
+  test("removeBoilerplateSpans strips the banner and restores originals") {
+    val cleaned = graft.text.TextOps.removeBoilerplateSpans(
+      boilerDocs, "doc_id", "text", spanWords = 4, minDocFreqRatio = 0.25, k = 1024)
+    val bad = cleaned.filter(col("text") =!= col("orig"))
+    assert(bad.count() === 0)
+    // the returned rebuild is a pure projection: no Exchange at all
+    val p = cleaned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("removeBoilerplateSpans guards exactness against an undersized k") {
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextOps.removeBoilerplateSpans(
+        boilerDocs, "doc_id", "text", spanWords = 4,
+        minDocFreqRatio = 0.001, k = 4)
+    }
+    assert(e.getMessage.contains("too small"))
+  }
 }
