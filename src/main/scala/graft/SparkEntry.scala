@@ -1494,6 +1494,17 @@ object SparkEntry {
       graft.text.TextOps.removeBoilerplateSpans(
           d, "doc_id", "text", spanWords = 8, minDocFreqRatio = 0.05)
         .select(col("doc_id"), col("text").as("clean"))
+    }),
+
+    // Deterministic global shuffle + sharding for training loaders:
+    // (shard, pos) = (hash mod S, rank within shard in hash order) — a
+    // reproducible random permutation; only (id, hash) pairs cross the
+    // one rank shuffle.
+    "q_shard_assign" -> ((s, dir) => {
+      graft.operators.Shard.assign(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", numShards = 8)
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
     })
   )
 
@@ -2542,7 +2553,15 @@ object SparkEntry {
         |      FROM sp LEFT JOIN bo ON sp.span = bo.span
         |      WHERE bo.span IS NULL GROUP BY 1)
         |SELECT d.doc_id, coalesce(o.clean, '') AS clean
-        |FROM d LEFT JOIN o USING (doc_id)""".stripMargin
+        |FROM d LEFT JOIN o USING (doc_id)""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM documents)
+        |SELECT doc_id, source, hh % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
+        |FROM h""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

@@ -128,7 +128,17 @@ private[sources] class TarShardPartitionReader(
 
   private val path = new Path(p.file)
   private val shardName = UTF8String.fromString(path.getName)
-  private val in = new TarArchiveInputStream(path.getFileSystem(conf).open(path))
+  private val in = {
+    val raw = path.getFileSystem(conf).open(path)
+    // gz shards decompress through; entry-skipping still avoids
+    // MATERIALIZING payloads, but the bytes must stream past — size
+    // compressed shards for that (the producer's contract anyway)
+    val base: java.io.InputStream =
+      if (TarShards.isGz(p.file))
+        new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(raw)
+      else raw
+    new TarArchiveInputStream(base)
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -180,11 +190,15 @@ object TarShards {
     val out = matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".tar"))
+          .filter(f => f.isFile && (f.getPath.getName.endsWith(".tar")
+            || isGz(f.getPath.getName)))
       else Seq(st)
     }
     out.sortBy(_.getPath.toString)
   }
+
+  private[sources] def isGz(name: String): Boolean =
+    name.endsWith(".tar.gz") || name.endsWith(".tgz")
 
   /** Write `df` as tar shards under `dir` (`shard-NNNNN.tar`), one shard
     * per output partition: rows hash-route by entry name (a pure
@@ -196,7 +210,7 @@ object TarShards {
   def write(
       df: org.apache.spark.sql.DataFrame,
       entryCol: String, dataCol: String,
-      dir: String, numShards: Int): Unit = {
+      dir: String, numShards: Int, compress: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(numShards > 0, "numShards must be positive")
     val spark = df.sparkSession
@@ -207,9 +221,17 @@ object TarShards {
       .sortWithinPartitions(col("__e"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new Path(dir, f"shard-$pid%05d.tar")
+        val ext = if (compress) "tar.gz" else "tar"
+        val path = new Path(dir, f"shard-$pid%05d.$ext")
         val fs = path.getFileSystem(conf.value)
-        val out = new TarArchiveOutputStream(fs.create(path, true))
+        // gzip header mtime defaults to 0 in commons-compress, so the
+        // compressed bytes stay deterministic too
+        val sink: java.io.OutputStream =
+          if (compress)
+            new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(
+              fs.create(path, true))
+          else fs.create(path, true)
+        val out = new TarArchiveOutputStream(sink)
         out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
         out.setAddPaxHeadersForNonAsciiNames(true)
         try {

@@ -57,6 +57,40 @@ class TarShardSpec extends GraftSuite {
     assert(digests(d1) === digests(d2))
   }
 
+  test("gz shards round-trip and stay byte-deterministic") {
+    val d1 = tmp(); val d2 = tmp()
+    TarShards.write(fixture, "entry", "data", d1, numShards = 2, compress = true)
+    TarShards.write(fixture, "entry", "data", d2, numShards = 2, compress = true)
+    val back = spark.read.format("tarshard").load(s"$d1/*.tar.gz")
+    val got = back.select("entry", "data").as[(String, Array[Byte])]
+      .collect().map { case (e, d) => e -> d.toSeq }.toMap
+    val want = fixture.as[(String, Array[Byte])]
+      .collect().map { case (e, d) => e -> d.toSeq }.toMap
+    assert(got === want)
+    def bytes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar.gz")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    assert(bytes(d1) === bytes(d2))
+  }
+
+  test("shard assignment is a reproducible permutation with dense positions") {
+    import graft.operators.Shard
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val a = Shard.assign(df, "doc_id", numShards = 8)
+    // every row assigned exactly once; positions dense 0..n-1 per shard
+    assert(a.count() === 1000)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perShard.length === 8)
+    perShard.foreach { case (_, n, mx, mn) =>
+      assert(mn === 0L); assert(mx === n - 1)
+    }
+    // stable under repartition
+    val b = Shard.assign(df.repartition(13), "doc_id", numShards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("metadata-only projection prunes the data column from the scan") {
     val dir = tmp()
     TarShards.write(fixture, "entry", "data", dir, numShards = 1)
