@@ -1505,6 +1505,43 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("source")),
           "doc_id", numShards = 8)
         .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+    }),
+
+    // Streaming heavy hitters (sketch-at-ingest / verify-at-rest): the
+    // Misra-Gries summary is maintained across 5 microbatches as ONE
+    // k-slot state buffer (complete-mode global typed agg), then the
+    // final candidates get the exact batch recount. The mergeable-
+    // summary guarantee makes the result arrival-order independent and
+    // EXACT — same oracle as q_heavy_hitters.
+    "q_stream_heavy" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val item = when(col("doc_id") % 2 === 0,
+        concat(lit("host-"), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("host-"), col("doc_id").cast("string")))
+        .as("item")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val step = (n + 4) / 5
+      val sink = s"stream_heavy_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamStats.heavyHitterCandidates(
+            stream.toDF().select(item), "item", k = 128)
+          .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+        try {
+          (0 until 5).foreach { i =>
+            stream.addData(docs
+              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+              .as[StreamTextDoc].collect().toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val cand = s.table(sink)
+        .select(explode(map_keys(col("items"))).as("__item"))
+      graft.text.HeavyHitters.verify(
+        t(s, dir, "documents").select(item), "item", cand, minFreqRatio = 0.01)
     })
   )
 
@@ -2561,7 +2598,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, hh % 8 AS shard,
         |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS pos
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // identical to q_heavy_hitters: the streaming sketch must converge
+    // to the same exact answer regardless of batch arrival order
+    "q_stream_heavy" ->
+      """WITH i AS (SELECT CASE WHEN doc_id % 2 = 0
+        |             THEN 'host-' || CAST(doc_id % 7 AS VARCHAR)
+        |             ELSE 'host-' || CAST(doc_id AS VARCHAR) END AS item
+        |           FROM documents),
+        |t0 AS (SELECT count(item) AS n FROM i)
+        |SELECT item, count(*) AS cnt FROM i, t0 GROUP BY item, n
+        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

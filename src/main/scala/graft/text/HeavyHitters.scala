@@ -42,8 +42,22 @@ object HeavyHitters {
     val cand = df
       .agg(graft.functions.mg_sketch(col(itemCol), k).as("__s"))
       .select(explode(map_keys(col("__s.items"))).as("__item"))
+    verify(df, itemCol, cand, minFreqRatio)
+  }
+
+  /** The exact recount phase alone: `cand` is a bounded one-column frame
+    * of candidate items (from [[exact]]'s batch sketch, or a STREAMING
+    * sketch maintained at ingest — see
+    * [[graft.streaming.StreamStats.heavyHitterCandidates]]); any item
+    * not in it is assumed to fail the threshold, which the caller
+    * guarantees via the sketch's k-vs-ratio precondition.
+    */
+  def verify(
+      df: DataFrame, itemCol: String,
+      cand: DataFrame, minFreqRatio: Double): DataFrame = {
+    val c = cand.toDF("__item")
     val total = df.agg(count(col(itemCol)).as("__n"))
-    df.join(broadcast(cand), col(itemCol) === col("__item"), "left_semi")
+    df.join(broadcast(c), col(itemCol) === col("__item"), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

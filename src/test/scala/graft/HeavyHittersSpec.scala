@@ -56,6 +56,31 @@ class HeavyHittersSpec extends GraftSuite {
     assert(e.getMessage.contains("too small"))
   }
 
+  test("streaming sketch + batch verify equals batch exact, any arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val df = skewed(6000)
+    val want = HeavyHitters.exact(df, "item", 0.08, 16)
+      .as[(String, Long)].collect().toSet
+    val rows = df.as[String].collect()
+    for (order <- Seq(rows, rows.reverse)) {
+      val sink = s"hh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stream = MemoryStream[String]
+      val q = graft.streaming.StreamStats.heavyHitterCandidates(
+          stream.toDF().toDF("item"), "item", k = 16)
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        order.grouped(1500).foreach { b =>
+          stream.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val cand = spark.table(sink).select(explode(map_keys(col("items"))).as("c"))
+      val got = HeavyHitters.verify(df, "item", cand, 0.08)
+        .as[(String, Long)].collect().toSet
+      assert(got === want, s"order=${order.headOption}")
+    }
+  }
+
   // -------------------------- boilerplate removal built on the sketch
 
   // 200 distinct 12-word docs; a 4-word banner heads every other one
