@@ -1542,6 +1542,22 @@ object SparkEntry {
         .select(explode(map_keys(col("items"))).as("__item"))
       graft.text.HeavyHitters.verify(
         t(s, dir, "documents").select(item), "item", cand, minFreqRatio = 0.01)
+    }),
+
+    // Exact-substring dedup (ExactSubstr, Lee et al.): a shared 9-word
+    // tail is appended to every fourth doc; any 8-word window occurring
+    // more than once in the corpus survives only at its first
+    // occurrence, so every later copy's tokens are stripped at ANY
+    // alignment. Only (hash, id, pos) cross the window shuffle; the
+    // oracle recomputes windows, winners and the token-level rebuild.
+    "q_dedup_substr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" free shipping on all orders over fifty dollars today")))
+          .otherwise(col("text")).as("text"))
+      graft.text.TextOps.dedupSubstrings(d, "doc_id", "text", windowWords = 8)
+        .select(col("doc_id"), col("text").as("clean"))
     })
   )
 
@@ -2609,7 +2625,33 @@ object SparkEntry {
         |           FROM documents),
         |t0 AS (SELECT count(item) AS n FROM i)
         |SELECT item, count(*) AS cnt FROM i, t0 GROUP BY item, n
-        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin
+        |HAVING CAST(count(*) AS DOUBLE) > 0.01 * CAST(n AS DOUBLE)""".stripMargin,
+
+    // windows by text (hash-free — independent of the engine's md5
+    // grouping), winner by (doc_id, pos), token-level rebuild
+    "q_dedup_substr" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' free shipping on all orders over fifty dollars today'
+        |      ELSE text END AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        |e AS (SELECT doc_id, ws,
+        |        unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i FROM w),
+        |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |          array_to_string(list_slice(ws, i, i + 7), ' ') AS wtext FROM e),
+        |w2 AS (SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY wtext) AS c,
+        |         row_number() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rn
+        |       FROM win),
+        |lb AS (SELECT doc_id, list(pos ORDER BY pos) AS ls
+        |       FROM w2 WHERE c > 1 AND rn > 1 GROUP BY 1),
+        |o AS (SELECT w.doc_id,
+        |        array_to_string(list_transform(
+        |          list_filter(range(0, len(w.ws)),
+        |            i -> len(list_filter(coalesce(lb.ls, CAST([] AS BIGINT[])),
+        |                   p -> i >= p AND i < p + 8)) = 0),
+        |          i -> w.ws[i + 1]), ' ') AS clean
+        |      FROM w LEFT JOIN lb USING (doc_id))
+        |SELECT doc_id, coalesce(clean, '') AS clean FROM o""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

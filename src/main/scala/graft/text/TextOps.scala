@@ -286,6 +286,66 @@ object TextOps {
           lit("")).as(textCol))
   }
 
+  /** Exact-substring dedup (the ExactSubstr rule of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", adapted
+    * to word granularity): any `windowWords`-word sequence occurring
+    * more than once in the corpus survives only at its FIRST occurrence
+    * (min doc id, then position); every other occurrence's tokens are
+    * removed and the documents rebuilt from their surviving tokens.
+    * Catches copied passages at ANY alignment — the case span-level
+    * dedup ([[dedupSpans]]'s disjoint blocks) misses when the copy
+    * shifts by a few words.
+    *
+    * Scale shape (the paper uses a suffix array; the distributed
+    * re-expression is hash-grouped overlapping windows): the window
+    * shuffle carries (16-byte hash, id, pos) — never text — with
+    * map-side partial aggregation per hash; losing occurrences fold to
+    * a per-doc position list (ints only), and each text rebuilds from
+    * its own token array in one projection. Corpus text crosses exactly
+    * ONE Exchange (the loser-list join), the dedupSpans bound.
+    */
+  def dedupSubstrings(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 15): org.apache.spark.sql.DataFrame = {
+    require(windowWords > 0, s"windowWords must be positive (got $windowWords)")
+    val n = windowWords
+    // overlapping n-word windows, 0-based start positions; none when the
+    // doc is shorter than n words
+    val winList = element_at(
+      transform(array(tokens(col(textCol))), ws => {
+        val nw = size(ws) - (n - 1)
+        when(nw >= 1,
+          transform(sequence(lit(1), greatest(nw, lit(1))),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      }),
+      1)
+    val wins = df
+      .select(col(idCol).as("__id"), posexplode(winList))
+      .toDF("__id", "__pos", "__w")
+      .select(col("__id"), col("__pos"), md5(col("__w")).as("__h"))
+    val agg = wins.groupBy(col("__h")).agg(
+      count(lit(1)).as("__c"),
+      min(struct(col("__id"), col("__pos"))).as("__w0"))
+    val losers = wins
+      .join(agg.filter(col("__c") > 1).select(col("__h"), col("__w0")), Seq("__h"))
+      .filter(!(col("__id") === col("__w0.__id") && col("__pos") === col("__w0.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ls"))
+    // rebuild: token i survives unless inside any losing window [p, p+n)
+    val rebuilt = element_at(
+      transform(array(tokens(col(textCol))), ws =>
+        transform(
+          filter(sequence(lit(0), size(ws) - 1),
+            i => !exists(coalesce(col("__ls"), array().cast("array<int>")),
+              p => i >= p && i < p + n)),
+          i => element_at(ws, i + 1))),
+      1)
+    df.join(losers, col(idCol) === col("__id"), "left")
+      .select((df.columns.toIndexedSeq.filter(_ != textCol).map(col) :+
+        concat_ws(" ", rebuilt).as(textCol)): _*)
+  }
+
   /** RefinedWeb-style boilerplate removal: strip every span that occurs
     * in more than `minDocFreqRatio` of DOCUMENTS (nav bars, cookie
     * banners, subscribe prompts — high-document-frequency lines that

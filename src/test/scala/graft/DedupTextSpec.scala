@@ -155,4 +155,27 @@ class DedupTextSpec extends GraftSuite {
     val q = docs.select(TextOps.qualityScore($"text").as("q")).as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("dedupSubstrings removes shifted copies at any alignment") {
+    val df = Seq(
+      (0L, "aa bb cc dd ee"),
+      (1L, "xx yy aa bb cc dd zz"),   // copy of 0's run, shifted by 2
+      (2L, "pp qq rr ss tt")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.dedupSubstrings(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      0L -> "aa bb cc dd ee",         // winner keeps everything
+      1L -> "xx yy zz",               // covered tokens aa..dd stripped
+      2L -> "pp qq rr ss tt"))        // untouched
+  }
+
+  test("dedupSubstrings: exact duplicate doc empties, winner intact") {
+    val df = Seq(
+      (5L, "aa bb cc dd"),
+      (9L, "aa bb cc dd"),
+      (7L, "x")).toDF("doc_id", "text") // shorter than the window: untouched
+    val got = graft.text.TextOps.dedupSubstrings(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(5L -> "aa bb cc dd", 9L -> "", 7L -> "x"))
+  }
 }
