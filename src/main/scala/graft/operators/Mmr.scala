@@ -55,7 +55,13 @@ object Mmr {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
     val s = cands.sparkSession
     val docSide = vecs.select(col(vecIdCol).as("__did"), col(vecCol).as("__demb"))
-    val qSide = vecs.select(col(vecIdCol).as("__qid2"), col(vecCol).as("__qemb"))
+    // only the QUERY rows broadcast — bounded by the query-batch size,
+    // never the vector table (a full-vecs broadcast would be the
+    // classic 100 TB scale-killer)
+    val qSide = vecs
+      .join(cands.select(col(qidCol).as("__q")).distinct(),
+        col(vecIdCol) === col("__q"), "left_semi")
+      .select(col(vecIdCol).as("__qid2"), col(vecCol).as("__qemb"))
     val joined = cands
       .select(col(qidCol).as("__qid"), col(idCol).as("__cid"))
       .join(docSide, col("__cid") === col("__did"))
