@@ -212,4 +212,74 @@ class PropertySpec extends AnyFunSuite {
         "bm25 results changed under repartitioning")
     }
   }
+
+  test("property: bpe train matches a sequential reference on random corpora") {
+    trials(5) { rng =>
+      val docs = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(4 + rng.nextInt(8))(
+          Seq.fill(2 + rng.nextInt(4))(('a' + rng.nextInt(4)).toChar).mkString)
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val wf = docs.select("text").as[String].collect()
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      // sequential reference (same contract as CurationOpsSpec.refBpe)
+      var words = wf.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val want = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && want.size < 6) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((sy, f) <- words; i <- 0 until sy.size - 1)
+          counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + f
+        if (counts.isEmpty || counts.values.max < 2) done = true
+        else {
+          val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + "\u0001" + b) }._1
+          want += best
+          words = words.map { case (sy, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (x <- sy) {
+              if (out.nonEmpty && out.last == best._1 && x == best._2)
+                out(out.size - 1) = best._1 + best._2
+              else out += x
+            }
+            (out.toVector, f)
+          }
+        }
+      }
+      val (got, _) = graft.text.Bpe.train(docs, "text", nMerges = 6)
+      assert(got === want.toSeq)
+    }
+  }
+
+  test("property: dedupSubstrings matches a naive reference on random corpora") {
+    trials(5) { rng =>
+      val n = 3
+      // small vocab forces real cross-doc window duplication
+      val docs = (0 until 15).map { i =>
+        (i.toLong, Seq.fill(5 + rng.nextInt(10))(
+          s"w${rng.nextInt(4)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+      // naive reference: windows, first-occurrence winners, covered removal
+      val wins = rows.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - n).map(p => (ws.slice(p, p + n).mkString(" "), id, p))
+      }
+      val winners = wins.groupBy(_._1).collect {
+        case (w, occ) if occ.length > 1 => w -> occ.map(o => (o._2, o._3)).min
+      }
+      val want = rows.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val losers = (0 to ws.length - n).filter { p =>
+          val w = ws.slice(p, p + n).mkString(" ")
+          winners.get(w).exists(_ != ((id, p)))
+        }
+        id -> ws.indices.filterNot(i => losers.exists(p => i >= p && i < p + n))
+          .map(ws).mkString(" ")
+      }.toMap
+      val got = graft.text.TextOps.dedupSubstrings(docs, "doc_id", "text", n)
+        .as[(Long, String)].collect().toMap
+      assert(got === want)
+    }
+  }
 }
