@@ -14,8 +14,11 @@ WORK=${1:-/tmp}
 # Oracles that are intentionally naive and intractable on scaled replicas
 # (all-pairs joins); engine-side parity for these stands at sf0.01/sf0.1.
 QUADRATIC="q_ngram_jaccard,q_embed_neardup"
+# q_hybrid_rrf_ivf's exact operating point (full probe + exhaustive
+# recallNum rerank) is intentionally quadratic — skip at 100x only.
+QUADRATIC_100="q_hybrid_rrf_ivf"
 # MemoryStream TEST FEEDS collect the corpus driver-side; skip at 100x only.
-STREAMS="q_stream_dedup,q_stream_neardup,q_stream_upsert"
+STREAMS="q_stream_dedup,q_stream_neardup,q_stream_upsert,q_stream_heavy"
 
 echo "== 10x replica (sf1-scale)"
 sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $WORK/graft_sf1 10"
@@ -25,7 +28,7 @@ CHECK_SKIP="$QUADRATIC" python3 -u tools/check_oracle.py \
 
 echo "== 100x replica"
 sbt -batch "runMain graft.ScaleGen $WORK/graft_sf1 $WORK/graft_sf10 10"
-SKIP="$QUADRATIC,$STREAMS"
+SKIP="$QUADRATIC,$QUADRATIC_100,$STREAMS"
 ONLY=$(python3 - "$WORK/verify_x10/oracle_sql.json" "$SKIP" <<'EOF'
 import json, sys
 skip = set(sys.argv[2].split(','))
