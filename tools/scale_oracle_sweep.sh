@@ -15,8 +15,10 @@ WORK=${1:-/tmp}
 # (all-pairs joins); engine-side parity for these stands at sf0.01/sf0.1.
 QUADRATIC="q_ngram_jaccard,q_embed_neardup"
 # q_hybrid_rrf_ivf's exact operating point (full probe + exhaustive
-# recallNum rerank) is intentionally quadratic — skip at 100x only.
-QUADRATIC_100="q_hybrid_rrf_ivf"
+# recallNum rerank) is intentionally quadratic, and q_mmr_rerank's
+# ORACLE is a brute-force O(nq*n) scan (>74 GB DuckDB spill at 100x;
+# the engine side is k-bounded and runs fine) — skip at 100x only.
+QUADRATIC_100="q_hybrid_rrf_ivf,q_mmr_rerank"
 # MemoryStream TEST FEEDS collect the corpus driver-side; skip at 100x only.
 STREAMS="q_stream_dedup,q_stream_neardup,q_stream_upsert,q_stream_heavy"
 
