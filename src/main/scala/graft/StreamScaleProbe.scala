@@ -84,15 +84,43 @@ object StreamScaleProbe {
     val onlyBatch = batchPairs.except(got2).count()
     val ok2 = onlyStream == 0 && onlyBatch == 0
 
+    // 3) heavy-hitter sketch at ingest (complete-mode O(k) state),
+    //    exact recount at rest — result must equal the batch operator
+    //    regardless of file arrival order (mergeable-summary bound)
+    val item = when(col("doc_id") % 2 === 0,
+      concat(lit("host-"), (col("doc_id") % 7).cast("string")))
+      .otherwise(concat(lit("host-"), col("doc_id").cast("string"))).as("item")
+    val t0c = System.nanoTime()
+    val q3 = graft.streaming.StreamStats
+      .heavyHitterCandidates(streamDocs.select(item), "item", k = 128)
+      .writeStream.format("memory").queryName("ssp_heavy")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val b3 = q3.recentProgress.map(_.batchId).distinct.length.toLong
+    val s3 = (System.nanoTime() - t0c) / 1e9
+    val cand = spark.table("ssp_heavy")
+      .select(explode(map_keys(col("items"))).as("c")).localCheckpoint(true)
+    val nCand = cand.count()
+    val itemsDf = batch.select(item)
+    val gotHH = graft.text.HeavyHitters
+      .verify(itemsDf, "item", cand, minFreqRatio = 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wantHH = graft.text.HeavyHitters
+      .exact(itemsDf, "item", minFreqRatio = 0.01, k = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val ok3 = gotHH == wantHH && wantHH.nonEmpty
+
     val line =
       s"""{"dir":"$dir","docs":$nDocs,"files_per_trigger":$filesPerTrigger,""" +
         s""""firstseen":{"batches":$b1,"sec":$s1,"admitted":$rows1,""" +
         s""""missing":$missing,"extra":$extra,"dup_admits":$dupAdmits,"ok":$ok1},""" +
         s""""neardup":{"batches":$b2,"sec":$s2,"pairs":$nStreamPairs,""" +
         s""""batch_pairs":$nBatchPairs,"batch_sec":$batchSec,""" +
-        s""""only_stream":$onlyStream,"only_batch":$onlyBatch,"ok":$ok2}}"""
+        s""""only_stream":$onlyStream,"only_batch":$onlyBatch,"ok":$ok2},""" +
+        s""""heavy":{"batches":$b3,"sec":$s3,"candidates":$nCand,""" +
+        s""""hitters":${wantHH.size},"ok":$ok3}}"""
     println(line)
     spark.stop()
-    if (!(ok1 && ok2)) sys.exit(1)
+    if (!(ok1 && ok2 && ok3)) sys.exit(1)
   }
 }

@@ -125,4 +125,19 @@ class JobCountSpec extends GraftSuite {
     // the AQE toggle must be restored after every commit
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+  test("heavy-hitters sketch-then-verify stays job-bounded") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 20000).select(
+      when(col("id") % 3 =!= 0, concat(lit("hot-"), (col("id") % 5).cast("string")))
+        .otherwise(concat(lit("t-"), col("id").cast("string"))).as("item"))
+      .localCheckpoint(true)
+    val ((_, n)) = jobsDuring {
+      graft.text.HeavyHitters.exact(df, "item", minFreqRatio = 0.08, k = 16)
+        .collect()
+    }
+    // one sketch agg + the recount (plus bounded broadcast-build jobs):
+    // a regression past this bound means a new corpus pass crept in
+    assert(n <= 6, s"heavy hitters ran $n jobs (bound 6)")
+  }
 }
