@@ -1558,6 +1558,26 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       graft.text.TextOps.dedupSubstrings(d, "doc_id", "text", windowWords = 8)
         .select(col("doc_id"), col("text").as("clean"))
+    }),
+
+    // BM25F field-weighted retrieval (Robertson & Zaragoza): title
+    // (first 5 words, weight 2.0, b=0.75) + body (rest, weight 1.0,
+    // b=0.4), per-field normalized tfs combined in declaration order
+    // BEFORE k1 saturation, doc-level idf — one corpus pass builds the
+    // field-pivoted postings; query time never shuffles the corpus.
+    "q_bm25f_topk" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val d = d0.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 6, 1000000)).as("body"))
+      val ix = graft.text.TextIndex.buildF(d, "doc_id",
+        Seq(graft.text.TextIndex.FieldSpec("title", 2.0, 0.75),
+          graft.text.TextIndex.FieldSpec("body", 1.0, 0.4)),
+        maxDfRatio = 0.98)
+      val q = d0.filter(col("doc_id") % 97 === 0).select(
+        col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.text.TextIndex.bm25f(ix, q, "qid", "qtext", k = 10)
     })
   )
 
@@ -2651,7 +2671,53 @@ object SparkEntry {
         |                   p -> i >= p AND i < p + 8)) = 0),
         |          i -> w.ws[i + 1]), ' ') AS clean
         |      FROM w LEFT JOIN lb USING (doc_id))
-        |SELECT doc_id, coalesce(clean, '') AS clean FROM o""".stripMargin
+        |SELECT doc_id, coalesce(clean, '') AS clean FROM o""".stripMargin,
+
+    // full BM25F recomputation: per-field postings full-outer-joined to
+    // the (term, doc) pivot, fixed-order tf-tilde with each arithmetic
+    // step written exactly as the engine evaluates it
+    "q_bm25f_topk" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |fl AS (SELECT doc_id,
+        |         string_split(array_to_string(list_slice(w, 1, 5), ' '), ' ') AS tw,
+        |         string_split(array_to_string(list_slice(w, 6, len(w)), ' '), ' ') AS bw
+        |       FROM d0),
+        |pa AS (SELECT t.term AS term, doc_id, len(tw) AS dl0, count(*) AS tf0
+        |       FROM fl, unnest(tw) AS t(term) GROUP BY 1, 2, 3),
+        |pb AS (SELECT t.term AS term, doc_id, len(bw) AS dl1, count(*) AS tf1
+        |       FROM fl, unnest(bw) AS t(term) GROUP BY 1, 2, 3),
+        |pv AS (SELECT coalesce(pa.term, pb.term) AS term,
+        |         coalesce(pa.doc_id, pb.doc_id) AS doc_id,
+        |         pa.tf0, pa.dl0, pb.tf1, pb.dl1
+        |       FROM pa FULL OUTER JOIN pb
+        |         ON pa.term = pb.term AND pa.doc_id = pb.doc_id),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT sum(len(tw)) FROM fl) AS s0,
+        |         (SELECT sum(len(bw)) FROM fl) AS s1),
+        |tstat AS (SELECT term, count(*) AS df FROM pv GROUP BY 1
+        |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
+        |      FROM d0 WHERE doc_id % 97 = 0),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |qw AS (SELECT qid, term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |       FROM qt JOIN tstat USING (term), st),
+        |co0 AS (SELECT qw.qid, pv.doc_id AS id, qw.idf,
+        |          (CAST(coalesce(pv.tf0, 0) AS DOUBLE) * 2.0)
+        |            / ((1.0 - 0.75) + (0.75 * CAST(coalesce(pv.dl0, 0) AS DOUBLE))
+        |               / (CAST(st.s0 AS DOUBLE) / CAST(st.n AS DOUBLE)))
+        |        + (CAST(coalesce(pv.tf1, 0) AS DOUBLE) * 1.0)
+        |            / ((1.0 - 0.4) + (0.4 * CAST(coalesce(pv.dl1, 0) AS DOUBLE))
+        |               / (CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))) AS tt
+        |        FROM qw JOIN pv USING (term), st),
+        |co AS (SELECT qid, id,
+        |         CAST(floor((idf * (tt / (1.2 + tt))) * 1000000.0) AS BIGINT) AS c
+        |       FROM co0),
+        |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |r AS (SELECT qid, id, score_micro,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rn
+        |      FROM sc)
+        |SELECT qid, id, score_micro FROM r WHERE rn <= 10""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

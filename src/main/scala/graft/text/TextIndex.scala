@@ -171,4 +171,106 @@ object TextIndex {
     graft.operators.TopK.perGroup(
       fused, "qid", "rrf_micro", ascending = false, k, Seq("id"))
   }
+
+  /** One field of a BM25F index: its text column, saturation weight and
+    * per-field length-normalization strength.
+    */
+  case class FieldSpec(textCol: String, weight: Double, b: Double) {
+    require(b >= 0.0 && b < 1.0, s"field b must be in [0,1) (got $b)")
+  }
+
+  /** A built BM25F index: per-(term, doc) field-pivoted postings
+    * (__term, __doc, __tf0/__dl0, __tf1/__dl1, ...), doc-level term
+    * stats, corpus count and per-field average lengths.
+    */
+  case class BuiltIndexF(
+      postings: DataFrame, termStats: DataFrame, nDocs: Long,
+      avgDls: Seq[Double], maxDfRatio: Double, fields: Seq[FieldSpec])
+
+  /** Build a BM25F (field-weighted) index — title/body retrieval where
+    * a title hit should outrank the same hit buried in the body
+    * (Robertson & Zaragoza's BM25F: per-field weighted, per-field
+    * length-normalized term frequencies combined BEFORE the k1
+    * saturation, doc-level idf).
+    *
+    * Scale shape: ONE corpus pass explodes (field, token) pairs for all
+    * fields together; the (term, doc, field) aggregation pivots to
+    * fixed per-field columns (conditional aggs — exact longs, and a
+    * FIXED field-summation order at query time so the double tf-tilde
+    * is deterministic and oracle-mirrorable, never a float `sum()`
+    * whose addition order floats with partitioning). Doc-level df
+    * derives from the pivoted (term, doc) rows; stats stay RAW with the
+    * df-ratio guard applied at query time, as in [[build]].
+    */
+  def buildF(
+      docs: DataFrame, idCol: String, fields: Seq[FieldSpec],
+      maxDfRatio: Double = 0.5): BuiltIndexF = {
+    require(fields.nonEmpty, "need at least one field")
+    val fieldToks = array(fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(i).as("f"), TextOps.tokens(col(f.textCol)).as("ts"))
+    }: _*)
+    val rows = docs
+      .select(col(idCol).as("__doc"), explode(fieldToks).as("__ft"))
+      .select(col("__doc"), col("__ft.f").as("__fld"),
+        size(col("__ft.ts")).as("__dl"), explode(col("__ft.ts")).as("__term"))
+    val perField = rows
+      .groupBy(col("__term"), col("__doc"), col("__fld"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val aggs = fields.indices.flatMap { i => Seq(
+      max(when(col("__fld") === i, col("__tf"))).as(s"__tf$i"),
+      max(when(col("__fld") === i, col("__dl"))).as(s"__dl$i"))
+    }
+    val pivoted = perField.groupBy(col("__term"), col("__doc"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stats = pivoted.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val st = docs.agg(count(lit(1)).as("n"),
+      fields.zipWithIndex.map { case (f, i) =>
+        sum(size(TextOps.tokens(col(f.textCol))).cast("long")).as(s"__s$i")
+      }: _*).head()
+    val n = st.getLong(0)
+    val avgDls = fields.indices.map { i =>
+      (if (st.isNullAt(i + 1)) 0L else st.getLong(i + 1)).toDouble / n
+    }
+    BuiltIndexF(pivoted, stats, n, avgDls, maxDfRatio, fields)
+  }
+
+  /** BM25F top-k: (qid, id, score_micro) with score_micro the exact long
+    * sum of per-term floor(idf · tfTilde/(k1+tfTilde) · 1e6)
+    * contributions; tfTilde combines the fields in declaration order
+    * with each field's weight and length normalization. Same query-time
+    * shape as [[bm25]]: nothing corpus-sized shuffles — broadcasts +
+    * one partial-aggregated (query, doc) score sum + the k-bounded heap.
+    */
+  def bm25f(
+      ix: BuiltIndexF, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2): DataFrame = {
+    val qterms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("__term"))
+    val idf = log(
+      lit(1.0) + ((lit(ix.nDocs) - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val dfCap = math.floor(ix.maxDfRatio * ix.nDocs).toLong
+    val qWeighted = ix.termStats
+      .filter(col("__df") <= dfCap)
+      .join(broadcast(qterms), "__term")
+      .select(col("__qid"), col("__term"), idf.as("__idf"))
+    // fixed-order field combination; absent-field tf coalesces to 0 (its
+    // denominator then does not matter but stays finite since b < 1)
+    val tfTilde = ix.fields.zipWithIndex.map { case (f, i) =>
+      (coalesce(col(s"__tf$i").cast("double"), lit(0.0)) * lit(f.weight)) /
+        (lit(1.0 - f.b) +
+          (lit(f.b) * coalesce(col(s"__dl$i").cast("double"), lit(0.0))) /
+            lit(ix.avgDls(i)))
+    }.reduce(_ + _)
+    val scored = ix.postings
+      .join(broadcast(qWeighted), "__term")
+      .select(col("__qid"), col("__doc"),
+        floor((col("__idf") * (tfTilde / (lit(k1) + tfTilde))) * lit(1e6))
+          .cast("long").as("__c"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__c")).as("score_micro"))
+      .toDF("qid", "id", "score_micro")
+    graft.operators.TopK.perGroup(
+      scored, "qid", "score_micro", ascending = false, k, Seq("id"))
+  }
 }

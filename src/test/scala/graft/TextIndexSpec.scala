@@ -301,4 +301,42 @@ class TextIndexSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("bm25f: a title hit outranks the same hit buried in the body") {
+    import graft.text.TextIndex
+    import graft.text.TextIndex.FieldSpec
+    val docs = Seq(
+      (1L, "quantum computing basics", "intro words only here"),
+      (2L, "unrelated title words", "quantum computing appears in body text"),
+      (3L, "other filler title", "more filler body content here")
+    ).toDF("doc_id", "title", "body")
+    val ix = TextIndex.buildF(docs, "doc_id",
+      Seq(FieldSpec("title", 2.0, 0.75), FieldSpec("body", 1.0, 0.4)),
+      maxDfRatio = 0.98)
+    val q = Seq((9L, "quantum computing")).toDF("qid", "qtext")
+    val hits = TextIndex.bm25f(ix, q, "qid", "qtext", k = 3)
+      .orderBy(col("score_micro").desc).select("id").as[Long].collect()
+    assert(hits.head === 1L, s"title match must rank first, got ${hits.toSeq}")
+    assert(hits.contains(2L))
+    assert(!hits.contains(3L) ||
+      hits.indexOf(3L) > hits.indexOf(2L))
+  }
+
+  test("bm25f is invariant to corpus repartitioning") {
+    import graft.text.TextIndex
+    import graft.text.TextIndex.FieldSpec
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 4).map(j => concat(lit("t"), (col("id") * (j + 2) % 23).cast("string"))): _*).as("title"),
+      concat_ws(" ", (0 until 12).map(j => concat(lit("w"), (col("id") * (j + 5) % 41).cast("string"))): _*).as("body"))
+    val q = spark.range(0, 5).select(col("id").as("qid"),
+      concat_ws(" ", concat(lit("t"), (col("id") * 2 % 23).cast("string")),
+        concat(lit("w"), (col("id") * 5 % 41).cast("string"))).as("qtext"))
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val ix = TextIndex.buildF(d, "doc_id",
+        Seq(FieldSpec("title", 2.0, 0.75), FieldSpec("body", 1.0, 0.4)), 0.98)
+      TextIndex.bm25f(ix, q, "qid", "qtext", k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(run(docs) === run(docs.repartition(17)))
+  }
 }
