@@ -1578,6 +1578,22 @@ object SparkEntry {
         col("doc_id").as("qid"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       graft.text.TextIndex.bm25f(ix, q, "qid", "qtext", k = 10)
+    }),
+
+    // BM25 delete maintenance: build over the full corpus, tombstone
+    // every fifth doc O(delta) (anti-join exclusion + stats corrected
+    // from the deleted docs' own text), then query — results must equal
+    // an index built over the remaining docs, which is exactly what the
+    // oracle computes.
+    "q_bm25_delete" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val full = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      val ix = graft.text.TextIndex.removeDocs(
+        full, d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      val q = d.filter(col("doc_id") % 97 === 0 && col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
     })
   )
 
@@ -2713,6 +2729,34 @@ object SparkEntry {
         |co AS (SELECT qid, id,
         |         CAST(floor((idf * (tt / (1.2 + tt))) * 1000000.0) AS BIGINT) AS c
         |       FROM co0),
+        |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
+        |r AS (SELECT qid, id, score_micro,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rn
+        |      FROM sc)
+        |SELECT qid, id, score_micro FROM r WHERE rn <= 10""".stripMargin,
+
+    // BM25 over the REMAINING corpus only — the delete semantics the
+    // tombstoned engine index must reproduce exactly
+    "q_bm25_delete" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE doc_id % 5 <> 0),
+        |post AS (SELECT t.term AS term, doc_id, len(w) AS dl, count(*) AS tf
+        |         FROM d, unnest(w) AS t(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
+        |      FROM d WHERE doc_id % 97 = 0),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |qw AS (SELECT qid, term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |       FROM qt JOIN tstat USING (term), st),
+        |co AS (SELECT qid, doc_id AS id,
+        |         CAST(floor((idf * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl))))
+        |           * 1000000.0) AS BIGINT) AS c
+        |       FROM qw JOIN post USING (term), st),
         |sc AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS score_micro FROM co GROUP BY 1, 2),
         |r AS (SELECT qid, id, score_micro,
         |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rn

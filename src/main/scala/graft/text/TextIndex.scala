@@ -103,6 +103,29 @@ object TextIndex {
       ix.nDocs + d.nDocs, ix.dlSum + d.dlSum, ix.maxDfRatio)
   }
 
+  /** Delete maintenance — the tombstone shape the ANN indexes use
+    * (reference R3/R4 analog): standing postings are NOT rewritten; the
+    * deleted ids become an anti-join exclusion on the postings plan,
+    * and the df stats / corpus constants correct by the DELETED docs'
+    * own statistics, recomputed O(delta) from their text — nothing
+    * re-reads the standing corpus. Callers pass the docs AS INDEXED
+    * (the table layer keeps them until vacuum); a later compaction can
+    * materialize the anti-joined postings to reclaim space.
+    */
+  def removeDocs(
+      ix: BuiltIndex, docs: DataFrame, idCol: String,
+      textCol: String): BuiltIndex = {
+    val d = build(docs, idCol, textCol, ix.maxDfRatio)
+    val delIds = docs.select(col(idCol).as("__doc")).distinct()
+    val post = ix.postings.join(broadcast(delIds), Seq("__doc"), "left_anti")
+    val stats = ix.termStats
+      .join(d.termStats.withColumnRenamed("__df", "__dfDel"), Seq("__term"), "left")
+      .select(col("__term"),
+        (col("__df") - coalesce(col("__dfDel"), lit(0L))).as("__df"))
+      .filter(col("__df") > 0)
+    BuiltIndex(post, stats, ix.nDocs - d.nDocs, ix.dlSum - d.dlSum, ix.maxDfRatio)
+  }
+
   /** BM25 top-k: returns (qid, id, score_micro) — `score_micro` is the
     * exact long sum of per-term floor(idf·tfNorm·1e6) contributions,
     * k rows per query, ties broken by ascending id.

@@ -339,4 +339,27 @@ class TextIndexSpec extends GraftSuite {
     }
     assert(run(docs) === run(docs.repartition(17)))
   }
+
+  test("removeDocs equals a rebuild over the remaining corpus, bit-for-bit") {
+    import graft.text.TextIndex
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("w"), (col("id") * (j + 3) % 37).cast("string"))): _*).as("text"))
+    val full = TextIndex.build(docs, "doc_id", "text", maxDfRatio = 0.98)
+    val removed = TextIndex.removeDocs(
+      full, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val rebuilt = TextIndex.build(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", maxDfRatio = 0.98)
+    val q = spark.range(0, 4).select(col("id").as("qid"),
+      concat_ws(" ", concat(lit("w"), (col("id") * 3 % 37).cast("string")),
+        concat(lit("w"), (col("id") * 7 % 37).cast("string"))).as("qtext"))
+    def run(ix: TextIndex.BuiltIndex) =
+      TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(removed.nDocs === rebuilt.nDocs)
+    assert(removed.dlSum === rebuilt.dlSum)
+    assert(run(removed) === run(rebuilt))
+    // no deleted doc can ever surface
+    assert(run(removed).forall(_._2 % 3 != 0))
+  }
 }
