@@ -1594,6 +1594,61 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
+    }),
+
+    // Exact phrase search over positional postings: anchor-vote algebra
+    // (one aggregation keyed by (query, doc, pos-offset)) replaces the
+    // classic m-way position self-join; query tokens broadcast into the
+    // postings scan before anything shuffles.
+    "q_phrase_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 101 === 0).select(
+        col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 5, 3)).as("qtext"))
+      graft.text.TextIndex.phraseSearch(
+        d, "doc_id", "text", q, "qid", "qtext", k = 10)
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // k = 100 docs, inclusion probability ∝ n_chars; exponential keys in
+    // exact micro-units (md5 uniform, floor(ln·1e9), exact integer
+    // division) so the draw is engine-independent. Pure projection +
+    // global TakeOrdered — zero shuffles.
+    "q_sample_weighted" -> ((s, dir) => {
+      graft.operators.Sample.weightedTopK(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+    }),
+
+    // Cross-corpus near-dup: the odd-id "new crawl" deduped against the
+    // even-id "standing corpus" — band-key equi-joins BETWEEN the sides
+    // only (within-corpus dup mass never becomes join rows), exact
+    // Jaccard verification at 0.5.
+    "q_dedup_cross" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.crossMinhashPairs(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    // Edit-distance-1 entity matching over customer names (FastSS
+    // deletion neighborhoods): candidates from an equi-join on deletion
+    // variants, exact levenshtein verification — never all-pairs.
+    "q_fuzzy_match" -> ((s, dir) => {
+      graft.operators.FuzzyJoin.editDistance1Pairs(
+        t(s, dir, "customer"), "c_name")
+    }),
+
+    // Multinomial Naive Bayes (the fasttext-style model-based filter):
+    // train on even-id docs (label = lang), classify odd-id docs. Both
+    // training (pure counting) and scoring (micro-unit log arithmetic)
+    // are exact integers — the full train→score→argmax chain is
+    // oracle-checked.
+    "q_nb_classify" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = graft.text.NaiveBayes.train(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      graft.text.NaiveBayes.classify(
+        m, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     })
   )
 
@@ -2761,7 +2816,102 @@ object SparkEntry {
         |r AS (SELECT qid, id, score_micro,
         |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rn
         |      FROM sc)
-        |SELECT qid, id, score_micro FROM r WHERE rn <= 10""".stripMargin
+        |SELECT qid, id, score_micro FROM r WHERE rn <= 10""".stripMargin,
+
+    // phrase occurrences via the same anchor-vote algebra: a (doc pos,
+    // query offset) match votes for anchor pos-j; anchors holding all m
+    // distinct offsets are occurrences
+    "q_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pu AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |         i -> {'p': i - 1, 't': w[i]})) AS e FROM d),
+        |post AS (SELECT doc_id, e.p AS pos, e.t AS term FROM pu),
+        |q AS (SELECT doc_id AS qid, list_slice(w, 5, 7) AS ph FROM d
+        |      WHERE doc_id % 101 = 0),
+        |qu AS (SELECT qid, unnest(list_transform(range(1, len(ph) + 1),
+        |         j -> {'p': j - 1, 't': ph[j]})) AS e FROM q),
+        |qt AS (SELECT qid, e.p AS j, e.t AS term FROM qu),
+        |ql AS (SELECT qid, len(ph) AS m FROM q),
+        |an AS (SELECT qid, doc_id AS id, pos - j AS anchor, count(DISTINCT j) AS hits
+        |       FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |occ AS (SELECT qid, id, count(*) AS n_occ FROM an JOIN ql USING (qid)
+        |        WHERE anchor >= 0 AND hits = m GROUP BY 1, 2),
+        |r AS (SELECT qid, id, n_occ,
+        |        row_number() OVER (PARTITION BY qid ORDER BY n_occ DESC, id) AS rn
+        |      FROM occ)
+        |SELECT qid, id, n_occ FROM r WHERE rn <= 10""".stripMargin,
+
+    // Efraimidis–Spirakis weighted sample: identical micro-unit key
+    // derivation (md5 uniform, floor(ln·1e9), exact integer division)
+    "q_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    ('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |e AS (SELECT doc_id, n_chars,
+        |    CAST(floor(ln(8589934592.0 / CAST(2*h + 1 AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT) AS a
+        |  FROM s)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  (a*1000 - (a*1000) % n_chars) // n_chars AS key_micro
+        |FROM e ORDER BY key_micro, doc_id LIMIT 100""".stripMargin,
+
+    // cross-corpus near-dup: same pair derivation as q_dedup_minhash but
+    // candidates restricted to (odd "new", even "reference") id pairs
+    "q_dedup_cross" ->
+      s"""WITH $ShingleCte,
+         |${minhashPairCtesWhere("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+
+    // FastSS deletion-neighborhood candidates + exact levenshtein verify
+    "q_fuzzy_match" ->
+      """WITH v AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL),
+        |n AS (SELECT s, s AS var FROM v
+        |      UNION
+        |      SELECT s, unnest(list_transform(range(1, len(s) + 1),
+        |        i -> substr(s, 1, i - 1) || substr(s, i + 1))) AS var FROM v),
+        |cand AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |         FROM n x JOIN n y ON x.var = y.var AND x.s < y.s)
+        |SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(a, b) <= 1""".stripMargin,
+
+    // Naive Bayes: counting + the same observed-cell micro-unit algebra
+    // (score = prior + dl·default + Σ tf·(lw − default))
+    "q_nb_classify" ->
+      """WITH tr AS (SELECT lang AS cls, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tc AS (SELECT t.term AS term, cls, count(*) AS tf
+        |       FROM tr, unnest(w) AS t(term) GROUP BY 1, 2),
+        |ct AS (SELECT cls, count(*) AS nc, sum(len(w)) AS tcnt FROM tr GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM tr),
+        |vv AS (SELECT count(DISTINCT term) AS v FROM tc),
+        |cc AS (SELECT cls,
+        |         CAST(floor(ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS prior,
+        |         CAST(floor(ln(1.0 / CAST(tcnt + v AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS dflt,
+        |         tcnt + v AS denom
+        |       FROM ct, nn, vv),
+        |lw AS (SELECT term, tc.cls AS cls,
+        |         CAST(floor(ln(CAST(tf + 1 AS DOUBLE) / CAST(denom AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS lw
+        |       FROM tc JOIN cc ON tc.cls = cc.cls),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE doc_id % 2 = 1),
+        |dtf AS (SELECT doc_id, t.term AS term, count(*) AS tf
+        |        FROM te, unnest(w) AS t(term) GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, len(w) AS dl FROM te),
+        |dd AS (SELECT doc_id, lw.cls AS cls, sum(tf * (lw.lw - cc.dflt)) AS delta
+        |       FROM dtf JOIN lw ON dtf.term = lw.term
+        |       JOIN cc ON lw.cls = cc.cls GROUP BY 1, 2),
+        |sc AS (SELECT dls.doc_id AS id, cc.cls AS cls,
+        |         cc.prior + dl * cc.dflt + coalesce(dd.delta, 0) AS score
+        |       FROM dls CROSS JOIN cc
+        |       LEFT JOIN dd ON dd.doc_id = dls.doc_id AND dd.cls = cc.cls),
+        |r AS (SELECT id, cls, score,
+        |        row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
+        |      FROM sc)
+        |SELECT id, cls AS pred, CAST(score AS BIGINT) AS score_micro
+        |FROM r WHERE rn = 1""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
@@ -2826,26 +2976,34 @@ object SparkEntry {
        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
 
+  /** Minhash pair CTEs with a parameterized candidate-pair predicate —
+    * `q_dedup_minhash`-family oracles use the within-corpus `a < b` form;
+    * the cross-corpus oracle restricts candidates to (odd, even) id
+    * pairs. One derivation, so the variants cannot drift.
+    */
+  private def minhashPairCtesWhere(pairCond: String): String =
+    s"""hs AS (SELECT doc_id,
+       |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
+       |  FROM toks),
+       |sig AS (SELECT doc_id, list_transform(range(0,16),
+       |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
+       |  FROM hs),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
+       |    v -> CAST(v AS VARCHAR)), '_') AS bkey
+       |  FROM sig, range(0,4) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bkey = y.bkey AND $pairCond),
+       |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
+       |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
+       |ver AS (SELECT a, b,
+       |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)""".stripMargin
+
   private val MinhashPairCtes: String =
-    """hs AS (SELECT doc_id,
-      |  list_transform(toks, s -> ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647) AS xs
-      |  FROM toks),
-      |sig AS (SELECT doc_id, list_transform(range(0,16),
-      |  i -> list_min(list_transform(xs, x -> ((37*i+101)*x + (91*i+17)) % 2147483647))) AS sig
-      |  FROM hs),
-      |bands AS (SELECT doc_id, t.b AS band,
-      |  array_to_string(list_transform(list_slice(sig, t.b*4+1, t.b*4+4),
-      |    v -> CAST(v AS VARCHAR)), '_') AS bkey
-      |  FROM sig, range(0,4) t(b)),
-      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      |  FROM bands x JOIN bands y
-      |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
-      |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
-      |ver AS (SELECT a, b,
-      |  CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE) /
-      |  CAST(len(list_distinct(list_concat(ta.htoks, tb.htoks))) AS DOUBLE) AS jaccard
-      |  FROM cand JOIN ht ta ON ta.doc_id = a JOIN ht tb ON tb.doc_id = b)""".stripMargin
+    minhashPairCtesWhere("x.doc_id < y.doc_id")
 
   /** Shared shingle CTE (distinct word 3-grams) used by the dedup oracles —
     * the DuckDB mirror of TextOps.shingles(text, 3).

@@ -68,20 +68,60 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val banded = bandKeys(df, idCol, textCol, numHashes, bands, shingleN)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** LSH band keys (id, band, key) — the equi-join key space shared by
+    * within-corpus and cross-corpus candidate generation.
+    */
+  private def bandKeys(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     val r = numHashes / bands
     val sig = withMinhashSignature(df, idCol, textCol, numHashes, shingleN)
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             array_join(transform(slice(col("sig"), b * r + 1, r),
               x => x.cast("string")), "_").as("key"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
+  }
+
+  /** Cross-corpus near-dup detection: MinHash-LSH candidates BETWEEN two
+    * corpora (never within either), verified by exact Jaccard at
+    * `threshold` — the "dedup the new crawl against the standing corpus /
+    * the previous training set" step. Returns (a, b, jaccard) with `a`
+    * from `newDf` and `b` from `refDf`.
+    *
+    * Scale shape: identical to [[minhashPairs]] — band-key equi-joins
+    * (no all-pairs), shingle sets materialized per doc before the pair
+    * join, partition-kernel Jaccard — and strictly cheaper than
+    * unioning the corpora and filtering the pair side, because
+    * within-corpus collisions (the reference corpus's own dup mass)
+    * never become join rows at all.
+    */
+  def crossMinhashPairs(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val bn = bandKeys(newDf, idCol, textCol, numHashes, bands, shingleN)
+    val br = bandKeys(refDf, idCol, textCol, numHashes, bands, shingleN)
+    val cands = bn.as("x").join(br.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    val ta = withShingles(newDf, idCol, textCol, shingleN)
+    val tb = withShingles(refDf, idCol, textCol, shingleN)
+    val pairs = cands
+      .join(ta.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(tb.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
+    pairJaccard(pairs, threshold)
   }
 
   /** Sorted hashed-shingle sets via the partition kernel. Materializing

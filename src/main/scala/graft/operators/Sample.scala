@@ -79,6 +79,42 @@ object Sample {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * the global k-row sample where a row's inclusion probability is
+    * proportional to its weight — corpus subsampling that favors long /
+    * high-quality documents without ever materializing a cumulative
+    * distribution. Each row draws an exponential key
+    * `e = -ln(u(id)) / w` and the k SMALLEST keys win; u(id) is the
+    * md5-prefix uniform, so the draw is reproducible across runs,
+    * engines and partitionings (no RNG state, no seed plumbing beyond
+    * the salt string).
+    *
+    * Determinism: the key is quantized to exact integers BOTH engines
+    * compute identically — a = floor(ln(2^33/(2h+1))·1e9) (ln of a
+    * power-of-two-over-odd rational; the libm-parity class verified for
+    * the BM25 idf), then key = floor(a·1000 / w) by exact integer
+    * division (dividend ≤ 2.3e13 < 2^53, so even the double-division
+    * form is exact). Ties break by ascending id.
+    *
+    * Scale shape: pure per-row projection + global top-k
+    * (TakeOrdered, k-bounded) — no shuffle, no window, no collect.
+    */
+  def weightedTopK(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val a = floor(log(lit(8589934592.0) / (h * 2 + 1).cast("double")) *
+      lit(1e9)).cast("long")
+    val num = a * lit(1000L)
+    val w = col(weightCol).cast("long")
+    val key = ((num - pmod(num, w)) / w).cast("long")
+    df.filter(w > 0)
+      .select(col(idCol), w.as("weight"), key.as("key_micro"))
+      .orderBy(col("key_micro").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Leakage-safe train/val/test assignment: every row gets a split
     * label decided by a hash of its GROUP value (site, registered
     * domain, author, …), so all rows of one group land in the same

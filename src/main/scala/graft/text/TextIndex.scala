@@ -161,6 +161,59 @@ object TextIndex {
       scored, "qid", "score_micro", ascending = false, k, Seq("id"))
   }
 
+  /** Positional postings: one row per (term, doc, position) with 0-based
+    * token positions — the payload a phrase/proximity index needs on top
+    * of the tf postings [[postings]] carries.
+    */
+  def positionalPostings(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
+
+  /** Exact phrase search over positional postings: a doc matches once per
+    * position where the query's tokens appear consecutively. Returns
+    * (qid, id, n_occ) — the top `k` docs per query by occurrence count,
+    * ties broken by ascending id.
+    *
+    * Algorithm: each matched (posting, query-token) pair votes for the
+    * anchor `pos - offset` (the phrase's would-be start); an anchor that
+    * collects ALL m distinct offsets of the phrase is a full occurrence.
+    * This is m-way self-join-free — ONE aggregation keyed by
+    * (query, doc, anchor) replaces the classic chain of m position joins,
+    * so phrase length never changes the number of shuffles.
+    *
+    * Scale shape: the corpus-sized postings scan is filtered by a
+    * BROADCAST of the (tiny) query token set before anything shuffles;
+    * the anchor aggregation sees only matched postings; the final top-k
+    * is the k-bounded heap. Corpus text itself never moves.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qphraseCol: String,
+      k: Int): DataFrame = {
+    val posts = positionalPostings(docs, idCol, textCol)
+    val qtoks = queries.select(
+      col(qidCol).as("__qid"), TextOps.tokens(col(qphraseCol)).as("__qt"))
+    val qterms = qtoks.select(col("__qid"),
+      posexplode(col("__qt")).as(Seq("__j", "__term")))
+    val qlen = qtoks.select(col("__qid"), size(col("__qt")).cast("long").as("__m"))
+    val anchors = posts
+      .join(broadcast(qterms), "__term")
+      .select(col("__qid"), col("__doc"),
+        (col("__pos") - col("__j")).as("__anchor"), col("__j"))
+      .groupBy(col("__qid"), col("__doc"), col("__anchor"))
+      .agg(countDistinct(col("__j")).as("__hits"))
+    val occ = anchors
+      .join(broadcast(qlen), "__qid")
+      .filter(col("__anchor") >= 0 && col("__hits") === col("__m"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(count(lit(1)).as("n_occ"))
+      .toDF("qid", "id", "n_occ")
+    graft.operators.TopK.perGroup(
+      occ, "qid", "n_occ", ascending = false, k, Seq("id"))
+  }
+
   /** Attach a dense 1-based rank to a per-query hit list (qid, id,
     * score): rank 1 = best. The window runs over k-bounded lists (the
     * output of a top-k), so the per-qid sort is bounded and cheap.

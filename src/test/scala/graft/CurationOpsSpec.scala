@@ -213,4 +213,37 @@ class CurationOpsSpec extends GraftSuite {
     val p = out.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("weightedTopK: exactly k rows, deterministic across partitioning") {
+    val df = spark.range(0, 2000).select(
+      col("id").as("doc_id"), (col("id") % 37 + 1).as("w"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sample.weightedTopK(d, "doc_id", "w", k = 50)
+        .as[(Long, Long, Long)].collect().toSeq
+    val base = run(df)
+    assert(base.size === 50)
+    assert(run(df.repartition(17)) === base)
+    // keys come out sorted ascending (smallest exponential key wins)
+    assert(base.map(_._3) === base.map(_._3).sorted)
+  }
+
+  test("weightedTopK favors heavy rows; zero weights never selected") {
+    // 1000 light rows (w=1) + 20 heavy rows (w=1000): heavy mass is
+    // 20000/21000 ≈ 95%, so nearly all heavies should make top-50 of the
+    // deterministic draw; zero-weight rows are excluded outright
+    val light = spark.range(0, 1000).select(col("id").as("doc_id"), lit(1L).as("w"))
+    val heavy = spark.range(1000, 1020).select(col("id").as("doc_id"), lit(1000L).as("w"))
+    val zero = spark.range(2000, 2010).select(col("id").as("doc_id"), lit(0L).as("w"))
+    val got = Sample.weightedTopK(light.union(heavy).union(zero), "doc_id", "w", k = 50)
+      .as[(Long, Long, Long)].collect()
+    val heavies = got.count(r => r._1 >= 1000 && r._1 < 1020)
+    assert(heavies >= 15, s"only $heavies of 20 heavy rows selected")
+    assert(got.forall(_._1 < 2000))
+  }
+
+  test("weightedTopK: sampling WITHOUT replacement (distinct ids)") {
+    val df = spark.range(0, 100).select(col("id").as("doc_id"), lit(5L).as("w"))
+    val got = Sample.weightedTopK(df, "doc_id", "w", k = 40).as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).distinct.length === 40)
+  }
 }

@@ -178,4 +178,39 @@ class DedupTextSpec extends GraftSuite {
       .as[(Long, String)].collect().toMap
     assert(got === Map(5L -> "aa bb cc dd", 9L -> "", 7L -> "x"))
   }
+
+  test("crossMinhashPairs = within-corpus pairs restricted to cross pairs") {
+    // within-corpus pairs over the full table, keyed (min, max); the
+    // cross operator over the odd/even split must produce exactly the
+    // odd-even subset, oriented (new=odd, ref=even) — and nothing
+    // from inside either side
+    val within = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = within.collect {
+      case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j)
+    }
+    val cross = Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cross === expected)
+    assert(cross.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 0 })
+  }
+
+  test("crossMinhashPairs finds planted cross dups, ignores within dups") {
+    val newSide = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "completely different words about storage engines and logs"),
+      (5L, "completely different words about storage engines and logs")) // within-new dup
+      .toDF("doc_id", "text")
+    val refSide = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (4L, "unrelated reference text regarding query planners and joins"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossMinhashPairs(newSide, refSide, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(got.head._3 === 1.0)
+  }
 }

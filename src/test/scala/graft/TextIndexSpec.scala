@@ -340,6 +340,46 @@ class TextIndexSpec extends GraftSuite {
     assert(run(docs) === run(docs.repartition(17)))
   }
 
+  test("phraseSearch counts overlapping occurrences and ranks by count") {
+    import graft.text.TextIndex
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" at positions 0 and 2 (overlapping)
+      (2L, "a b a x y"), // once
+      (3L, "b a b a x")  // once, at 1
+    ).toDF("doc_id", "text")
+    val q = Seq((9L, "a b a")).toDF("qid", "qtext")
+    val got = TextIndex.phraseSearch(docs, "doc_id", "text", q, "qid", "qtext", 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((9L, 1L, 2L), (9L, 2L, 1L), (9L, 3L, 1L)))
+  }
+
+  test("phraseSearch: repeated phrase words need ALL offsets at one anchor") {
+    import graft.text.TextIndex
+    val docs = Seq(
+      (1L, "x a a y"),   // "a a" once
+      (2L, "x a b a y"), // a's present but never adjacent: no match
+      (3L, "a a a")      // twice (overlapping)
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "a a")).toDF("qid", "qtext")
+    val got = TextIndex.phraseSearch(docs, "doc_id", "text", q, "qid", "qtext", 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 1L, 1L), (7L, 3L, 2L)))
+  }
+
+  test("phraseSearch is invariant to corpus repartitioning") {
+    import graft.text.TextIndex
+    val docs = spark.read.parquet(s"$sf0/documents.parquet")
+    val q = docs.filter(col("doc_id") % 101 === 0).select(
+      col("doc_id").as("qid"),
+      concat_ws(" ", slice(split(col("text"), " "), 5, 3)).as("qtext"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextIndex.phraseSearch(d, "doc_id", "text", q, "qid", "qtext", 10)
+        .as[(Long, Long, Long)].collect().toSet
+    val base = run(docs)
+    assert(base.nonEmpty)
+    assert(run(docs.repartition(13)) === base)
+  }
+
   test("removeDocs equals a rebuild over the remaining corpus, bit-for-bit") {
     import graft.text.TextIndex
     val docs = spark.range(0, 300).select(col("id").as("doc_id"),
