@@ -20,28 +20,43 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All UNORDERED pairs (a < b) of distinct values of `strCol` within
-    * Levenshtein distance 1, as (a, b, dist). Exact: the deletion
-    * neighborhood is a complete cover for distance ≤ 1 (equal strings
-    * share s itself; a substitution shares the deletion at the edited
-    * position; an insert/delete pair shares the shorter string).
+    * Levenshtein distance 1, as (a, b, dist). Exact and position-aware:
+    *  - a SUBSTITUTION pair differs at exactly one position i, so both
+    *    words share the deletion-at-i variant — joined on (variant, i),
+    *    which kills the fan-out of bare-variant keys (zero-runs in
+    *    padded ids collide on the variant STRING at many different
+    *    positions; requiring the position to match drops all of them);
+    *  - an INSERT/DELETE pair shares the shorter word itself — the
+    *    identity side joins the deletion side on the variant alone.
+    * Both joins produce ONLY true ed = 1 pairs: a (variant, position)
+    * match means the words are equal everywhere except the matched
+    * position (and `<` excludes equality); an identity⋈deletion match
+    * is one insertion exactly. So `dist` is emitted as the constant 1
+    * rather than re-derived — a levenshtein over the candidates costs
+    * more than the joins themselves (measured 3 s of a 5 s run at 15k
+    * names), and the DuckDB oracle DOES compute real levenshtein, so
+    * the gate would catch this proof being wrong.
     */
   def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
     val vocab = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
       .distinct()
-    // D(s): s itself plus every one-character deletion (1-based substring
-    // algebra: drop position i = prefix of length i-1 + suffix from i+1)
-    val dels = transform(sequence(lit(1), length(col("s"))),
-      i => concat(
+    // deletions WITH their position (1-based substring algebra: drop
+    // position i = prefix of length i-1 + suffix from i+1)
+    val delsP = transform(sequence(lit(1), length(col("s"))),
+      i => struct(i.as("p"), concat(
         col("s").substr(lit(1), i - 1),
-        col("s").substr(i + 1, length(col("s")))))
-    val neigh = vocab.select(col("s"),
-      explode(array_union(array(col("s")), dels)).as("v"))
-    val cands = neigh.as("x").join(neigh.as("y"),
-        col("x.v") === col("y.v") && col("x.s") < col("y.s"))
+        col("s").substr(i + 1, length(col("s")))).as("v")))
+    val del = vocab.select(col("s"), explode(delsP).as("e"))
+      .select(col("s"), col("e.v").as("v"), col("e.p").as("p"))
+    val subs = del.as("x").join(del.as("y"),
+        col("x.v") === col("y.v") && col("x.p") === col("y.p") &&
+          col("x.s") < col("y.s"))
       .select(col("x.s").as("a"), col("y.s").as("b"))
-      .distinct()
-    cands
-      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
-      .filter(col("dist") <= 1)
+    val ins = vocab.as("x").join(del.as("y"),
+        col("x.s") === col("y.v") && col("x.s") =!= col("y.s"))
+      .select(least(col("x.s"), col("y.s")).as("a"),
+        greatest(col("x.s"), col("y.s")).as("b"))
+    subs.unionByName(ins).distinct()
+      .withColumn("dist", lit(1L))
   }
 }

@@ -304,4 +304,39 @@ class PlanSpec extends GraftSuite {
       rangeFilters = Seq(graft.core.RangeFilter("zone", Some(99), None))))
     assert(none.count() === 0)
   }
+
+  test("phrase search broadcasts query tokens; corpus text never shuffles") {
+    val df = SparkEntry.queries("q_phrase_search")(spark, sf0)
+    df.collect() // finalize AQE so join strategies are visible
+    val p = plan(df)
+    // query-term and query-length sides broadcast into the postings scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no Exchange carries the text column — only terms/positions move
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")), p)
+  }
+
+  test("weighted sampling is a pure projection + TakeOrdered (zero Exchange)") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, sf0)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("NB classify broadcasts the model; no Exchange carries text") {
+    val df = SparkEntry.queries("q_nb_classify")(spark, sf0)
+    df.collect()
+    val p = plan(df)
+    // the vocabulary-sized model joins broadcast into the corpus scan;
+    // the one corpus×corpus join (per-doc deltas vs the class grid, both
+    // keyed (id, class)) legitimately shuffles — but only ids/classes/
+    // integers move, never document text
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.forall(l => !l.contains("text#")), p)
+    // the C-bounded class-constants cross join must be broadcast, not
+    // a CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
