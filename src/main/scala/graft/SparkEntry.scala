@@ -1649,6 +1649,40 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0), "text", "lang")
       graft.text.NaiveBayes.classify(
         m, d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
+
+    // Proximity (sloppy-phrase) search: all distinct query terms within
+    // a 12-token window, scored by the number of matching window starts.
+    // Query terms are words 3/9/15 of the probe docs — spread out, so
+    // exact-phrase would miss but proximity hits.
+    "q_proximity_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = split(col("text"), " ")
+      // try_element_at: short docs yield NULL for missing positions,
+      // which concat_ws drops — mirroring DuckDB's out-of-range
+      // list index -> NULL -> list_distinct semantics
+      val q = d.filter(col("doc_id") % 103 === 0).select(
+        col("doc_id").as("qid"),
+        concat_ws(" ", try_element_at(ws, lit(3)), try_element_at(ws, lit(9)),
+          try_element_at(ws, lit(15))).as("qtext"))
+      graft.text.TextIndex.proximitySearch(
+        d, "doc_id", "text", q, "qid", "qtext", window = 12, k = 10)
+    }),
+
+    // Per-document TF-IDF keyword extraction: top-3 terms per doc,
+    // vocabulary-sized idf broadcast, k-bounded per-doc heap.
+    "q_tfidf_keywords" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      graft.text.TextIndex.topKeywords(ix, k = 3)
+    }),
+
+    // Per-group weighted sampling: 20 docs per language, inclusion
+    // probability ∝ n_chars — the per-group twin of q_sample_weighted
+    // (k-bounded heap instead of global TakeOrdered).
+    "q_sample_weighted_group" -> ((s, dir) => {
+      graft.operators.Sample.weightedTopKPerGroup(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 20)
     })
   )
 
@@ -2911,7 +2945,66 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
         |      FROM sc)
         |SELECT id, cls AS pred, CAST(score AS BIGINT) AS score_micro
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // proximity: every posting votes for the ≤window starts it can
+    // serve; a start holding all m distinct terms is a matching window
+    "q_proximity_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pu AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |         i -> {'p': i - 1, 't': w[i]})) AS e FROM d),
+        |post AS (SELECT doc_id, e.p AS pos, e.t AS term FROM pu),
+        |q AS (SELECT doc_id AS qid,
+        |        list_distinct([w[3], w[9], w[15]]) AS qt FROM d
+        |      WHERE doc_id % 103 = 0),
+        |qt AS (SELECT qid, unnest(qt) AS term FROM q),
+        |ql AS (SELECT qid, len(qt) AS m FROM q),
+        |vote AS (SELECT qid, doc_id AS id, term,
+        |           unnest(list_transform(range(0, 12),
+        |             o -> pos - o)) AS strt
+        |         FROM post JOIN qt USING (term)),
+        |st AS (SELECT qid, id, strt, count(DISTINCT term) AS hits
+        |       FROM vote WHERE strt >= 0 GROUP BY 1, 2, 3),
+        |occ AS (SELECT qid, id, count(*) AS n_windows
+        |        FROM st JOIN ql USING (qid) WHERE hits = m GROUP BY 1, 2),
+        |r AS (SELECT qid, id, n_windows,
+        |        row_number() OVER (PARTITION BY qid ORDER BY n_windows DESC, id) AS rn
+        |      FROM occ)
+        |SELECT qid, id, n_windows FROM r WHERE rn <= 10""".stripMargin,
+
+    // per-doc TF-IDF top-3 keywords, micro-unit idf, term tie-break
+    "q_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |post AS (SELECT t.term AS term, doc_id, count(*) AS tf
+        |         FROM d, unnest(w) AS t(term) GROUP BY 1, 2),
+        |st AS (SELECT count(*) AS n FROM d),
+        |ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |       HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
+        |sc AS (SELECT doc_id AS id, term,
+        |         tf * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS score_micro
+        |       FROM post JOIN ts USING (term), st),
+        |r AS (SELECT id, term, score_micro,
+        |        row_number() OVER (PARTITION BY id ORDER BY score_micro DESC, term) AS rn
+        |      FROM sc)
+        |SELECT id, term, score_micro FROM r WHERE rn <= 3""".stripMargin,
+
+    // per-language weighted sample: same key derivation as
+    // q_sample_weighted, k = 20 per group
+    "q_sample_weighted_group" ->
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+        |    ('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |e AS (SELECT lang, doc_id, n_chars,
+        |    CAST(floor(ln(8589934592.0 / CAST(2*h + 1 AS DOUBLE)) * 1000000000.0)
+        |      AS BIGINT) AS a
+        |  FROM s),
+        |kk AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    (a*1000 - (a*1000) % n_chars) // n_chars AS key_micro FROM e),
+        |r AS (SELECT lang, doc_id, weight, key_micro,
+        |        row_number() OVER (PARTITION BY lang ORDER BY key_micro, doc_id) AS rn
+        |      FROM kk)
+        |SELECT lang, doc_id, weight, key_micro FROM r WHERE rn <= 20""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and

@@ -115,6 +115,27 @@ object Sample {
       .limit(k)
   }
 
+  /** Per-group weighted sampling without replacement: [[weightedTopK]]'s
+    * exponential-key draw, k rows per GROUP (per-language / per-source
+    * weighted subsampling with exact quotas). Same key derivation; the
+    * per-group selection is the k-bounded heap aggregate, so the shuffle
+    * moves at most k rows per group — never the corpus.
+    */
+  def weightedTopKPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val a = floor(log(lit(8589934592.0) / (h * 2 + 1).cast("double")) *
+      lit(1e9)).cast("long")
+    val num = a * lit(1000L)
+    val w = col(weightCol).cast("long")
+    val key = ((num - pmod(num, w)) / w).cast("long")
+    val sel = df.filter(w > 0)
+      .select(col(groupCol), col(idCol), w.as("weight"), key.as("key_micro"))
+    TopK.perGroup(sel, groupCol, "key_micro", ascending = true, k, Seq(idCol))
+  }
+
   /** Leakage-safe train/val/test assignment: every row gets a split
     * label decided by a hash of its GROUP value (site, registered
     * domain, author, …), so all rows of one group land in the same

@@ -246,4 +246,25 @@ class CurationOpsSpec extends GraftSuite {
     val got = Sample.weightedTopK(df, "doc_id", "w", k = 40).as[(Long, Long, Long)].collect()
     assert(got.map(_._1).distinct.length === 40)
   }
+
+  test("weightedTopKPerGroup: exact per-group quotas, same keys as global") {
+    val df = spark.range(0, 900).select(
+      col("id").as("doc_id"), (col("id") % 3).cast("string").as("grp"),
+      (col("id") % 23 + 1).as("w"))
+    val got = Sample.weightedTopKPerGroup(df, "grp", "doc_id", "w", k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("0" -> 10, "1" -> 10, "2" -> 10))
+    // deterministic across partitioning
+    val again = Sample.weightedTopKPerGroup(df.repartition(13), "grp", "doc_id", "w", k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+    // a single-group input degenerates to the global draw
+    val one = df.withColumn("grp", lit("all"))
+    val grouped = Sample.weightedTopKPerGroup(one, "grp", "doc_id", "w", k = 25)
+      .as[(String, Long, Long, Long)].collect().map(r => (r._2, r._3, r._4)).toSet
+    val global = Sample.weightedTopK(df, "doc_id", "w", k = 25)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grouped === global)
+  }
 }

@@ -380,6 +380,43 @@ class TextIndexSpec extends GraftSuite {
     assert(run(docs.repartition(13)) === base)
   }
 
+  test("proximitySearch: window boundary is exact, duplicate terms collapse") {
+    import graft.text.TextIndex
+    val docs = Seq(
+      (1L, "x a y y b z"),     // a(1)..b(4): within any window ≥ 4
+      (2L, "a x x x b"),       // a(0)..b(4): needs window ≥ 5
+      (3L, "a x x x x b"),     // a(0)..b(5): needs window ≥ 6 — out at 5
+      (4L, "b a c")            // order-free: window covers both
+    ).toDF("doc_id", "text")
+    val q = Seq((7L, "a b a")).toDF("qid", "qtext") // duplicate 'a' collapses
+    // window 5: doc2's only covering start is 0; doc3 excluded
+    val w5 = TextIndex.proximitySearch(docs, "doc_id", "text", q, "qid", "qtext", 5, 10)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(w5 === Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    // window 6 admits doc3
+    val w6 = TextIndex.proximitySearch(docs, "doc_id", "text", q, "qid", "qtext", 6, 10)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(w6.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("topKeywords: rare terms outrank common ones; df cap drops ubiquitous") {
+    import graft.text.TextIndex
+    val docs = Seq(
+      (1L, "common rare common stopword"),
+      (2L, "common stopword stopword"),
+      (3L, "common other stopword"),
+      (4L, "stopword alone")).toDF("doc_id", "text")
+    // stopword is in 4/4 docs: dropped at maxDfRatio < 1.0
+    val ix = TextIndex.build(docs, "doc_id", "text", maxDfRatio = 0.9)
+    val got = TextIndex.topKeywords(ix, k = 2)
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    assert(got(1L).map(_._2).toSet === Set("rare", "common"))
+    // rare (df=1) outranks common (df=3) for doc 1 despite tf 1 vs 2
+    val d1 = got(1L).sortBy(-_._3).map(_._2).toSeq
+    assert(d1.head === "rare", d1.toString)
+    assert(got.values.flatten.forall(_._2 != "stopword"))
+  }
+
   test("removeDocs equals a rebuild over the remaining corpus, bit-for-bit") {
     import graft.text.TextIndex
     val docs = spark.range(0, 300).select(col("id").as("doc_id"),
