@@ -1683,6 +1683,16 @@ object SparkEntry {
     "q_sample_weighted_group" -> ((s, dir) => {
       graft.operators.Sample.weightedTopKPerGroup(
         t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 20)
+    }),
+
+    // Z-order (Morton) key over (user_id, event_id) at 20 bits — the
+    // layout key that makes min/max stats prune 2-D range queries; a
+    // pure statically-unrolled bit expression, zero shuffle.
+    "q_zorder_key" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_id"), graft.operators.ZOrder.key2(
+        pmod(col("user_id"), lit(1048576L)),
+        pmod(col("event_id"), lit(1048576L)), bits = 20).as("zkey"))
     })
   )
 
@@ -3004,7 +3014,16 @@ object SparkEntry {
         |r AS (SELECT lang, doc_id, weight, key_micro,
         |        row_number() OVER (PARTITION BY lang ORDER BY key_micro, doc_id) AS rn
         |      FROM kk)
-        |SELECT lang, doc_id, weight, key_micro FROM r WHERE rn <= 20""".stripMargin
+        |SELECT lang, doc_id, weight, key_micro FROM r WHERE rn <= 20""".stripMargin,
+
+    // Morton interleave: bit i of x at 2i, bit i of y at 2i+1
+    "q_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 20),
+        |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS zkey
+        |FROM (SELECT event_id, user_id % 1048576 AS x,
+        |        event_id % 1048576 AS y FROM events)""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
