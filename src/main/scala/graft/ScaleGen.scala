@@ -28,6 +28,10 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (targeted probes at
+    // extreme scale where the full star schema would not fit the host)
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = graft.core.GraftSession.local(32, "graft-scalegen")
 
     def maxOf(df: DataFrame, c: String): Long =
@@ -43,13 +47,15 @@ object ScaleGen {
         if (k == 0) shifted else perCopy(shifted, k)
       }.reduce(_.unionByName(_))
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      val t0 = System.nanoTime()
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      val n = spark.read.parquet(s"$out/$name.parquet").count()
-      System.err.println(
-        f"[scalegen] $name%-12s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    def write(name: String, df: => DataFrame, parts: Int): Unit = {
+      if (onlyTables.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+        val n = spark.read.parquet(s"$out/$name.parquet").count()
+        System.err.println(
+          f"[scalegen] $name%-12s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
     }
 
     def t(name: String): DataFrame = graft.core.Tables.load(spark, src, name)

@@ -1685,6 +1685,29 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 20)
     }),
 
+    // Corpus card: the per-(lang, source) datasheet every training
+    // corpus ships with — doc/token/char totals, exact-dup mass, and
+    // the quality-score sum in exact micro-units (order-independent
+    // long arithmetic). Two shuffles: the digest count and the card
+    // aggregation; the digest join-back is a plain shuffle join, no
+    // broadcast assumption at 100 TB.
+    "q_corpus_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy(md5(col("text")).as("__dg"))
+        .agg(count(lit(1)).as("__c"))
+      d.withColumn("__dg", md5(col("text")))
+        .join(counts, "__dg")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(graft.text.TextOps.tokens(col("text"))).cast("long"))
+            .as("n_tokens"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(round(graft.text.TextOps.qualityScore(col("text")) * 1e6, 0)
+            .cast("long")).as("quality_micro_sum"),
+          sum(col("n_chars")).as("n_chars_sum"))
+    }),
+
     // Z-order (Morton) key over (user_id, event_id) at 20 bits — the
     // layout key that makes min/max stats prune 2-D range queries; a
     // pure statically-unrolled bit expression, zero shuffle.
@@ -3015,6 +3038,18 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY lang ORDER BY key_micro, doc_id) AS rn
         |      FROM kk)
         |SELECT lang, doc_id, weight, key_micro FROM r WHERE rn <= 20""".stripMargin,
+
+    // corpus card: same digest join-back + micro-unit quality sum
+    "q_corpus_card" ->
+      s"""WITH c AS (SELECT md5(text) AS dg, count(*) AS c FROM documents GROUP BY 1),
+         |d AS (SELECT lang, source, n_chars, text, md5(text) AS dg FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(CAST(round(($QualitySql) * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |    AS quality_micro_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+         |FROM d JOIN c USING (dg) GROUP BY 1, 2""".stripMargin,
 
     // Morton interleave: bit i of x at 2i, bit i of y at 2i+1
     "q_zorder_key" ->
