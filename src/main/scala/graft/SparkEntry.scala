@@ -1708,6 +1708,25 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars_sum"))
     }),
 
+    // End-to-end curation pipeline — the operators COMPOSE: exact dedup
+    // (keep min id per digest) → decontaminate against the held-out eval
+    // slice → keep the top half of every language by quality → weighted
+    // sample of 200 by length. Every stage is an existing oracle-exact
+    // operator; the oracle replays the whole chain in SQL, so stage
+    // interfaces (not just stages) are checked.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val deduped = graft.dedup.Dedup.dropExactDups(d, "doc_id", "text")
+      val train = deduped.filter(col("doc_id") % 7 =!= 0)
+      val eval = d.filter(col("doc_id") % 7 === 0)
+      val clean = graft.dedup.Dedup.decontaminate(
+        train, "doc_id", "text", eval, "text", shingleN = 3, minHits = 5)
+      val filtered = graft.operators.Sample.topFractionPerGroup(
+        clean, "lang", "doc_id",
+        round(graft.text.TextOps.qualityScore(col("text")), 6), frac = 0.5)
+      graft.operators.Sample.weightedTopK(filtered, "doc_id", "n_chars", k = 200)
+    }),
+
     // Z-order (Morton) key over (user_id, event_id) at 20 bits — the
     // layout key that makes min/max stats prune 2-D range queries; a
     // pure statically-unrolled bit expression, zero shuffle.
@@ -3050,6 +3069,50 @@ object SparkEntry {
          |    AS quality_micro_sum,
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          |FROM d JOIN c USING (dg) GROUP BY 1, 2""".stripMargin,
+
+    // full curation chain replayed in SQL: dedup keepers → decontam
+    // (distinct 45-bit trigram hashes vs the eval slice, >= 5 hits) →
+    // per-lang top-half by quality → Efraimidis–Spirakis top-200
+    "q_pipeline_curate" ->
+      s"""WITH dd AS (SELECT * FROM documents WHERE doc_id IN
+         |      (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+         |tr AS (SELECT * FROM dd WHERE doc_id % 7 <> 0),
+         |tg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+         |      list_distinct(list_transform(
+         |        list_transform(range(1, len(string_split(text,' ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+         |        s -> ('0x'||substr(md5(s),1,15))::BIGINT))
+         |    ELSE [] END) AS g
+         |  FROM tr),
+         |eg AS (SELECT DISTINCT unnest(
+         |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+         |      list_transform(
+         |        list_transform(range(1, len(string_split(text,' ')) - 1),
+         |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+         |        s -> ('0x'||substr(md5(s),1,15))::BIGINT)
+         |    ELSE [] END) AS g
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |bad AS (SELECT doc_id FROM tg JOIN eg USING (g)
+         |        GROUP BY doc_id HAVING count(*) >= 5),
+         |cl AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |q AS (SELECT doc_id, lang, n_chars, $QualitySql AS qq FROM cl),
+         |cnt AS (SELECT lang, count(*) AS n FROM q GROUP BY 1),
+         |rk AS (SELECT doc_id, lang, n_chars,
+         |         row_number() OVER (PARTITION BY lang ORDER BY qq DESC, doc_id) AS rn
+         |       FROM q),
+         |keep AS (SELECT rk.doc_id, n_chars FROM rk JOIN cnt USING (lang)
+         |         WHERE rn <= ceil(0.5 * n)),
+         |s AS (SELECT doc_id, n_chars,
+         |    ('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+         |  FROM keep WHERE n_chars > 0),
+         |e AS (SELECT doc_id, n_chars,
+         |    CAST(floor(ln(8589934592.0 / CAST(2*h + 1 AS DOUBLE)) * 1000000000.0)
+         |      AS BIGINT) AS a
+         |  FROM s)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |  (a*1000 - (a*1000) % n_chars) // n_chars AS key_micro
+         |FROM e ORDER BY key_micro, doc_id LIMIT 200""".stripMargin,
 
     // Morton interleave: bit i of x at 2i, bit i of y at 2i+1
     "q_zorder_key" ->
