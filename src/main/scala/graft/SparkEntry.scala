@@ -1708,6 +1708,19 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars_sum"))
     }),
 
+    // SemDeDup: semantic dedup through k-means clusters — pairwise
+    // cosine only within a cluster (n²/k, the paper's trade), min-id
+    // keeper per component. Approximate by design → rows-only gate like
+    // the ANN trio; exactness-on-separated-clusters and recall vs brute
+    // force are spec'd in DedupTextSpec.
+    "q_dedup_semantic" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      graft.dedup.Dedup.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          numClusters = 16, threshold = 0.45)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // End-to-end curation pipeline — the operators COMPOSE: exact dedup
     // (keep min id per digest) → decontaminate against the held-out eval
     // slice → keep the top half of every language by quality → weighted

@@ -551,6 +551,40 @@ object Dedup {
   /** Brute-force cosine near-dup pairs (the exact baseline). O(n^2) — use
     * [[cosineLshPairs]] at scale.
     */
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means-clustered
+    * embeddings — pairwise cosine runs only WITHIN a cluster, never
+    * corpus×corpus, so the quadratic term is n²/k and the operating
+    * point scales by raising k with the corpus. Returns the kept rows
+    * (minimum id per within-cluster near-dup component survives —
+    * [[duplicateClusters]]' canonical keeper rule).
+    *
+    * Training mirrors the IVF indexes: a deterministic driver-side
+    * sample (TakeOrdered by id, k-bounded) feeds [[graft.index
+    * .LocalKMeans]]; centroids broadcast into the assignment kernel;
+    * the within-cluster join shuffles once on the cluster id.
+    * Approximate BY DESIGN (a true pair straddling two clusters is
+    * missed — the paper's trade); recall vs brute-force cosine pairs is
+    * spec-measured, exactness is spec'd on separated clusters.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, threshold: Double,
+      sampleSize: Int = 20000, seed: Long = 42L): DataFrame = {
+    val xs = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleSize).collect().map(_.getSeq[Float](1).toArray)
+    val centers = graft.index.LocalKMeans.fit(xs, numClusters, seed = seed)
+    val assigned = graft.index.Ivf.assignWithCenters(df, vecCol, centers)
+    val t = assigned.select(col("centroid_id"), col(idCol).as("id"), col(vecCol).as("v"))
+    val pairs = t.as("x").join(t.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") && col("x.id") < col("y.id"))
+      .withColumn("cos", graft.functions.cosine_sim(col("x.v"), col("y.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))

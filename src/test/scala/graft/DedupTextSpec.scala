@@ -179,6 +179,46 @@ class DedupTextSpec extends GraftSuite {
     assert(got === Map(5L -> "aa bb cc dd", 9L -> "", 7L -> "x"))
   }
 
+  test("semanticDedup equals brute-force dedup when clusters are separated") {
+    // two tight orthogonal clusters + isolated points: k-means with k=2
+    // cannot split a true pair, so SemDeDup must equal the exact path
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => v + (rnd.nextGaussian() * 0.01).toFloat }.toSeq
+    val e1 = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f)
+    val rows = (0L until 10L).map(i => (i, jitter(e1))) ++
+      (10L until 20L).map(i => (i, jitter(e2))) ++
+      Seq((20L, Array.tabulate(64)(i => (if (i % 2 == 0) 1.0f else -1.0f)).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val sem = Dedup.semanticDedup(df, "vec_id", "embedding",
+      numClusters = 2, threshold = 0.9, sampleSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val bruteLosers = Dedup.duplicateClusters(
+        Dedup.cosinePairs(df, "vec_id", "embedding", 0.9).select("a", "b"))
+      .filter(col("id") =!= col("cluster")).select("id").as[Long].collect().toSet
+    assert(sem === (0L to 20L).toSet -- bruteLosers)
+    assert(sem === Set(0L, 10L, 20L)) // one keeper per cluster + the outlier
+  }
+
+  test("semanticDedup: losers subset of brute-force losers, recall measured") {
+    // k sized to the fixture (~200 vectors): SemDeDup's recall knob is
+    // cluster count vs corpus size — k too high splits true pairs
+    val sem = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      numClusters = 4, threshold = 0.45).select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val semLosers = all -- sem
+    val bruteLosers = Dedup.duplicateClusters(
+        Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45).select("a", "b"))
+      .filter(col("id") =!= col("cluster")).select("id").as[Long].collect().toSet
+    // within-cluster pairs are a subset of all pairs -> can only UNDER-drop
+    assert(semLosers.subsetOf(bruteLosers), (semLosers -- bruteLosers).take(5).toString)
+    val recall = semLosers.size.toDouble / bruteLosers.size.max(1)
+    info(f"semantic-dedup loser recall vs brute force: $recall%.3f " +
+      s"(${semLosers.size}/${bruteLosers.size})")
+    assert(recall >= 0.5, f"recall $recall%.3f")
+  }
+
   test("crossMinhashPairs = within-corpus pairs restricted to cross pairs") {
     // within-corpus pairs over the full table, keyed (min, max); the
     // cross operator over the odd/even split must produce exactly the
