@@ -282,4 +282,91 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("property: phraseSearch matches a naive scan on random corpora") {
+    trials(6) { rng =>
+      val voc = Seq("a", "b", "c")
+      val rows = (0L until 25L).map(i =>
+        (i, Seq.fill(3 + rng.nextInt(10))(voc(rng.nextInt(3))).mkString(" ")))
+      val docs = rows.toDF("doc_id", "text").repartition(1 + rng.nextInt(5))
+      val phrase = Seq.fill(2 + rng.nextInt(2))(voc(rng.nextInt(3))).mkString(" ")
+      val q = Seq((0L, phrase)).toDF("qid", "qtext")
+      val got = graft.text.TextIndex
+        .phraseSearch(docs, "doc_id", "text", q, "qid", "qtext", k = 100)
+        .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+      val ph = phrase.split(" ")
+      val want = rows.flatMap { case (id, t) =>
+        val ws = t.split(" ")
+        val n = (0 to ws.length - ph.length)
+          .count(p => ws.slice(p, p + ph.length).sameElements(ph))
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      assert(got === want, s"phrase='$phrase'")
+    }
+  }
+
+  test("property: proximitySearch matches a naive window scan") {
+    trials(6) { rng =>
+      val voc = Seq("a", "b", "c", "d")
+      val rows = (0L until 25L).map(i =>
+        (i, Seq.fill(4 + rng.nextInt(12))(voc(rng.nextInt(4))).mkString(" ")))
+      val docs = rows.toDF("doc_id", "text").repartition(1 + rng.nextInt(5))
+      val w = 2 + rng.nextInt(5)
+      val terms = Seq.fill(1 + rng.nextInt(3))(voc(rng.nextInt(4))).distinct
+      val q = Seq((0L, terms.mkString(" "))).toDF("qid", "qtext")
+      val got = graft.text.TextIndex
+        .proximitySearch(docs, "doc_id", "text", q, "qid", "qtext", w, k = 100)
+        .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+      val want = rows.flatMap { case (id, t) =>
+        val ws = t.split(" ")
+        val n = ws.indices.count { s =>
+          val win = ws.slice(s, s + w).toSet
+          terms.forall(win.contains)
+        }
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      assert(got === want, s"terms=$terms w=$w")
+    }
+  }
+
+  test("property: zorder key equals a bit-twiddling scala reference") {
+    trials(6) { rng =>
+      val bits = 4 + rng.nextInt(10)
+      val pts = (0 until 60).map(_ =>
+        (rng.nextInt(1 << bits).toLong, rng.nextInt(1 << bits).toLong))
+      val df = pts.toDF("x", "y")
+      val got = df.select(col("x"), col("y"),
+        graft.operators.ZOrder.key2(col("x"), col("y"), bits).as("z"))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (x, y, z) =>
+        var want = 0L
+        (0 until bits).foreach { i =>
+          want |= ((x >> i) & 1L) << (2 * i)
+          want |= ((y >> i) & 1L) << (2 * i + 1)
+        }
+        assert(z === want, s"($x,$y) bits=$bits")
+      }
+    }
+  }
+
+  test("property: weightedTopK equals a scala reference draw") {
+    trials(5) { rng =>
+      val rows = (0L until 120L).map(i => (i, 1L + rng.nextInt(500)))
+      val df = rows.toDF("doc_id", "w").repartition(1 + rng.nextInt(4))
+      val k = 10 + rng.nextInt(30)
+      val got = graft.operators.Sample.weightedTopK(df, "doc_id", "w", k)
+        .as[(Long, Long, Long)].collect().toSeq
+      // scala reference: identical md5/ln/integer-division key chain
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = rows.map { case (id, w) =>
+        val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val a = math.floor(math.log(8589934592.0 / (2 * h + 1).toDouble) * 1e9).toLong
+        val num = a * 1000L
+        (id, w, (num - (num % w)) / w)
+      }.sortBy(t => (t._3, t._1)).take(k)
+      assert(got === want)
+    }
+  }
 }
