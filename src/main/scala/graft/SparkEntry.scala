@@ -1748,6 +1748,55 @@ object SparkEntry {
       e.select(col("event_id"), graft.operators.ZOrder.key2(
         pmod(col("user_id"), lit(1048576L)),
         pmod(col("event_id"), lit(1048576L)), bits = 20).as("zkey"))
+    }),
+
+    // ---- mergeable aggregation sketches (graft.sketch.Sketches): the
+    // fixed-memory distinct/frequency estimators a 100 TB rollup needs.
+    // The oracles REPLAY the sketch in SQL — the gate checks the
+    // algorithm bit-for-bit, not a library's output.
+
+    // HyperLogLog (p=12) distinct customers per order priority, next to
+    // the exact count; shuffle state is ≤4096 (idx, rho) rows per group.
+    "q_hll_distinct" -> ((s, dir) => {
+      graft.sketch.Sketches.hllDistinct(
+        t(s, dir, "orders"), Seq("o_orderpriority"), col("o_custkey"))
+        .withColumnRenamed("o_orderpriority", "prio")
+    }),
+
+    // HLL union via register max-merge for every priority pair — the
+    // sketch algebra a distributed rollup uses instead of re-reading data.
+    "q_hll_union" -> ((s, dir) => {
+      graft.sketch.Sketches.hllUnionPairs(
+        t(s, dir, "orders"), "o_orderpriority", col("o_custkey"))
+    }),
+
+    // KMV (k=256) distinct estimate per priority: (k−1)·2^60/h_k once
+    // the sketch is full, exact below.
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.sketch.Sketches.kmvDistinct(
+        t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
+        .withColumnRenamed("o_orderpriority", "prio")
+    }),
+
+    // Theta-style Jaccard/union estimates between priority customer sets
+    // from the k-min sketches alone (~0.76 true Jaccard on this data).
+    "q_kmv_jaccard" -> ((s, dir) => {
+      graft.sketch.Sketches.kmvJaccardPairs(
+        t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
+    }),
+
+    // Count-Min (4×512) event counts per user: grid-bounded shuffle
+    // state; point estimates for the exact top-20 users (est ≥ exact by
+    // construction — the oracle checks the exact over-estimate values).
+    "q_cms_heavy" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val cells = graft.sketch.Sketches.cmsCells(e, col("user_id"), d = 4, w = 512)
+      val top = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+      val est = graft.sketch.Sketches.cmsEstimate(
+        cells, top.select(col("user_id")), col("user_id"), d = 4, w = 512)
+      top.join(broadcast(est), top("user_id").cast("string") === est("__k"))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"))
     })
   )
 
@@ -3134,7 +3183,145 @@ object SparkEntry {
         |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
         |    AS BIGINT) AS zkey
         |FROM (SELECT event_id, user_id % 1048576 AS x,
-        |        event_id % 1048576 AS y FROM events)""".stripMargin
+        |        event_id % 1048576 AS y FROM events)""".stripMargin,
+
+    // HLL replayed: 60-bit md5 hash → idx = h % 4096, rho = 49 −
+    // bitlength(h >> 12); registers = max rho; harmonic sum in exact
+    // 2^(49−r) longs; alpha·m²·2^49/S in one fixed-order double expr;
+    // linear counting below 2.5m when empty registers remain.
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT o_orderpriority p,
+        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT p, h % 4096 AS idx,
+        |    CASE WHEN (h >> 12) = 0 THEN 49
+        |         ELSE 49 - length(bin(h >> 12)) END AS rho FROM h),
+        |reg AS (SELECT p, idx, max(rho) AS r FROM r GROUP BY 1, 2),
+        |ag AS (SELECT p, count(*) AS nreg,
+        |    sum(1::BIGINT << (49 - r)) AS sp FROM reg GROUP BY 1),
+        |e AS (SELECT p, 4096 - nreg AS v,
+        |    sp + (4096 - nreg) * (1::BIGINT << 49) AS s FROM ag),
+        |est AS (SELECT p, v, CAST(floor(0.721110e0 * 4096e0 * 4096e0
+        |      * 562949953421312e0 / CAST(s AS DOUBLE)) AS BIGINT) AS raw
+        |  FROM e),
+        |fin AS (SELECT p, CASE WHEN raw <= 10240 AND v > 0
+        |    THEN CAST(floor(4096e0 * ln(4096e0 / CAST(v AS DOUBLE))) AS BIGINT)
+        |    ELSE raw END AS n_est FROM est),
+        |x AS (SELECT o_orderpriority p, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT fin.p AS prio, n_est, n_exact FROM fin JOIN x USING (p)""".stripMargin,
+
+    // HLL union: per-pair register max-merge (an idx on one side only
+    // keeps its rho), then the same estimator; exact union by
+    // inclusion-exclusion over the true key sets.
+    "q_hll_union" ->
+      """WITH h AS (SELECT o_orderpriority p,
+        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT p, h % 4096 AS idx,
+        |    CASE WHEN (h >> 12) = 0 THEN 49
+        |         ELSE 49 - length(bin(h >> 12)) END AS rho FROM h),
+        |reg AS (SELECT p, idx, max(rho) AS r FROM r GROUP BY 1, 2),
+        |ps AS (SELECT DISTINCT p FROM reg),
+        |pr AS (SELECT a.p pa, b.p pb FROM ps a, ps b WHERE a.p < b.p),
+        |ur AS (SELECT pa, pb, idx, max(r) AS r FROM (
+        |    SELECT pr.pa, pr.pb, reg.idx, reg.r FROM pr JOIN reg ON reg.p = pr.pa
+        |    UNION ALL
+        |    SELECT pr.pa, pr.pb, reg.idx, reg.r FROM pr JOIN reg ON reg.p = pr.pb)
+        |  GROUP BY 1, 2, 3),
+        |ag AS (SELECT pa, pb, count(*) AS nreg,
+        |    sum(1::BIGINT << (49 - r)) AS sp FROM ur GROUP BY 1, 2),
+        |e AS (SELECT pa, pb, 4096 - nreg AS v,
+        |    sp + (4096 - nreg) * (1::BIGINT << 49) AS s FROM ag),
+        |est AS (SELECT pa, pb, v, CAST(floor(0.721110e0 * 4096e0 * 4096e0
+        |      * 562949953421312e0 / CAST(s AS DOUBLE)) AS BIGINT) AS raw
+        |  FROM e),
+        |fin AS (SELECT pa, pb, CASE WHEN raw <= 10240 AND v > 0
+        |    THEN CAST(floor(4096e0 * ln(4096e0 / CAST(v AS DOUBLE))) AS BIGINT)
+        |    ELSE raw END AS union_est FROM est),
+        |sets AS (SELECT DISTINCT o_orderpriority p, o_custkey k FROM orders),
+        |sz AS (SELECT p, count(*) n FROM sets GROUP BY 1),
+        |iv AS (SELECT a.p pa, b.p pb, count(*) i FROM sets a
+        |  JOIN sets b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |xu AS (SELECT pr.pa, pr.pb,
+        |    sa.n + sb.n - coalesce(iv.i, 0) AS union_exact
+        |  FROM pr JOIN sz sa ON sa.p = pr.pa JOIN sz sb ON sb.p = pr.pb
+        |  LEFT JOIN iv ON iv.pa = pr.pa AND iv.pb = pr.pb)
+        |SELECT fin.pa AS grp_a, fin.pb AS grp_b, union_est, union_exact
+        |FROM fin JOIN xu ON xu.pa = fin.pa AND xu.pb = fin.pb""".stripMargin,
+
+    // KMV replayed: k smallest distinct hashes; (k−1)·2^60/h_k when full.
+    "q_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT o_orderpriority p,
+        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM orders),
+        |rk AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) rn FROM dh),
+        |m AS (SELECT p, h, rn FROM rk WHERE rn <= 256),
+        |ag AS (SELECT p, count(*) AS n,
+        |    max(CASE WHEN rn = 256 THEN h END) AS hk FROM m GROUP BY 1),
+        |est AS (SELECT p, CASE WHEN n < 256 THEN n
+        |    ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE))
+        |      AS BIGINT) END AS n_est FROM ag),
+        |x AS (SELECT o_orderpriority p, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT est.p AS prio, n_est, n_exact FROM est JOIN x USING (p)""".stripMargin,
+
+    // Theta-style set ops replayed: union sketch = k smallest of the two
+    // minima sets' union; J = |{h in U_k seen on both sides}| / |U_k|.
+    "q_kmv_jaccard" ->
+      """WITH dh AS (SELECT DISTINCT o_orderpriority p,
+        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM orders),
+        |rk AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) rn FROM dh),
+        |m AS (SELECT p, h FROM rk WHERE rn <= 256),
+        |ps AS (SELECT DISTINCT p FROM m),
+        |pr AS (SELECT a.p pa, b.p pb FROM ps a, ps b WHERE a.p < b.p),
+        |u AS (SELECT DISTINCT pa, pb, h FROM (
+        |    SELECT pr.pa, pr.pb, m.h FROM pr JOIN m ON m.p = pr.pa
+        |    UNION ALL SELECT pr.pa, pr.pb, m.h FROM pr JOIN m ON m.p = pr.pb)),
+        |urk AS (SELECT pa, pb, h,
+        |    row_number() OVER (PARTITION BY pa, pb ORDER BY h) rn FROM u),
+        |uk AS (SELECT * FROM urk WHERE rn <= 256),
+        |bo AS (SELECT a.p pa, b.p pb, a.h FROM m a
+        |  JOIN m b ON a.h = b.h AND a.p < b.p),
+        |ag AS (SELECT uk.pa, uk.pb, count(*) AS ukn,
+        |    sum(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END) AS jn,
+        |    max(CASE WHEN uk.rn = 256 THEN uk.h END) AS hk
+        |  FROM uk LEFT JOIN bo ON bo.pa = uk.pa AND bo.pb = uk.pb AND bo.h = uk.h
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT pa, pb, CAST(jn AS BIGINT) AS j_num,
+        |    round(CAST(jn AS DOUBLE) / CAST(ukn AS DOUBLE), 6) AS j_est,
+        |    CASE WHEN ukn < 256 THEN ukn
+        |      ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE))
+        |        AS BIGINT) END AS union_est FROM ag),
+        |sets AS (SELECT DISTINCT o_orderpriority p, o_custkey k FROM orders),
+        |sz AS (SELECT p, count(*) n FROM sets GROUP BY 1),
+        |iv AS (SELECT a.p pa, b.p pb, count(*) i FROM sets a
+        |  JOIN sets b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |je AS (SELECT iv.pa, iv.pb,
+        |    round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS j_exact
+        |  FROM iv JOIN sz sa ON sa.p = iv.pa JOIN sz sb ON sb.p = iv.pb)
+        |SELECT sc.pa AS grp_a, sc.pb AS grp_b, j_num, j_est, union_est,
+        |  coalesce(j_exact, 0.0) AS j_exact
+        |FROM sc LEFT JOIN je ON je.pa = sc.pa AND je.pb = sc.pb""".stripMargin,
+
+    // Count-Min replayed: 4 rows × 512 cols, cell = md5(i || '|' || key)
+    // % 512; estimate = min over the 4 cells; queries = exact top-20.
+    "q_cms_heavy" ->
+      """WITH cell AS (SELECT i,
+        |    ('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(user_id AS VARCHAR)),1,15))::BIGINT
+        |      % 512 AS c, count(*) AS cnt
+        |  FROM events, range(0, 4) t(i) GROUP BY 1, 2),
+        |x AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 20),
+        |q AS (SELECT user_id, exact_cnt, i,
+        |    ('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(user_id AS VARCHAR)),1,15))::BIGINT
+        |      % 512 AS c
+        |  FROM x, range(0, 4) t(i))
+        |SELECT q.user_id, CAST(max(exact_cnt) AS BIGINT) AS exact_cnt,
+        |  CAST(min(cnt) AS BIGINT) AS cms_est
+        |FROM q JOIN cell ON cell.i = q.i AND cell.c = q.c
+        |GROUP BY 1""".stripMargin
   )
 
   /** Shared oracle for the table-lifecycle queries (q_table_e2e and
