@@ -1785,6 +1785,15 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
     }),
 
+    // Prototypicality pruning (SSL-prototypes): keep the hardest half of
+    // each label by exact-integer centroid distance — vectors never
+    // shuffle; the centroid pass is an integer explode + broadcast-back.
+    "q_proto_prune" -> ((s, dir) => {
+      graft.operators.ProtoPrune.pruneHardest(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding",
+        dims = 64, keepNum = 1, keepDen = 2)
+    }),
+
     // Count-Min (4×512) event counts per user: grid-bounded shuffle
     // state; point estimates for the exact top-20 users (est ≥ exact by
     // construction — the oracle checks the exact over-estimate values).
@@ -3304,6 +3313,29 @@ object SparkEntry {
         |SELECT sc.pa AS grp_a, sc.pb AS grp_b, j_num, j_est, union_est,
         |  coalesce(j_exact, 0.0) AS j_exact
         |FROM sc LEFT JOIN je ON je.pa = sc.pa AND je.pb = sc.pb""".stripMargin,
+
+    // Prototype pruning replayed: milli-unit vectors, exact integer
+    // centroid sums, score = Σ (n·x_i − s_i)² in fixed dim order, keep
+    // rank·2 ≤ n + 1 (ceil of the half) per label.
+    "q_proto_prune" ->
+      """WITH xm AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      e -> CAST(floor(CAST(e AS DOUBLE) * 1000e0) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |ex AS (SELECT label, i, m[i] AS v FROM xm, range(1, 65) t(i)),
+        |ag AS (SELECT label, i, sum(v) AS s FROM ex GROUP BY 1, 2),
+        |ct AS (SELECT label, count(*) AS n FROM xm GROUP BY 1),
+        |sa AS (SELECT label, array_agg(s ORDER BY i) AS sums FROM ag GROUP BY 1),
+        |sc AS (SELECT x.vec_id, x.label,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(n * m[i] - sums[i] AS DOUBLE)
+        |         * CAST(n * m[i] - sums[i] AS DOUBLE))), 6) AS proto_score, n
+        |  FROM xm x JOIN sa USING (label) JOIN ct USING (label)),
+        |rk AS (SELECT vec_id, label, proto_score,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY proto_score DESC, vec_id) AS rn, n FROM sc)
+        |SELECT vec_id, label, proto_score, CAST(rn AS BIGINT) AS proto_rank
+        |FROM rk WHERE rn * 2 <= n + 1""".stripMargin,
 
     // Count-Min replayed: 4 rows × 512 cols, cell = md5(i || '|' || key)
     // % 512; estimate = min over the 4 cells; queries = exact top-20.
