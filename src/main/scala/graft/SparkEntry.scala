@@ -12,6 +12,7 @@ import graft.table.Crud
   * top-level product type for its encoder).
   */
 case class StreamTextDoc(doc_id: Long, text: String)
+case class StreamKeyed(grp: String, key: Long)
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
@@ -1785,6 +1786,37 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
     }),
 
+    // Streaming HLL: the register aggregation run in complete mode over
+    // a 5-chunk feed — max(rho) is order-free, so the standing state is
+    // the batch register table and the at-rest estimate hash-matches the
+    // batch oracle (same SQL as q_hll_distinct). State: ≤4096 rows/group.
+    "q_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("key"))
+      val sink = s"stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamKeyed]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamStats.hllRegisters(
+            stream.toDF(), Seq("grp"), col("key"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try {
+          // TEST FEED ONLY: driver-collected chunks stand in for a file/
+          // queue source (same caveat as the other q_stream_* gates)
+          val data = rows.as[StreamKeyed].collect()
+          data.grouped(math.max(1, (data.length + 4) / 5)).foreach { chunk =>
+            stream.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val est = graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("grp"))
+      val exact = rows.groupBy(col("grp")).agg(countDistinct(col("key")).as("n_exact"))
+      est.join(exact, "grp")
+        .select(col("grp").as("prio"), col("n_est"), col("n_exact"))
+    }),
+
     // Prototypicality pruning (SSL-prototypes): keep the hardest half of
     // each label by exact-integer centroid distance — vectors never
     // shuffle; the centroid pass is an integer explode + broadcast-back.
@@ -3198,27 +3230,11 @@ object SparkEntry {
     // bitlength(h >> 12); registers = max rho; harmonic sum in exact
     // 2^(49−r) longs; alpha·m²·2^49/S in one fixed-order double expr;
     // linear counting below 2.5m when empty registers remain.
-    "q_hll_distinct" ->
-      """WITH h AS (SELECT o_orderpriority p,
-        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
-        |  FROM orders),
-        |r AS (SELECT p, h % 4096 AS idx,
-        |    CASE WHEN (h >> 12) = 0 THEN 49
-        |         ELSE 49 - length(bin(h >> 12)) END AS rho FROM h),
-        |reg AS (SELECT p, idx, max(rho) AS r FROM r GROUP BY 1, 2),
-        |ag AS (SELECT p, count(*) AS nreg,
-        |    sum(1::BIGINT << (49 - r)) AS sp FROM reg GROUP BY 1),
-        |e AS (SELECT p, 4096 - nreg AS v,
-        |    sp + (4096 - nreg) * (1::BIGINT << 49) AS s FROM ag),
-        |est AS (SELECT p, v, CAST(floor(0.721110e0 * 4096e0 * 4096e0
-        |      * 562949953421312e0 / CAST(s AS DOUBLE)) AS BIGINT) AS raw
-        |  FROM e),
-        |fin AS (SELECT p, CASE WHEN raw <= 10240 AND v > 0
-        |    THEN CAST(floor(4096e0 * ln(4096e0 / CAST(v AS DOUBLE))) AS BIGINT)
-        |    ELSE raw END AS n_est FROM est),
-        |x AS (SELECT o_orderpriority p, count(DISTINCT o_custkey) AS n_exact
-        |  FROM orders GROUP BY 1)
-        |SELECT fin.p AS prio, n_est, n_exact FROM fin JOIN x USING (p)""".stripMargin,
+    "q_hll_distinct" -> HllDistinctSql,
+
+    // the streaming register state must converge to the batch sketch
+    // regardless of chunk arrival order
+    "q_stream_hll" -> HllDistinctSql,
 
     // HLL union: per-pair register max-merge (an idx on one side only
     // keeps its rho), then the same estimator; exact union by
@@ -3389,6 +3405,30 @@ object SparkEntry {
     * rounded to 6): one val for q_text_quality and q_quality_topfrac so
     * the scoring and the quantile filter built on it cannot drift apart.
     */
+  /** HLL distinct-per-priority replay — shared by q_hll_distinct and the
+    * streaming twin q_stream_hll (order-free registers ⇒ same answer). */
+  private val HllDistinctSql: String =
+    """WITH h AS (SELECT o_orderpriority p,
+        |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT p, h % 4096 AS idx,
+        |    CASE WHEN (h >> 12) = 0 THEN 49
+        |         ELSE 49 - length(bin(h >> 12)) END AS rho FROM h),
+        |reg AS (SELECT p, idx, max(rho) AS r FROM r GROUP BY 1, 2),
+        |ag AS (SELECT p, count(*) AS nreg,
+        |    sum(1::BIGINT << (49 - r)) AS sp FROM reg GROUP BY 1),
+        |e AS (SELECT p, 4096 - nreg AS v,
+        |    sp + (4096 - nreg) * (1::BIGINT << 49) AS s FROM ag),
+        |est AS (SELECT p, v, CAST(floor(0.721110e0 * 4096e0 * 4096e0
+        |      * 562949953421312e0 / CAST(s AS DOUBLE)) AS BIGINT) AS raw
+        |  FROM e),
+        |fin AS (SELECT p, CASE WHEN raw <= 10240 AND v > 0
+        |    THEN CAST(floor(4096e0 * ln(4096e0 / CAST(v AS DOUBLE))) AS BIGINT)
+        |    ELSE raw END AS n_est FROM est),
+        |x AS (SELECT o_orderpriority p, count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT fin.p AS prio, n_est, n_exact FROM fin JOIN x USING (p)""".stripMargin
+
   private val QualitySql: String =
     """round(
       |  least(CAST(len(string_split(text,' ')) AS DOUBLE) / CAST(100 AS DOUBLE),

@@ -25,4 +25,19 @@ object StreamStats {
       .groupBy()
       .agg(graft.functions.mg_sketch(col(itemCol), k).as("sketch"))
       .select(col("sketch.items").as("items"), col("sketch.seen").as("seen"))
+
+  /** Streaming HyperLogLog registers: the SAME declarative register
+    * aggregation as the batch sketch ([[graft.sketch.Sketches
+    * .hllRegisters]]) run in complete mode — `max(rho)` is idempotent
+    * and order-free, so after any prefix of the stream the standing
+    * state IS the batch register table of the rows seen so far
+    * (bounded at 2^p rows per group), and the final estimate is
+    * bit-equal to the batch gate's. Estimate at rest with
+    * [[graft.sketch.Sketches.hllEstimate]] over the sink.
+    */
+  def hllRegisters(
+      stream: DataFrame,
+      groupCols: Seq[String],
+      key: org.apache.spark.sql.Column): DataFrame =
+    graft.sketch.Sketches.hllRegisters(stream, groupCols, key)
 }
