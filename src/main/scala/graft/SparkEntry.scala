@@ -1786,6 +1786,20 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
     }),
 
+    // Content-defined chunking: boundaries where the trailing-trigram
+    // hash % 8 == 0 — local-content boundaries that re-sync after edits
+    // (shift-robust chunk dedup; pure projection, tokens never shuffle).
+    "q_cdc_chunks" -> ((s, dir) =>
+      graft.text.TextOps.cdcChunks(
+        t(s, dir, "documents"), "doc_id", "text", window = 3, mask = 8)),
+
+    // chunk-level dup mass across documents: (hash, id)-only shuffle
+    "q_cdc_dedup" -> ((s, dir) =>
+      graft.text.TextOps.cdcDupChunks(
+        graft.text.TextOps.cdcChunks(
+          t(s, dir, "documents"), "doc_id", "text", window = 3, mask = 8),
+        "doc_id")),
+
     // Streaming HLL: the register aggregation run in complete mode over
     // a 5-chunk feed — max(rho) is order-free, so the standing state is
     // the batch register table and the at-rest estimate hash-matches the
@@ -3236,6 +3250,16 @@ object SparkEntry {
     // regardless of chunk arrival order
     "q_stream_hll" -> HllDistinctSql,
 
+    // CDC replayed: candidate positions range(3, n+1), boundary where the
+    // trailing-trigram 60-bit hash % 8 = 0, chunks between boundaries
+    "q_cdc_chunks" -> CdcChunksSql,
+
+    "q_cdc_dedup" ->
+      (s"WITH ch AS ($CdcChunksSql)\n" +
+        """SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+          |  count(*) AS n_occ
+          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin),
+
     // HLL union: per-pair register max-merge (an idx on one side only
     // keeps its rho), then the same estimator; exact union by
     // inclusion-exclusion over the true key sets.
@@ -3405,6 +3429,26 @@ object SparkEntry {
     * rounded to 6): one val for q_text_quality and q_quality_topfrac so
     * the scoring and the quantile filter built on it cannot drift apart.
     */
+  /** CDC chunk replay — shared by q_cdc_chunks and q_cdc_dedup. */
+  private val CdcChunksSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |b AS (SELECT doc_id, toks, n,
+      |    CASE WHEN n >= 3 THEN list_filter(range(3, n + 1), i ->
+      |      ('0x'||substr(md5(array_to_string(list_slice(toks, i - 2, i), ' ')),1,15))::BIGINT
+      |        % 8 = 0)
+      |    ELSE [] END AS bpos FROM tk),
+      |c AS (SELECT doc_id, toks, n,
+      |    list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+      |    list_append(bpos, n) AS ends FROM b),
+      |e AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+      |    starts[j] AS s, ends[j] AS e2, toks
+      |  FROM c, UNNEST(range(1, len(starts) + 1)) AS t(j))
+      |SELECT doc_id, chunk_idx, CAST(e2 - s + 1 AS BIGINT) AS n_tok,
+      |  ('0x'||substr(md5(array_to_string(list_slice(toks, s, e2), ' ')),1,15))::BIGINT
+      |    AS chunk_hash
+      |FROM e WHERE s <= e2""".stripMargin
+
   /** HLL distinct-per-priority replay — shared by q_hll_distinct and the
     * streaming twin q_stream_hll (order-free registers ⇒ same answer). */
   private val HllDistinctSql: String =

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -401,4 +401,54 @@ object TextOps {
       else filter(spanList, s => !md5(s).isInCollection(boiler.toSeq))
     df.withColumn(textCol, concat_ws(" ", kept))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync idea on word tokens):
+    * a chunk boundary falls AFTER token i whenever the hash of the
+    * trailing `window`-token n-gram satisfies `h % mask == 0`, so
+    * boundaries depend only on LOCAL content — inserting or deleting a
+    * prefix re-synchronizes the chunking within `window` tokens, where
+    * fixed-size chunking shifts every chunk (the property chunk-level
+    * dedup at 100 TB needs; spec-pinned). Expected chunk length ≈ mask.
+    *
+    * Pure per-document projection — tokens never leave their row; the
+    * output carries (id, chunk_idx, n_tok, chunk_hash) so downstream
+    * dedup shuffles hashes + ids only. One row per chunk via posexplode.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      mask: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // candidate boundary positions (1-based, after token i), i in [window, n]
+    val cand = when(n >= window, sequence(lit(window), n))
+      .otherwise(array().cast("array<int>"))
+    val bpos = filter(cand, i =>
+      pmod(tokenHash60(concat_ws(" ", slice(toks, i - (window - 1), lit(window)))),
+        lit(mask)) === 0)
+    // chunk j spans [starts(j), ends(j)]; a boundary at n yields an
+    // empty trailing pair that the s <= e filter drops
+    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
+    val ends = concat(bpos, array(n))
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(arrays_zip(starts.as("s"), ends.as("e"))).as(Seq("chunk_idx", "__se")))
+      .filter(col("__se.s") <= col("__se.e"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("__se.e") - col("__se.s") + 1).cast("long").as("n_tok"),
+        tokenHash60(concat_ws(" ",
+          slice(col("__toks"), col("__se.s"), col("__se.e") - col("__se.s") + 1)))
+          .as("chunk_hash"))
+  }
+
+  /** Chunks duplicated across documents: the chunk-level dup-mass report
+    * (hash, distinct docs, occurrences). Shuffles (hash, id) pairs only.
+    */
+  def cdcDupChunks(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
 }
