@@ -1786,6 +1786,14 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", col("o_custkey"), k = 256)
     }),
 
+    // Exact per-language length percentiles from a value histogram —
+    // shuffle is one row per distinct length per group at ANY corpus
+    // size; percentile_disc semantics in pure integer arithmetic.
+    "q_len_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exactPermille(
+        t(s, dir, "documents"), "lang", "n_chars",
+        permilles = Seq(500, 900, 990))),
+
     // Content-defined chunking: boundaries where the trailing-trigram
     // hash % 8 == 0 — local-content boundaries that re-sync after edits
     // (shift-robust chunk dedup; pure projection, tokens never shuffle).
@@ -3249,6 +3257,19 @@ object SparkEntry {
     // the streaming register state must converge to the batch sketch
     // regardless of chunk arrival order
     "q_stream_hll" -> HllDistinctSql,
+
+    // histogram + cumulative window replay; ceil in integer arithmetic
+    "q_len_quantiles" ->
+      """WITH h AS (SELECT lang, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cu AS (SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n FROM h),
+        |x AS (SELECT lang, v, cum, n, unnest([500, 900, 990]) AS permille FROM cu)
+        |SELECT lang, CAST(permille AS INT) AS permille,
+        |  min(CASE WHEN cum >= (n * permille + 999) // 1000 THEN v END) AS q_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // CDC replayed: candidate positions range(3, n+1), boundary where the
     // trailing-trigram 60-bit hash % 8 = 0, chunks between boundaries
