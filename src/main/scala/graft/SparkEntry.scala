@@ -3388,9 +3388,11 @@ object SparkEntry {
         |ct AS (SELECT label, count(*) AS n FROM xm GROUP BY 1),
         |sa AS (SELECT label, array_agg(s ORDER BY i) AS sums FROM ag GROUP BY 1),
         |sc AS (SELECT x.vec_id, x.label,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(n * m[i] - sums[i] AS DOUBLE)
-        |         * CAST(n * m[i] - sums[i] AS DOUBLE))), 6) AS proto_score, n
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> CAST(n * m[i] - sums[i] AS DOUBLE)
+        |           * CAST(n * m[i] - sums[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS proto_score, n
         |  FROM xm x JOIN sa USING (label) JOIN ct USING (label)),
         |rk AS (SELECT vec_id, label, proto_score,
         |    row_number() OVER (PARTITION BY label

@@ -66,8 +66,12 @@ object ProtoPrune {
       .withColumn("__dev",
         zip_with(col("__m"), col("__sums"),
           (a, b) => (col("__n") * a - b).cast("double")))
+      // NO round(): every term is an integer-valued double, so the fold
+      // is exact (bit-identical to the oracle's list_reduce) while sums
+      // stay below 2^53 — and DuckDB's round(x, 6) is itself lossy at
+      // >1e12 magnitudes (it cost 1-ulp parity at the 10x replica).
       .withColumn("proto_score",
-        round(aggregate(col("__dev"), lit(0.0), (acc, x) => acc + x * x), 6))
+        aggregate(col("__dev"), lit(0.0), (acc, x) => acc + x * x))
     val w = Window.partitionBy(col(labelCol))
       .orderBy(col("proto_score").desc, col(idCol))
     scored
