@@ -72,6 +72,42 @@ class SketchesSpec extends GraftSuite {
     assert(math.abs(r._1 - r._2) < 0.1, s"got ${r._1} vs ${r._2}")
   }
 
+  test("sketch shuffles are state-bounded: partial agg before the exchange, no keys over the wire") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => nodes(q.plan)
+      case r: ReusedExchangeExec    => nodes(r.child)
+      case _                        => p.children.flatMap(nodes)
+    })
+    val big = keyed(20000, "a")
+    // HLL registers: the exchange must carry (group, idx, partial-max rho)
+    // — 3 small columns, at most m rows per partition — never the key
+    val reg = graft.sketch.Sketches.hllRegisters(big, Seq("g"), col("k"))
+    reg.count()
+    val shuffles = nodes(reg.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "k"),
+        s"raw key crosses the register exchange: ${s.output.map(_.name)}")
+    }
+    // and a partial HashAggregate sits below the exchange (map-side max)
+    val p = reg.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    // CMS cells: same property — the exchange carries (row, col, count)
+    val cells = graft.sketch.Sketches.cmsCells(big, col("k"), d = 4, w = 512)
+    cells.count()
+    nodes(cells.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+      .foreach { s =>
+        assert(!s.output.exists(_.name == "__k"),
+          s"raw key crosses the cell exchange: ${s.output.map(_.name)}")
+      }
+  }
+
   test("CMS estimate >= exact for every key; grid bounded at d*w cells") {
     // zipf-ish: key i appears (1000 / (i + 1)) times over 200 keys
     val rows = (0 until 200).flatMap(i => Seq.fill(1000 / (i + 1))(s"key$i"))
