@@ -1808,6 +1808,14 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", window = 3, mask = 8),
         "doc_id")),
 
+    // MinHash-free near-dup pairs by shared chunks, df-bounded like the
+    // LSH band join (boilerplate chunks banned before the self-join)
+    "q_cdc_neardup" -> ((s, dir) =>
+      graft.text.TextOps.cdcNearDupPairs(
+        graft.text.TextOps.cdcChunks(
+          t(s, dir, "documents"), "doc_id", "text", window = 3, mask = 8),
+        "doc_id", minShared = 3, maxDf = 20)),
+
     // Streaming HLL: the register aggregation run in complete mode over
     // a 5-chunk feed — max(rho) is order-free, so the standing state is
     // the batch register table and the at-rest estimate hash-matches the
@@ -3280,6 +3288,17 @@ object SparkEntry {
         """SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
           |  count(*) AS n_occ
           |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin),
+
+    "q_cdc_neardup" ->
+      (s"WITH ch AS ($CdcChunksSql),\n" +
+        """dc AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+          |rare AS (SELECT chunk_hash FROM dc GROUP BY 1 HAVING count(*) <= 20),
+          |b AS (SELECT dc.doc_id, dc.chunk_hash FROM dc JOIN rare USING (chunk_hash))
+          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |  count(*) AS shared_chunks
+          |FROM b x JOIN b y ON x.chunk_hash = y.chunk_hash
+          |  AND x.doc_id < y.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
 
     // HLL union: per-pair register max-merge (an idx on one side only
     // keeps its rho), then the same estimator; exact union by

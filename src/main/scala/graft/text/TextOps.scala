@@ -451,4 +451,34 @@ object TextOps {
     chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") > 1)
+
+  /** Near-duplicate pairs by shared CDC chunks (the MinHash-free
+    * resemblance join rsync/CDC storage dedup uses): two docs are
+    * candidates when they share ≥ `minShared` distinct chunk hashes.
+    *
+    * The self-join is bounded the way the MinHash band join is: chunk
+    * hashes whose document frequency exceeds `maxDf` are dropped first
+    * (a chunk shared by thousands of docs is boilerplate, and its join
+    * fan-out is df² — the equivalent of a stopword ban). The join
+    * carries (hash, id) pairs only.
+    */
+  def cdcNearDupPairs(
+      chunks: DataFrame,
+      idCol: String,
+      minShared: Int,
+      maxDf: Int): DataFrame = {
+    val docChunk = chunks.select(col(idCol), col("chunk_hash")).distinct()
+    val rare = docChunk
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("chunk_hash"))
+    val bounded = docChunk.join(rare, "chunk_hash")
+    val a = bounded.select(col("chunk_hash"), col(idCol).as("doc_a"))
+    val b = bounded.select(col("chunk_hash"), col(idCol).as("doc_b"))
+    a.join(b, Seq("chunk_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
 }

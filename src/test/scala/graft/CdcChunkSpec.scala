@@ -67,6 +67,23 @@ class CdcChunkSpec extends GraftSuite {
     assert(lost <= 3, s"edit disturbed $lost chunks of ${base.size}")
   }
 
+  test("near-dup pairs: shared-suffix docs pair; boilerplate chunks can't") {
+    val shared = salad(8, 80)
+    val boiler = "common footer text repeated in every doc"
+    val rows = (1L to 12L).map { i =>
+      (i, salad(100 + i.toInt, 60) + " " + boiler +
+        (if (i <= 2) " " + shared else ""))
+    }
+    val pairs = TextOps.cdcNearDupPairs(chunksOf(rows), "doc_id",
+        minShared = 3, maxDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared-suffix pair missing: $pairs")
+    // the 12-doc boilerplate chunk exceeds maxDf=5 and cannot create pairs
+    // among the other 10 docs
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 },
+      s"boilerplate leaked pairs: $pairs")
+  }
+
   test("dup-chunk report finds planted shared chunks across docs") {
     val shared = salad(4, 60)
     val rows = Seq(
