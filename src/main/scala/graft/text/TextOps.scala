@@ -420,20 +420,32 @@ object TextOps {
       textCol: String,
       window: Int,
       mask: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
+    // STAGED projections, not one expression tree: higher-order lambdas
+    // are CodegenFallback, and interpreted eval re-executes a repeated
+    // subexpression PER LAMBDA ELEMENT — with split() inlined into the
+    // boundary filter that's O(tokens²) string splits per doc (measured
+    // pathological at the 1000× replica). Aliasing __toks/__bpos in
+    // their own selects makes every later use a bound array reference,
+    // and CollapseProject keeps non-cheap multi-referenced aliases
+    // un-inlined.
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
     // candidate boundary positions (1-based, after token i), i in [window, n]
-    val cand = when(n >= window, sequence(lit(window), n))
+    val cand = when(col("__n") >= window, sequence(lit(window), col("__n")))
       .otherwise(array().cast("array<int>"))
-    val bpos = filter(cand, i =>
-      pmod(tokenHash60(concat_ws(" ", slice(toks, i - (window - 1), lit(window)))),
-        lit(mask)) === 0)
+    val bnd = tok.withColumn("__bpos",
+      filter(cand, i =>
+        pmod(tokenHash60(concat_ws(" ",
+          slice(col("__toks"), i - (window - 1), lit(window)))), lit(mask)) === 0))
     // chunk j spans [starts(j), ends(j)]; a boundary at n yields an
     // empty trailing pair that the s <= e filter drops
-    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
-    val ends = concat(bpos, array(n))
-    df.select(col(idCol), toks.as("__toks"),
-        posexplode(arrays_zip(starts.as("s"), ends.as("e"))).as(Seq("chunk_idx", "__se")))
+    val spans = bnd
+      .withColumn("__starts", concat(array(lit(1)), transform(col("__bpos"), b => b + 1)))
+      .withColumn("__ends", concat(col("__bpos"), array(col("__n"))))
+    spans
+      .select(col(idCol), col("__toks"),
+        posexplode(arrays_zip(col("__starts").as("s"), col("__ends").as("e")))
+          .as(Seq("chunk_idx", "__se")))
       .filter(col("__se.s") <= col("__se.e"))
       .select(
         col(idCol),
