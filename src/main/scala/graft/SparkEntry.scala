@@ -2755,9 +2755,10 @@ object SparkEntry {
         |w AS (SELECT source, n,
         |        CAST(floor(sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
         |          * 1000000.0) AS BIGINT) AS wm FROM c, t0),
-        |wt AS (SELECT sum(wm) AS wtot FROM w),
+        |wt AS (SELECT CAST(sum(wm) AS BIGINT) AS wtot FROM w),
         |r AS (SELECT source,
-        |        least(1000000, (2000 * ((wm * 1000000) // wtot)) // n) AS r_micro
+        |        CAST(least(1000000, (2000 * ((wm * 1000000) // wtot)) // n)
+        |          AS BIGINT) AS r_micro
         |      FROM w, wt)
         |SELECT d.doc_id, d.source, r.r_micro AS keep_rate_micro
         |FROM documents d JOIN r USING (source)

@@ -33,6 +33,18 @@ def compare(name, spark_df, oracle_df):
         return f"SCHEMA mismatch: spark={list(s.columns)} oracle={list(o.columns)}"
     if len(s) != len(o):
         return f"ROWS mismatch: spark={len(s)} oracle={len(o)}"
+    # The driver hashes dtype-sensitively: a DuckDB HUGEINT/DECIMAL output
+    # column surfaces as float64/object in pandas and hash-mismatches an
+    # int64 engine column even when every value is equal (q_mix_temperature,
+    # round 8). Flag kind mismatches (int vs float vs object) as hard errors.
+    dt = [
+        (c, s[c].dtype.kind, o[c].dtype.kind)
+        for c in s.columns
+        if s[c].dtype.kind != o[c].dtype.kind
+        and {s[c].dtype.kind, o[c].dtype.kind} != {"M", "M"}
+    ]
+    if dt:
+        return f"DTYPE mismatch (driver hash would fail): {dt}"
     bad = []
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
