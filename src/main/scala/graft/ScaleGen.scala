@@ -37,15 +37,38 @@ object ScaleGen {
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0)
 
-    /** Union `copies` shifted/transformed replicas of `df`. */
-    def replicate(df: DataFrame, shifts: Map[String, Long],
-        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
-      (0 until copies).map { k =>
-        val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
-          d.withColumn(c, col(c) + lit(off * k))
+    /** One shifted/transformed replica of `df` (copy 0 = bit-identical). */
+    def oneCopy(df: DataFrame, shifts: Map[String, Long], k: Int,
+        perCopy: (DataFrame, Int) => DataFrame): DataFrame = {
+      val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(off * k))
+      }
+      if (k == 0) shifted else perCopy(shifted, k)
+    }
+
+    /** Write `copies` replicas as one append job PER COPY instead of a
+      * single `copies`-way-union job: at 1000x a 600M-row lineitem union
+      * dies on a JDK-17 G1 GCLocker/humongous-allocation wall (one job
+      * holding every copy's scan + exchange at once), while ten bounded
+      * 60M-row jobs stream through fine. Chunking changes file layout
+      * only — readers glob the directory either way.
+      */
+    def writeCopies(name: String, src: => DataFrame, shifts: Map[String, Long],
+        partsPerTable: Int,
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (onlyTables.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val partsPerCopy = math.max(1, partsPerTable / copies)
+        (0 until copies).foreach { k =>
+          val mode = if (k == 0) "overwrite" else "append"
+          oneCopy(src, shifts, k, perCopy).repartition(partsPerCopy)
+            .write.mode(mode).parquet(s"$out/$name.parquet")
         }
-        if (k == 0) shifted else perCopy(shifted, k)
-      }.reduce(_.unionByName(_))
+        val n = spark.read.parquet(s"$out/$name.parquet").count()
+        System.err.println(
+          f"[scalegen] $name%-12s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
+    }
 
     def write(name: String, df: => DataFrame, parts: Int): Unit = {
       if (onlyTables.forall(_.contains(name))) {
@@ -73,29 +96,29 @@ object ScaleGen {
     // dimension tables stay single-copy (nation/region are fixed domains)
     Seq("nation", "region").foreach(n => write(n, t(n), 1))
 
-    write("documents", replicate(t("documents"), Map("doc_id" -> docOff),
+    writeCopies("documents", t("documents"), Map("doc_id" -> docOff), copies,
       (d, k) => d
         // word-salt: every token gets a per-copy suffix => shingle sets
         // are disjoint across copies, intra-copy dup structure untouched
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + "x" + k))
-        .withColumn("n_chars", length(col("text")))), copies)
+        .withColumn("n_chars", length(col("text"))))
 
-    write("embeddings", replicate(t("embeddings"), Map("vec_id" -> partOff),
+    writeCopies("embeddings", t("embeddings"), Map("vec_id" -> partOff), copies,
       (d, k) => d.withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           (x + (pmod(xxhash64(col("vec_id"), i), lit(2001)) - lit(1000))
-            .cast("double") / lit(10000.0)).cast("float")))), copies)
+            .cast("double") / lit(10000.0)).cast("float"))))
 
-    write("part", replicate(t("part"), Map("p_partkey" -> partOff)), copies)
-    write("supplier", replicate(t("supplier"), Map("s_suppkey" -> suppOff)), 1)
-    write("customer", replicate(t("customer"), Map("c_custkey" -> custOff)), copies)
-    write("orders", replicate(t("orders"),
-      Map("o_orderkey" -> ordOff, "o_custkey" -> custOff)), copies)
-    write("lineitem", replicate(t("lineitem"),
+    writeCopies("part", t("part"), Map("p_partkey" -> partOff), copies)
+    writeCopies("supplier", t("supplier"), Map("s_suppkey" -> suppOff), copies)
+    writeCopies("customer", t("customer"), Map("c_custkey" -> custOff), copies)
+    writeCopies("orders", t("orders"),
+      Map("o_orderkey" -> ordOff, "o_custkey" -> custOff), copies)
+    writeCopies("lineitem", t("lineitem"),
       Map("l_orderkey" -> ordOff, "l_partkey" -> partOff,
-        "l_suppkey" -> suppOff)), copies * 2)
-    write("events", replicate(t("events"),
-      Map("event_id" -> eventOff, "user_id" -> userOff)), copies)
+        "l_suppkey" -> suppOff), copies * 2)
+    writeCopies("events", t("events"),
+      Map("event_id" -> eventOff, "user_id" -> userOff), copies)
 
     System.err.println(s"[scalegen] done -> $out (x$copies of $src)")
     spark.stop()

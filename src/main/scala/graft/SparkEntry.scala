@@ -29,6 +29,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fixed budget for modulo-derived query sets (bm25/bm25f/phrase/
+    * proximity/hybrid/mmr gates): the first 64 qualifying ids, in id
+    * order. Without the cap the query COUNT grows with the corpus
+    * (doc_id % k qualifies 1000× more ids on a 1000× replica), coupling
+    * gate cost quadratically to scale — 51k queries OOM'd a 90 GB heap
+    * at 1000× in round 8 while the operator itself was fine. A real
+    * workload's query set does not grow with the corpus; neither should
+    * the gate's. No-op at the driver SFs (≤52 qualifying ids at sf0.1).
+    */
+  private val QueryBudget = 64
+
   /** Query vectors for KNN oracles: first 8 embeddings. */
   private def knnQueries(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -988,9 +999,10 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
-      val q = d.filter(col("doc_id") % 97 === 0).select(
-        col("doc_id").as("qid"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val q = d.filter(col("doc_id") % 97 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
     }),
 
@@ -1001,13 +1013,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
-      val q = d.filter(col("doc_id") % 97 === 0)
+      val q = d.filter(col("doc_id") % 97 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget)
       val qt = q.select(col("doc_id").as("qid"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       val textArm = graft.text.TextIndex.rankHits(
         graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
         "qid", "id", "score_micro", ascending = false)
-      val qv = e.filter(col("vec_id") % 97 === 0)
+      val qv = e.filter(col("vec_id") % 97 === 0).orderBy(col("vec_id"))
+        .limit(QueryBudget)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val vecArm = graft.text.TextIndex.rankHits(
         Knn.flatSearch(e, "vec_id", "embedding", qv, "qid", "qvec",
@@ -1416,15 +1430,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
-      val qt = d.filter(col("doc_id") % 97 === 0).select(
-        col("doc_id").as("qid"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val qt = d.filter(col("doc_id") % 97 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       val textArm = graft.text.TextIndex.rankHits(
         graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
         "qid", "id", "score_micro", ascending = false)
       val idx = graft.index.IndexRegistry.build("IVFPQ", s, e, "vec_id", "embedding",
         graft.index.IndexParams(ncentroids = 8, nsubvector = 8, recallNum = 100000))
-      val qs = e.filter(col("vec_id") % 97 === 0)
+      val qs = e.filter(col("vec_id") % 97 === 0).orderBy(col("vec_id"))
+        .limit(QueryBudget)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
       val vecArm = graft.text.TextIndex.rankHits(
@@ -1440,7 +1456,8 @@ object SparkEntry {
     // queries. Oracle: the same greedy unrolled as 4 pick CTEs.
     "q_mmr_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") % 97 === 0)
+      val qv = e.filter(col("vec_id") % 97 === 0).orderBy(col("vec_id"))
+        .limit(QueryBudget)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cands = Knn.flatSearch(e, "vec_id", "embedding", qv, "qid", "qvec",
         k = 20, metric = Metric.Cosine)
@@ -1575,9 +1592,10 @@ object SparkEntry {
         Seq(graft.text.TextIndex.FieldSpec("title", 2.0, 0.75),
           graft.text.TextIndex.FieldSpec("body", 1.0, 0.4)),
         maxDfRatio = 0.98)
-      val q = d0.filter(col("doc_id") % 97 === 0).select(
-        col("doc_id").as("qid"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val q = d0.filter(col("doc_id") % 97 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       graft.text.TextIndex.bm25f(ix, q, "qid", "qtext", k = 10)
     }),
 
@@ -1592,6 +1610,7 @@ object SparkEntry {
       val ix = graft.text.TextIndex.removeDocs(
         full, d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
       val q = d.filter(col("doc_id") % 97 === 0 && col("doc_id") % 5 =!= 0)
+        .orderBy(col("doc_id")).limit(QueryBudget)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
       graft.text.TextIndex.bm25(ix, q, "qid", "qtext", k = 10)
@@ -1603,9 +1622,10 @@ object SparkEntry {
     // postings scan before anything shuffles.
     "q_phrase_search" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val q = d.filter(col("doc_id") % 101 === 0).select(
-        col("doc_id").as("qid"),
-        concat_ws(" ", slice(split(col("text"), " "), 5, 3)).as("qtext"))
+      val q = d.filter(col("doc_id") % 101 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 5, 3)).as("qtext"))
       graft.text.TextIndex.phraseSearch(
         d, "doc_id", "text", q, "qid", "qtext", k = 10)
     }),
@@ -1662,10 +1682,11 @@ object SparkEntry {
       // try_element_at: short docs yield NULL for missing positions,
       // which concat_ws drops — mirroring DuckDB's out-of-range
       // list index -> NULL -> list_distinct semantics
-      val q = d.filter(col("doc_id") % 103 === 0).select(
-        col("doc_id").as("qid"),
-        concat_ws(" ", try_element_at(ws, lit(3)), try_element_at(ws, lit(9)),
-          try_element_at(ws, lit(15))).as("qtext"))
+      val q = d.filter(col("doc_id") % 103 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", try_element_at(ws, lit(3)), try_element_at(ws, lit(9)),
+            try_element_at(ws, lit(15))).as("qtext"))
       graft.text.TextIndex.proximitySearch(
         d, "doc_id", "text", q, "qid", "qtext", window = 12, k = 10)
     }),
@@ -2356,7 +2377,7 @@ object SparkEntry {
         |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
         |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
         |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
-        |      FROM d WHERE doc_id % 97 = 0),
+        |      FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
         |qw AS (SELECT qid, term,
         |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
@@ -2381,7 +2402,7 @@ object SparkEntry {
         |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
         |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
         |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
-        |      FROM d WHERE doc_id % 97 = 0),
+        |      FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
         |qw AS (SELECT qid, term,
         |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
@@ -2403,7 +2424,7 @@ object SparkEntry {
         |               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
         |           * sqrt(list_sum(list_transform(range(1, 65),
         |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))) AS cos
-        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 64) q, embeddings e),
         |va AS (SELECT qid, id,
         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rnk
         |       FROM vs QUALIFY rnk <= 20),
@@ -2787,7 +2808,7 @@ object SparkEntry {
         |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
         |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
         |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
-        |      FROM d WHERE doc_id % 97 = 0),
+        |      FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
         |qw AS (SELECT qid, term,
         |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
@@ -2806,7 +2827,7 @@ object SparkEntry {
         |         list_sum(list_transform(range(1, 65),
         |             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
         |                * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))) AS dist
-        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |       FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 64) q, embeddings e),
         |va AS (SELECT qid, id,
         |         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
         |       FROM vs QUALIFY rnk <= 20),
@@ -2836,7 +2857,7 @@ object SparkEntry {
         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
         |      * sqrt(list_sum(list_transform(range(1, 65),
         |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))) AS cos
-        |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0) q, embeddings e),
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 64) q, embeddings e),
         |cand AS (SELECT qid, id FROM (SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
         |  FROM cand0) WHERE rn <= 20),
@@ -2988,7 +3009,7 @@ object SparkEntry {
         |tstat AS (SELECT term, count(*) AS df FROM pv GROUP BY 1
         |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
         |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
-        |      FROM d0 WHERE doc_id % 97 = 0),
+        |      FROM d0 WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
         |qw AS (SELECT qid, term,
         |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
@@ -3021,7 +3042,7 @@ object SparkEntry {
         |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1
         |          HAVING count(*) <= (SELECT CAST(floor(0.98 * n) AS BIGINT) FROM st)),
         |q AS (SELECT doc_id AS qid, array_to_string(list_slice(w, 1, 8), ' ') AS qtext
-        |      FROM d WHERE doc_id % 97 = 0),
+        |      FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
         |qw AS (SELECT qid, term,
         |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
@@ -3047,7 +3068,7 @@ object SparkEntry {
         |         i -> {'p': i - 1, 't': w[i]})) AS e FROM d),
         |post AS (SELECT doc_id, e.p AS pos, e.t AS term FROM pu),
         |q AS (SELECT doc_id AS qid, list_slice(w, 5, 7) AS ph FROM d
-        |      WHERE doc_id % 101 = 0),
+        |      WHERE doc_id % 101 = 0 ORDER BY doc_id LIMIT 64),
         |qu AS (SELECT qid, unnest(list_transform(range(1, len(ph) + 1),
         |         j -> {'p': j - 1, 't': ph[j]})) AS e FROM q),
         |qt AS (SELECT qid, e.p AS j, e.t AS term FROM qu),
@@ -3142,7 +3163,7 @@ object SparkEntry {
         |post AS (SELECT doc_id, e.p AS pos, e.t AS term FROM pu),
         |q AS (SELECT doc_id AS qid,
         |        list_distinct([w[3], w[9], w[15]]) AS qt FROM d
-        |      WHERE doc_id % 103 = 0),
+        |      WHERE doc_id % 103 = 0 ORDER BY doc_id LIMIT 64),
         |qt AS (SELECT qid, unnest(qt) AS term FROM q),
         |ql AS (SELECT qid, len(qt) AS m FROM q),
         |vote AS (SELECT qid, doc_id AS id, term,

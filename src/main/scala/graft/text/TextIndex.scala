@@ -171,57 +171,165 @@ object TextIndex {
       .select(col(idCol).as("__doc"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__term")))
 
+  /** Rarest-term-seeded candidates shared by [[phraseSearch]] and
+    * [[proximitySearch]]: one row per document that contains some
+    * query's SEED term (its corpus-rarest token — any full match must
+    * contain every query token, so the rarest is the cheapest complete
+    * candidate generator). This is the positional-index analog of the
+    * reference's shortest-posting-list-first range intersection
+    * (table/field_range_index.cc:1066-1097): anchor on the smallest
+    * list, verify the rest per document.
+    *
+    * Output: (__doc, __qs: array<(__qid, __qt)>, __tp: array<(__term,
+    * __pos)>) — the doc's seeded queries plus its positions of the
+    * UNION query vocabulary, for per-doc bounded verification.
+    *
+    * Scale shape (vs the anchor-vote algebra this replaced): the old
+    * plan shuffled one vote row per (matched posting × query offset) —
+    * Σ_q Σ_j df(t_qj) rows, unbounded in query count and term df
+    * (measured 1.2B rows at 1000× on a stopword-dense vocabulary). Here
+    * the corpus-sized work is ONE doc-keyed aggregation of matched
+    * (term, pos) pairs — never multiplied per query — and the per-query
+    * mass is Σ_q df(seed_q) skinny (qid, doc) pairs, the minimum any
+    * complete candidate generator can emit. Query token lists ride a
+    * broadcast; corpus text never moves.
+    */
+  private def seededCandidates(
+      posts: DataFrame, qtoks: DataFrame): DataFrame = {
+    val qterms = qtoks.select(
+      col("__qid"), explode(array_distinct(col("__qt"))).as("__term"))
+    val vocab = qterms.select(col("__term")).distinct()
+    // rarity proxy: postings count per query-vocab term (partial agg
+    // collapses map-side to ≤|vocab| rows per partition)
+    val termCounts = posts.join(broadcast(vocab), "__term")
+      .groupBy(col("__term")).agg(count(lit(1)).as("__tc"))
+    // seed = the query's minimum-count term, ties by term; a term absent
+    // from the corpus counts 0 — the cheapest possible seed (no match
+    // can exist, and none is generated)
+    val seedTerm = qterms
+      .join(broadcast(termCounts), Seq("__term"), "left")
+      .select(col("__qid"), col("__term"), coalesce(col("__tc"), lit(0L)).as("__tc"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qid"))
+          .orderBy(col("__tc").asc, col("__term").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__term"), col("__qid"))
+    val seeds = posts.join(broadcast(seedTerm), "__term")
+      .select(col("__qid"), col("__doc")).distinct()
+    // per-doc positions of the union vocabulary: the ONE corpus-sized
+    // Exchange, query-count-independent
+    val docPos = posts.join(broadcast(vocab), "__term")
+      .groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__term"), col("__pos"))).as("__tp"))
+    // group seeded queries per doc so each doc's position array joins
+    // ONCE no matter how many queries seed it
+    seeds.join(broadcast(qtoks), "__qid")
+      .groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__qid"), col("__qt"))).as("__qs"))
+      .join(docPos, "__doc")
+  }
+
+  /** Per-doc term → sorted positions from a collected (__term, __pos)
+    * array. */
+  private def positionsByTerm(
+      tp: Seq[org.apache.spark.sql.Row]): Map[String, Array[Int]] =
+    tp.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getInt(1)).toArray.sorted }
+
   /** Exact phrase search over positional postings: a doc matches once per
     * position where the query's tokens appear consecutively. Returns
     * (qid, id, n_occ) — the top `k` docs per query by occurrence count,
     * ties broken by ascending id.
     *
-    * Algorithm: each matched (posting, query-token) pair votes for the
-    * anchor `pos - offset` (the phrase's would-be start); an anchor that
-    * collects ALL m distinct offsets of the phrase is a full occurrence.
-    * This is m-way self-join-free — ONE aggregation keyed by
-    * (query, doc, anchor) replaces the classic chain of m position joins,
-    * so phrase length never changes the number of shuffles.
-    *
-    * Scale shape: the corpus-sized postings scan is filtered by a
-    * BROADCAST of the (tiny) query token set before anything shuffles;
-    * the anchor aggregation sees only matched postings; the final top-k
-    * is the k-bounded heap. Corpus text itself never moves.
+    * Candidates come from [[seededCandidates]] (rarest-term seeding);
+    * verification is per-document bounded work: anchor on the phrase
+    * offset whose term is rarest IN THE DOC, then check every other
+    * offset against the doc's sorted position arrays (binary search) —
+    * df(seed)·m log(dl) per candidate, independent of how common the
+    * phrase's OTHER terms are. No m-way join, no per-offset vote rows.
     */
   def phraseSearch(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qphraseCol: String,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val posts = positionalPostings(docs, idCol, textCol)
     val qtoks = queries.select(
       col(qidCol).as("__qid"), TextOps.tokens(col(qphraseCol)).as("__qt"))
-    val qterms = qtoks.select(col("__qid"),
-      posexplode(col("__qt")).as(Seq("__j", "__term")))
-    val qlen = qtoks.select(col("__qid"), size(col("__qt")).cast("long").as("__m"))
-    val anchors = posts
-      .join(broadcast(qterms), "__term")
-      .select(col("__qid"), col("__doc"),
-        (col("__pos") - col("__j")).as("__anchor"), col("__j"))
-      .groupBy(col("__qid"), col("__doc"), col("__anchor"))
-      .agg(countDistinct(col("__j")).as("__hits"))
-    val occ = anchors
-      .join(broadcast(qlen), "__qid")
-      .filter(col("__anchor") >= 0 && col("__hits") === col("__m"))
-      .groupBy(col("__qid"), col("__doc"))
-      .agg(count(lit(1)).as("n_occ"))
-      .toDF("qid", "id", "n_occ")
+    val cand = seededCandidates(posts, qtoks)
+    val schema = StructType(Seq(
+      qtoks.schema("__qid").copy(name = "qid"),
+      cand.schema("__doc").copy(name = "id"),
+      StructField("n_occ", LongType, nullable = false)))
+    val matched = cand.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val doc = r.get(0)
+        val qs = r.getSeq[Row](1)
+        val byTerm = positionsByTerm(r.getSeq[Row](2))
+        qs.iterator.flatMap { q =>
+          val qt = q.getSeq[String](1)
+          val sets = qt.map(t => byTerm.getOrElse(t, null))
+          if (qt.isEmpty || sets.contains(null)) None
+          else {
+            val jStar = sets.indices.minBy(sets(_).length)
+            var n = 0L
+            sets(jStar).foreach { p =>
+              val a = p - jStar
+              if (a >= 0 && qt.indices.forall(j => j == jStar ||
+                  java.util.Arrays.binarySearch(sets(j), a + j) >= 0)) n += 1
+            }
+            if (n > 0) Some(Row(q.get(0), doc, n)) else None
+          }
+        }
+      }
+    }(Encoders.row(schema))
     graft.operators.TopK.perGroup(
-      occ, "qid", "n_occ", ascending = false, k, Seq("id"))
+      matched, "qid", "n_occ", ascending = false, k, Seq("id"))
+  }
+
+  /** Count window starts s ≥ 0 where [s, s+window) contains every one of
+    * the m terms, given each term's sorted positions: per-term
+    * valid-start intervals [max(0, p-window+1), p] merged, then an event
+    * sweep counts starts covered by ALL m terms.
+    */
+  private def coveredStarts(
+      perTerm: Iterator[Array[Int]], window: Int, m: Int): Long = {
+    val events = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    perTerm.foreach { sorted =>
+      var lo = math.max(0, sorted.head - (window - 1))
+      var hi = sorted.head
+      sorted.tail.foreach { p =>
+        val l = math.max(0, p - (window - 1))
+        if (l <= hi + 1) hi = p
+        else { events += ((lo, 1)); events += ((hi + 1, -1)); lo = l; hi = p }
+      }
+      events += ((lo, 1)); events += ((hi + 1, -1))
+    }
+    val sortedEv = events.sortBy(e => (e._1, -e._2))
+    var depth = 0; var covStart = 0; var count = 0L
+    sortedEv.foreach { case (x, d) =>
+      if (depth == m && d < 0) count += x - covStart
+      depth += d
+      if (depth == m) covStart = x
+    }
+    count
   }
 
   /** Proximity (sloppy-phrase) search: a doc scores once per window
     * start s where the span [s, s+window) contains EVERY distinct query
     * term. Returns (qid, id, n_windows), top `k` docs per query, ties by
-    * ascending id. Same vote algebra as [[phraseSearch]] with the anchor
-    * generalized to the ≤window starts a position can serve: fan-out is
-    * ×window on MATCHED postings only, then one aggregation keyed by
-    * (query, doc, start) — still no m-way join, still no corpus text in
-    * any Exchange.
+    * ascending id.
+    *
+    * Candidates come from [[seededCandidates]] (rarest-term seeding —
+    * valid because every covering window contains the seed term), then
+    * the per-doc interval sweep [[coveredStarts]] runs over the doc's
+    * sorted position arrays. An earlier (qid, doc)-keyed collect shape
+    * paired every query with every doc containing ANY of its terms —
+    * on a stopword-dense vocabulary that is the full query × corpus
+    * cross product; seeding bounds it to Σ_q df(seed_q) candidates and
+    * the big position arrays now cross one doc-keyed Exchange ONCE,
+    * query-count-independent.
     */
   def proximitySearch(
       docs: DataFrame, idCol: String, textCol: String,
@@ -233,53 +341,24 @@ object TextIndex {
     val posts = positionalPostings(docs, idCol, textCol)
     val qtoks = queries.select(col(qidCol).as("__qid"),
       array_distinct(TextOps.tokens(col(qtextCol))).as("__qt"))
-    val qterms = qtoks.select(col("__qid"), explode(col("__qt")).as("__term"))
-    val qlen = qtoks.select(col("__qid"), size(col("__qt")).cast("long").as("__m"))
-    // ONE shuffle keyed (query, doc): matched (term, pos) pairs fold to a
-    // per-pair list; a start s is a match when every term has a position
-    // in [s, s+window). An early explode-per-start shape (×window vote
-    // rows into the aggregation) measured 10x this plan's traffic on a
-    // stopword-heavy corpus — the interval kernel below replaces it with
-    // a linear merge over the (tiny) per-doc position lists.
-    val grouped = posts
-      .join(broadcast(qterms), "__term")
-      .groupBy(col("__qid"), col("__doc"))
-      .agg(collect_list(struct(col("__term"), col("__pos"))).as("__tp"))
-      .join(broadcast(qlen), "__qid")
-    val in = grouped.select(col("__qid"), col("__doc"), col("__tp"), col("__m"))
+    val cand = seededCandidates(posts, qtoks)
     val schema = StructType(Seq(
-      in.schema("__qid").copy(name = "qid"),
-      in.schema("__doc").copy(name = "id"),
+      qtoks.schema("__qid").copy(name = "qid"),
+      cand.schema("__doc").copy(name = "id"),
       StructField("n_windows", LongType, nullable = false)))
-    val matched = in.mapPartitions { rows =>
+    val matched = cand.mapPartitions { rows =>
       rows.flatMap { r =>
-        val tp = r.getSeq[Row](2)
-        val m = r.getLong(3)
-        val byTerm = tp.groupBy(_.getString(0))
-        if (byTerm.size.toLong != m) None
-        else {
-          // per-term valid-start intervals [max(0, p-window+1), p],
-          // merged; count starts covered by ALL m terms via an event sweep
-          val events = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-          byTerm.valuesIterator.foreach { ps =>
-            val sorted = ps.map(_.getInt(1)).sorted
-            var lo = math.max(0, sorted.head - (window - 1))
-            var hi = sorted.head
-            sorted.tail.foreach { p =>
-              val l = math.max(0, p - (window - 1))
-              if (l <= hi + 1) hi = p
-              else { events += ((lo, 1)); events += ((hi + 1, -1)); lo = l; hi = p }
-            }
-            events += ((lo, 1)); events += ((hi + 1, -1))
+        val doc = r.get(0)
+        val qs = r.getSeq[Row](1)
+        val byTerm = positionsByTerm(r.getSeq[Row](2))
+        qs.iterator.flatMap { q =>
+          val qt = q.getSeq[String](1)
+          val sets = qt.map(t => byTerm.getOrElse(t, null))
+          if (qt.isEmpty || sets.contains(null)) None
+          else {
+            val count = coveredStarts(sets.iterator, window, qt.length)
+            if (count > 0) Some(Row(q.get(0), doc, count)) else None
           }
-          val sortedEv = events.sortBy(e => (e._1, -e._2))
-          var depth = 0; var covStart = 0; var count = 0L
-          sortedEv.foreach { case (x, d) =>
-            if (depth == m && d < 0) count += x - covStart
-            depth += d
-            if (depth == m) covStart = x
-          }
-          if (count > 0) Some(Row(r.get(0), r.get(1), count)) else None
         }
       }
     }(Encoders.row(schema))

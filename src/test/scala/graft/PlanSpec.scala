@@ -309,9 +309,11 @@ class PlanSpec extends GraftSuite {
     val df = SparkEntry.queries("q_phrase_search")(spark, sf0)
     df.collect() // finalize AQE so join strategies are visible
     val p = plan(df)
-    // query-term and query-length sides broadcast into the postings scan
+    // seed-term and query-token sides broadcast into the postings scan;
+    // the one non-broadcast join is doc-keyed (candidates × per-doc
+    // position arrays) and carries no raw document text
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
     // no Exchange carries the text column — only terms/positions move
     val exchanges = p.split("\n").filter(_.contains("Exchange"))
     assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")), p)

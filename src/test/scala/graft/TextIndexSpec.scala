@@ -380,6 +380,45 @@ class TextIndexSpec extends GraftSuite {
     assert(run(docs.repartition(13)) === base)
   }
 
+  test("phrase/proximity: shuffle rows stay seed-bounded on a stopword-dense corpus") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 200 docs, each 50 tokens of the ubiquitous "the" plus one unique
+    // marker uNNN at position 10. Queries pair the unique marker with
+    // "the": the replaced anchor-vote algebra shuffled one row per
+    // (query × "the"-posting) ≈ Q·10k = 400k votes; rarest-term seeding
+    // shuffles the matched postings ONCE (~10k) plus Q seed pairs.
+    val docs = (0 until 200).map { i =>
+      val toks = Array.fill(50)("the"); toks(10) = s"u$i"
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = (0 until 40).map(i => (i.toLong, s"u$i the")).toDF("qid", "qtext")
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (phr, prox) = try {
+      val a = TextIndex.phraseSearch(docs, "doc_id", "text", qs, "qid", "qtext", 10)
+        .as[(Long, Long, Long)].collect().toSet
+      val b = TextIndex.proximitySearch(docs, "doc_id", "text", qs, "qid", "qtext", 12, 10)
+        .as[(Long, Long, Long)].collect().toSet
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(1000)
+      (a, b)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // "uI the" occurs exactly once per doc i (u at 10, the at 11)
+    assert(phr === (0 until 40).map(i => (i.toLong, i.toLong, 1L)).toSet)
+    // proximity window 12 over {uI, the}: starts covering position 10
+    // and some "the" — all of [0..10] qualify (u at 10 within 12 of any)
+    assert(prox === (0 until 40).map(i => (i.toLong, i.toLong, 11L)).toSet)
+    // corpus postings = 200·50 = 10k; both searches together must stay
+    // within a few corpus passes — the vote algebra would exceed 800k
+    val total = shuffled.get()
+    assert(total < 80000L, s"shuffle records = $total (fan-out regression?)")
+  }
+
   test("proximitySearch: window boundary is exact, duplicate terms collapse") {
     import graft.text.TextIndex
     val docs = Seq(
