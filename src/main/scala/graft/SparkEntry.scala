@@ -64,6 +64,52 @@ object SparkEntry {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** A REAL file-source stream over `df`, replayed as `nSlices` id-ranged
+    * microbatches: each slice writes as one parquet file (a distributed
+    * job — no driver-side collect, unlike the MemoryStream TEST FEED this
+    * replaced, which capped the stream gates at driver memory and forced
+    * the ≥100x oracle sweeps to skip them), with strictly increasing
+    * modification times so the file source — which orders pending files
+    * by modTime — replays slices in id order. Id-ordered replay is what
+    * makes the min-id-keeper oracle exact for the first-seen dedup gate;
+    * the other stream gates are arrival-order independent and just get
+    * the production ingest shape.
+    */
+  private def sliceStream(
+      s: SparkSession, df: DataFrame, idCol: String,
+      nSlices: Int): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val bounds = df.agg(min(col(idCol)), max(col(idCol))).head()
+    val (lo, n) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val step = math.max(1L, (n - lo + nSlices - 1) / nSlices)
+    val base = System.currentTimeMillis() - nSlices * 60000L
+    (0 until nSlices).foreach { i =>
+      val dir = s"$root/slice$i"
+      df.filter(col(idCol) >= lo + i * step && col(idCol) < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val ft = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, ft)
+      }
+    }
+    s.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/slice*")
+  }
+
+  /** Run a streaming query to a memory sink, draining every file already
+    * present (Trigger.AvailableNow honors maxFilesPerTrigger per batch),
+    * and return the sink table.
+    */
+  private def runToMemorySink(
+      s: SparkSession, out: DataFrame, sinkPrefix: String,
+      mode: String): DataFrame = {
+    val sink = s"${sinkPrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(sink).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** Flagship query on sf=0.001: filtered exact KNN — the minimum
     * end-to-end slice of SURVEY.md §7.3.
     */
@@ -727,34 +773,19 @@ object SparkEntry {
     }),
 
     // Streaming ingest dedup: the document stream replayed as 5 id-ordered
-    // microbatches through the stateful first-seen operator
+    // file-source microbatches through the stateful first-seen operator
     // (flatMapGroupsWithState keyed by digest — state is one boolean per
     // DISTINCT digest, not per row). Ordered replay makes the keeper the
     // global min doc_id, so the batch GROUP BY oracle applies exactly.
-    // (The driver-side collect below is the MemoryStream TEST FEED, not
-    // part of the operator — production sources are Kafka/files.)
     "q_stream_dedup" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val step = (n + 4) / 5
-      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
       withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamDedup.firstSeen(stream.toDF(), "doc_id", "text")
-          .toDF("digest", "keeper")
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        try {
-          (0 until 5).foreach { i =>
-            stream.addData(docs
-              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-              .as[StreamTextDoc].collect().toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-      }
-      s.table(sink).select(col("digest"), col("keeper"))
+        val src = sliceStream(s, docs, "doc_id", nSlices = 5)
+        runToMemorySink(s,
+          graft.streaming.StreamDedup.firstSeen(src, "doc_id", "text")
+            .toDF("digest", "keeper"),
+          "stream_dedup", "append")
+      }.select(col("digest"), col("keeper"))
     }),
 
     // Streaming MinHash-LSH near-dup: pairs surface the microbatch their
@@ -763,27 +794,14 @@ object SparkEntry {
     // q_dedup_minhash oracle applies after the contract's sink distinct
     // (at-least-once per shared band bucket).
     "q_stream_neardup" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val step = (n + 4) / 5
-      val sink = s"stream_neardup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
       withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamDedup
-          .nearDupPairs(stream.toDF(), docs, "doc_id", "text", threshold = 0.5)
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        try {
-          (0 until 5).foreach { i =>
-            stream.addData(docs
-              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-              .as[StreamTextDoc].collect().toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-      }
-      s.table(sink).select(col("a"), col("b"), col("jaccard")).distinct()
+        val src = sliceStream(s, docs, "doc_id", nSlices = 5)
+        runToMemorySink(s,
+          graft.streaming.StreamDedup
+            .nearDupPairs(src, docs, "doc_id", "text", threshold = 0.5),
+          "stream_neardup", "append")
+      }.select(col("a"), col("b"), col("jaccard")).distinct()
     }),
 
     // ------------- training-data pipeline operators (dedup / text / media)
@@ -1532,32 +1550,18 @@ object SparkEntry {
     // summary guarantee makes the result arrival-order independent and
     // EXACT — same oracle as q_heavy_hitters.
     "q_stream_heavy" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val item = when(col("doc_id") % 2 === 0,
         concat(lit("host-"), (col("doc_id") % 7).cast("string")))
         .otherwise(concat(lit("host-"), col("doc_id").cast("string")))
         .as("item")
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-      val step = (n + 4) / 5
-      val sink = s"stream_heavy_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTextDoc]
-      withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamStats.heavyHitterCandidates(
-            stream.toDF().select(item), "item", k = 128)
-          .writeStream.format("memory").queryName(sink).outputMode("complete").start()
-        try {
-          (0 until 5).foreach { i =>
-            stream.addData(docs
-              .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-              .as[StreamTextDoc].collect().toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-      }
-      val cand = s.table(sink)
-        .select(explode(map_keys(col("items"))).as("__item"))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cand = withShufflePartitions(s, 8) {
+        val src = sliceStream(s, docs, "doc_id", nSlices = 5)
+        runToMemorySink(s,
+          graft.streaming.StreamStats.heavyHitterCandidates(
+            src.select(item), "item", k = 128),
+          "stream_heavy", "complete")
+      }.select(explode(map_keys(col("items"))).as("__item"))
       graft.text.HeavyHitters.verify(
         t(s, dir, "documents").select(item), "item", cand, minFreqRatio = 0.01)
     }),
@@ -1842,28 +1846,19 @@ object SparkEntry {
     // the batch register table and the at-rest estimate hash-matches the
     // batch oracle (same SQL as q_hll_distinct). State: ≤4096 rows/group.
     "q_stream_hll" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "orders")
-        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("key"))
-      val sink = s"stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamKeyed]
-      withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamStats.hllRegisters(
-            stream.toDF(), Seq("grp"), col("key"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try {
-          // TEST FEED ONLY: driver-collected chunks stand in for a file/
-          // queue source (same caveat as the other q_stream_* gates)
-          val data = rows.as[StreamKeyed].collect()
-          data.grouped(math.max(1, (data.length + 4) / 5)).foreach { chunk =>
-            stream.addData(chunk.toSeq); q.processAllAvailable()
-          }
-        } finally q.stop()
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          col("o_custkey").as("key"))
+      val regs = withShufflePartitions(s, 8) {
+        val src = sliceStream(s, orders, "o_orderkey", nSlices = 5)
+        runToMemorySink(s,
+          graft.streaming.StreamStats.hllRegisters(
+            src.select(col("grp"), col("key")), Seq("grp"), col("key")),
+          "stream_hll", "complete")
       }
-      val est = graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("grp"))
-      val exact = rows.groupBy(col("grp")).agg(countDistinct(col("key")).as("n_exact"))
+      val est = graft.sketch.Sketches.hllEstimate(regs, Seq("grp"))
+      val exact = orders.groupBy(col("grp"))
+        .agg(countDistinct(col("key")).as("n_exact"))
       est.join(exact, "grp")
         .select(col("grp").as("prio"), col("n_est"), col("n_exact"))
     }),
