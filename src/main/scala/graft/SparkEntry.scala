@@ -127,14 +127,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A7/A2 — group-by aggregation (gamma has only count-style aggs; this is
     // the built-in coverage entry).
+    // money/ratio outputs in exact integer cents / micro-units: a double
+    // sum over 600M rows drifted ~1e-13 relative between Spark and DuckDB
+    // at the 1000x replica (addition order), and round(x,2) is itself
+    // lossy past 2^53/100. Per-row cents recover exactly (prices are 0.01
+    // multiples, product error << 0.5), and long sums are order-free.
+    // sum_qty stays a double sum: quantities are small integers, so the
+    // sum is exactly representable at any order.
     "q_agg_group" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      val a = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"))
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_discount") * 100).cast("long")).as("__dc"))
+      val num = col("__dc") * 10000
+      a.withColumn("avg_disc_micro",
+          ((num - pmod(num, col("cnt"))) / col("cnt")).cast("long"))
+        .drop("__dc")
     }),
 
     // S5/P2 — full scan + numeric range filter with inclusive bounds.
@@ -1892,12 +1903,15 @@ object SparkEntry {
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q_agg_group" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       count(*) AS cnt,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(avg(l_discount), 6) AS avg_disc
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |    sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS price_cents,
+        |    CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS dc
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, cnt, price_cents,
+        |       (dc * 10000) // cnt AS avg_disc_micro
+        |FROM g""".stripMargin,
 
     "q_scan_range" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -53,6 +53,22 @@ object Mmr {
       k: Int, lambda: Double): DataFrame = {
     require(k > 0, "k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    // the typed greedy below encodes (Long, Long, Array[Float],
+    // Array[Float]); check the column contract up front so a string/int
+    // id or double vector fails with a diagnosable message instead of an
+    // analysis error deep in the encoder
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    def requireType(df: DataFrame, c: String, ok: Boolean, want: String): Unit =
+      require(ok, s"Mmr.rerank serves $c as $want only (got " +
+        s"${df.schema(c).dataType.simpleString}; cast ids to bigint / " +
+        "vectors to array<float> upstream)")
+    requireType(cands, qidCol, cands.schema(qidCol).dataType == LongType, "bigint")
+    requireType(cands, idCol, cands.schema(idCol).dataType == LongType, "bigint")
+    requireType(vecs, vecIdCol, vecs.schema(vecIdCol).dataType == LongType, "bigint")
+    requireType(vecs, vecCol, vecs.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, "array<float>")
     val s = cands.sparkSession
     val docSide = vecs.select(col(vecIdCol).as("__did"), col(vecCol).as("__demb"))
     // only the QUERY rows broadcast — bounded by the query-batch size,

@@ -215,37 +215,52 @@ object TarShards {
     require(numShards > 0, "numShards must be positive")
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    val shard = pmod(xxhash64(col(entryCol)), lit(numShards))
-    df.select(col(entryCol).cast("string").as("__e"), col(dataCol).cast("binary").as("__d"))
-      .repartition(numShards, shard)
-      .sortWithinPartitions(col("__e"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val ext = if (compress) "tar.gz" else "tar"
-        val path = new Path(dir, f"shard-$pid%05d.$ext")
-        val fs = path.getFileSystem(conf.value)
-        // gzip header mtime defaults to 0 in commons-compress, so the
-        // compressed bytes stay deterministic too
-        val sink: java.io.OutputStream =
-          if (compress)
-            new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(
-              fs.create(path, true))
-          else fs.create(path, true)
-        val out = new TarArchiveOutputStream(sink)
-        out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-        out.setAddPaxHeadersForNonAsciiNames(true)
-        try {
-          it.foreach { row =>
-            val name = row.getString(0)
-            val data = row.getAs[Array[Byte]](1)
-            val e = new TarArchiveEntry(name)
-            e.setSize(data.length.toLong)
-            e.setModTime(0L)
-            out.putArchiveEntry(e)
-            out.write(data)
-            out.closeArchiveEntry()
-          }
-        } finally out.close()
+    val shard = pmod(xxhash64(col(entryCol)), lit(numShards)).cast("int")
+    // route EXACTLY: shard-NNNNN.tar holds precisely the entries whose
+    // xxhash64 pmod numShards == N. A plain repartition(n, shardCol)
+    // would re-hash the shard value with Murmur3 — files would be named
+    // by PARTITION id, co-locating several shard values per file and
+    // leaving others empty. The identity partitioner + shuffle-sorted
+    // (shard, entry) keys keep one Exchange and a spillable sort.
+    val keyed = df
+      .select(shard.as("__s"), col(entryCol).cast("string").as("__e"),
+        col(dataCol).cast("binary").as("__d"))
+      .rdd.map(r => ((r.getInt(0), r.getString(1)), r.getAs[Array[Byte]](2)))
+    val byShard = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numShards
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[(Int, String)]._1
+    }
+    keyed.repartitionAndSortWithinPartitions(byShard)
+      .map { case ((_, e), d) => (e, d) }
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        // a shard value no entry hashed to writes no file at all
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val ext = if (compress) "tar.gz" else "tar"
+          val path = new Path(dir, f"shard-$pid%05d.$ext")
+          val fs = path.getFileSystem(conf.value)
+          // gzip header mtime defaults to 0 in commons-compress, so the
+          // compressed bytes stay deterministic too
+          val sink: java.io.OutputStream =
+            if (compress)
+              new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(
+                fs.create(path, true))
+            else fs.create(path, true)
+          val out = new TarArchiveOutputStream(sink)
+          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          out.setAddPaxHeadersForNonAsciiNames(true)
+          try {
+            it.foreach { case (name, data) =>
+              val e = new TarArchiveEntry(name)
+              e.setSize(data.length.toLong)
+              e.setModTime(0L)
+              out.putArchiveEntry(e)
+              out.write(data)
+              out.closeArchiveEntry()
+            }
+          } finally out.close()
+        }
       }
   }
 }

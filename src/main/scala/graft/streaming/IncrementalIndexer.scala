@@ -452,12 +452,24 @@ class IncrementalIndexer(
       .filter(!col(DeletedCol) && col(VersionCol) > builtVersion).count()
     val exclCnt = h.excluded.map(_.count()).getOrElse(0L)
     val total = math.max(table.docs.count(), 1L)
+    // ABSOLUTE cap on the standing exclusion set, independent of the
+    // ratio tiers: every search collects the set as one sorted long
+    // array (8 B/key) on the driver and broadcasts it to executors. The
+    // ratio tiers alone admit 5-20% of the table — multi-GB at 1B+ rows
+    // (the reference's bitmap_manager.h pays 1 bit/doc over a DENSE id
+    // space; sparse 64-bit keys are 64x that). Past the cap the set is
+    // compacted into the graphs regardless of ratio, so the broadcast
+    // stays <= 8 B * cap (default 2M keys = 16 MB) plus one refresh
+    // interval's churn.
+    val exclCap = spark.conf.getOption("spark.graft.hnsw.maxExcludedRows")
+      .map(_.toLong).getOrElse(2000000L)
     if ((staleCnt + exclCnt) * 5L >= total) rebuildHnsw()
-    // middle tier: exclusions alone past ~5% of the table get compacted
-    // into per-segment graph rewrites (HnswIndex.compacted — no table
-    // scan, no shuffle, tail untouched), so the standing set stops
-    // growing without paying a full rebuild
-    else if (exclCnt * 20L >= total) compactHnswExclusions(h)
+    // middle tier: exclusions past ~5% of the table OR past the absolute
+    // broadcast cap get compacted into per-segment graph rewrites
+    // (HnswIndex.compacted — no table scan, no shuffle, tail untouched),
+    // so the standing set stops growing without paying a full rebuild
+    else if (exclCnt * 20L >= total || exclCnt >= exclCap)
+      compactHnswExclusions(h)
     else if (persist) writeMeta()
   }
 

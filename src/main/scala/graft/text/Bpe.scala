@@ -85,6 +85,13 @@ object Bpe {
       docs: DataFrame, textCol: String,
       nMerges: Int): (Seq[(String, String)], DataFrame) = {
     var words = wordFreqs(docs, textCol)
+      // pair keys are Sep-joined and recovered by split(Sep, 2); a word
+      // containing U+0001 would make that key ambiguous (wrong recovered
+      // merge). Symbols only ever concatenate original word chars, so
+      // excluding such words AT THE SOURCE keeps every key unambiguous —
+      // a free codegen predicate before the one corpus-sized shuffle
+      // (U+0001 is a control char no real tokenizer vocabulary wants).
+      .filter(!col("word").contains(Sep))
       .withColumn("symbols",
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))))

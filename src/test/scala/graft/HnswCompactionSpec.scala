@@ -75,4 +75,37 @@ class HnswCompactionSpec extends GraftSuite {
     val got2 = ix2.search(queries, 5).select($"id").as[String].collect().toSet
     assert(got2.intersect((0 until 8).map(_.toString).toSet).isEmpty)
   }
+
+  test("absolute exclusion cap forces compaction below the ratio tiers") {
+    val root = tmp()
+    val docs = emb.filter($"vec_id" < 200)
+      .select($"vec_id".cast("string").as("_id"), $"embedding".as("vec"))
+    val t = GammaTable.create(spark, root, "hcap", "_id", docs, nBuckets = 4)
+    val ix = t.buildIndex("vec",
+      IndexParams(nlinks = 16, efConstruction = 100, efSearch = 128),
+      persist = false, retrievalType = "HNSW")
+
+    // 4 of 200 = 2%: BELOW the 5% ratio compaction tier and the 20%
+    // rebuild tier — only the absolute broadcast cap can trigger here
+    t.delete((0 until 4).map(_.toString).toDF("_id"))
+    t.compact()
+    assert(ix.currentIndex.get.asInstanceOf[HnswIndex]
+      .excluded.map(_.count()).getOrElse(0L) === 4L)
+
+    spark.conf.set("spark.graft.hnsw.maxExcludedRows", "3")
+    try {
+      ix.refresh()
+      // cap exceeded (4 >= 3): the standing set was folded into the
+      // graphs — the search-time broadcast is gone, not grown
+      val after = ix.currentIndex.get.asInstanceOf[HnswIndex]
+      assert(after.excluded.isEmpty)
+      // and recall is unchanged: results equal brute force over survivors
+      val q = queries.map { case (i, v) => (i, v.toSeq) }.toDF("qid", "qvec")
+      val expect = Knn.flatSearch(t.docs, "_id", "vec", q, "qid", "qvec",
+          5, Metric.L2)
+        .select($"qid", $"id").as[(Long, String)].collect().toSet
+      assert(ix.search(queries, 5).select($"qid", $"id")
+        .as[(Long, String)].collect().toSet === expect)
+    } finally spark.conf.unset("spark.graft.hnsw.maxExcludedRows")
+  }
 }

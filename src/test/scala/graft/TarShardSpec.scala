@@ -42,6 +42,21 @@ class TarShardSpec extends GraftSuite {
     assert(shards.forall(s => s.startsWith("shard-") && s.endsWith(".tar")))
   }
 
+  test("shard-N holds exactly the entries with xxhash64(entry) pmod S == N") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir = tmp()
+    TarShards.write(fixture, "entry", "data", dir, numShards = 3)
+    val got = spark.read.format("tarshard").load(s"$dir/*.tar")
+      .select(col("shard"), col("entry"))
+      .withColumn("want", pmod(xxhash64(col("entry")), lit(3)).cast("int"))
+      .as[(String, String, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (file, entry, want) =>
+      assert(file === f"shard-$want%05d.tar",
+        s"entry '$entry' routed to $file, expected shard $want")
+    }
+  }
+
   test("writer output is byte-deterministic across runs") {
     val d1 = tmp(); val d2 = tmp()
     TarShards.write(fixture, "entry", "data", d1, numShards = 2)
