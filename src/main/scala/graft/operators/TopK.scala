@@ -53,6 +53,42 @@ object TopK {
         if (c == groupCol) col(groupCol) else col(s"__r.__p.$c")): _*)
   }
 
+  /** Sort-shape top-k per group: ONE group-keyed Exchange, an EXTERNAL
+    * (spillable) sort within partitions, then a streaming first-k scan
+    * per group — no per-group state objects at all (the scan holds one
+    * counter). The trade against [[perGroup]]: the Exchange carries
+    * every candidate row (the heap aggregate's map-side partials bound
+    * it to partitions x groups x k), but the reducer never materializes
+    * a per-group buffer — the shape for WIDE group counts (millions of
+    * groups, e.g. per-document selection), where ObjectHashAggregate
+    * falls back to sort-based anyway and pays object churn on top of
+    * the same sort.
+    */
+  def perGroupSorted(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      ascending: Boolean,
+      k: Int,
+      tieBreak: Seq[String]): DataFrame = {
+    val order = col(groupCol).asc +: orderCols(scoreCol, ascending, tieBreak)
+    val schema = df.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    df.repartition(col(groupCol))
+      .sortWithinPartitions(order: _*)
+      .mapPartitions { rows =>
+        var cur: Any = null
+        var started = false
+        var n = 0
+        rows.filter { r =>
+          val g = r.get(gIdx)
+          if (!started || g != cur) { started = true; cur = g; n = 0 }
+          n += 1
+          n <= k
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Window-based reference implementation of [[perGroup]] (kept for
     * equivalence testing; the heap aggregate shuffles k-bounded buffers
     * instead of every candidate row).

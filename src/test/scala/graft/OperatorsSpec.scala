@@ -22,6 +22,21 @@ class OperatorsSpec extends GraftSuite {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("TopK.perGroupSorted equals perGroup (both directions, ties, skew)") {
+    // skewed group sizes + heavy ties exercise the streaming-take cut
+    val df = spark.range(0, 3000).select(
+      when(col("id") < 2500, lit(0L)).otherwise(col("id") % 11).as("g"),
+      (col("id") % 13).cast("double").as("score"),
+      col("id")).repartition(7)
+    for (asc <- Seq(true, false)) {
+      val heap = TopK.perGroup(df, "g", "score", asc, k = 4, tieBreak = Seq("id"))
+      val srt = TopK.perGroupSorted(df, "g", "score", asc, k = 4, tieBreak = Seq("id"))
+      assert(srt.count() === heap.count())
+      assert(srt.exceptAll(heap).isEmpty && heap.exceptAll(srt).isEmpty,
+        s"ascending=$asc")
+    }
+  }
+
   test("flatSearch returns k rows per query, sorted set matches brute force") {
     val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
     val q = emb.select($"vec_id".as("qid"), $"embedding".as("qvec")).filter($"qid" < 3)
