@@ -21,8 +21,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // stderr timing per gate: scale sweeps read these for the
+        // per-decade scaling evidence (coalesce(1) write included — at
+        // big outputs that single task is harness cost, not operator
+        // cost; see the memory-file note)
+        System.err.println(
+          f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
       catch { case e: Throwable =>
         // A thrown query must FAIL the round, not vanish from it: write a
         // one-row poison result whose schema can never match any oracle,
