@@ -29,11 +29,16 @@ object AbTfidf {
       lit(1e6)).cast("long")
     val w = ix.termStats.filter(col("__df") <= dfCap)
       .select(col("__term"), idf.as("__idf"))
-    val scored = ix.postings
+    // materialize to a temp parquet, not localCheckpoint: 250M cached
+    // deserialized rows OOM an 80g heap at 1000x; a disk spill isolates
+    // the top-k measurement just as well
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ab_tfidf").toString
+    ix.postings
       .join(broadcast(w), "__term")
       .select(col("__doc").as("id"), col("__term").as("term"),
         (col("__tf") * col("__idf")).as("score_micro"))
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(tmp)
+    val scored = spark.read.parquet(tmp)
     val nScored = scored.count()
 
     def time(f: => Long): (Double, Long) = {

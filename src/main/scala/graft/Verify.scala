@@ -23,7 +23,13 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce propagates up to the
+        // previous shuffle boundary, collapsing the gate's final stage
+        // (sort/agg included) into ONE task — a 116M-row per-doc sort
+        // measured 218 s single-task vs ~10 s parallel at the 1000x
+        // replica. repartition adds one Exchange of the OUTPUT rows only
+        // (k-bounded for most gates) and still writes a single file.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // stderr timing per gate: scale sweeps read these for the
         // per-decade scaling evidence (coalesce(1) write included — at

@@ -369,9 +369,19 @@ object TextIndex {
   /** Per-document TF-IDF keyword extraction: the top `k` terms of every
     * document by tf·idf (idf = ln(N/df), micro-unit quantized), ties by
     * ascending term — topic tagging / per-doc vocabulary summarization.
-    * The vocabulary-sized idf table broadcasts into the postings scan;
-    * the per-doc selection is the k-bounded heap. Returns
-    * (id, term, score_micro).
+    * The vocabulary-sized idf table broadcasts into the postings scan.
+    *
+    * Per-doc selection uses the SORT-shape top-k (TopK.perGroupSorted),
+    * not the heap aggregate: with millions of groups (one per document)
+    * ObjectHashAggregate falls back to sort-based and pays per-group
+    * object churn on top of the same external sort. Measured at the
+    * 1000x replica (116M scored postings, 5M docs): sorted 9.2 s vs
+    * heap 15.3 s, identical rows — even though the heap shape's
+    * map-side partials bound its shuffle to 15M rows vs the sort
+    * shape's full 116M (the honest trade: more bytes moved, zero
+    * per-group state). The heap shape stays the right choice for the
+    * FEW-groups regime (per-query top-k). Returns (id, term,
+    * score_micro).
     */
   def topKeywords(ix: BuiltIndex, k: Int): DataFrame = {
     val dfCap = math.floor(ix.maxDfRatio * ix.nDocs).toLong
@@ -383,7 +393,7 @@ object TextIndex {
       .join(broadcast(w), "__term")
       .select(col("__doc").as("id"), col("__term").as("term"),
         (col("__tf") * col("__idf")).as("score_micro"))
-    graft.operators.TopK.perGroup(
+    graft.operators.TopK.perGroupSorted(
       scored, "id", "score_micro", ascending = false, k, Seq("term"))
   }
 
