@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Huge-output oracle parity via DuckDB EXCEPT ALL (both directions).
+
+check_oracle.py's pandas per-cell loop is the driver-faithful compare but
+chokes past ~10M rows; this tool proves the same rows+schema+multiset
+equality natively in DuckDB (the SURVEY §14.6 pattern: 100M rows in ~18 s
+per direction). Columns are aligned by sorted name, mirroring the driver.
+
+Usage: python3 tools/except_all_check.py <sfDir> <verifyOutDir> q1,q2,...
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf_dir, out_dir, qlist = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name in qlist:
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"{name:24s} NO ORACLE")
+            continue
+        eng = f"{out_dir}/{name}/*.parquet"
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{eng}')").fetchall()]
+        sel = ", ".join(f'"{c}"' for c in sorted(cols))
+        try:
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __o AS SELECT {sel} "
+                        f"FROM ({sql})")
+            ne, no = (con.execute(
+                f"SELECT (SELECT count(*) FROM read_parquet('{eng}')), "
+                f"(SELECT count(*) FROM __o)").fetchone())
+            if ne != no:
+                print(f"{name:24s} ROWS mismatch: engine={ne} oracle={no}")
+                continue
+            d1 = con.execute(
+                f"SELECT count(*) FROM (SELECT {sel} FROM read_parquet('{eng}') "
+                f"EXCEPT ALL SELECT * FROM __o)").fetchone()[0]
+            d2 = con.execute(
+                f"SELECT count(*) FROM (SELECT * FROM __o EXCEPT ALL "
+                f"SELECT {sel} FROM read_parquet('{eng}'))").fetchone()[0]
+            if d1 == 0 and d2 == 0:
+                n_ok += 1
+                print(f"{name:24s} ok ({ne} rows, EXCEPT-ALL both directions)")
+            else:
+                print(f"{name:24s} DIFF: engine-only={d1} oracle-only={d2}")
+        except Exception as e:
+            print(f"{name:24s} ERROR: {str(e)[:200]}")
+        finally:
+            con.execute("DROP TABLE IF EXISTS __o")
+    print(f"== {n_ok}/{len(qlist)} ok")
+
+
+if __name__ == "__main__":
+    main()
