@@ -2285,14 +2285,26 @@ object SparkEntry {
          |  ON x.blk = y.blk AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT a, b, hdist FROM cand WHERE hdist <= 3""".stripMargin,
 
+    // Candidates via the same LOSSLESS AllPairs prefix filter the engine
+    // uses (two sets with J >= t must share a token in either's first
+    // |s| - ceil(|s|*t) + 1 sorted tokens), then the EXACT jaccard filter
+    // — identical output to the former all-pairs oracle (verified
+    // row-for-row at sf0.01), but tractable on scaled replicas: the r8
+    // all-pairs shape was the reason this gate sat in the sweeps'
+    // QUADRATIC skip list.
     "q_ngram_jaccard" ->
       s"""WITH $ShingleCte,
-         |ht AS (SELECT doc_id, list_distinct(list_transform(toks,
-         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS htoks FROM toks),
-         |j AS (SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(len(list_intersect(x.htoks, y.htoks)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(x.htoks, y.htoks))) AS DOUBLE) AS jaccard
-         |  FROM ht x JOIN ht y ON x.doc_id < y.doc_id)
+         |ht AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,
+         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT))) AS htoks FROM toks),
+         |pre AS (SELECT doc_id, unnest(htoks[1 : greatest(1,
+         |  len(htoks) - CAST(ceil(len(htoks) * 0.4) AS INTEGER) + 1)]) AS h
+         |  FROM ht WHERE len(htoks) > 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |j AS (SELECT a, b,
+         |  CAST(len(list_intersect(xa.htoks, yb.htoks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(xa.htoks, yb.htoks))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN ht xa ON xa.doc_id = cand.a JOIN ht yb ON yb.doc_id = cand.b)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4""".stripMargin,
 
     "q_embed_neardup" ->

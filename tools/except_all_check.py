@@ -39,6 +39,29 @@ def main():
         try:
             con.execute(f"CREATE OR REPLACE TEMP TABLE __o AS SELECT {sel} "
                         f"FROM ({sql})")
+            # Dtype-KIND assertion (mirrors check_oracle.py's r9 guard):
+            # EXCEPT ALL coerces to a common type, so an int64 engine column
+            # vs a HUGEINT/DOUBLE oracle column would compare value-equal
+            # and hide exactly the q_mix_temperature r8 trap.
+            def kind(t):
+                t = t.upper()
+                if any(k in t for k in ("INT", "HUGE")):
+                    return "int"
+                if any(k in t for k in ("DOUBLE", "FLOAT", "DECIMAL")):
+                    return "float"
+                return t
+            etypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT {sel} FROM read_parquet('{eng}')").fetchall()}
+            otypes = {r[0]: r[1] for r in con.execute(
+                "DESCRIBE SELECT * FROM __o").fetchall()}
+            bad = [c for c in etypes
+                   if kind(etypes[c]) != kind(otypes.get(c, "?"))
+                   or "HUGEINT" in otypes.get(c, "").upper()]
+            if bad:
+                print(f"{name:24s} DTYPE-KIND mismatch: " + ", ".join(
+                    f"{c}: engine={etypes[c]} oracle={otypes.get(c)}"
+                    for c in bad))
+                continue
             ne, no = (con.execute(
                 f"SELECT (SELECT count(*) FROM read_parquet('{eng}')), "
                 f"(SELECT count(*) FROM __o)").fetchone())

@@ -13,7 +13,11 @@ WORK=${1:-/tmp}
 
 # Oracles that are intentionally naive and intractable on scaled replicas
 # (all-pairs joins); engine-side parity for these stands at sf0.01/sf0.1.
-QUADRATIC="q_ngram_jaccard,q_embed_neardup"
+# (q_ngram_jaccard left this list in round 9: its oracle now replays the
+# engine's lossless AllPairs prefix filter — same output, tractable at
+# scale. q_embed_neardup stays: cosine has no lossless discrete
+# candidate key; its scale path is the LSH variant.)
+QUADRATIC="q_embed_neardup"
 # q_hybrid_rrf_ivf's exact operating point (full probe + exhaustive
 # recallNum rerank) is intentionally quadratic — skip at 100x only.
 # (q_mmr_rerank left this list in round 9: its oracle candidate stage is
