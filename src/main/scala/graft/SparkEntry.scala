@@ -1160,6 +1160,19 @@ object SparkEntry {
         shingleN = 3, minHits = 5, windowed = true)
     }),
 
+    // Bloom-filter decontamination: eval grams carried as a word-packed
+    // mergeable Bloom sketch (m/32 BIGINT words, bit_or-merged) instead
+    // of a raw gram set — the broadcast stays operator-sized when the
+    // holdout outgrows a comfortable exact broadcast. Exact hits ride
+    // alongside so the oracle checks the FP algebra, not just shapes.
+    "q_bloom_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.Dedup.bloomContaminationHits(
+        d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text",
+        shingleN = 3, minHits = 5, mBits = 1 << 20, k = 4)
+    }),
+
     // Multimodal plumbing: opaque binary column + typed metadata (decode
     // itself is stubbed — see graft.media.MediaOps).
     "q_media_meta" -> ((s, dir) => {
@@ -2594,6 +2607,52 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS hits
         |FROM tg JOIN eg USING (g)
         |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin,
+
+    // Bloom replay: identical gram CTEs to q_decontam, then the filter's
+    // word table (b>>5, bit_or of 1<<(b%32) — 32-bit packing keeps
+    // DuckDB's overflow-checked shift off the sign bit) and a k-position
+    // membership probe of the distinct train grams.
+    "q_bloom_decontam" ->
+      """WITH tg AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_distinct(list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT))
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |eg AS (SELECT DISTINCT unnest(
+        |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(
+        |        list_transform(range(1, len(string_split(text,' ')) - 1),
+        |          i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')),
+        |        s -> ('0x'||substr(md5(s),1,15))::BIGINT)
+        |    ELSE [] END) AS g
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |words AS (
+        |  SELECT b >> 5 AS w, bit_or(1::BIGINT << (CAST(b % 32 AS INTEGER))) AS word
+        |  FROM (SELECT ('0x'||substr(md5(i::VARCHAR || '|' || g::VARCHAR),1,15))::BIGINT
+        |               % 1048576 AS b
+        |        FROM eg, (SELECT unnest(range(4)) AS i) ks)
+        |  GROUP BY 1),
+        |pg AS (SELECT DISTINCT g FROM tg),
+        |probe AS (
+        |  SELECT p.g,
+        |         count(*) FILTER (WHERE w.word IS NOT NULL AND (w.word & p.m) = p.m) = 4
+        |           AS maybe
+        |  FROM (SELECT g, b >> 5 AS w, (1::BIGINT << (CAST(b % 32 AS INTEGER))) AS m
+        |        FROM (SELECT g, ('0x'||substr(md5(i::VARCHAR || '|' || g::VARCHAR),1,15))::BIGINT
+        |                     % 1048576 AS b
+        |              FROM pg, (SELECT unnest(range(4)) AS i) ks)) p
+        |  LEFT JOIN words w ON p.w = w.w
+        |  GROUP BY p.g),
+        |bh AS (SELECT doc_id, count(*) AS bloom_hits
+        |       FROM tg JOIN probe ON tg.g = probe.g AND probe.maybe
+        |       GROUP BY 1 HAVING count(*) >= 5),
+        |eh AS (SELECT doc_id, count(*) AS exact_hits FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT bh.doc_id, bh.bloom_hits,
+        |       CAST(COALESCE(eh.exact_hits, 0) AS BIGINT) AS exact_hits
+        |FROM bh LEFT JOIN eh USING (doc_id)""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,

@@ -326,6 +326,52 @@ object Dedup {
       .select(col("id").as(idCol), col("hits"))
   }
 
+  /** Bloom-filter decontamination: the membership side of
+    * [[contaminationHits]] carried as a word-packed Bloom sketch
+    * (graft.sketch.Sketches) instead of the raw eval-gram set. At 100 TB
+    * the eval set's distinct grams can outgrow a comfortable broadcast
+    * (a 1e9-gram holdout is an 8 GB long-set but a 128 MB Bloom at
+    * 1 bit/gram); the filter's m/32-word table broadcasts at a size the
+    * OPERATOR chooses, independent of eval cardinality, trading a
+    * published false-positive rate (never false negatives — no clean doc
+    * is ever flagged that the exact rule wouldn't at least partially
+    * match). Probe work is |distinct train grams|·k against the broadcast
+    * words, then one equi-join back to (doc, gram) pairs; the exact hit
+    * count rides alongside so the gate checks the FP algebra
+    * cross-engine, not just row shapes. Returns
+    * `(idCol, bloom_hits, exact_hits)` for docs with
+    * bloom_hits >= minHits.
+    */
+  def bloomContaminationHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      shingleN: Int = 3, minHits: Int = 1,
+      mBits: Int = 1 << 20, k: Int = 4,
+      hashChars: Int = 15): DataFrame = {
+    import graft.sketch.Sketches
+    val evalGrams = withShingles(
+        evalDocs.select(col(evalTextCol)).withColumn("__eid", monotonically_increasing_id()),
+        "__eid", evalTextCol, shingleN, hashChars)
+      .select(explode(col("toks")).as("g")).distinct()
+    val words = Sketches.bloomWords(evalGrams, col("g"), mBits, k)
+    val docGrams = withShingles(docs, idCol, textCol, shingleN, hashChars)
+      .select(col("id"), explode(col("toks")).as("g"))
+    // probe DISTINCT grams (corpus grams repeat across docs), then ONE
+    // equi-join back carrying both verdicts — probe volume is
+    // |distinct grams|·k, not pairs·k, and the doc-gram explode is
+    // evaluated once per subtree (probe + join), not once per verdict
+    val verdicts = Sketches.bloomMightContain(words, docGrams, col("g"), mBits, k)
+      .select(col("__key").as("g"), col("maybe"))
+      .join(broadcast(evalGrams.withColumn("__x", lit(1))), Seq("g"), "left")
+      .select(col("g"), col("maybe"), col("__x").isNotNull.as("exact"))
+    docGrams.join(verdicts, Seq("g"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("exact_hits"))
+      .filter(col("bloom_hits") >= minHits)
+      .select(col("id").as(idCol), col("bloom_hits"), col("exact_hits"))
+  }
+
   /** Training corpus minus contaminated docs (left-anti on
     * [[contaminationHits]]).
     */

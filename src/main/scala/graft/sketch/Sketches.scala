@@ -230,6 +230,52 @@ object Sketches {
         col("j_est"), col("union_est"), col("j_exact"))
   }
 
+  // -------------------------------------------------------------- Bloom
+
+  /** Bloom filter (Bloom 1970) as a word-packed bit table: m bits live in
+    * m/32 BIGINT words, one row per non-empty word, OR-merged by the
+    * `bit_or` aggregate. 32 bits per word — not 64 — because the replayed
+    * DuckDB oracle's `<<` is overflow-checked and may never touch the
+    * sign bit; the algebra is identical. Map-side combine caps the
+    * shuffle at m/32 rows per partition no matter how many keys stream
+    * through, and merging filters across corpora/days is the same
+    * `bit_or` over the union of word tables — the mergeable-state shape
+    * every sketch in this file shares.
+    */
+  def bloomWords(df: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(key.cast("string").as("__k"),
+        explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .withColumn("__b",
+        pmod(hash60(concat(col("__i").cast("string"), lit("|"), col("__k"))), lit(mBits)).cast("int"))
+      .groupBy(shiftright(col("__b"), 5).as("__w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), __b % 32))").as("__word"))
+  }
+
+  /** Membership probe: a key is maybe-present iff all k of its bit
+    * positions are set. Each probe key explodes to k (word, mask) pairs
+    * that join the broadcast word table — k·|probes| skinny rows against
+    * ≤ m/32 broadcast rows, never the corpus. Returns one row per
+    * distinct probe key with a `maybe` flag; no false negatives by
+    * construction, false positives at the published (1−e^{−kn/m})^k rate.
+    */
+  def bloomMightContain(
+      words: DataFrame, probes: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+    val q = probes.select(key.as("__key")).distinct()
+      .select(col("__key"), explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .withColumn("__b",
+        pmod(hash60(concat(col("__i").cast("string"), lit("|"), col("__key").cast("string"))),
+          lit(mBits)).cast("int"))
+      .withColumn("__w", shiftright(col("__b"), 5))
+      .withColumn("__m", expr("shiftleft(cast(1 as bigint), __b % 32)"))
+    q.join(broadcast(words), Seq("__w"), "left")
+      .groupBy(col("__key"))
+      .agg((sum(when(col("__word").isNotNull &&
+        (col("__word").bitwiseAND(col("__m")) === col("__m")), 1).otherwise(0)) === k)
+        .as("maybe"))
+  }
+
   // ---------------------------------------------------------- Count-Min
 
   /** d×w Count-Min cell counts: one row per non-empty cell. The exploded

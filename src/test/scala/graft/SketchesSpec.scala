@@ -127,4 +127,31 @@ class SketchesSpec extends GraftSuite {
       .select(col("cms_est")).as[Long].head()
     assert(topEst - 1000L <= 100L, s"heavy key estimate $topEst vs 1000")
   }
+
+  test("Bloom: no false negatives; FP rate near (1-e^{-kn/m})^k on misses") {
+    val m = 1 << 14 // 16384 bits → kn/m ≈ 0.49 at n=2000, k=4
+    val inserted = (0 until 2000).map(i => s"in$i").toDF("k")
+    val words = Sketches.bloomWords(inserted, col("k"), m, k = 4)
+    // the word table is bit-packed: at most m/32 rows
+    assert(words.count() <= m / 32)
+    val hits = Sketches.bloomMightContain(words, inserted, col("k"), m, k = 4)
+    assert(hits.filter(!col("maybe")).count() === 0L, "false negative")
+    val misses = (0 until 4000).map(i => s"out$i").toDF("k")
+    val fp = Sketches.bloomMightContain(words, misses, col("k"), m, k = 4)
+      .filter(col("maybe")).count()
+    // theoretical ≈ 2.3%; allow [0, 6%) — deterministic hash, fixed data
+    assert(fp < 240, s"FP rate ${fp / 4000.0} too high")
+  }
+
+  test("Bloom merge: bit_or of two filters == filter of the union") {
+    val m = 1 << 12
+    val a = (0 until 500).map(i => s"a$i").toDF("k")
+    val b = (250 until 900).map(i => s"a$i").toDF("k") // overlapping
+    val merged = Sketches.bloomWords(a, col("k"), m, k = 3)
+      .union(Sketches.bloomWords(b, col("k"), m, k = 3))
+      .groupBy(col("__w")).agg(expr("bit_or(__word)").as("__word"))
+    val direct = Sketches.bloomWords(a.union(b), col("k"), m, k = 3)
+    assert(merged.as[(Int, Long)].collect().toSet ===
+      direct.as[(Int, Long)].collect().toSet)
+  }
 }
