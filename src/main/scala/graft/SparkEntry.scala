@@ -1160,6 +1160,14 @@ object SparkEntry {
         shingleN = 3, minHits = 5, windowed = true)
     }),
 
+    // Windowed co-occurrence + PMI (word2vec/GloVe corpus statistic):
+    // pair generation is a per-doc projection (no self-join); the only
+    // corpus shuffles are the two wordcount groupBys; PMI in exact
+    // ln-micro-units (the LangModel cross-engine class).
+    "q_pmi_cooccur" -> ((s, dir) =>
+      graft.text.Cooccur.pmi(
+        t(s, dir, "documents"), "text", window = 2, minCount = 5)),
+
     // Bloom-filter decontamination: eval grams carried as a word-packed
     // mergeable Bloom sketch (m/32 BIGINT words, bit_or-merged) instead
     // of a raw gram set — the broadcast stays operator-sized when the
@@ -1171,6 +1179,24 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 7 === 0), "text",
         shingleN = 3, minHits = 5, mBits = 1 << 20, k = 4)
+    }),
+
+    // REAL multimodal metadata: container-header parsing (PNG/GIF/JPEG/
+    // WAV byte walks — no codec needed for geometry) over deterministic
+    // spec-compliant header fixtures derived from (doc_id, n_chars); the
+    // oracle states the expected parse from those integers alone, so the
+    // gate round-trips public-spec compliance of synth AND parser.
+    // Nulls coalesce to 0 (nullable-int parquet surfaces as float64 in
+    // the driver's pandas compare — the dtype-kind trap).
+    "q_media_headers" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val parsed = graft.media.MediaHeaders.parseHeaders(
+        graft.media.MediaHeaders.synthHeaderPayload(d, "doc_id", "n_chars"), "bytes")
+      parsed.select(col("doc_id"), col("media_kind"),
+        coalesce(col("width"), lit(0)).cast("long").as("width"),
+        coalesce(col("height"), lit(0)).cast("long").as("height"),
+        coalesce(col("sample_rate"), lit(0)).cast("long").as("sample_rate"),
+        coalesce(col("channels"), lit(0)).cast("long").as("channels"))
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata (decode
@@ -2608,6 +2634,34 @@ object SparkEntry {
         |FROM tg JOIN eg USING (g)
         |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin,
 
+    // PMI replay: tokenize with ordinality, self-join on gap ≤ 2 (the
+    // engine's projection emits exactly these ordered pairs), wordcount
+    // both tables, PMI as the identical fixed-order double expression.
+    "q_pmi_cooccur" ->
+      """WITH toks AS (
+        |  SELECT d.doc_id, u.i AS i, d.ws[u.i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |       unnest(range(1, len(d.ws) + 1)) u(i)),
+        |pairs AS (
+        |  SELECT ta.w AS a, tb.w AS b
+        |  FROM toks ta JOIN toks tb
+        |    ON ta.doc_id = tb.doc_id AND tb.i - ta.i BETWEEN 1 AND 2),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c_ab) FROM pc) AS p,
+        |               (SELECT sum(c) FROM uni) AS t)
+        |SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |       CAST(FLOOR(ln((CAST(pc.c_ab AS DOUBLE) * CAST(tot.t AS DOUBLE)
+        |                      * CAST(tot.t AS DOUBLE))
+        |                   / (CAST(tot.p AS DOUBLE) * CAST(ua.c AS DOUBLE)
+        |                      * CAST(ub.c AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |         AS pmi_micro
+        |FROM pc
+        |JOIN uni ua ON ua.w = pc.a
+        |JOIN uni ub ON ub.w = pc.b
+        |CROSS JOIN tot
+        |WHERE pc.c_ab >= 5""".stripMargin,
+
     // Bloom replay: identical gram CTEs to q_decontam, then the filter's
     // word table (b>>5, bit_or of 1<<(b%32) — 32-bit packing keeps
     // DuckDB's overflow-checked shift off the sign bit) and a k-position
@@ -2653,6 +2707,22 @@ object SparkEntry {
         |SELECT bh.doc_id, bh.bloom_hits,
         |       CAST(COALESCE(eh.exact_hits, 0) AS BIGINT) AS exact_hits
         |FROM bh LEFT JOIN eh USING (doc_id)""".stripMargin,
+
+    // the parser sees only bytes; the oracle recomputes the geometry the
+    // spec-compliant fixture encoded from (doc_id, n_chars)
+    "q_media_headers" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |                  WHEN 2 THEN 'jpeg' ELSE 'wav' END AS media_kind,
+        |  CAST(CASE WHEN doc_id % 4 IN (0,1,2) THEN n_chars % 1000 + 1 ELSE 0 END
+        |       AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 IN (0,1,2) THEN doc_id % 500 + 1 ELSE 0 END
+        |       AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 4000 ELSE 0 END
+        |       AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2 ELSE 0 END
+        |       AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
