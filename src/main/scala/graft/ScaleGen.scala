@@ -101,7 +101,10 @@ object ScaleGen {
         // word-salt: every token gets a per-copy suffix => shingle sets
         // are disjoint across copies, intra-copy dup structure untouched
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + "x" + k))
-        .withColumn("n_chars", length(col("text"))))
+        // cast back to long: length() is int, and a replica-of-a-replica
+        // (the 100x/1000x decades) must keep the SOURCE schema or typed
+        // kernels downstream see a narrowed column (r9: media synth CCE)
+        .withColumn("n_chars", length(col("text")).cast("long")))
 
     writeCopies("embeddings", t("embeddings"), Map("vec_id" -> partOff), copies,
       (d, k) => d.withColumn("embedding",

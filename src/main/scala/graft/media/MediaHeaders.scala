@@ -138,8 +138,9 @@ object MediaHeaders {
     val dimIdx = df.schema.fieldIndex(dimCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
-        val dim = r.getLong(dimIdx)
+        // any integral column works as id/dim (replicas may narrow types)
+        val id = r.getAs[Number](idIdx).longValue()
+        val dim = r.getAs[Number](dimIdx).longValue()
         val w = (dim % 1000 + 1).toInt
         val h = (id % 500 + 1).toInt
         val bytes = (id % 4) match {
