@@ -106,6 +106,17 @@ class SketchesSpec extends GraftSuite {
         assert(!s.output.exists(_.name == "__k"),
           s"raw key crosses the cell exchange: ${s.output.map(_.name)}")
       }
+    // Bloom words: the exchange carries (word idx, partial bit_or word) —
+    // ≤ m/32 rows per partition after map-side combine, keys never move
+    val words = graft.sketch.Sketches.bloomWords(big, col("k"), mBits = 1 << 14, k = 4)
+    words.count()
+    nodes(words.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+      .foreach { s =>
+        assert(!s.output.exists(a => a.name == "__k" || a.name == "k" || a.name == "__b"),
+          s"raw key/bit crosses the word exchange: ${s.output.map(_.name)}")
+      }
+    assert(words.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
   test("CMS estimate >= exact for every key; grid bounded at d*w cells") {

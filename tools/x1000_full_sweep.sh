@@ -30,7 +30,7 @@ SF=${1:-/tmp/graft_sf100}
 OUT=${2:-/tmp/verify_x1000_full}
 mkdir -p "$OUT"
 
-C1_TEXT="q_text_chunk,q_text_fingerprint,q_text_langid,q_text_quality,q_text_redact,q_text_repetition,q_url_ops,q_media_meta,q_boilerplate,q_heavy_hitters,q_lm_score,q_bpe_pairs,q_decontam,q_decontam_window"
+C1_TEXT="q_text_chunk,q_text_fingerprint,q_text_langid,q_text_quality,q_text_redact,q_text_repetition,q_url_ops,q_media_meta,q_media_headers,q_boilerplate,q_heavy_hitters,q_lm_score,q_bpe_pairs,q_decontam,q_decontam_window,q_bloom_decontam,q_pmi_cooccur"
 C2_DEDUP="q_dedup_simhash,q_dedup_cross,q_dedup_clusters,q_dedup_clusters_star,q_dedup_keep_best,q_dedup_substr,q_text_dedup_spans"
 C3_SELECT="q_corpus_select,q_corpus_select_domain,q_corpus_select_waterfill,q_quality_topfrac,q_sample_stratified,q_sample_weighted,q_sample_weighted_group,q_split_group,q_mix_sample,q_mix_temperature,q_seq_pack,q_shard_assign,q_pipeline_curate"
 C4_JOIN="q_agg_salted,q_anti_join,q_semi_join,q_asof_join,q_asof_fwd_tol,q_asof_nearest,q_range_join,q_window_dedup,q_bm25_delete,q_bm25f_topk"
