@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for the forked run (e.g. SPARK_GC_OPTS=-XX:+UseParallelGC
+  // for the 1000x sweeps: G1's GCLocker + parquet vectored-IO humongous
+  // buffers abort reads under load — SURVEY §14.6's wall, read-side)
+  sys.env.get("SPARK_GC_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

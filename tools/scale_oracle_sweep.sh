@@ -41,11 +41,13 @@ skip = set(sys.argv[2].split(','))
 print(','.join(q for q in sorted(json.load(open(sys.argv[1]))) if q not in skip))
 EOF
 )
-GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_CPUS=16 \
-  sbt -batch -J-Xmx48g "runMain graft.Verify $WORK/graft_sf10 $WORK/verify_x100"
+# run/fork := true — size the FORKED engine JVM via SPARK_DRIVER_MEM
+# (sbt -J-Xmx only sizes the launcher)
+GRAFT_VERIFY_ONLY="$ONLY" SPARK_GRAFT_CPUS=16 SPARK_DRIVER_MEM=48g \
+  sbt -batch "runMain graft.Verify $WORK/graft_sf10 $WORK/verify_x100"
 CHECK_ONLY="$ONLY" python3 -u tools/check_oracle.py \
   "$WORK/graft_sf10" "$WORK/verify_x100"
 
 echo "== stream operators via real file-source ingest (no driver feed)"
 sbt -batch "runMain graft.StreamScaleProbe $WORK/graft_sf1 2"
-sbt -batch -J-Xmx48g "runMain graft.StreamScaleProbe $WORK/graft_sf10 2"
+SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.StreamScaleProbe $WORK/graft_sf10 2"

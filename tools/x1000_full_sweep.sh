@@ -41,8 +41,14 @@ C7_STREAM="q_stream_dedup,q_stream_neardup,q_stream_heavy,q_stream_hll,q_stream_
 run_chunk() {
   local name=$1 gates=$2
   echo "==== chunk $name: engine pass"
+  # run/fork := true — the engine heap is SPARK_DRIVER_MEM (sbt -J-Xmx
+  # only sizes the sbt launcher, which bit the first run of this sweep:
+  # Verify forked at the 8g default and G1's GCLocker aborted 65 MB
+  # vectored-IO parquet reads). ParallelGC sidesteps the humongous-
+  # region stall class entirely for these batch passes.
   GRAFT_VERIFY_ONLY="$gates" SPARK_GRAFT_CPUS=${CPUS:-24} \
-    sbt -batch -J-Xmx${HEAP:-80g} "runMain graft.Verify $SF $OUT" \
+  SPARK_DRIVER_MEM=${HEAP:-80g} SPARK_GC_OPTS="-XX:+UseParallelGC" \
+    sbt -batch "runMain graft.Verify $SF $OUT" \
     2> >(grep -E '\[verify\]' >&2) || echo "chunk $name: Verify EXIT=$?"
   echo "==== chunk $name: oracle compare"
   python3 tools/route_compare.py "$SF" "$OUT" "$gates"
@@ -52,11 +58,14 @@ run_chunk() {
     -newer "$OUT/oracle_sql.json" -exec rm -rf {} + 2>/dev/null || true
 }
 
-run_chunk text   "$C1_TEXT"
-run_chunk dedup  "$C2_DEDUP"
-run_chunk select "$C3_SELECT"
-run_chunk join   "$C4_JOIN"
-run_chunk vec    "$C5_VEC"
-run_chunk table  "$C6_TABLE"
-run_chunk stream "$C7_STREAM"
+# CHUNKS env selects a subset (resume after a mid-sweep failure without
+# re-paying completed chunks), e.g. CHUNKS="dedup select join"
+want() { [[ " ${CHUNKS:-text dedup select join vec table stream} " == *" $1 "* ]]; }
+want text   && run_chunk text   "$C1_TEXT"
+want dedup  && run_chunk dedup  "$C2_DEDUP"
+want select && run_chunk select "$C3_SELECT"
+want join   && run_chunk join   "$C4_JOIN"
+want vec    && run_chunk vec    "$C5_VEC"
+want table  && run_chunk table  "$C6_TABLE"
+want stream && run_chunk stream "$C7_STREAM"
 echo "==== sweep complete"
