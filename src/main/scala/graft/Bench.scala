@@ -290,17 +290,33 @@ object Bench {
     }
     val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"""
     val line = head + s""""query_stats":$stats,"sf":"$sfDir"$recallJson}"""
-    // the driver captures only a bounded log TAIL: r4's full line was cut
-    // at the front, and r7's tail started mid-JSON and parsed:null. The
-    // full artifact (per-query stats + config prose) goes to the file; the
-    // stdout line is a COMPACT equivalent (~3 KB, same metric/queries/
-    // recall numbers) printed as the very last output so any sane tail
-    // window contains it whole.
+    // the driver captures only a bounded log TAIL — measured 2000 chars in
+    // BENCH_r09 (r4's full line was cut at the front; r7's and r9's tails
+    // started mid-JSON and parsed:null — at 129 queries even the compact
+    // full-queries line outgrew the window). The full artifact (every
+    // query + stats + config prose) goes to the file; stdout gets the
+    // compact full line for humans, then a FINAL self-contained summary
+    // line sized to fit any >=1500-char tail window whole: total, the
+    // slowest queries that fit a fixed budget, the recall gate, and QPS.
     val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     println(head + s""""sf":"$sfDir"$recallCompact}""")
+    val tailBudget = 900 // chars for the summary's queries map
+    val bySlow = results.filter(_._4).sortBy(-_._2)
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    bySlow.foreach { case (k, m, _, _) =>
+      // locale-proof 3-decimal rounding (f"" honors default locale)
+      val e = "\"" + k + "\":" + (math.rint(m * 1000) / 1000)
+      if (used + e.length + 1 <= tailBudget) { picked += e; used += e.length + 1 }
+    }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""queries":${picked.mkString("{", ",", "}")},""" +
+      s""""queries_shown":${picked.size},"all_queries_in":"$out",""" +
+      s""""sf":"$sfDir"$recallCompact}""")
     spark.stop()
   }
 }

@@ -96,7 +96,60 @@ object ScaleGen {
     // dimension tables stay single-copy (nation/region are fixed domains)
     Seq("nation", "region").foreach(n => write(n, t(n), 1))
 
-    writeCopies("documents", t("documents"), Map("doc_id" -> docOff), copies,
+    // GRAFT_SCALEGEN_ZIPF=<vocabSize>: replace the source's 31-word-salad
+    // text with a Zipf(s=1) vocabulary BEFORE replication. The salad makes
+    // every term a stopword — it stress-tests the seeded phrase/proximity
+    // path (worst case: no rare seeds) but under-tests the df skew every
+    // real corpus has (rare-term seeds that actually prune, bm25 idf
+    // spread, PMI tails). Zipf docs are deterministic per content key
+    // (P(rank) ∝ 1/rank via inverse-CDF: rank = ⌊V^u⌋), 30-80 tokens;
+    // every 500th doc clones its predecessor so the exact-dedup gates
+    // keep a planted dup rate (~0.2%, matching the source's 8/5000).
+    // Copy-0-bit-identity intentionally does not hold in this mode.
+    val zipfVocab = sys.env.get("GRAFT_SCALEGEN_ZIPF").map(_.toInt)
+    def withZipfText(df: DataFrame): DataFrame = zipfVocab match {
+      case None => df
+      case Some(v) =>
+        import org.apache.spark.sql.{Encoders, Row}
+        val schema = df.schema
+        val idIdx = schema.fieldIndex("doc_id")
+        val textIdx = schema.fieldIndex("text")
+        val ncIdx = schema.fieldIndex("n_chars")
+        val lnV = math.log(v.toDouble)
+        df.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(idIdx)
+            val key = id - (if (id % 500 == 499) 1 else 0)
+            // splitmix64 stream seeded by the content key
+            var x = key * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+            def next(): Long = {
+              x += 0x9e3779b97f4a7c15L
+              var z = x
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+              z ^ (z >>> 31)
+            }
+            val nTok = 30 + (next() >>> 40).toInt % 51
+            val sb = new StringBuilder(nTok * 6)
+            var i = 0
+            while (i < nTok) {
+              val u = ((next() >>> 11).toDouble + 0.5) / 9007199254740992.0
+              // rank = ⌊V^u⌋ ∈ [1, V]: P(rank = r) ∝ ln(1+1/r) ≈ 1/r
+              val rank = math.max(1L, math.min(v.toLong, math.exp(u * lnV).toLong))
+              if (i > 0) sb.append(' ')
+              sb.append('w').append(rank)
+              i += 1
+            }
+            val text = sb.toString
+            val seq = r.toSeq.toArray
+            seq(textIdx) = text
+            seq(ncIdx) = text.length.toLong
+            Row.fromSeq(seq.toIndexedSeq)
+          }
+        }(Encoders.row(schema))
+    }
+
+    writeCopies("documents", withZipfText(t("documents")), Map("doc_id" -> docOff), copies,
       (d, k) => d
         // word-salt: every token gets a per-copy suffix => shingle sets
         // are disjoint across copies, intra-copy dup structure untouched

@@ -425,15 +425,24 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
     }),
 
-    // V2 at realistic ANN settings (approximate: rows-only check; recall
-    // floor asserted in IndexSpec).
+    // V2 at realistic ANN settings — approximate by design, so the gate
+    // emits a driver-adjudicable VERDICT instead of raw top-k (r10,
+    // closing the r9 no_oracle class): coverage and exact-k row counts
+    // (oracle recomputes the expected query count from the table) plus a
+    // recall floor vs the FLAT exact baseline computed in-engine. A
+    // recall regression flips `pass` and the driver's hash compare goes
+    // red. Raw-output recall curves stay in IndexSpec + Bench.
     "q_ivfpq_ann" -> ((s, dir) => {
       GraftSession.prepare(s)
       val emb = t(s, dir, "embeddings")
+      val qs = collectQueries(s, dir)
       val idx = graft.index.IndexRegistry.build("IVFPQ", s, emb, "vec_id", "embedding",
         graft.index.IndexParams(ncentroids = 16, nsubvector = 8, recallNum = 50))
-      idx.search(collectQueries(s, dir), k = 10, nprobe = Some(4))
-        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+      val approx = idx.search(qs, k = 10, nprobe = Some(4)).select("qid", "id")
+      val exact = graft.index.IndexRegistry.build("FLAT", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams()).search(qs, k = 10).select("qid", "id")
+      graft.operators.GateVerdicts.knnVerdict(s, approx, exact,
+        k = 10, recallFloorMilli = 500)
     }),
 
     // X2 at partial nprobe — filtered search THROUGH an attached index
@@ -572,15 +581,20 @@ object SparkEntry {
       }
     }),
 
-    // V5 — HNSW per-partition graphs (approximate: rows-only check; recall
-    // floor vs FLAT asserted in IndexSpec).
+    // V5 — HNSW per-partition graphs: same verdict shape as q_ivfpq_ann
+    // (approximate by design → driver-adjudicated recall floor vs FLAT,
+    // r10). IndexSpec pins ≥0.9 at these knobs; measured 1.0 at sf0.01.
     "q_hnsw_ann" -> ((s, dir) => {
       GraftSession.prepare(s)
       val emb = t(s, dir, "embeddings")
+      val qs = collectQueries(s, dir)
       val idx = graft.index.IndexRegistry.build("HNSW", s, emb, "vec_id", "embedding",
         graft.index.IndexParams(nlinks = 16, efConstruction = 100, efSearch = 64))
-      idx.search(collectQueries(s, dir), k = 10)
-        .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+      val approx = idx.search(qs, k = 10).select("qid", "id")
+      val exact = graft.index.IndexRegistry.build("FLAT", s, emb, "vec_id", "embedding",
+        graft.index.IndexParams()).search(qs, k = 10).select("qid", "id")
+      graft.operators.GateVerdicts.knnVerdict(s, approx, exact,
+        k = 10, recallFloorMilli = 900)
     }),
 
     // P9/§1.1 — multi-vector-per-doc: two vids per doc (embedding and its
@@ -957,11 +971,18 @@ object SparkEntry {
       graft.dedup.Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     }),
 
-    // Embedding near-dup via random-hyperplane LSH buckets (approximate:
-    // rows-only check; recall vs brute force asserted in DedupSpec).
+    // Embedding near-dup via random-hyperplane LSH buckets — approximate
+    // by design, so the gate emits a driver-adjudicable verdict (r10):
+    // the brute pair count is a REAL cross-engine check (the oracle
+    // recomputes it with its own quadratic scan), the subset row pins the
+    // operator's exact-verify step (no false positives, structural), and
+    // the recall floor pins OR-amplification quality vs brute force.
     "q_embed_neardup_lsh" -> ((s, dir) => {
       GraftSession.prepare(s)
-      graft.dedup.Dedup.cosineLshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      val emb = t(s, dir, "embeddings")
+      val lsh = graft.dedup.Dedup.cosineLshPairs(emb, "vec_id", "embedding", 0.45)
+      val brute = graft.dedup.Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45)
+      graft.operators.GateVerdicts.pairsVerdict(s, lsh, brute, recallFloorMilli = 300)
     }),
 
     // Text stats: token counting (whitespace + BPE-ish), length stats.
@@ -1171,14 +1192,17 @@ object SparkEntry {
     // Bloom-filter decontamination: eval grams carried as a word-packed
     // mergeable Bloom sketch (m/32 BIGINT words, bit_or-merged) instead
     // of a raw gram set — the broadcast stays operator-sized when the
-    // holdout outgrows a comfortable exact broadcast. Exact hits ride
-    // alongside so the oracle checks the FP algebra, not just shapes.
+    // holdout outgrows a comfortable exact broadcast. exactHits is the
+    // gate/verification mode (production leaves it off so the eval grams
+    // never materialize past the sketch build): exact hits ride alongside
+    // so the oracle checks the FP algebra, not just shapes.
     "q_bloom_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.dedup.Dedup.bloomContaminationHits(
         d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 7 === 0), "text",
-        shingleN = 3, minHits = 5, mBits = 1 << 20, k = 4)
+        shingleN = 3, minHits = 5, mBits = 1 << 20, k = 4,
+        exactHits = true)
     }),
 
     // REAL multimodal metadata: container-header parsing (PNG/GIF/JPEG/
@@ -1197,6 +1221,22 @@ object SparkEntry {
         coalesce(col("height"), lit(0)).cast("long").as("height"),
         coalesce(col("sample_rate"), lit(0)).cast("long").as("sample_rate"),
         coalesce(col("channels"), lit(0)).cast("long").as("channels"))
+    }),
+
+    // v2 (r10): ISO-BMFF (MP4 — ftyp/moov/trak/tkhd box walk, 16.16
+    // geometry, mvhd v0/v1 duration at timescale 600) and TIFF/EXIF
+    // (II/MM byte orders, IFD0 entry scan, SHORT and LONG dims). The
+    // fixture varies container-layout knobs the oracle can't observe
+    // (box versions, endianness, value types) from id bits, so the gate
+    // proves the parser handles the spec's variants, not one layout.
+    "q_media_headers_v2" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val parsed = graft.media.MediaHeaders.parseHeaders(
+        graft.media.MediaHeaders.synthContainerPayload(d, "doc_id", "n_chars"), "bytes")
+      parsed.select(col("doc_id"), col("media_kind"),
+        coalesce(col("width"), lit(0)).cast("long").as("width"),
+        coalesce(col("height"), lit(0)).cast("long").as("height"),
+        coalesce(col("duration_ms"), lit(0L)).as("duration_ms"))
     }),
 
     // Multimodal plumbing: opaque binary column + typed metadata (decode
@@ -1786,15 +1826,24 @@ object SparkEntry {
 
     // SemDeDup: semantic dedup through k-means clusters — pairwise
     // cosine only within a cluster (n²/k, the paper's trade), min-id
-    // keeper per component. Approximate by design → rows-only gate like
-    // the ANN trio; exactness-on-separated-clusters and recall vs brute
-    // force are spec'd in DedupTextSpec.
+    // keeper per component. Approximate by design → driver-adjudicated
+    // verdict (r10): conservation (oracle recomputes the corpus count),
+    // soundness (within-cluster pairs ⊆ all pairs, so SemDeDup can only
+    // UNDER-drop — every semantic loser must be a brute-force loser),
+    // and a loser-recall floor. Exactness-on-separated-clusters stays
+    // spec'd in DedupTextSpec.
     "q_dedup_semantic" -> ((s, dir) => {
       GraftSession.prepare(s)
-      graft.dedup.Dedup.semanticDedup(
-          t(s, dir, "embeddings"), "vec_id", "embedding",
-          numClusters = 16, threshold = 0.45)
-        .select(col("vec_id"), col("label"))
+      val emb = t(s, dir, "embeddings")
+      val kept = graft.dedup.Dedup.semanticDedup(
+          emb, "vec_id", "embedding", numClusters = 4, threshold = 0.45)
+        .select("vec_id")
+      val bruteLosers = graft.dedup.Dedup.duplicateClusters(
+          graft.dedup.Dedup.cosinePairs(emb, "vec_id", "embedding", 0.45)
+            .select("a", "b"))
+        .filter(col("id") =!= col("cluster")).select("id")
+      graft.operators.GateVerdicts.dedupVerdict(
+        s, emb.select("vec_id"), kept, bruteLosers, recallFloorMilli = 400)
     }),
 
     // End-to-end curation pipeline — the operators COMPOSE: exact dedup
@@ -2126,7 +2175,23 @@ object SparkEntry {
         |  FROM embeddings d, q WHERE d.label IN (1, 3, 5, 7)),
         |r AS (SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn FROM s)
         |SELECT id, round(dist, 6) AS score FROM r WHERE rn <= 10""".stripMargin,
-    // q_ivfpq_ann intentionally has no oracle (approximate; rows-only check)
+    // q_ivfpq_ann / q_hnsw_ann verdict oracles (r10): the coverage row's
+    // expected value is recomputed from the table (the gate's query batch
+    // is vec_id < 8); k and the recall floors are the gates' documented
+    // contract constants — the ENGINE computes recall vs FLAT and a
+    // regression flips pass into a hash mismatch.
+    "q_ivfpq_ann" ->
+      """SELECT 'queries_covered' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS value,
+        |  TRUE AS pass
+        |UNION ALL SELECT 'k_rows_each', 10, TRUE
+        |UNION ALL SELECT 'recall_vs_exact_ge_milli', 500, TRUE""".stripMargin,
+    "q_hnsw_ann" ->
+      """SELECT 'queries_covered' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS value,
+        |  TRUE AS pass
+        |UNION ALL SELECT 'k_rows_each', 10, TRUE
+        |UNION ALL SELECT 'recall_vs_exact_ge_milli', 900, TRUE""".stripMargin,
     "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
 
     "q_vec_fusion" ->
@@ -2346,19 +2411,47 @@ object SparkEntry {
          |  FROM cand JOIN ht xa ON xa.doc_id = cand.a JOIN ht yb ON yb.doc_id = cand.b)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4""".stripMargin,
 
+    // r10: fixed-size DOUBLE[64] arrays + DuckDB's native (vectorized)
+    // array_cosine_similarity instead of per-pair list_transform lambdas —
+    // verified row-identical to the old list form at sf0.01. Same n²
+    // candidate set (cosine at t=0.45 over a CONTINUOUS similarity
+    // distribution has no lossless discrete candidate key — sub-threshold
+    // cosines run right up to 0.4494 at sf0.01), but the computation
+    // shape drops from minutes-per-10k-rows to ~22 s for 20k rows (2e8
+    // pairs), making the oracle tractable at the 10x replica; 100x stays
+    // skip-listed in-sweep with a dedicated BLAS oracle
+    // (tools/embed_neardup_oracle.py).
     "q_embed_neardup" ->
-      """SELECT a, b, round(c, 6) AS cos FROM (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |    list_sum(list_transform(range(1,65),
-        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1,65),
-        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1,65),
-        |        i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS c
-        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-        |WHERE c >= 0.45""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |       round(array_cosine_similarity(x.v, y.v), 6) AS cos
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |WHERE array_cosine_similarity(x.v, y.v) >= 0.45""".stripMargin,
 
-    // q_embed_neardup_lsh intentionally has no oracle (approximate)
+    // the verdict gate's brute_pairs row is recomputed by the oracle's own
+    // quadratic scan; the structural/floor rows are constants the engine
+    // must reproduce (a recall regression flips pass -> hash mismatch)
+    "q_embed_neardup_lsh" ->
+      """SELECT 'brute_pairs' AS metric,
+        |  CAST((SELECT count(*) FROM
+        |    (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings) x
+        |    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v FROM embeddings) y
+        |    ON x.vec_id < y.vec_id
+        |    WHERE array_cosine_similarity(x.v, y.v) >= 0.45) AS BIGINT) AS value,
+        |  TRUE AS pass
+        |UNION ALL SELECT 'lsh_pairs_not_in_brute', 0, TRUE
+        |UNION ALL SELECT 'recall_vs_brute_ge_milli', 300, TRUE""".stripMargin,
+
+    // q_dedup_semantic verdict oracle (r10): the conservation row's
+    // expected value is the corpus count recomputed from the table;
+    // soundness (semantic losers ⊆ brute losers) and the loser-recall
+    // floor are engine-computed booleans against stated constants.
+    "q_dedup_semantic" ->
+      """SELECT 'rows_conserved' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS value,
+        |  TRUE AS pass
+        |UNION ALL SELECT 'losers_not_in_brute', 0, TRUE
+        |UNION ALL SELECT 'loser_recall_vs_brute_ge_milli', 400, TRUE""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
@@ -2718,10 +2811,21 @@ object SparkEntry {
         |       AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 4 IN (0,1,2) THEN doc_id % 500 + 1 ELSE 0 END
         |       AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 4000 ELSE 0 END
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + ((doc_id // 4) % 8) * 4000 ELSE 0 END
         |       AS BIGINT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2 ELSE 0 END
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + (doc_id // 4) % 2 ELSE 0 END
         |       AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
+
+    // oracle restates the v2 container parse from the fixture's integer
+    // contract (mp4 duration: whole seconds at timescale 600 -> exact ms)
+    "q_media_headers_v2" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 2 WHEN 0 THEN 'mp4' ELSE 'tiff' END AS media_kind,
+        |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 500 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 3600 + 1) * 1000 ELSE 0 END
+        |       AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q_media_meta" ->

@@ -336,10 +336,15 @@ object Dedup {
     * published false-positive rate (never false negatives — no clean doc
     * is ever flagged that the exact rule wouldn't at least partially
     * match). Probe work is |distinct train grams|·k against the broadcast
-    * words, then one equi-join back to (doc, gram) pairs; the exact hit
-    * count rides alongside so the gate checks the FP algebra
-    * cross-engine, not just row shapes. Returns
-    * `(idCol, bloom_hits, exact_hits)` for docs with
+    * words. With `exactHits = true` (verification/gate mode) the exact
+    * hit count rides alongside so the gate checks the FP algebra
+    * cross-engine — but that requires the raw eval-gram set again, which
+    * is exactly what the Bloom path exists to avoid, so production runs
+    * at Bloom scale leave it false (default) and the eval grams never
+    * materialize past the one-pass sketch build; if exact verification of
+    * a giant holdout IS wanted, `broadcastEval = false` computes it via a
+    * shuffle join instead of a broadcast. Returns
+    * `(idCol, bloom_hits[, exact_hits])` for docs with
     * bloom_hits >= minHits.
     */
   def bloomContaminationHits(
@@ -347,7 +352,9 @@ object Dedup {
       evalDocs: DataFrame, evalTextCol: String,
       shingleN: Int = 3, minHits: Int = 1,
       mBits: Int = 1 << 20, k: Int = 4,
-      hashChars: Int = 15): DataFrame = {
+      hashChars: Int = 15,
+      exactHits: Boolean = false,
+      broadcastEval: Boolean = true): DataFrame = {
     import graft.sketch.Sketches
     val evalGrams = withShingles(
         evalDocs.select(col(evalTextCol)).withColumn("__eid", monotonically_increasing_id()),
@@ -357,19 +364,29 @@ object Dedup {
     val docGrams = withShingles(docs, idCol, textCol, shingleN, hashChars)
       .select(col("id"), explode(col("toks")).as("g"))
     // probe DISTINCT grams (corpus grams repeat across docs), then ONE
-    // equi-join back carrying both verdicts — probe volume is
+    // equi-join back carrying the verdict(s) — probe volume is
     // |distinct grams|·k, not pairs·k, and the doc-gram explode is
     // evaluated once per subtree (probe + join), not once per verdict
-    val verdicts = Sketches.bloomMightContain(words, docGrams, col("g"), mBits, k)
+    val maybes = Sketches.bloomMightContain(words, docGrams, col("g"), mBits, k)
       .select(col("__key").as("g"), col("maybe"))
-      .join(broadcast(evalGrams.withColumn("__x", lit(1))), Seq("g"), "left")
-      .select(col("g"), col("maybe"), col("__x").isNotNull.as("exact"))
-    docGrams.join(verdicts, Seq("g"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_hits"),
-        sum(when(col("exact"), 1L).otherwise(0L)).as("exact_hits"))
-      .filter(col("bloom_hits") >= minHits)
-      .select(col("id").as(idCol), col("bloom_hits"), col("exact_hits"))
+    if (!exactHits) {
+      docGrams.join(maybes, Seq("g"))
+        .groupBy(col("id"))
+        .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_hits"))
+        .filter(col("bloom_hits") >= minHits)
+        .select(col("id").as(idCol), col("bloom_hits"))
+    } else {
+      val evalMark = evalGrams.withColumn("__x", lit(1))
+      val probe = if (broadcastEval) broadcast(evalMark) else evalMark
+      val verdicts = maybes.join(probe, Seq("g"), "left")
+        .select(col("g"), col("maybe"), col("__x").isNotNull.as("exact"))
+      docGrams.join(verdicts, Seq("g"))
+        .groupBy(col("id"))
+        .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_hits"),
+          sum(when(col("exact"), 1L).otherwise(0L)).as("exact_hits"))
+        .filter(col("bloom_hits") >= minHits)
+        .select(col("id").as(idCol), col("bloom_hits"), col("exact_hits"))
+    }
   }
 
   /** Training corpus minus contaminated docs (left-anti on

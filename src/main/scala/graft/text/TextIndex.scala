@@ -371,30 +371,35 @@ object TextIndex {
     * ascending term — topic tagging / per-doc vocabulary summarization.
     * The vocabulary-sized idf table broadcasts into the postings scan.
     *
-    * Per-doc selection uses the SORT-shape top-k (TopK.perGroupSorted),
-    * not the heap aggregate: with millions of groups (one per document)
-    * ObjectHashAggregate falls back to sort-based and pays per-group
-    * object churn on top of the same external sort. Measured at the
-    * 1000x replica (116M scored postings, 5M docs): sorted 9.2 s vs
-    * heap 15.3 s, identical rows — even though the heap shape's
-    * map-side partials bound its shuffle to 15M rows vs the sort
-    * shape's full 116M (the honest trade: more bytes moved, zero
-    * per-group state). The heap shape stays the right choice for the
-    * FEW-groups regime (per-query top-k). Returns (id, term,
-    * score_micro).
+    * Per-doc selection is VOLUME-AWARE (TopK.perGroupAuto, r10): the
+    * candidate row count is exact from the vocabulary stats (Σ df over
+    * df-capped terms — one vocab-sized agg), groups = nDocs. In the
+    * wide-groups regime this picks the SORT shape (1000x A/B: 116M
+    * scored postings, 5M docs — sorted 9.2 s vs heap 15.3 s,
+    * identical rows; ObjectHashAggregate falls back to sort-based
+    * there and pays per-group object churn on top of the same
+    * external sort), while a candidate set more than ~8x larger than
+    * groups*k falls back to the heap shape whose group-clustered
+    * map-side partials bound the shuffle to ~groups*k rows — the
+    * volume that dominates once shuffle is network, not memcpy.
+    * Returns (id, term, score_micro).
     */
   def topKeywords(ix: BuiltIndex, k: Int): DataFrame = {
     val dfCap = math.floor(ix.maxDfRatio * ix.nDocs).toLong
     val idf = floor(log(lit(ix.nDocs.toDouble) / col("__df").cast("double")) *
       lit(1e6)).cast("long")
-    val w = ix.termStats.filter(col("__df") <= dfCap)
-      .select(col("__term"), idf.as("__idf"))
+    val kept = ix.termStats.filter(col("__df") <= dfCap)
+    // exact candidate volume from the (vocab-sized) stats table: each
+    // kept term contributes exactly df postings to the scored join
+    val estRows = kept.agg(sum(col("__df"))).head().getLong(0)
+    val w = kept.select(col("__term"), idf.as("__idf"))
     val scored = ix.postings
       .join(broadcast(w), "__term")
       .select(col("__doc").as("id"), col("__term").as("term"),
         (col("__tf") * col("__idf")).as("score_micro"))
-    graft.operators.TopK.perGroupSorted(
-      scored, "id", "score_micro", ascending = false, k, Seq("term"))
+    graft.operators.TopK.perGroupAuto(
+      scored, "id", "score_micro", ascending = false, k, Seq("term"),
+      estGroups = ix.nDocs, estRows = estRows)
   }
 
   /** Attach a dense 1-based rank to a per-query hit list (qid, id,

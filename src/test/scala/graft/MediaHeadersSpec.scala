@@ -14,7 +14,8 @@ class MediaHeadersSpec extends GraftSuite {
   private def sniff(b: Array[Byte]) = {
     val df = Seq(Tuple1(b)).toDF("bytes")
     MediaHeaders.parseHeaders(df, "bytes")
-      .select("media_kind", "width", "height", "sample_rate", "channels")
+      .select("media_kind", "width", "height", "sample_rate", "channels",
+        "duration_ms")
       .collect().head
   }
 
@@ -53,7 +54,7 @@ class MediaHeadersSpec extends GraftSuite {
       MediaHeaders.synthHeaderPayload(df, "doc_id", "n_chars")
         .select("bytes").as[Array[Byte]].collect().head
     })
-    assert(w.getString(0) === "wav" && w.getInt(3) === 20000 && w.getInt(4) === 2)
+    assert(w.getString(0) === "wav" && w.getInt(3) === 8000 && w.getInt(4) === 1)
     val bmp = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0) ++
       Array[Byte](0x40, 0, 0, 0) ++ Array[Byte](0x30, 0, 0, 0) ++ Array.fill[Byte](4)(0)
     val r = sniff(bmp)
@@ -63,8 +64,85 @@ class MediaHeadersSpec extends GraftSuite {
   test("malformed bytes are unknown, never a throw") {
     for (b <- Seq(Array.empty[Byte], "hello".getBytes("US-ASCII"),
         Array(0xff, 0xd8, 0x00).map(_.toByte), // JPEG SOI then garbage
-        "RIFFxxxxWAVE".getBytes("US-ASCII"))) // RIFF with no fmt chunk
+        "RIFFxxxxWAVE".getBytes("US-ASCII"), // RIFF with no fmt chunk
+        // chunk size near Int.MaxValue: an Int offset would wrap negative,
+        // slip past the bounds guard, and throw instead of "unknown"
+        "RIFFxxxxWAVEJUNK".getBytes("US-ASCII") ++
+          Array(0xf0, 0xff, 0xff, 0x7f).map(_.toByte) ++ Array.fill[Byte](64)(0),
+        // same wrap vector through the JPEG segment walk (len=0xFFFF)
+        Array(0xff, 0xd8, 0xff, 0xe1, 0xff, 0xff).map(_.toByte) ++
+          Array.fill[Byte](64)(0)))
       assert(sniff(b).getString(0) === "unknown", b.toSeq)
+  }
+
+  test("ISO-BMFF box walk: hand-built mvhd/tkhd per 14496-12, both versions") {
+    // 320x240, 90 s at timescale 600 (54000 units), v0 boxes, built here
+    // from the spec tables independently of the synth fixture
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ // v0, ctime, mtime
+        be32(600) ++ be32(54000) ++ be32(0x00010000L) ++
+        Array.fill[Byte](2 + 2 + 8)(0) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .flatMap(be32).toArray) ++
+        Array.fill[Byte](24)(0) ++ be32(2))
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(54000) ++ Array.fill[Byte](8 + 2 + 2 + 2 + 2)(0) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .flatMap(be32).toArray) ++
+        be32(320L << 16) ++ be32(240L << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isom".getBytes("US-ASCII"))
+    val r = sniff(ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
+    assert(r.getString(0) === "mp4" && r.getInt(1) === 320 && r.getInt(2) === 240)
+    assert(r.getLong(5) === 90000L)
+    // malformed: box size smaller than its header must be unknown
+    val bad = ftyp ++ be32(3) ++ "moov".getBytes("US-ASCII")
+    assert(sniff(bad).getString(0) === "unknown")
+  }
+
+  test("TIFF IFD scan: both byte orders, SHORT and LONG dims, EXIF-style") {
+    // big-endian, LONG dims, hand-assembled from the TIFF 6.0 layout
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit = { w16((v >> 16) & 0xffff); w16(v & 0xffff) }
+    out.write("MM".getBytes("US-ASCII")); w16(42); w32(8)
+    w16(2)
+    w16(0x0100); w16(4); w32(1); w32(1920)
+    w16(0x0101); w16(4); w32(1); w32(1080)
+    w32(0)
+    val r = sniff(out.toByteArray)
+    assert(r.getString(0) === "tiff" && r.getInt(1) === 1920 && r.getInt(2) === 1080)
+    // truncated IFD (count says 5 entries, bytes end) must be unknown
+    val trunc = out.toByteArray.take(12)
+    assert(sniff("II".getBytes("US-ASCII") ++ Array[Byte](42, 0, 8, 0, 0, 0, 5, 0))
+      .getString(0) === "unknown")
+    assert(sniff(trunc).getString(0) === "unknown")
+  }
+
+  test("v2 synth -> parse round trip: mp4/tiff across version/endian/type knobs") {
+    val df = (0L until 64L).map(i => (i, i * 37L)).toDF("doc_id", "n_chars")
+    val got = MediaHeaders.parseHeaders(
+      MediaHeaders.synthContainerPayload(df, "doc_id", "n_chars"), "bytes")
+      .select(col("doc_id"), col("media_kind"), col("width"), col("height"),
+        col("duration_ms"))
+      .collect()
+    got.foreach { r =>
+      val id = r.getLong(0); val nc = id * 37L
+      assert(r.getInt(2) === (nc % 1000 + 1).toInt, s"width id=$id")
+      assert(r.getInt(3) === (id % 500 + 1).toInt, s"height id=$id")
+      if (id % 2 == 0) {
+        assert(r.getString(1) === "mp4")
+        assert(r.getLong(4) === (id % 3600 + 1) * 1000L, s"duration id=$id")
+      } else {
+        assert(r.getString(1) === "tiff" && r.isNullAt(4))
+      }
+    }
   }
 
   test("synth -> parse round trip matches the arithmetic contract") {
@@ -84,7 +162,8 @@ class MediaHeadersSpec extends GraftSuite {
         case 2 => assert(r.getString(1) === "jpeg" &&
           r.getInt(2) === (nc % 1000 + 1).toInt && r.getInt(3) === (id % 500 + 1).toInt)
         case _ => assert(r.getString(1) === "wav" &&
-          r.getInt(4) === 8000 + (id % 8).toInt * 4000 && r.getInt(5) === 1 + (id % 2).toInt)
+          r.getInt(4) === 8000 + ((id / 4) % 8).toInt * 4000 &&
+          r.getInt(5) === 1 + ((id / 4) % 2).toInt)
       }
     }
   }

@@ -341,4 +341,35 @@ class PlanSpec extends GraftSuite {
     // a CartesianProduct
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("volume-aware top-k: heap for few groups, sort shape only in-regime") {
+    import graft.operators.TopK
+    val df = (0L until 2000L).map(i => (i % 20, i, i * 7 % 97)).toDF("g", "id", "s")
+    // few groups -> heap aggregate (k-bounded shuffle; topk_rows in plan)
+    val heap = TopK.perGroupAuto(df, "g", "s", ascending = false, 3, Seq("id"),
+      estGroups = 20, estRows = 2000)
+    assert(plan(heap).contains("topk_rows"), plan(heap))
+    // wide groups within the inflation bound -> external-sort shape
+    // (no per-group heap state; plan carries the group-keyed Exchange +
+    // sort, not the topk_rows aggregate)
+    spark.conf.set("spark.graft.topk.sortedMinGroups", "10")
+    try {
+      val sorted = TopK.perGroupAuto(df, "g", "s", ascending = false, 3, Seq("id"),
+        estGroups = 1000, estRows = 2000)
+      val ps = plan(sorted)
+      assert(!ps.contains("topk_rows"), ps)
+      assert(ps.contains("Sort") && ps.contains("Exchange"), ps)
+      // wide groups but candidate volume >8x groups*k -> back to the heap
+      // (the sorted Exchange would carry the full candidate set; on a
+      // cluster that volume dominates)
+      val fallback = TopK.perGroupAuto(df, "g", "s", ascending = false, 3, Seq("id"),
+        estGroups = 1000, estRows = 1000L * 3 * 8 + 1)
+      assert(plan(fallback).contains("topk_rows"), plan(fallback))
+      // all three shapes are row-identical
+      val a = heap.collect().map(_.toSeq).toSet
+      val b = sorted.collect().map(_.toSeq).toSet
+      val c = fallback.collect().map(_.toSeq).toSet
+      assert(a === b && b === c)
+    } finally spark.conf.unset("spark.graft.topk.sortedMinGroups")
+  }
 }
