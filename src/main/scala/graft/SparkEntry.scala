@@ -212,9 +212,13 @@ object SparkEntry {
     "q_join_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      // exact-integer cents (r10): the double sum drifted 0.01 in 1.47e12
+      // at the 600M-row decade (addition order across engines) — same
+      // class and same fix as q_agg_group's r9 find.
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
     }),
 
     // J2/J3 — semi join (EXISTS).
@@ -2036,7 +2040,8 @@ object SparkEntry {
 
     "q_join_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-        |       round(sum(o_totalprice), 2) AS sum_price
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1""".stripMargin,
