@@ -15,11 +15,10 @@ import re
 import sys
 
 VERIFY_RE = re.compile(r"\[verify\] (q_\w+)\s+([0-9.]+) s")
-OK_RE = re.compile(
-    r"^(q_\w+)\s+(EXACT MATCH.*|FLOAT DRIFT.*|ok \(.*)$")
+OK_RE = re.compile(r"^(q_\w+)\s+(ok|ok \(.*)$")
 BAD_RE = re.compile(
-    r"^(q_\w+)\s+(MISMATCH.*|DIFF:.*|ROWS mismatch.*|DTYPE-KIND.*|ERROR.*|"
-    r"NO SPARK OUTPUT.*|NO ENGINE OUTPUT.*|ORACLE SQL ERROR.*|NO ORACLE.*)$")
+    r"^(q_\w+)\s+((?:SCHEMA|ROWS|VALUE|DTYPE|DTYPE-KIND) mismatch.*|DIFF:.*|"
+    r"ERROR.*|NO SPARK OUTPUT.*|NO ENGINE OUTPUT.*|ORACLE SQL ERROR.*|NO ORACLE.*)$")
 
 
 def main():
