@@ -17,6 +17,7 @@ Checks, against a graft.Verify output directory:
 Usage: tools/embed_neardup_oracle.py <sf_dir> <verify_out_dir> [threshold]
 Exit 0 = parity, 1 = mismatch.
 """
+import os
 import sys
 
 import duckdb
@@ -28,9 +29,13 @@ BLOCK = 4096
 
 
 def exact_pairs(sf_dir):
+    # driver testdata is a single file; ScaleGen replicas are Spark
+    # directories of part files — glob in that case
+    src = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
     rows = duckdb.sql(
-        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
-        "ORDER BY vec_id").fetchall()
+        f"SELECT vec_id, embedding FROM '{src}' ORDER BY vec_id").fetchall()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     X = np.array([r[1] for r in rows], dtype=np.float32)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
