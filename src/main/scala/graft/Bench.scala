@@ -33,6 +33,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
 
+    // Host-epoch calibration (UNTIMED, ~5 s): a seeded fixed-size CPU +
+    // memory probe whose score rides in the artifact so cross-round
+    // comparisons can normalize for host drift (the r8→r9 phantom
+    // regression class) without a worktree control build.
+    val calib = try HostCalibration.runJson() catch {
+      case e: Throwable => s"""{"error":"${String.valueOf(e.getMessage).take(80)}"}"""
+    }
+
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.core.Tables.names.foreach { n =>
@@ -68,7 +76,11 @@ object Bench {
       .map { case (name, fn) =>
       // (seconds, succeeded) — a failed run must not masquerade as a
       // timing: it is excluded from the median and flagged in query_stats
-      def once(): (Double, Boolean) = {
+      // (seconds, prepSeconds, succeeded) — prep = fixture/ingest cost the
+      // gate flags via PrepClock (stream slice-file writes), reported
+      // separately so stream timings decompose into prep vs operator
+      def once(): (Double, Double, Boolean) = {
+        graft.core.PrepClock.drainSeconds() // clear residue
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch {
           case e: Throwable =>
@@ -76,28 +88,36 @@ object Bench {
             -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $sec%8.2f s rows=$n")
+        val prep = graft.core.PrepClock.drainSeconds()
+        val prepNote = if (prep > 0.005) f" (prep $prep%.2f s)" else ""
+        System.err.println(f"[bench] $name%-24s $sec%8.2f s rows=$n" + prepNote)
         sweepBlocks()
-        (sec, n >= 0L)
+        (sec, prep, n >= 0L)
       }
-      val (first, firstOk) = once()
+      val (first, firstPrep, firstOk) = once()
       val runs =
         if (firstOk && first > repeatAboveSec && maxRuns > 1)
-          (first, firstOk) +: Seq.fill(maxRuns - 1)(once())
-        else Seq((first, firstOk))
+          (first, firstPrep, firstOk) +: Seq.fill(maxRuns - 1)(once())
+        else Seq((first, firstPrep, firstOk))
       // median/min/max over SUCCESSFUL runs only — a repeat that throws
       // must not leak its time-to-exception into the stats; any failed
       // run (first or repeat) flags the query
-      val good = runs.collect { case (sec, true) => sec }
+      val good = runs.collect { case (sec, _, true) => sec }
+      val preps = runs.collect { case (_, p, true) => p }
+      val prepMed = if (preps.nonEmpty) median(preps) else 0.0
       val ok = good.size == runs.size
-      (name, if (good.nonEmpty) median(good) else -1.0, good, ok)
+      (name, if (good.nonEmpty) median(good) else -1.0, good, ok, prepMed)
     }
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, m, ts, ok) =>
+    val stats = results.map { case (k, m, ts, ok, prep) =>
       val (mn, mx) = if (ts.nonEmpty) (ts.min, ts.max) else (-1.0, -1.0)
+      // prep_s: PrepClock-flagged fixture/ingest seconds (median) INSIDE
+      // the measured time — subtract for operator-only cost
+      val prepField =
+        if (prep > 0.005) s""","prep_s":${math.rint(prep * 1000) / 1000}""" else ""
       "\"" + k + "\":" + s"""{"median":$m,"min":$mn,"max":$mx,""" +
-        s""""runs":${ts.size},"failed":${!ok}}"""
+        s""""runs":${ts.size},"failed":${!ok}$prepField}"""
     }.mkString("{", ",", "}")
     // failed queries (reported as -1 with failed:true) don't pollute the sum
     val total = results.filter(_._4).map(_._2).sum
@@ -289,7 +309,8 @@ object Bench {
         (b, b)
     }
     val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"""
-    val line = head + s""""query_stats":$stats,"sf":"$sfDir"$recallJson}"""
+    val line = head + s""""query_stats":$stats,"host_calibration":$calib,""" +
+      s""""sf":"$sfDir"$recallJson}"""
     // the driver captures only a bounded log TAIL — measured 2000 chars in
     // BENCH_r09 (r4's full line was cut at the front; r7's and r9's tails
     // started mid-JSON and parsed:null — at 129 queries even the compact
@@ -302,12 +323,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
-    println(head + s""""sf":"$sfDir"$recallCompact}""")
+    // NOT printed at all (r11): r10's driver artifact captured parsed:null
+    // with the full compact line "duplicated mid-tail" — sbt merges forked
+    // stderr into its stdout, so ANY second {"metric"...} line (stdout or
+    // stderr) can land in the driver's bounded tail window and break its
+    // parse. The file artifact above carries the full line; the one and
+    // only {"metric"...} line in process output is the final summary below.
     val tailBudget = 900 // chars for the summary's queries map
     val bySlow = results.filter(_._4).sortBy(-_._2)
     val picked = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
-    bySlow.foreach { case (k, m, _, _) =>
+    bySlow.foreach { case (k, m, _, _, _) =>
       // locale-proof 3-decimal rounding (f"" honors default locale)
       val e = "\"" + k + "\":" + (math.rint(m * 1000) / 1000)
       if (used + e.length + 1 <= tailBudget) { picked += e; used += e.length + 1 }
@@ -316,7 +342,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""queries":${picked.mkString("{", ",", "}")},""" +
       s""""queries_shown":${picked.size},"all_queries_in":"$out",""" +
-      s""""sf":"$sfDir"$recallCompact}""")
+      s""""host_calibration":$calib,"sf":"$sfDir"$recallCompact}""")
     spark.stop()
   }
 }

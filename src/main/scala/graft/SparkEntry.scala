@@ -77,7 +77,10 @@ object SparkEntry {
     */
   private def sliceStream(
       s: SparkSession, df: DataFrame, idCol: String,
-      nSlices: Int): DataFrame = {
+      nSlices: Int): DataFrame = graft.core.PrepClock.time {
+    // PrepClock: slice writes are stream-INGEST fixture cost, not the
+    // operator under test — Verify/Bench report this segment separately
+    // so the committed stream timings decompose (r9/r10 verdict ask).
     val root = java.nio.file.Files.createTempDirectory("graft_stream_src")
     val bounds = df.agg(min(col(idCol)), max(col(idCol))).head()
     val (lo, n) = (bounds.getLong(0), bounds.getLong(1) + 1)
@@ -1561,6 +1564,50 @@ object SparkEntry {
       graft.text.TextIndex.rrfFuse(textArm, vecArm, k = 10)
     }),
 
+    // Hybrid retrieval at the BUDGETED operating point — the documented
+    // scale path q_hybrid_rrf_ivf's exact point cannot exercise past 10×
+    // (its full-probe + exhaustive-rerank arm is intentionally
+    // quadratic). The vector arm runs the IVFPQ index at a partial probe
+    // (nprobe=4/16) with a bounded rerank pool (recallNum=50); the gate
+    // output is a driver-adjudicable verdict table vs the exact FLAT-arm
+    // fusion: coverage and per-query row counts the oracle recomputes
+    // from the raw tables, plus an engine-computed rank-overlap floor
+    // (the same knnVerdict contract as q_ivfpq_ann / q_hnsw_ann).
+    "q_hybrid_rrf_ivf_scaled" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val ix = graft.text.TextIndex.build(d, "doc_id", "text", maxDfRatio = 0.98)
+      val qt = d.filter(col("doc_id") % 97 === 0).orderBy(col("doc_id"))
+        .limit(QueryBudget).select(
+          col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      val textArm = graft.text.TextIndex.rankHits(
+        graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
+        "qid", "id", "score_micro", ascending = false)
+      val qs = e.filter(col("vec_id") % 97 === 0).orderBy(col("vec_id"))
+        .limit(QueryBudget)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+      // budgeted vector arm: partial probe, bounded rerank pool
+      val idx = graft.index.IndexRegistry.build("IVFPQ", s, e, "vec_id", "embedding",
+        graft.index.IndexParams(ncentroids = 16, nsubvector = 8, recallNum = 50))
+      val vecScaled = graft.text.TextIndex.rankHits(
+        idx.search(qs, k = 20, nprobe = Some(4)), "qid", "id", "score",
+        ascending = true)
+      val fusedScaled = graft.text.TextIndex.rrfFuse(textArm, vecScaled, k = 10)
+      // exact arm: same text arm, FLAT vector arm, same fusion
+      val flat = graft.index.IndexRegistry.build("FLAT", s, e, "vec_id", "embedding",
+        graft.index.IndexParams())
+      val vecExact = graft.text.TextIndex.rankHits(
+        flat.search(qs, k = 20), "qid", "id", "score", ascending = true)
+      val fusedExact = graft.text.TextIndex.rrfFuse(textArm, vecExact, k = 10)
+      graft.operators.GateVerdicts.knnVerdict(s,
+        fusedScaled.select("qid", "id"), fusedExact.select("qid", "id"),
+        k = 10, recallFloorMilli = 500)
+    }),
+
     // MMR diversification re-rank (Carbonell & Goldstein): top-20 cosine
     // candidates per query, then 4 greedy picks maximizing
     // 0.7·rel − (1−0.7)·maxSim over unit-vector dot products — the
@@ -2197,6 +2244,24 @@ object SparkEntry {
         |  TRUE AS pass
         |UNION ALL SELECT 'k_rows_each', 10, TRUE
         |UNION ALL SELECT 'recall_vs_exact_ge_milli', 900, TRUE""".stripMargin,
+
+    // Scaled-hybrid verdict oracle: coverage = the union of the two
+    // arms' budgeted qid sets (text: doc_id % 97, vec: vec_id % 97, each
+    // first-64-in-id-order), recomputed from the raw tables; k and the
+    // rank-overlap floor are the gate's documented contract constants —
+    // the ENGINE computes overlap vs the exact-FLAT-arm fusion and a
+    // regression flips pass into a hash mismatch.
+    "q_hybrid_rrf_ivf_scaled" ->
+      """SELECT 'queries_covered' AS metric,
+        |  CAST((SELECT count(*) FROM (
+        |     SELECT doc_id AS qid FROM (SELECT doc_id FROM documents
+        |       WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 64) a
+        |     UNION
+        |     SELECT vec_id AS qid FROM (SELECT vec_id FROM embeddings
+        |       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 64) b) u) AS BIGINT) AS value,
+        |  TRUE AS pass
+        |UNION ALL SELECT 'k_rows_each', 10, TRUE
+        |UNION ALL SELECT 'recall_vs_exact_ge_milli', 500, TRUE""".stripMargin,
     "q_knn_l2sqrt" -> knnOracle(metric = "l2sqrt", k = 10, asc = true),
 
     "q_vec_fusion" ->

@@ -22,6 +22,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
+        graft.core.PrepClock.drainSeconds() // clear residue from a failed prior gate
         val t0 = System.nanoTime()
         // repartition(1), NOT coalesce(1): coalesce propagates up to the
         // previous shuffle boundary, collapsing the gate's final stage
@@ -35,8 +36,13 @@ object Verify {
         // per-decade scaling evidence (coalesce(1) write included — at
         // big outputs that single task is harness cost, not operator
         // cost; see the memory-file note)
+        // prep segment (fixture/ingest cost flagged via PrepClock, e.g.
+        // stream slice-file writes) reported separately so scale sweeps
+        // can attribute ingest-inclusive gates
+        val prep = graft.core.PrepClock.drainSeconds()
+        val prepNote = if (prep > 0.005) f" (prep $prep%.2f s)" else ""
         System.err.println(
-          f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s" + prepNote)
       }
       catch { case e: Throwable =>
         // A thrown query must FAIL the round, not vanish from it: write a

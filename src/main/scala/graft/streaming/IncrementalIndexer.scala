@@ -745,15 +745,24 @@ class IncrementalIndexer(
       case Some(ids) => df.join(ids, Seq(key), "left_semi")
       case None      => df
     }
+    // tier-decision observability: scale sweeps read these lines to record
+    // WHICH filtered-ANN policy tier fired at the measured corpus size
+    // (the decision is volume-dependent — cost model vs survivor count —
+    // so the 2M-vector evidence must show the decision, not just the result)
+    def logTier(t: String): Unit = System.err.println(
+      s"[tier] filtered-ann=$t allowed=$aCount" +
+        (if (aCount >= 0L) s" exactThreshold=$exactThreshold" else ""))
     index match {
       case None =>
         // V9: brute force while UNINDEXED
+        logTier("unindexed-brute")
         Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
           minScore = minScore, maxScore = maxScore)
       case Some(_) if aCount >= 0L && aCount <= exactThreshold =>
         // exact-over-filtered fallback: few enough survivors that probing
         // cannot guarantee k of them — and scoring all of them exactly is
         // cheaper than a probe anyway
+        logTier("exact-fallback")
         Knn.flatSearch(restrict(table.docs), key, vecCol, qDf, "qid", "qvec", k, params.metric,
           minScore = minScore, maxScore = maxScore)
       case Some(idx) =>
@@ -819,6 +828,11 @@ class IncrementalIndexer(
         // the final top-k merge cuts back to k.
         val hnswHuge = retrievalType.equalsIgnoreCase("HNSW") &&
           allowedHinted.isDefined && aCount > broadcastMax
+        logTier(
+          if (hnswHuge) "hnsw-huge-semijoin"
+          else if (aCount >= 0L) s"indexed-widened-probe nprobe=$baseNp->${
+            effNprobe.getOrElse(baseNp)}"
+          else "indexed-unfiltered")
         val (pushIds, fetchK) =
           if (hnswHuge)
             (None, math.min(k.toLong * factor * 2L, math.max(k.toLong, 1L << 16)).toInt)
