@@ -12,8 +12,34 @@ object Prof {
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
     sys.env.get("PROF_ONLY").foreach { v =>
-      require(Set("persist", "bin", "i8", "keepbest", "neardup").contains(v),
-        s"unknown PROF_ONLY=$v (expected: persist | bin | i8 | keepbest | neardup)")
+      require(Set("persist", "bin", "i8", "keepbest", "neardup", "textheavy").contains(v),
+        s"unknown PROF_ONLY=$v (expected: persist | bin | i8 | keepbest | neardup | textheavy)")
+    }
+
+    // The four heaviest 1000x text gates (r10 verdict Wrong #1): attribute
+    // each gate's wall time into corpus READ (parquet scan + decompress),
+    // OPERATOR (the gate's plan executed with no sink — toRdd.count keeps
+    // every projection, unlike DataFrame.count which prunes them), and the
+    // verify-harness WRITE (repartition(1) single-file parquet — included
+    // in every [verify] timing, suspected to be a large share for the
+    // 5M-row-output linear gates).
+    if (sys.env.get("PROF_ONLY").contains("textheavy")) {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+      time("docs read (sum len)") {
+        docs.agg(sum(length(col("text")))).head()
+      }
+      Seq("q_text_repetition", "q_dedup_substr", "q_bpe_pairs", "q_lm_score")
+        .foreach { g =>
+          val df = SparkEntry.queries(g)(spark, dir)
+          time(s"$g operator") { df.queryExecution.toRdd.count() }
+          val out = java.nio.file.Files.createTempDirectory("graft_prof").toString
+          time(s"$g verify-write") {
+            df.repartition(1).write.mode("overwrite").parquet(out)
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        }
+      spark.stop(); return
     }
 
     // q_stream_neardup stage breakdown (PROF_ONLY=neardup): where do the

@@ -706,6 +706,33 @@ object SparkEntry {
     // index from disk and search through the persisted lists. Full probes
     // + exact in-list scoring keep it oracle-checkable (same state as
     // q_table_e2e).
+    // The pure-SQL read surface (gamma DSv2 source): the same lifecycle
+    // as q_table_e2e (create → upsert → delete) but the FINAL STATE is
+    // read back through `CREATE TEMPORARY VIEW ... USING gamma` + a plain
+    // SELECT — no Scala handle touches the result. Proves the manifest-
+    // resolved schema, the live-docs (`_deleted`) contract, and the
+    // decoded vector surface are all reachable by a SQL-only client (the
+    // reference is fully drivable through its C API, gamma_api.h:20-206).
+    "q_table_sql" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqltbl").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "sqltbl", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      tbl.addOrUpdate(delta)
+      tbl.deleteByQuery(col("p_size").between(10, 12))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gamma_sql_tbl " +
+        s"USING gamma OPTIONS (path '$root')")
+      s.sql("""SELECT _id, p_size, CAST(size(vec) AS BIGINT) AS dim
+              |FROM gamma_sql_tbl WHERE p_size BETWEEN 1 AND 40""".stripMargin)
+    }),
+
     "q_table_persisted" -> ((s, dir) => {
       GraftSession.prepare(s)
       import s.implicits._
@@ -2310,6 +2337,22 @@ object SparkEntry {
       "SELECT count(*) AS live FROM part WHERE NOT (p_partkey % 5 = 0)",
 
     "q_table_e2e" -> oracleSqlTableE2e,
+
+    // same lifecycle derivation as the e2e oracle, but the checked output
+    // is the post-lifecycle TABLE STATE read through pure SQL (no vector
+    // search leg — the gamma view's scan itself is under test)
+    "q_table_sql" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 10 = 3),
+        |docs1 AS (
+        |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12))
+        |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
+        |FROM docs2 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
 
     // same document state transitions as q_table_e2e, searched through the
     // persisted index after a disk reload — the oracle is identical

@@ -102,7 +102,26 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation => Some(fs.location.rootPaths)
-        case _                    => None
+        // the gamma DSv2 source surfaces through a V1Scan bridge relation
+        // whose toString carries `root=<path>` — but the rewrite should
+        // engage BEFORE scan building, on the logical relation (below);
+        // this arm only covers a late re-optimization pass
+        case _ => None
+      }
+    // SQL over a gamma table (`USING gamma`): the DSv2 logical relation
+    // (pre scan-pushdown) or scan relation (post) both carry the table
+    // handle, whose root path keys the IndexCatalog — so ORDER BY
+    // l2_sq(...) LIMIT k over a pure-SQL gamma view rewrites to the
+    // registered ANN index exactly like a registered parquet path does
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GammaSqlTable => Some(Seq(new Path(g.root)))
+        case _ => None
+      }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.relation.table match {
+        case g: graft.sources.GammaSqlTable => Some(Seq(new Path(g.root)))
+        case _ => None
       }
     case _ => None
   }

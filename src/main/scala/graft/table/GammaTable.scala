@@ -1046,6 +1046,13 @@ object GammaTable {
   /** json-infer would read the bucket map as a struct; force the encoder
     * schema.
     */
+  /** Manifest-only read for external readers (the `gamma` DSv2 source):
+    * schema + bucket map + stats without constructing the table handle or
+    * re-attaching indexes. Zero Spark jobs (driver-side file read).
+    */
+  private[graft] def readMetaFor(spark: SparkSession, root: String): TableMeta =
+    readMeta(spark, s"$root/meta")
+
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
