@@ -29,16 +29,26 @@ object Prof {
       time("docs read (sum len)") {
         docs.agg(sum(length(col("text")))).head()
       }
-      Seq("q_text_repetition", "q_dedup_substr", "q_bpe_pairs", "q_lm_score")
-        .foreach { g =>
-          val df = SparkEntry.queries(g)(spark, dir)
-          time(s"$g operator") { df.queryExecution.toRdd.count() }
+      // PROF_GATES overrides the gate list (resume after a crash without
+      // re-paying completed gates); PROF_SKIP_WRITE=1 skips the write pass
+      // (at 1000x q_dedup_substr's repartition(1) of 37M rows spills its
+      // whole output through /tmp — it filled the disk on the first run,
+      // which is itself the attribution: that write is harness cost, and
+      // at real scale Verify's output would be partitioned, not 1 file)
+      val gates = sys.env.getOrElse("PROF_GATES",
+        "q_text_repetition,q_dedup_substr,q_bpe_pairs,q_lm_score").split(",")
+      val skipWrite = sys.env.get("PROF_SKIP_WRITE").contains("1")
+      gates.foreach { g =>
+        val df = SparkEntry.queries(g)(spark, dir)
+        time(s"$g operator") { df.queryExecution.toRdd.count() }
+        if (!skipWrite) {
           val out = java.nio.file.Files.createTempDirectory("graft_prof").toString
           time(s"$g verify-write") {
             df.repartition(1).write.mode("overwrite").parquet(out)
           }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         }
+      }
       spark.stop(); return
     }
 
