@@ -706,13 +706,15 @@ object SparkEntry {
     // index from disk and search through the persisted lists. Full probes
     // + exact in-list scoring keep it oracle-checkable (same state as
     // q_table_e2e).
-    // The pure-SQL read surface (gamma DSv2 source): the same lifecycle
-    // as q_table_e2e (create → upsert → delete) but the FINAL STATE is
-    // read back through `CREATE TEMPORARY VIEW ... USING gamma` + a plain
-    // SELECT — no Scala handle touches the result. Proves the manifest-
-    // resolved schema, the live-docs (`_deleted`) contract, and the
-    // decoded vector surface are all reachable by a SQL-only client (the
-    // reference is fully drivable through its C API, gamma_api.h:20-206).
+    // The pure-SQL surface (gamma DSv2 source): the q_table_e2e lifecycle
+    // with the UPSERT, DELETE and final READ all issued as SQL statements
+    // against a `USING gamma` view — INSERT INTO routes through the
+    // table's AddOrUpdate path (V1Write bridge), DELETE FROM through
+    // delete-by-query (SupportsDelete), and the SELECT through the
+    // manifest-resolved live-docs scan. Only table CREATION stays on the
+    // Scala handle (DDL that mints a table root is out of SQL's scope).
+    // Proves a SQL-only client can run the reference's C-API lifecycle
+    // (gamma_api.h:20-206) end to end.
     "q_table_sql" -> ((s, dir) => {
       GraftSession.prepare(s)
       val root = java.nio.file.Files.createTempDirectory("graft_sqltbl").toString
@@ -721,14 +723,19 @@ object SparkEntry {
         .join(emb, col("p_partkey") === col("vec_id"))
         .select(col("p_partkey").cast("string").as("_id"),
           col("p_size"), col("embedding").as("vec"))
-      val tbl = graft.table.GammaTable.create(s, root, "sqltbl", "_id", docs0,
+      graft.table.GammaTable.create(s, root, "sqltbl", "_id", docs0,
         Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
-      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
-        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
-      tbl.addOrUpdate(delta)
-      tbl.deleteByQuery(col("p_size").between(10, 12))
       s.sql(s"CREATE OR REPLACE TEMPORARY VIEW gamma_sql_tbl " +
         s"USING gamma OPTIONS (path '$root')")
+      // upsert via SQL, sourced from the RAW tables (not the view itself —
+      // a self-referencing INSERT would race its own snapshot)
+      t(s, dir, "part").createOrReplaceTempView("graft_sql_part")
+      emb.createOrReplaceTempView("graft_sql_emb")
+      s.sql("""INSERT INTO gamma_sql_tbl (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size + 1, embedding
+              |FROM graft_sql_part JOIN graft_sql_emb ON p_partkey = vec_id
+              |WHERE p_partkey % 10 = 3""".stripMargin)
+      s.sql("DELETE FROM gamma_sql_tbl WHERE p_size BETWEEN 10 AND 12")
       s.sql("""SELECT _id, p_size, CAST(size(vec) AS BIGINT) AS dim
               |FROM gamma_sql_tbl WHERE p_size BETWEEN 1 AND 40""".stripMargin)
     }),

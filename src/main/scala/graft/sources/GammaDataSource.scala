@@ -62,22 +62,81 @@ class GammaDataSource extends TableProvider with DataSourceRegister {
     new GammaSqlTable(GammaSql.rootOf(new CaseInsensitiveStringMap(properties)))
 }
 
-/** One resolved gamma table: meta is read once here, so every scan built
-  * from this handle sees one manifest version (snapshot isolation).
+/** One resolved gamma table. The manifest is re-read per SCAN (and per
+  * write), not pinned at Table creation: a catalog entry or temp view
+  * holds ONE Table instance across statements, so pinning here would
+  * serve stale data after the view's own INSERT/DELETE. Each scan still
+  * pins the manifest it read — snapshot-consistent within a query.
   */
-class GammaSqlTable(val root: String) extends Table with SupportsRead {
+class GammaSqlTable(val root: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  private[sources] val meta: TableMeta = GammaSql.metaFor(root)
+  private def freshMeta: TableMeta = GammaSql.metaFor(root)
 
-  override def name(): String = s"gamma(${meta.name} @ $root)"
+  override def name(): String = s"gamma(${freshMeta.name} @ $root)"
 
-  override def schema(): StructType = GammaSql.exposedSchema(meta, root)
+  override def schema(): StructType = {
+    val m = freshMeta
+    GammaSql.exposedSchema(m, root)
+  }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GammaScanBuilder(root, meta, schema())
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = freshMeta // pinned for this scan
+    new GammaScanBuilder(root, m, GammaSql.exposedSchema(m, root))
+  }
+
+  /** `INSERT INTO ... USING gamma` (and `df.write.format("gamma")
+    * .mode("append")`): V1Write bridge straight into the table's
+    * upsert path — last-write-wins per key like the reference's
+    * AddOrUpdateDoc (c_api/gamma_api.h:105-121), O(affected buckets).
+    * Storage internals (`_docid` etc.) arriving as insert nulls are
+    * dropped; the table assigns docids. INSERT OVERWRITE is refused
+    * (use DELETE FROM + INSERT INTO — an overwrite that silently
+    * truncates a serving table is a footgun, not a feature).
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: sources.InsertableRelation =
+            new sources.InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "gamma: INSERT OVERWRITE is not supported; " +
+                    "use DELETE FROM + INSERT INTO")
+                val t = GammaTable.load(SparkSession.active, root)
+                val clean = Seq(GammaTable.DocidCol, GammaTable.DeletedCol,
+                  GammaTable.BucketCol, GammaTable.VersionCol)
+                  .foldLeft(data)(_.drop(_))
+                t.addOrUpdate(clean)
+              }
+            }
+        }
+    }
+
+  /** `DELETE FROM ... WHERE ...`: maps to the table's delete-by-query
+    * path (R4 — bucket-rewriting logical delete, O(affected buckets)).
+    * Only predicates expressible as Columns are accepted; Spark falls
+    * back with a clear error otherwise (canDeleteWhere = false).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GammaSql.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val t = GammaTable.load(SparkSession.active, root)
+    val cond = filters.flatMap(GammaSql.filterColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.deleteByQuery(cond)
+  }
 }
 
 private[sources] class GammaScanBuilder(
@@ -194,6 +253,9 @@ private[sources] object GammaSql {
       .map { f =>
         if (i8(f.name) && f.dataType.isInstanceOf[StructType])
           StructField(f.name, ArrayType(FloatType), nullable = f.nullable)
+        // _docid reads non-null but must be OMITTABLE on insert (the
+        // table assigns docids; the writer drops the arriving nulls)
+        else if (f.name == GammaTable.DocidCol) f.copy(nullable = true)
         else f
       })
   }

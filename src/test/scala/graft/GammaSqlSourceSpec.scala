@@ -105,6 +105,55 @@ class GammaSqlSourceSpec extends GraftSuite {
     got.foreach { case (k, v) => assert(v.toSeq === expect(k).toSeq) }
   }
 
+  test("INSERT INTO upserts (last-write-wins per key); DELETE FROM deletes by query") {
+    val root = tmp()
+    val t = mkTable(root)
+    val before = t.docs.count()
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW gw USING gamma OPTIONS (path '$root')")
+
+    // SQL upsert: existing key 42 gets a new p_size, new key 990042
+    // appends — both through one INSERT (AddOrUpdateDocs semantics)
+    val vecLit = "array(" + (0 until 64).map(i => s"CAST($i AS FLOAT)").mkString(",") + ")"
+    spark.sql(
+      s"""INSERT INTO gw (_id, p_size, p_retailprice, vec) VALUES
+         |('42', 777, 1.5D, $vecLit), ('990042', 888, 2.5D, $vecLit)""".stripMargin)
+    val viaSql = spark.read.format("gamma").load(root)
+    assert(viaSql.count() === before + 1) // 1 update + 1 insert
+    assert(viaSql.filter($"_id" === "42").select($"p_size").as[Int].head() === 777)
+    assert(viaSql.filter($"_id" === "990042").select($"p_size").as[Int].head() === 888)
+    // the upserted row kept its dense docid (in-place update semantics)
+    assert(viaSql.filter($"_id" === "42").select($"_docid").as[Long].head() <
+      before)
+
+    // SQL delete-by-query → logical delete, gone from every read path
+    spark.sql("DELETE FROM gw WHERE p_size >= 777")
+    val after = spark.read.format("gamma").load(root)
+    assert(after.filter($"p_size" >= 777).count() === 0L)
+    assert(after.count() === before - 1) // lost 42 and 990042
+
+    // INSERT OVERWRITE is refused, not silently truncating
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE gw SELECT * FROM gw")
+    }
+    assert(String.valueOf(e.getMessage).contains("not supported") ||
+      e.getCause != null &&
+        String.valueOf(e.getCause.getMessage).contains("not supported"))
+  }
+
+  test("df.write.format(gamma).mode(append) routes through the upsert path") {
+    val root = tmp()
+    val t = mkTable(root)
+    val before = t.docs.count()
+    val delta = spark.read.format("gamma").load(root)
+      .filter($"_id" === "7")
+      .select($"_id", lit(555).as("p_size"), $"p_retailprice", $"vec")
+    delta.write.format("gamma").mode("append").save(root)
+    val got = spark.read.format("gamma").load(root)
+    assert(got.count() === before)
+    assert(got.filter($"_id" === "7").select($"p_size").as[Int].head() === 555)
+  }
+
   test("ANN top-k rewrite engages on a pure-SQL gamma view") {
     val root = tmp()
     val t = mkTable(root)
