@@ -211,7 +211,7 @@ private[sources] class GammaV1Relation(
   }
 }
 
-private[sources] object GammaSql {
+private[graft] object GammaSql {
 
   def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

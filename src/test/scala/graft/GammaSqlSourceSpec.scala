@@ -105,6 +105,21 @@ class GammaSqlSourceSpec extends GraftSuite {
     got.foreach { case (k, v) => assert(v.toSeq === expect(k).toSeq) }
   }
 
+  test("column pruning reaches the scan: a scalar-only query must not carry vec") {
+    val root = tmp()
+    mkTable(root)
+    val df = spark.read.format("gamma").load(root)
+      .filter($"p_size" <= 20).select($"_id", $"p_size")
+    // the scan node's output (= the pruned required schema the inner
+    // parquet read selects) must not include the 64-float vec column —
+    // at 100 TB reading vectors for a scalar query is the difference
+    // between a column scan and a table scan
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("buckets=")).getOrElse(fail("no gamma scan in plan"))
+    assert(!scanLine.contains("vec"), scanLine)
+    assert(df.count() > 0)
+  }
+
   test("INSERT INTO upserts (last-write-wins per key); DELETE FROM deletes by query") {
     val root = tmp()
     val t = mkTable(root)

@@ -369,4 +369,55 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("property: gamma SQL bucket pruning is conservative under random filters") {
+    // pruneBuckets may only drop buckets a filter PROVABLY excludes: for
+    // every random (bucketStats, filter set), every row that satisfies
+    // the filters must live in a kept bucket. Rows are synthesized to
+    // match the stats that advertise them, so a pruning bug (dropping a
+    // bucket whose [min,max] still overlaps) shows as a lost row.
+    import org.apache.spark.sql.sources._
+    trials(24) { rng =>
+      val nB = 1 + rng.nextInt(8)
+      // per-bucket value ranges for one numeric column "x"
+      val ranges = (0 until nB).map { b =>
+        val lo = rng.nextInt(100); b.toLong -> (lo, lo + rng.nextInt(50))
+      }.toMap
+      val rows = ranges.toSeq.flatMap { case (b, (lo, hi)) =>
+        Seq((b, lo), (b, hi), (b, (lo + hi) / 2))
+      }
+      val meta = graft.table.TableMeta(
+        "p", "_id", nB, 0L, 1L,
+        bucketVersions = (0 until nB).map(b => b.toString -> 1L).toMap,
+        vectorFields = Nil, indexStatus = "UNINDEXED",
+        bucketStats = ranges.map { case (b, (lo, hi)) =>
+          b.toString -> Map("x" -> Seq(lo.toDouble, hi.toDouble))
+        })
+      val v = rng.nextInt(160) - 10
+      val filters: Array[Filter] = rng.nextInt(6) match {
+        case 0 => Array(EqualTo("x", v))
+        case 1 => Array(GreaterThan("x", v))
+        case 2 => Array(LessThanOrEqual("x", v))
+        case 3 => Array(GreaterThanOrEqual("x", v), LessThan("x", v + rng.nextInt(40)))
+        case 4 => Array(In("x", Array(v, v + 7, v + 23).map(_.asInstanceOf[Any])))
+        case 5 => Array(And(GreaterThan("x", v), LessThan("x", v + 25)))
+      }
+      def eval(f: Filter, x: Int): Boolean = f match {
+        case EqualTo(_, w) => x == w.asInstanceOf[Int]
+        case GreaterThan(_, w) => x > w.asInstanceOf[Int]
+        case GreaterThanOrEqual(_, w) => x >= w.asInstanceOf[Int]
+        case LessThan(_, w) => x < w.asInstanceOf[Int]
+        case LessThanOrEqual(_, w) => x <= w.asInstanceOf[Int]
+        case In(_, vs) => vs.exists(_.asInstanceOf[Int] == x)
+        case And(l, r) => eval(l, x) && eval(r, x)
+        case other => fail(s"unexpected $other")
+      }
+      val kept = graft.sources.GammaSql.pruneBuckets(meta, filters).toSet
+      rows.foreach { case (b, x) =>
+        if (filters.forall(eval(_, x)))
+          assert(kept(b), s"bucket $b (x=$x, range=${ranges(b)}) pruned " +
+            s"but row matches ${filters.mkString(",")}")
+      }
+    }
+  }
 }
