@@ -264,10 +264,31 @@ object Dedup {
     val toks0 = withShingles(df, idCol, textCol, shingleN)
     val toks = if (reliable) toks0.checkpoint(eager = true)
                else toks0.localCheckpoint(true)
-    // toks are sorted ascending (ShingleHash contract) = the global order
+    // AllPairs prefix under the DOCUMENT-FREQUENCY global order (Bayardo,
+    // Ma & Srikant, WWW'07 §3): the prefix-filter lemma — J(x,y) ≥ t ⇒
+    // the prefixes share a token — holds for ANY fixed total order over
+    // tokens, and df-ascending puts the RAREST shingles in the prefix, so
+    // the candidate equi-join fans out on rare-token collisions instead
+    // of corpus-common ones. Hash order (the pre-r11 shape) is the
+    // worst case on a realistic Zipf vocabulary: a 5M-doc Zipf corpus
+    // spilled >40 GB of candidate shuffle under hash order. The VERIFY
+    // arrays (`toks`, sorted by hash — jaccardSortedLong's merge
+    // contract) are unchanged; only prefix SELECTION re-orders, and ties
+    // in df break by token hash so the prefix stays deterministic.
+    // Cost: one extra linear groupBy (token dfs) + one per-doc bounded
+    // window sort — both O(corpus tokens), no new pair-shaped shuffle.
     val prefLen = greatest(lit(1),
       (size(col("toks")) - ceil(size(col("toks")) * threshold) + 1).cast("int"))
-    val prefBase = toks.select(col("id"), explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val ex = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val tokDf = ex.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val prefBase = ex.join(tokDf, Seq("tok"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__df").asc, col("tok").asc)))
+      .join(toks.select(col("id"),
+        prefLen.as("__plen")), Seq("id"))
+      .filter(col("__rn") <= col("__plen"))
+      .select(col("id"), col("tok"))
     val pref = blockCol match {
       case Some(b) => prefBase.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
       case None    => prefBase

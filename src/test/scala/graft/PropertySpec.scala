@@ -107,15 +107,25 @@ class PropertySpec extends AnyFunSuite {
         (0 until (3 + rng.nextInt(20))).map(_ => rng.nextInt(40).toLong)
           .distinct.sorted.toArray
       }
-      def prefix(x: Array[Long]): Set[Long] =
-        x.take(math.max(1, x.length - math.ceil(t * x.length).toInt + 1)).toSet
-      for (i <- sets.indices; j <- sets.indices if i < j) {
-        val (a, b) = (sets(i), sets(j))
-        val inter = a.toSet & b.toSet
-        val jac = inter.size.toDouble / (a.length + b.length - inter.size)
-        if (jac >= t)
-          assert((prefix(a) & prefix(b)).nonEmpty,
-            s"J=$jac >= $t but prefixes disjoint: ${a.toSeq} vs ${b.toSeq}")
+      // the lemma holds for ANY fixed total order over tokens (Bayardo
+      // WWW'07 §3) — r11's df-ascending prefix relies on exactly this, so
+      // check value order AND a random permutation order per trial
+      val perm = rng.shuffle((0 until 40).toList).zipWithIndex.toMap
+      val orders: Seq[Long => Long] =
+        Seq(identity[Long], x => perm(x.toInt).toLong)
+      for (ord <- orders) {
+        def prefix(x: Array[Long]): Set[Long] = {
+          val sorted = x.sortBy(ord)
+          sorted.take(math.max(1, x.length - math.ceil(t * x.length).toInt + 1)).toSet
+        }
+        for (i <- sets.indices; j <- sets.indices if i < j) {
+          val (a, b) = (sets(i), sets(j))
+          val inter = a.toSet & b.toSet
+          val jac = inter.size.toDouble / (a.length + b.length - inter.size)
+          if (jac >= t)
+            assert((prefix(a) & prefix(b)).nonEmpty,
+              s"J=$jac >= $t but prefixes disjoint: ${a.toSeq} vs ${b.toSeq}")
+        }
       }
     }
   }
