@@ -740,6 +740,88 @@ object SparkEntry {
               |FROM gamma_sql_tbl WHERE p_size BETWEEN 1 AND 40""".stripMargin)
     }),
 
+    // S13 through a CATALOG (graft.sources.GammaCatalog): the ENTIRE
+    // lifecycle — now including CreateTable (gamma_api.h:35), the one verb
+    // q_table_sql still issued from Scala — as SQL statements against a
+    // DSv2 TableCatalog over a warehouse of gamma roots. Same document
+    // state transitions as q_table_sql, so the oracle is shared. The
+    // catalog conf is set once per session (Spark caches the instantiated
+    // catalog; the DROP/CREATE pair keeps re-runs deterministic).
+    "q_table_catalog" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      if (s.conf.getOption("spark.sql.catalog.gamma_cat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gamma_cat", "graft.sources.GammaCatalog")
+        s.conf.set("spark.sql.catalog.gamma_cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_wh").toString)
+      }
+      t(s, dir, "part").createOrReplaceTempView("graft_cat_part")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_cat_emb")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gamma_cat.gate")
+      s.sql("DROP TABLE IF EXISTS gamma_cat.gate.items")
+      s.sql("""CREATE TABLE gamma_cat.gate.items
+              |(_id STRING, p_size INT, vec ARRAY<FLOAT>)
+              |TBLPROPERTIES ('key'='_id', 'buckets'='8',
+              |               'vector.vec'='dim=64,metric=L2')""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.items (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.items (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size + 1, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id
+              |WHERE p_partkey % 10 = 3""".stripMargin)
+      s.sql("DELETE FROM gamma_cat.gate.items WHERE p_size BETWEEN 10 AND 12")
+      s.sql("""SELECT _id, p_size, CAST(size(vec) AS BIGINT) AS dim
+              |FROM gamma_cat.gate.items WHERE p_size BETWEEN 1 AND 40""".stripMargin)
+    }),
+
+    // Snapshot reads (time travel): every commit retains its manifest
+    // (`meta/v<N>.json`) and the MVCC bucket layout keeps superseded files
+    // until vacuum(), so `VERSION AS OF n` is a pure metadata pin — the
+    // gate reads the PRE-DELETE version (v2: create=v0, load=v1,
+    // upsert=v2, delete=v3) through catalog SQL and the oracle recomputes
+    // that intermediate state from the raw tables. The current-state read
+    // is q_table_catalog's job; this gate proves the pinned manifest
+    // serves the OLD bucket versions byte-for-byte.
+    "q_table_snapshot" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      if (s.conf.getOption("spark.sql.catalog.gamma_cat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gamma_cat", "graft.sources.GammaCatalog")
+        s.conf.set("spark.sql.catalog.gamma_cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_wh").toString)
+      }
+      t(s, dir, "part").createOrReplaceTempView("graft_cat_part")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_cat_emb")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gamma_cat.gate")
+      s.sql("DROP TABLE IF EXISTS gamma_cat.gate.snap")
+      s.sql("""CREATE TABLE gamma_cat.gate.snap
+              |(_id STRING, p_size INT, vec ARRAY<FLOAT>)
+              |TBLPROPERTIES ('key'='_id', 'buckets'='8',
+              |               'vector.vec'='dim=64,metric=L2')""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.snap (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.snap (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size + 1, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id
+              |WHERE p_partkey % 10 = 3""".stripMargin)
+      s.sql("DELETE FROM gamma_cat.gate.snap WHERE p_size BETWEEN 10 AND 12")
+      s.sql("""SELECT _id, p_size, CAST(size(vec) AS BIGINT) AS dim
+              |FROM gamma_cat.gate.snap VERSION AS OF 2
+              |WHERE p_size BETWEEN 1 AND 40""".stripMargin)
+    }),
+
+    // GetConfig analog (gamma_api.h:181-189): the engine's knob registry —
+    // key + documented default. The oracle hardcodes the expected table,
+    // so a silently changed default (or an unregistered new knob read
+    // somewhere in the engine) fails the correctness gate, not just a
+    // unit test.
+    "q_engine_config" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      graft.core.GraftConfig.all(s)
+        .select(col("key").as("conf_key"), col("default").as("conf_default"))
+        .orderBy("conf_key")
+    }),
+
     "q_table_persisted" -> ((s, dir) => {
       GraftSession.prepare(s)
       import s.implicits._
@@ -2360,6 +2442,48 @@ object SparkEntry {
         |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12))
         |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
         |FROM docs2 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
+
+    // identical state transitions to q_table_sql, created through the
+    // catalog instead of a Scala handle — identical oracle
+    "q_table_catalog" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 10 = 3),
+        |docs1 AS (
+        |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
+        |  UNION ALL SELECT * FROM up),
+        |docs2 AS (SELECT * FROM docs1 WHERE NOT (p_size BETWEEN 10 AND 12))
+        |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
+        |FROM docs2 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
+
+    // the PRE-DELETE intermediate state (post-upsert): what VERSION AS OF 2
+    // must serve — docs1 without the delete step
+    "q_table_snapshot" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size, embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 1 AS p_size, vec FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 10 = 3),
+        |docs1 AS (
+        |  SELECT * FROM docs0 WHERE _id NOT IN (SELECT _id FROM up)
+        |  UNION ALL SELECT * FROM up)
+        |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
+        |FROM docs1 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
+
+    // the knob registry pinned as data: keys and documented defaults
+    "q_engine_config" ->
+      """SELECT * FROM (VALUES
+        |  ('spark.graft.ann.rewrite', 'false'),
+        |  ('spark.graft.filter.broadcastMaxKeys', '1000000'),
+        |  ('spark.graft.filter.exactFallbackRows', 'auto'),
+        |  ('spark.graft.hnsw.adaptiveEf', 'true'),
+        |  ('spark.graft.hnsw.maxExcludedRows', '2000000'),
+        |  ('spark.graft.ivf.adaptiveProbe', 'true'),
+        |  ('spark.graft.topk.sortedMinGroups', '1000000'),
+        |  ('spark.graft.topk.sortedMaxInflation', '8')
+        |) AS t(conf_key, conf_default)""".stripMargin,
 
     // same document state transitions as q_table_e2e, searched through the
     // persisted index after a disk reload — the oracle is identical

@@ -50,16 +50,19 @@ class GammaDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GammaSql.rootOf(options)
     GammaSql.exposedSchema(
-      GammaSql.metaFor(GammaSql.rootOf(options)),
-      GammaSql.rootOf(options))
+      GammaSql.metaAt(root, GammaSql.asOfOf(options)), root)
+  }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GammaSqlTable(GammaSql.rootOf(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GammaSqlTable(GammaSql.rootOf(opts), GammaSql.asOfOf(opts))
+  }
 }
 
 /** One resolved gamma table. The manifest is re-read per SCAN (and per
@@ -67,15 +70,23 @@ class GammaDataSource extends TableProvider with DataSourceRegister {
   * holds ONE Table instance across statements, so pinning here would
   * serve stale data after the view's own INSERT/DELETE. Each scan still
   * pins the manifest it read — snapshot-consistent within a query.
+  *
+  * `asOf` pins the table to a RETAINED manifest version instead — the
+  * snapshot/time-travel surface (`VERSION AS OF n` through
+  * [[GammaCatalog]], or `.option("versionAsOf", n)` on the reader): every
+  * commit keeps `meta/v<N>.json`, and the MVCC bucket layout keeps the
+  * superseded data files that manifest points at until vacuum(). A
+  * snapshot is read-only — writes against it are refused.
   */
-class GammaSqlTable(val root: String)
+class GammaSqlTable(val root: String, val asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  private def freshMeta: TableMeta = GammaSql.metaFor(root)
+  private def freshMeta: TableMeta = GammaSql.metaAt(root, asOf)
 
-  override def name(): String = s"gamma(${freshMeta.name} @ $root)"
+  override def name(): String =
+    s"gamma(${freshMeta.name} @ $root${asOf.map(v => s" VERSION AS OF $v").getOrElse("")})"
 
   override def schema(): StructType = {
     val m = freshMeta
@@ -102,7 +113,9 @@ class GammaSqlTable(val root: String)
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    asOf.foreach(v => throw new UnsupportedOperationException(
+      s"gamma: cannot write to a snapshot (VERSION AS OF $v) — writes go to the current table"))
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -121,6 +134,7 @@ class GammaSqlTable(val root: String)
             }
         }
     }
+  }
 
   /** `DELETE FROM ... WHERE ...`: maps to the table's delete-by-query
     * path (R4 — bucket-rewriting logical delete, O(affected buckets)).
@@ -128,9 +142,11 @@ class GammaSqlTable(val root: String)
     * back with a clear error otherwise (canDeleteWhere = false).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GammaSql.filterColumn(f).isDefined)
+    asOf.isEmpty && filters.forall(f => GammaSql.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    asOf.foreach(v => throw new UnsupportedOperationException(
+      s"gamma: cannot delete from a snapshot (VERSION AS OF $v)"))
     val t = GammaTable.load(SparkSession.active, root)
     val cond = filters.flatMap(GammaSql.filterColumn(_))
       .reduceOption(_ && _)
@@ -223,6 +239,20 @@ private[graft] object GammaSql {
   def metaFor(root: String): TableMeta = {
     val spark = SparkSession.active
     GammaTable.readMetaFor(spark, root)
+  }
+
+  /** Reader option for snapshot reads: `.option("versionAsOf", n)`. */
+  def asOfOf(options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = options.get("versionAsOf")
+    if (v == null) None
+    else Some(scala.util.Try(v.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"gamma: versionAsOf must be a commit version number, got '$v'")))
+  }
+
+  def metaAt(root: String, asOf: Option[Long]): TableMeta = asOf match {
+    case Some(v) => GammaTable.readMetaVersionFor(SparkSession.active, root, v)
+    case None => metaFor(root)
   }
 
   private val Internal =

@@ -922,8 +922,16 @@ class GammaTable private (
   }
 
   // metadata is a driver-side file op, not a Spark job (the reference
-  // writes its .schema file directly too, search/gamma_engine.cc:607-612)
-  private def writeMeta(): Unit = GammaTable.writeMetaTo(spark, s"$root/meta", meta0)
+  // writes its .schema file directly too, search/gamma_engine.cc:607-612).
+  // Every commit ALSO retains a versioned copy (`meta/v<N>.json`) — the
+  // manifest history that makes snapshot reads (`VERSION AS OF`) possible:
+  // the MVCC bucket layout already keeps superseded data files until
+  // vacuum(), so a retained manifest is all a point-in-time read needs.
+  private def writeMeta(): Unit = {
+    val json = GammaTable.metaJson(meta0)
+    GammaTable.writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
+    GammaTable.writeJsonAtomic(spark, s"$root/meta", s"v${meta0.version}.json", json)
+  }
 
   private def touchMarker(p: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -1025,6 +1033,62 @@ object GammaTable {
     t
   }
 
+  /** Create an EMPTY table from a declared schema — the SQL-DDL path (a
+    * catalog `CREATE TABLE` carries columns but no rows; the reference's
+    * CreateTable is likewise schema-only, c_api/gamma_api.h:35 — documents
+    * arrive through AddOrUpdateDoc afterwards). Writes only the manifest:
+    * the first INSERT writes v1 data and re-captures the at-rest schema
+    * from the actual files, so the synthesized `dataSchema` here only has
+    * to carry the empty→populated window. It mirrors what addOrUpdate's
+    * fresh-batch path writes — user columns in declared order (INT8
+    * vector fields at their encoded struct type), then the storage
+    * internals — so the EXPOSED schema is stable across that transition.
+    */
+  def createEmpty(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      keyField: String,
+      userSchema: StructType,
+      vectorFields: Seq[VectorFieldDef] = Nil,
+      nBuckets: Int = 16): GammaTable = {
+    import org.apache.spark.sql.types._
+    require(userSchema.fieldNames.contains(keyField),
+      s"key field '$keyField' is not a column of the declared schema")
+    val internals = Set(DocidCol, DeletedCol, BucketCol, VersionCol)
+    require(!userSchema.fieldNames.exists(internals),
+      s"declared schema may not name storage internals (${internals.mkString(", ")})")
+    vectorFields.foreach { f =>
+      val s = Option(f.store).getOrElse("FLOAT").toUpperCase(java.util.Locale.ROOT)
+      require(Set("FLOAT", "BINARY", "INT8")(s),
+        s"unknown vector store type '${f.store}' for field ${f.name} " +
+          "(expected FLOAT | BINARY | INT8)")
+      require(userSchema.fieldNames.contains(f.name),
+        s"vector field '${f.name}' is not a column of the declared schema")
+    }
+    val i8 = vectorFields.collect {
+      case f if f.store != null && f.store.equalsIgnoreCase("INT8") => f.name
+    }.toSet
+    val int8Struct = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+    val atRest = StructType(
+      userSchema.fields.toIndexedSeq.map { f =>
+        if (i8(f.name)) f.copy(dataType = int8Struct) else f
+      } ++ Seq(
+        StructField(BucketCol, LongType),
+        StructField(DocidCol, LongType),
+        StructField(DeletedCol, BooleanType),
+        StructField(VersionCol, LongType)))
+    val meta = TableMeta(name, keyField, nBuckets, 0L, 0L, Map.empty,
+      vectorFields, "UNINDEXED", Map.empty,
+      graft.core.ManifestIO.asNullable(atRest).json)
+    val json = metaJson(meta)
+    writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
+    writeJsonAtomic(spark, s"$root/meta", "v0.json", json)
+    new GammaTable(spark, root, meta)
+  }
+
   /** Restore a table from its root (S9, reference gamma_engine.cc:1175-1262),
     * re-attaching any persisted ANN indexes found under `root/index/<field>`
     * (the reference replays its newest `dump.done` index dirs on Load).
@@ -1053,6 +1117,40 @@ object GammaTable {
   private[graft] def readMetaFor(spark: SparkSession, root: String): TableMeta =
     readMeta(spark, s"$root/meta")
 
+  /** Point-in-time manifest for snapshot reads (`VERSION AS OF v`): every
+    * commit retains `meta/v<N>.json`, and the MVCC layout keeps superseded
+    * bucket version dirs until [[GammaTable.vacuum]] — so a historical
+    * manifest still points at readable files. Fails with a clear message
+    * when the version predates history (pre-snapshot-support tables) or
+    * was never committed.
+    */
+  private[graft] def readMetaVersionFor(
+      spark: SparkSession, root: String, v: Long): TableMeta = {
+    import spark.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
+    graft.core.ManifestIO.readString(spark, s"$root/meta/v$v.json") match {
+      case Some(json) => normalizeMeta(
+        graft.core.ManifestIO.parseDF(spark, json, enc.schema).as[TableMeta].head())
+      case None => throw new NoSuchElementException(
+        s"no snapshot v$v at $root — manifest history begins at the table's " +
+          "first commit with snapshot support, and vacuum() retires " +
+          "superseded versions")
+    }
+  }
+
+  /** Versions with a retained manifest, ascending (the snapshot surface). */
+  private[graft] def snapshotVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json"))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption
+      else None
+    }.sorted
+  }
+
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
@@ -1068,6 +1166,10 @@ object GammaTable {
       case None => // legacy dirs without a meta.json fall back to the dir read
         spark.read.schema(enc.schema).json(path).as[TableMeta].head()
     }
+    normalizeMeta(m0)
+  }
+
+  private def normalizeMeta(m0: TableMeta): TableMeta = {
     // metas written before bucketStats existed read the field as null
     val m = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
     // metas written before the store field read it as null -> FLOAT
@@ -1078,7 +1180,10 @@ object GammaTable {
   }
 
   /** Driver-side single-file JSON write (readable by `spark.read.json`). */
-  private[table] def writeMetaTo(spark: SparkSession, dir: String, m: TableMeta): Unit = {
+  private[table] def writeMetaTo(spark: SparkSession, dir: String, m: TableMeta): Unit =
+    writeJsonAtomic(spark, dir, "meta.json", metaJson(m))
+
+  private[table] def metaJson(m: TableMeta): String = {
     def q(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -1098,23 +1203,27 @@ object GammaTable {
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val ds = Option(m.dataSchema).map(s => s""","dataSchema":${q(s)}""").getOrElse("")
-    val json =
-      s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
-        s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
-        s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
-        s""""bucketStats":$bs$ds}"""
-    // write-temp-then-rename: delete-dir-then-create left a window (every
-    // commit!) where a crash stranded the table with NO manifest while its
-    // data files were intact — and a concurrent load() in that window
-    // failed the same way
+    s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
+      s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
+      s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
+      s""""bucketStats":$bs$ds}"""
+  }
+
+  /** Driver-side atomic single-file write. Write-temp-then-rename:
+    * delete-dir-then-create left a window (every commit!) where a crash
+    * stranded the table with NO manifest while its data files were
+    * intact — and a concurrent load() in that window failed the same way.
+    */
+  private[table] def writeJsonAtomic(
+      spark: SparkSession, dir: String, fileName: String, json: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
-    val tmp = new org.apache.hadoop.fs.Path(dirPath, "meta.json.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s"$fileName.tmp")
     val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    val dest = new org.apache.hadoop.fs.Path(dirPath, "meta.json")
+    val dest = new org.apache.hadoop.fs.Path(dirPath, fileName)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"rename $tmp -> $dest failed")

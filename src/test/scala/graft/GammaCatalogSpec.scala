@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GammaTable
+
+/** The `GammaCatalog` DSv2 TableCatalog: pure-SQL CREATE/INSERT/DELETE/
+  * SELECT/DROP over a warehouse of gamma roots, plus snapshot reads
+  * (`VERSION AS OF` / `TIMESTAMP AS OF` / reader `versionAsOf`) off the
+  * retained manifest history.
+  */
+class GammaCatalogSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val wh = Files.createTempDirectory("graft_cat_wh").toString
+  spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GammaCatalog")
+  spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+
+  private def freshName(prefix: String): String =
+    prefix + System.nanoTime().toString.takeRight(8)
+
+  test("full SQL lifecycle: CREATE TABLE DDL, INSERT upsert, DELETE, SELECT, DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.prod")
+    val tbl = s"gcat.prod.${freshName("items")}"
+    spark.sql(
+      s"""CREATE TABLE $tbl (_id STRING, p_size INT, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='8', 'vector.vec'='dim=64,metric=L2')
+         |""".stripMargin)
+    // empty table is readable (schema from the synthesized manifest)
+    assert(spark.sql(s"SELECT * FROM $tbl").count() === 0L)
+
+    val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
+    spark.read.parquet(s"$sf0/part.parquet").createOrReplaceTempView("cat_part")
+    emb.createOrReplaceTempView("cat_emb")
+    spark.sql(s"""INSERT INTO $tbl (_id, p_size, vec)
+                 |SELECT CAST(p_partkey AS STRING), p_size, embedding
+                 |FROM cat_part JOIN cat_emb ON p_partkey = vec_id""".stripMargin)
+    val n0 = spark.sql(s"SELECT count(*) AS n FROM $tbl").as[Long].head()
+    assert(n0 > 0)
+
+    // upsert: same key set again with p_size+1000 — count unchanged,
+    // values updated (AddOrUpdateDoc semantics through SQL INSERT)
+    spark.sql(s"""INSERT INTO $tbl (_id, p_size, vec)
+                 |SELECT CAST(p_partkey AS STRING), p_size + 1000, embedding
+                 |FROM cat_part JOIN cat_emb ON p_partkey = vec_id
+                 |WHERE p_partkey % 5 = 0""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").as[Long].head() === n0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl WHERE p_size > 1000")
+      .as[Long].head() > 0)
+
+    spark.sql(s"DELETE FROM $tbl WHERE p_size > 1000")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl WHERE p_size > 1000")
+      .as[Long].head() === 0L)
+
+    // catalog metadata ops
+    val ids = spark.sql("SHOW TABLES IN gcat.prod").collect().map(_.getString(1))
+    assert(ids.contains(tbl.split('.').last))
+    spark.sql(s"DROP TABLE $tbl")
+    assert(!spark.catalog.tableExists(tbl))
+  }
+
+  test("catalog-created table interops with the Scala handle") {
+    val tbl = freshName("interop")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, v DOUBLE)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='4')""".stripMargin)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 1.0, NULL), ('b', 2.0, NULL)")
+    val t = GammaTable.load(spark, s"$wh/$tbl")
+    assert(t.meta.keyField === "_id" && t.meta.nBuckets === 4)
+    assert(t.docs.count() === 2)
+    t.addOrUpdate(Seq(("a", 9.0)).toDF("_id", "v")) // Scala upsert visible in SQL
+    assert(spark.sql(s"SELECT v FROM gcat.$tbl WHERE _id='a'").as[Double].head() === 9.0)
+  }
+
+  test("INT8-declared vector field: DDL create, SQL insert, decoded float read") {
+    val tbl = freshName("i8")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'vector.vec'='dim=4,store=INT8')""".stripMargin)
+    spark.sql(s"INSERT INTO gcat.$tbl (_id, vec) VALUES " +
+      "('x', array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT)))")
+    val got = spark.sql(s"SELECT vec FROM gcat.$tbl WHERE _id='x'")
+      .as[Array[Float]].head()
+    assert(got.length === 4)
+    // INT8 quantization round-trips within scale/127
+    assert(math.abs(got(2) - 3.0f) < 3.0 / 127 + 1e-6)
+    // at rest it is the encoded struct, not floats (4x smaller)
+    val atRest = spark.read.parquet(s"$wh/$tbl/data/b*/v*")
+    assert(atRest.schema("vec").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  test("VERSION AS OF reads the retained snapshot; snapshot writes refused") {
+    val tbl = freshName("tt")
+    spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
+                 |TBLPROPERTIES ('key'='_id', 'buckets'='2')""".stripMargin)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 1, NULL), ('b', 2, NULL)") // v1
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 10, NULL), ('c', 3, NULL)") // v2
+    spark.sql(s"DELETE FROM gcat.$tbl WHERE _id = 'b'") // v3
+
+    def state(q: String): Set[(String, Int)] =
+      spark.sql(q).as[(String, Int)].collect().toSet
+
+    assert(state(s"SELECT _id, v FROM gcat.$tbl") === Set(("a", 10), ("c", 3)))
+    assert(state(s"SELECT _id, v FROM gcat.$tbl VERSION AS OF 1") ===
+      Set(("a", 1), ("b", 2)))
+    assert(state(s"SELECT _id, v FROM gcat.$tbl VERSION AS OF 2") ===
+      Set(("a", 10), ("b", 2), ("c", 3)))
+    // v0 = the empty created table
+    assert(spark.sql(s"SELECT * FROM gcat.$tbl VERSION AS OF 0").count() === 0L)
+
+    // reader option takes the same path without the catalog
+    val viaOpt = spark.read.format("gamma").option("versionAsOf", "1")
+      .load(s"$wh/$tbl").select("_id", "v").as[(String, Int)].collect().toSet
+    assert(viaOpt === Set(("a", 1), ("b", 2)))
+
+    // a never-committed version fails with the history message
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM gcat.$tbl VERSION AS OF 99").collect())
+    assert(String.valueOf(e.getMessage).contains("no snapshot") ||
+      e.getCause != null && String.valueOf(e.getCause.getMessage).contains("no snapshot"))
+
+    // snapshots are read-only
+    val w = intercept[Exception](spark.read.format("gamma")
+      .option("versionAsOf", "1").load(s"$wh/$tbl")
+      .limit(1).write.format("gamma").mode("append")
+      .option("versionAsOf", "1").save(s"$wh/$tbl"))
+    assert(String.valueOf(w.getMessage).contains("snapshot") ||
+      w.getCause != null && String.valueOf(w.getCause.getMessage).contains("snapshot"))
+  }
+
+  test("TIMESTAMP AS OF maps through manifest mtimes") {
+    val tbl = freshName("ts")
+    spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
+                 |TBLPROPERTIES ('key'='_id', 'buckets'='2')""".stripMargin)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 1, NULL)") // v1
+    Thread.sleep(1500) // mtime clock granularity
+    val cut = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1500)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 2, NULL)") // v2
+    val got = spark.sql(
+      s"SELECT v FROM gcat.$tbl TIMESTAMP AS OF '$cut'").as[Int].head()
+    assert(got === 1)
+  }
+
+  test("vacuum retires snapshots but never the current version") {
+    val tbl = freshName("vac")
+    spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
+                 |TBLPROPERTIES ('key'='_id', 'buckets'='2')""".stripMargin)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 1, NULL)") // v1
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 2, NULL)") // v2 rewrites a's bucket
+    val t = GammaTable.load(spark, s"$wh/$tbl")
+    assert(t.vacuum() > 0) // v1's superseded bucket dir goes
+    // current read unaffected; the v1 SNAPSHOT now (correctly) fails on
+    // missing files rather than silently serving partial data
+    assert(spark.sql(s"SELECT v FROM gcat.$tbl").as[Int].head() === 2)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM gcat.$tbl VERSION AS OF 1").collect())
+  }
+
+  test("DDL guardrails: bad vector prop, missing key, PARTITIONED BY, duplicate create") {
+    val tbl = freshName("guard")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>) " +
+        "TBLPROPERTIES ('vector.vec'='metric=L2')")) // dim missing
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.$tbl (a STRING) TBLPROPERTIES ('buckets'='4')")) // no _id/key
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.$tbl (_id STRING, d INT) PARTITIONED BY (d)"))
+    spark.sql(s"CREATE TABLE gcat.$tbl (_id STRING)")
+    intercept[Exception](spark.sql(s"CREATE TABLE gcat.$tbl (_id STRING)"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS gcat.$tbl (_id STRING)") // no-op, no throw
+    spark.sql(s"DROP TABLE gcat.$tbl")
+  }
+}
