@@ -159,6 +159,42 @@ class GammaCatalogSpec extends GraftSuite {
       s"SELECT * FROM gcat.$tbl VERSION AS OF 1").collect())
   }
 
+  test("ANN top-k rewrite engages on a catalog table (no view, no Scala read)") {
+    val tbl = freshName("ann")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='4', 'vector.vec'='dim=64')""".stripMargin)
+    spark.read.parquet(s"$sf0/embeddings.parquet")
+      .createOrReplaceTempView("cat_ann_emb")
+    spark.sql(s"""INSERT INTO gcat.$tbl (_id, vec)
+                 |SELECT CAST(vec_id AS STRING), embedding FROM cat_ann_emb""".stripMargin)
+    val root = s"$wh/$tbl"
+    val t = GammaTable.load(spark, root)
+    val idx = t.buildIndex("vec", graft.index.IndexParams(ncentroids = 4))
+    graft.plans.AnnRewrite.install(spark)
+    graft.plans.IndexCatalog.register(root,
+      graft.plans.RegisteredIndex(idx.currentIndex.get, t.docs, "_id", "vec"))
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    try {
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      val df = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score LIMIT 5")
+      assert(df.queryExecution.executedPlan.toString.contains("centroid_id"),
+        "ANN rewrite did not engage on the catalog-resolved gamma relation")
+      val got = df.collect().map(_.getString(0)).toSeq
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val exact = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score, _id LIMIT 5")
+        .collect().map(_.getString(0)).toSeq
+      assert(got === exact) // full probe at ncentroids=4 -> exact
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      graft.plans.IndexCatalog.unregister(root)
+    }
+  }
+
   test("DDL guardrails: bad vector prop, missing key, PARTITIONED BY, duplicate create") {
     val tbl = freshName("guard")
     intercept[Exception](spark.sql(

@@ -430,4 +430,55 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: every snapshot equals replaying the op prefix (time travel)") {
+    // random interleavings of upserts and deletes; after the run, each
+    // retained manifest version must serve EXACTLY the state a sequential
+    // scala replay of the first k ops produces — the whole time-travel
+    // contract in one invariant (manifest history + MVCC file retention +
+    // snapshot scan all have to be right for any version to match)
+    trials(3) { rng =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ttprop").toString
+      def randBatch(): Seq[(String, Int)] =
+        (0 until 1 + rng.nextInt(12)).map(_ => (s"k${rng.nextInt(20)}", rng.nextInt(1000)))
+      val expect = scala.collection.mutable.Map.empty[String, Int] // replayed truth
+      val states = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+
+      // in-batch last-wins mirrors addOrUpdate's dedupLastWins(orderCol)
+      def lastWins(b: Seq[(String, Int)]): Map[String, Int] = b.zipWithIndex
+        .groupBy(_._1._1).map { case (k, g) => k -> g.maxBy(_._2)._1._2 }
+      // create() takes no orderCol (arbitrary in-batch winner), so the
+      // initial batch is pre-deduped; later batches exercise orderCol
+      val first = lastWins(randBatch())
+      first.foreach { case (k, v) => expect(k) = v }
+      val t = graft.table.GammaTable.create(spark, root, "ttprop", "_id",
+        first.toSeq.toDF("_id", "v"), nBuckets = 4)
+      states(t.meta.version) = expect.toMap
+
+      (1 to 6).foreach { _ =>
+        if (rng.nextBoolean()) {
+          val b = randBatch()
+          lastWins(b).foreach { case (k, v) => expect(k) = v }
+          t.addOrUpdate(
+            b.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+              .toDF("_id", "v", "_seq"), orderCol = Some("_seq"))
+        } else {
+          val cut = rng.nextInt(1000)
+          expect.filterInPlace((_, v) => v < cut)
+          t.deleteByQuery(col("v") >= cut)
+        }
+        states(t.meta.version) = expect.toMap
+      }
+
+      states.foreach { case (ver, want) =>
+        val got = spark.read.format("gamma").option("versionAsOf", ver).load(root)
+          .select("_id", "v").as[(String, Int)].collect().toMap
+        assert(got === want, s"version $ver")
+      }
+      // and the CURRENT read equals the final snapshot
+      val cur = spark.read.format("gamma").load(root)
+        .select("_id", "v").as[(String, Int)].collect().toMap
+      assert(cur === expect.toMap)
+    }
+  }
 }
