@@ -364,6 +364,7 @@ class GammaTable private (
     * when `orderCol` is given.
     */
   def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
+    guardStale()
     val key = meta0.keyField
     val v = meta0.version + 1
     // INT8-declared fields encode at the write boundary; rows merged back
@@ -495,6 +496,7 @@ class GammaTable private (
     * nBuckets) affected-bucket set ever reaches the driver.
     */
   def delete(keys: DataFrame): Unit = {
+    guardStale()
     val key = meta0.keyField
     // cache: consumed by the bucket collect AND the mark join; an
     // arbitrary caller plan (e.g. deleteByQuery's filtered scan) would
@@ -567,6 +569,7 @@ class GammaTable private (
     * standing stale-entry scan can no longer see the tombstones.
     */
   def compact(): Unit = {
+    guardStale()
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
     if (indexers.nonEmpty) {
       val purged = allDocs.filter(col(DeletedCol)).select(col(meta0.keyField))
@@ -588,6 +591,7 @@ class GammaTable private (
     * bucket ids.
     */
   def compactIfNeeded(maxDeletedRatio: Double = 0.3): Seq[Long] = {
+    guardStale()
     if (meta0.bucketVersions.isEmpty) return Nil
     val victims = allDocs.groupBy(col(BucketCol))
       .agg(count(lit(1)).as("n"),
@@ -927,7 +931,37 @@ class GammaTable private (
   // manifest history that makes snapshot reads (`VERSION AS OF`) possible:
   // the MVCC bucket layout already keeps superseded data files until
   // vacuum(), so a retained manifest is all a point-in-time read needs.
+  /** Lost-update guard: the single-writer contract was documented but not
+    * ENFORCED — a second handle on the same root would silently clobber a
+    * newer commit's manifest AND (because writeVersion reuses
+    * version-numbered dirs) could replace its data files for shared
+    * buckets. Every write path calls this BEFORE any file moves; a
+    * persisted version ahead of this handle means another writer committed
+    * since it loaded — fail fast instead of losing their commit. Detection
+    * on a read-check-write window, not a true CAS (the filesystems Spark
+    * targets don't offer one), but it converts the common stale-handle
+    * case from silent data loss into an error.
+    */
+  private def guardStale(): Unit =
+    GammaTable.persistedVersion(spark, root).foreach { diskV =>
+      if (diskV > meta0.version)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $root is at v$diskV on disk but this handle loaded " +
+            s"v${meta0.version} — another writer committed since; reload " +
+            "the table and retry")
+    }
+
   private def writeMeta(): Unit = {
+    // second line of the guard, at the manifest swap itself: the persisted
+    // version must be the one this commit supersedes (v-1) or the same
+    // version (idempotent rewrite: setIndexStatus, crash retry)
+    GammaTable.persistedVersion(spark, root).foreach { diskV =>
+      if (diskV != meta0.version && diskV != meta0.version - 1)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $root is at v$diskV on disk but this handle is " +
+            s"committing v${meta0.version} — another writer committed " +
+            "since; reload the table and retry")
+    }
     val json = GammaTable.metaJson(meta0)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", s"v${meta0.version}.json", json)
@@ -1150,6 +1184,20 @@ object GammaTable {
       else None
     }.sorted
   }
+
+  /** The committed version on disk, without a full manifest parse (the
+    * commit guard reads this on EVERY write): our own writer emits
+    * `"version":N` in a fixed position, so a regex is exact. None = no
+    * manifest yet (first write of a fresh root).
+    */
+  private[table] def persistedVersion(spark: SparkSession, root: String): Option[Long] =
+    graft.core.ManifestIO.readString(spark, s"$root/meta/meta.json").map { json =>
+      "\"version\":(\\d+)".r.findFirstMatchIn(json) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new java.io.IOException(
+          s"malformed manifest at $root/meta/meta.json (no version field)")
+      }
+    }
 
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._

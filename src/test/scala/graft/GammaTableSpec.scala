@@ -653,4 +653,44 @@ class GammaTableSpec extends GraftSuite {
     assert(t.docs.count() === 10)
     assert(t.get("1").count() === 1)
   }
+
+  test("a second stale handle cannot clobber a newer commit (lost-update guard)") {
+    val root = tmp()
+    GammaTable.create(spark, root, "cc", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2)
+    val h1 = GammaTable.load(spark, root)
+    val h2 = GammaTable.load(spark, root) // same base version as h1
+    h1.addOrUpdate(Seq(("a", 10)).toDF("_id", "v")) // v2 committed
+    // h2 still believes v1; its commit would silently erase h1's v2 —
+    // the manifest-swap guard must refuse it instead
+    val e = intercept[java.util.ConcurrentModificationException](
+      h2.addOrUpdate(Seq(("b", 20)).toDF("_id", "v")))
+    assert(e.getMessage.contains("another writer"))
+    // h1's commit survived; a RELOADED handle retries successfully
+    assert(GammaTable.load(spark, root).docs
+      .filter($"_id" === "a").select("v").as[Int].head() === 10)
+    val h3 = GammaTable.load(spark, root)
+    h3.addOrUpdate(Seq(("b", 20)).toDF("_id", "v"))
+    assert(h3.docs.select(sum("v")).as[Long].head() === 30L)
+  }
+
+  test("schema evolves through writes: a delta with a NEW column unions in") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "evo", "_id",
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v"), nBuckets = 2)
+    // delta carries a column the table has never seen (the contract the
+    // catalog's ALTER TABLE error message points at)
+    t.addOrUpdate(Seq(("b", 20, "en"), ("d", 4, "fr")).toDF("_id", "v", "lang"))
+    val got = t.docs.select("_id", "v", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), Option(r.getString(2)))).toMap
+    assert(got === Map(
+      "a" -> (1, None), "b" -> (20, Some("en")),
+      "c" -> (3, None), "d" -> (4, Some("fr"))))
+    // untouched buckets (old files without the column) read as null through
+    // the manifest-carried schema — including via the SQL source
+    val sql = spark.read.format("gamma").load(root)
+    assert(sql.columns.contains("lang"))
+    assert(sql.filter($"lang".isNull).count() === got.values.count(_._2.isEmpty))
+  }
 }

@@ -77,6 +77,13 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # targeted ScaleGen replicas carry a table SUBSET; DuckDB binds
+            # views eagerly, so a missing table must be skipped here — any
+            # oracle that references it then fails ITS check loudly
+            # (ORACLE SQL ERROR) instead of killing the whole compare
+            print(f"(no {t} table at {sf_dir} — views skipped)")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # CHECK_SKIP / CHECK_ONLY: comma-separated query names. Some oracles are

@@ -24,6 +24,11 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # targeted replicas carry a table subset (see check_oracle.py);
+            # an oracle referencing a skipped table fails its own check
+            print(f"(no {t} table at {sf_dir} — view skipped)")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
