@@ -45,7 +45,11 @@ case class TableMeta(
     // at-rest file schema (StructType json, captured at write time) so
     // readers never pay a parquet footer-inference job; null on legacy
     // manifests -> readers infer once and cache on the handle
-    dataSchema: String = null)
+    dataSchema: String = null,
+    // wall-clock commit stamp (ms) — the TIMESTAMP AS OF clock that
+    // survives filesystem copies (file mtimes, the fallback, do not);
+    // None on legacy manifests
+    committedAtMs: Option[Long] = None)
 
 /** A gamma "table" re-expressed Spark-first: one parquet dataset of
   * scalar+vector documents, hash-bucketed by primary key with a per-bucket
@@ -962,6 +966,7 @@ class GammaTable private (
             s"committing v${meta0.version} — another writer committed " +
             "since; reload the table and retry")
     }
+    meta0 = meta0.copy(committedAtMs = Some(System.currentTimeMillis()))
     val json = GammaTable.metaJson(meta0)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", s"v${meta0.version}.json", json)
@@ -1116,7 +1121,8 @@ object GammaTable {
         StructField(VersionCol, LongType)))
     val meta = TableMeta(name, keyField, nBuckets, 0L, 0L, Map.empty,
       vectorFields, "UNINDEXED", Map.empty,
-      graft.core.ManifestIO.asNullable(atRest).json)
+      graft.core.ManifestIO.asNullable(atRest).json,
+      committedAtMs = Some(System.currentTimeMillis()))
     val json = metaJson(meta)
     writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
     writeJsonAtomic(spark, s"$root/meta", "v0.json", json)
@@ -1199,6 +1205,20 @@ object GammaTable {
       }
     }
 
+  /** Commit history, newest first — the DESCRIBE-HISTORY analog: one row
+    * per retained manifest version (driver-side file reads; history is
+    * bounded by commit count, and vacuum'd tables keep their manifests —
+    * only data files are retired).
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    snapshotVersions(spark, root).sorted(Ordering[Long].reverse).map { v =>
+      val m = readMetaVersionFor(spark, root, v)
+      (m.version, m.committedAtMs, m.maxDocid,
+        m.bucketVersions.size.toLong, m.indexStatus)
+    }.toDF("version", "committed_at_ms", "max_docid", "buckets", "index_status")
+  }
+
   private def readMeta(spark: SparkSession, path: String): TableMeta = {
     import spark.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[TableMeta]]
@@ -1251,10 +1271,11 @@ object GammaTable {
         }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val ds = Option(m.dataSchema).map(s => s""","dataSchema":${q(s)}""").getOrElse("")
+    val ct = m.committedAtMs.map(t => s""","committedAtMs":$t""").getOrElse("")
     s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
       s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
       s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
-      s""""bucketStats":$bs$ds}"""
+      s""""bucketStats":$bs$ds$ct}"""
   }
 
   /** Driver-side atomic single-file write. Write-temp-then-rename:

@@ -130,18 +130,25 @@ class GammaCatalogSpec extends GraftSuite {
       w.getCause != null && String.valueOf(w.getCause.getMessage).contains("snapshot"))
   }
 
-  test("TIMESTAMP AS OF maps through manifest mtimes") {
+  test("TIMESTAMP AS OF maps through manifest commit stamps; history() lists commits") {
     val tbl = freshName("ts")
     spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
                  |TBLPROPERTIES ('key'='_id', 'buckets'='2')""".stripMargin)
     spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 1, NULL)") // v1
-    Thread.sleep(1500) // mtime clock granularity
+    Thread.sleep(250) // commit stamps are ms-precise; margin for clock ties
     val cut = java.sql.Timestamp.from(java.time.Instant.now())
-    Thread.sleep(1500)
+    Thread.sleep(250)
     spark.sql(s"INSERT INTO gcat.$tbl VALUES ('a', 2, NULL)") // v2
     val got = spark.sql(
       s"SELECT v FROM gcat.$tbl TIMESTAMP AS OF '$cut'").as[Int].head()
     assert(got === 1)
+
+    // DESCRIBE-HISTORY analog: newest first, stamped, docid monotone
+    val h = GammaTable.history(spark, s"$wh/$tbl")
+      .as[(Long, Option[Long], Long, Long, String)].collect()
+    assert(h.map(_._1).toSeq === Seq(2L, 1L, 0L))
+    assert(h.forall(_._2.isDefined)) // every commit carries its stamp
+    assert(h.map(_._3).toSeq === Seq(1L, 1L, 0L)) // maxDocid over time
   }
 
   test("vacuum retires snapshots but never the current version") {
