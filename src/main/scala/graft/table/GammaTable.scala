@@ -634,7 +634,17 @@ class GammaTable private (
     * contract as every other write path; concurrent readers of the
     * current version are safe.
     */
-  def vacuum(): Int = {
+  def vacuum(): Int = vacuum(retainSnapshots = 0)
+
+  /** Vacuum with snapshot retention: `retainSnapshots = k` keeps every
+    * file any of the newest k RETAINED MANIFESTS (plus the current one)
+    * still references, so `VERSION AS OF` works for those versions after
+    * the purge — the Delta retention-window idea expressed in manifest
+    * counts instead of wall-clock hours (deterministic, and commits are
+    * the unit users reason about). k = 0 keeps only the current version
+    * (time travel ends at the last vacuum, manifests themselves stay).
+    */
+  def vacuum(retainSnapshots: Int): Int = {
     val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
     val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dataRoot)) return 0
@@ -644,8 +654,17 @@ class GammaTable private (
     // was stale anyway and adopting is strictly fresher.
     val diskMeta = GammaTable.readMeta(spark, s"$root/meta")
     if (diskMeta.version > meta0.version) meta0 = diskMeta
-    val bv = meta0.bucketVersions
     val cutoff = meta0.version
+    // referenced: bucket -> version strings any retained manifest pins.
+    // The current manifest always participates; older retained manifests
+    // add their pins so their snapshots stay servable.
+    val retainedMetas = meta0 +: (if (retainSnapshots <= 0) Nil
+      else GammaTable.snapshotVersions(spark, root)
+        .filter(_ < cutoff).sorted(Ordering[Long].reverse).take(retainSnapshots)
+        .map(v => GammaTable.readMetaVersionFor(spark, root, v)))
+    val referenced: Map[String, Set[String]] = retainedMetas
+      .flatMap(_.bucketVersions.toSeq.map { case (b, v) => b -> s"v$v" })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     var removed = 0
     fs.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
@@ -657,15 +676,15 @@ class GammaTable private (
         val dead = scala.util.Try(sv.toLong).toOption.exists(_ <= cutoff)
         if (dead && fs.delete(st.getPath, true)) removed += 1
       } else if (name.startsWith("b") && st.isDirectory) {
-        val cur = bv.get(name.drop(1)).map(v => s"v$v")
+        val keep = referenced.getOrElse(name.drop(1), Set.empty)
         fs.listStatus(st.getPath).foreach { vst =>
           val vn = vst.getPath.getName
-          // an UNTRACKED bucket keeps nothing at or below the cutoff
-          // (fully-emptied buckets drop out of the manifest); a tracked
-          // bucket keeps only its current version. Versions ABOVE the
+          // an UNREFERENCED bucket version at or below the cutoff is dead
+          // (fully-emptied buckets drop out of the manifest, so an
+          // untracked bucket keeps nothing there). Versions ABOVE the
           // cutoff are never touched (in-flight rename targets).
           val vNum = scala.util.Try(vn.stripPrefix("v").toLong).toOption
-          val dead = vn.startsWith("v") && !cur.contains(vn) &&
+          val dead = vn.startsWith("v") && !keep.contains(vn) &&
             vNum.exists(_ <= cutoff)
           if (dead && fs.delete(vst.getPath, true)) removed += 1
         }

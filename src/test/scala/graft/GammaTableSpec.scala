@@ -654,6 +654,21 @@ class GammaTableSpec extends GraftSuite {
     assert(t.get("1").count() === 1)
   }
 
+  test("vacuum(retainSnapshots=k) keeps the newest k snapshots servable") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "ret", "_id",
+      Seq(("a", 1)).toDF("_id", "v"), nBuckets = 2) // v1
+    t.addOrUpdate(Seq(("a", 2)).toDF("_id", "v")) // v2
+    t.addOrUpdate(Seq(("a", 3)).toDF("_id", "v")) // v3
+    t.addOrUpdate(Seq(("a", 4)).toDF("_id", "v")) // v4 (current)
+    assert(t.vacuum(retainSnapshots = 1) > 0) // v3 retained; v1/v2 files go
+    def read(v: Long): Int = spark.read.format("gamma")
+      .option("versionAsOf", v).load(root).select("v").as[Int].head()
+    assert(read(4) === 4)
+    assert(read(3) === 3) // inside the retention window after the purge
+    intercept[Exception](read(2)) // outside: files gone, fails loudly
+  }
+
   test("a second stale handle cannot clobber a newer commit (lost-update guard)") {
     val root = tmp()
     GammaTable.create(spark, root, "cc", "_id",
