@@ -810,6 +810,40 @@ object SparkEntry {
               |WHERE p_size BETWEEN 1 AND 40""".stripMargin)
     }),
 
+    // The DESCRIBE-HISTORY analog over the catalog lifecycle: one row per
+    // retained manifest version. Timestamps are wall-clock (excluded from
+    // the projection); version numbering, maxDocid evolution (upsert on
+    // existing keys mints NO fresh docids; delete never changes it) and
+    // the index-status FSM are all deterministic, so the oracle derives
+    // them from the raw tables.
+    "q_table_history" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      if (s.conf.getOption("spark.sql.catalog.gamma_cat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gamma_cat", "graft.sources.GammaCatalog")
+        s.conf.set("spark.sql.catalog.gamma_cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_wh").toString)
+      }
+      t(s, dir, "part").createOrReplaceTempView("graft_cat_part")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_cat_emb")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gamma_cat.gate")
+      s.sql("DROP TABLE IF EXISTS gamma_cat.gate.hist")
+      s.sql("""CREATE TABLE gamma_cat.gate.hist
+              |(_id STRING, p_size INT, vec ARRAY<FLOAT>)
+              |TBLPROPERTIES ('key'='_id', 'buckets'='8',
+              |               'vector.vec'='dim=64,metric=L2')""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.hist (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.hist (_id, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_size + 1, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id
+              |WHERE p_partkey % 10 = 3""".stripMargin)
+      s.sql("DELETE FROM gamma_cat.gate.hist WHERE p_size BETWEEN 10 AND 12")
+      val wh = s.conf.get("spark.sql.catalog.gamma_cat.warehouse")
+      graft.table.GammaTable.history(s, s"$wh/gate/hist")
+        .select(col("version"), col("max_docid"), col("index_status"))
+    }),
+
     // GetConfig analog (gamma_api.h:181-189): the engine's knob registry —
     // key + documented default. The oracle hardcodes the expected table,
     // so a silently changed default (or an unregistered new knob read
@@ -2471,6 +2505,18 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM up)
         |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
         |FROM docs1 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
+
+    // commit history derived from the raw tables: v0 empty create, v1
+    // initial load (maxDocid = join size), v2 upsert of EXISTING keys
+    // (no fresh docids), v3 delete (docids never reused)
+    "q_table_history" ->
+      """WITH n AS (
+        |  SELECT count(*) AS c FROM part JOIN embeddings ON p_partkey = vec_id)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS max_docid,
+        |       'UNINDEXED' AS index_status
+        |UNION ALL SELECT 1, (SELECT c FROM n), 'UNINDEXED'
+        |UNION ALL SELECT 2, (SELECT c FROM n), 'UNINDEXED'
+        |UNION ALL SELECT 3, (SELECT c FROM n), 'UNINDEXED'""".stripMargin,
 
     // the knob registry pinned as data: keys and documented defaults
     "q_engine_config" ->

@@ -241,13 +241,55 @@ private[graft] object GammaSql {
     GammaTable.readMetaFor(spark, root)
   }
 
-  /** Reader option for snapshot reads: `.option("versionAsOf", n)`. */
+  /** Reader options for snapshot reads: `.option("versionAsOf", n)` pins a
+    * commit version; `.option("timestampAsOf", "<ts|epoch-ms>")` resolves
+    * the newest commit at or before the instant (same clock as the
+    * catalog's TIMESTAMP AS OF). Mutually exclusive.
+    */
   def asOfOf(options: CaseInsensitiveStringMap): Option[Long] = {
     val v = options.get("versionAsOf")
-    if (v == null) None
-    else Some(scala.util.Try(v.toLong).getOrElse(
+    val t = options.get("timestampAsOf")
+    require(v == null || t == null,
+      "gamma: versionAsOf and timestampAsOf are mutually exclusive")
+    if (v != null)
+      Some(scala.util.Try(v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"gamma: versionAsOf must be a commit version number, got '$v'")))
+    else if (t != null) {
+      val ms = scala.util.Try(t.toLong).getOrElse(
+        scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
+          throw new IllegalArgumentException(
+            s"gamma: timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")))
+      Some(versionAtTimestamp(rootOf(options), ms))
+    } else None
+  }
+
+  /** The newest retained commit at or before `tsMillis`. The commit clock
+    * is the manifest's own committedAtMs stamp (survives filesystem
+    * copies); legacy pre-stamp manifests fall back to file mtime.
+    */
+  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+    val spark = SparkSession.active
+    val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stampRe = "\"committedAtMs\":(\\d+)".r
+    val candidates = fs.listStatus(metaDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json"))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption
+          .map { v =>
+            val stamp = graft.core.ManifestIO
+              .readString(spark, st.getPath.toString)
+              .flatMap(j => stampRe.findFirstMatchIn(j).map(_.group(1).toLong))
+            (v, stamp.getOrElse(st.getModificationTime))
+          }
+      else None
+    }
+    candidates.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
-        s"gamma: versionAsOf must be a commit version number, got '$v'")))
+        s"gamma: no snapshot at $root at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"(history: ${candidates.map(_._1).sorted.mkString(", ")})"))
   }
 
   def metaAt(root: String, asOf: Option[Long]): TableMeta = asOf match {

@@ -151,6 +151,37 @@ class GammaCatalogSpec extends GraftSuite {
     assert(h.map(_._3).toSeq === Seq(1L, 1L, 0L)) // maxDocid over time
   }
 
+  test("snapshot reads keep manifest bucket pruning; timestampAsOf reader option") {
+    val tbl = freshName("snapprune")
+    spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
+                 |TBLPROPERTIES ('key'='_id', 'buckets'='8')""".stripMargin)
+    spark.range(100).selectExpr("CAST(id AS STRING) AS _id", "CAST(id AS INT) AS v",
+      "CAST(NULL AS BIGINT) AS _docid").createOrReplaceTempView("snap_src")
+    spark.sql(s"INSERT INTO gcat.$tbl SELECT * FROM snap_src") // v1
+    val cutMs = System.currentTimeMillis()
+    Thread.sleep(250)
+    spark.sql(s"INSERT INTO gcat.$tbl VALUES ('42', 999, NULL)") // v2
+    val root = s"$wh/$tbl"
+
+    // the snapshot manifest carries the same per-bucket stats + key-hash
+    // routing, so a point lookup on the OLD version still reads 1/8 buckets
+    val snap = spark.read.format("gamma").option("versionAsOf", "1").load(root)
+      .filter($"_id" === "42").select("_id", "v")
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("buckets=1/8"), plan)
+    assert(snap.as[(String, Int)].head() === ("42", 42)) // pre-upsert value
+
+    // timestampAsOf (epoch ms) resolves through the same commit clock as
+    // the catalog's TIMESTAMP AS OF
+    val byTs = spark.read.format("gamma")
+      .option("timestampAsOf", cutMs.toString).load(root)
+      .filter($"_id" === "42").select("v").as[Int].head()
+    assert(byTs === 42)
+    intercept[IllegalArgumentException](spark.read.format("gamma")
+      .option("versionAsOf", "1").option("timestampAsOf", cutMs.toString)
+      .load(root).collect())
+  }
+
   test("vacuum retires snapshots but never the current version") {
     val tbl = freshName("vac")
     spark.sql(s"""CREATE TABLE gcat.$tbl (_id STRING, v INT)
