@@ -1190,10 +1190,17 @@ object GammaTable {
     graft.core.ManifestIO.readString(spark, s"$root/meta/v$v.json") match {
       case Some(json) => normalizeMeta(
         graft.core.ManifestIO.parseDF(spark, json, enc.schema).as[TableMeta].head())
-      case None => throw new NoSuchElementException(
-        s"no snapshot v$v at $root — manifest history begins at the table's " +
-          "first commit with snapshot support, and vacuum() retires " +
-          "superseded versions")
+      case None =>
+        // the CURRENT version is always servable even when its history
+        // copy is missing (crash window between the meta.json swap and
+        // the v<N>.json write, or a pre-snapshot-support table asked for
+        // its own current version)
+        val cur = readMeta(spark, s"$root/meta")
+        if (cur.version == v) cur
+        else throw new NoSuchElementException(
+          s"no snapshot v$v at $root — manifest history begins at the table's " +
+            "first commit with snapshot support, and vacuum() retires " +
+            "superseded versions")
     }
   }
 

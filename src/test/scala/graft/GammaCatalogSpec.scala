@@ -115,6 +115,13 @@ class GammaCatalogSpec extends GraftSuite {
       .load(s"$wh/$tbl").select("_id", "v").as[(String, Int)].collect().toSet
     assert(viaOpt === Set(("a", 1), ("b", 2)))
 
+    // the CURRENT version stays servable even if its history copy is gone
+    // (the crash window between the manifest swap and the history write)
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/$tbl/meta/v3.json")
+    fs.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fs, false)
+    assert(state(s"SELECT _id, v FROM gcat.$tbl VERSION AS OF 3") ===
+      Set(("a", 10), ("c", 3)))
+
     // a never-committed version fails with the history message
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM gcat.$tbl VERSION AS OF 99").collect())
