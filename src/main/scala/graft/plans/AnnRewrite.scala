@@ -39,15 +39,51 @@ case class RegisteredIndex(
   */
 object IndexCatalog {
   private val byPath = TrieMap.empty[String, RegisteredIndex]
+  // memoized lazy loads (positive AND negative) — see resolve()
+  private val autoLoaded = TrieMap.empty[String, Option[RegisteredIndex]]
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
   def register(path: String, ri: RegisteredIndex): Unit = byPath.put(norm(path), ri)
-  def unregister(path: String): Unit = byPath.remove(norm(path))
-  def clear(): Unit = byPath.clear()
+  def unregister(path: String): Unit = {
+    byPath.remove(norm(path))
+    autoLoaded.remove(norm(path))
+  }
+  def clear(): Unit = { byPath.clear(); autoLoaded.clear() }
 
   def lookup(rootPaths: Seq[Path]): Option[RegisteredIndex] =
     rootPaths.headOption.flatMap(p => byPath.get(norm(p.toString)))
+
+  /** Registered entry, or a LAZY load of a PERSISTED index at a gamma
+    * table root: SQL-only sessions never hold a Scala handle, but a table
+    * whose index was built with persist=true carries everything a serve
+    * path needs on disk (lists + quantizers + manifest — the reference
+    * likewise replays dump.done index dirs on Load). One load attempt per
+    * root per session, memoized positive or negative, so the rule stays
+    * cheap on non-gamma relations (two fs.exists on first sight, then a
+    * map hit). A root with SEVERAL persisted fields registers its first
+    * DECLARED field's default index — register() remains the override for
+    * multi-index routing.
+    */
+  def resolve(rootPaths: Seq[Path]): Option[RegisteredIndex] =
+    lookup(rootPaths).orElse(rootPaths.headOption.flatMap { p =>
+      autoLoaded.getOrElseUpdate(norm(p.toString), loadPersisted(p))
+    })
+
+  private def loadPersisted(p: Path): Option[RegisteredIndex] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = p.toString
+    if (!fs.exists(new Path(root, "meta/meta.json")) ||
+        !fs.exists(new Path(root, "index"))) return None
+    scala.util.Try {
+      val t = graft.table.GammaTable.load(spark, root)
+      t.meta.vectorFields.iterator
+        .flatMap(f => t.attachedIndex(f.name).flatMap(ix =>
+          ix.currentIndex.map(i => RegisteredIndex(i, t.docs, t.meta.keyField, f.name))))
+        .nextOption()
+    }.toOption.flatten
+  }
 }
 
 case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -153,7 +189,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     for {
       paths <- relationPaths(scan)
-      ri <- IndexCatalog.lookup(paths)
+      ri <- IndexCatalog.resolve(paths)
       metric <- metricOf(resolvedOrder, direction)
       if ri.index.params.metric == metric
       dist = resolvedOrder.asInstanceOf[BinaryExpression]

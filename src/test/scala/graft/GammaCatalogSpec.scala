@@ -240,6 +240,42 @@ class GammaCatalogSpec extends GraftSuite {
     }
   }
 
+  test("rewrite auto-resolves a PERSISTED index — zero Scala registration") {
+    val tbl = freshName("autoix")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='4', 'vector.vec'='dim=64')""".stripMargin)
+    spark.read.parquet(s"$sf0/embeddings.parquet")
+      .createOrReplaceTempView("auto_ix_emb")
+    spark.sql(s"""INSERT INTO gcat.$tbl (_id, vec)
+                 |SELECT CAST(vec_id AS STRING), embedding FROM auto_ix_emb""".stripMargin)
+    // the ONE Scala step a SQL-only deployment pays: BuildIndex, persisted
+    // (the reference's offline index build); serving needs no handle at all
+    GammaTable.load(spark, s"$wh/$tbl")
+      .buildIndex("vec", graft.index.IndexParams(ncentroids = 4), persist = true)
+    graft.plans.AnnRewrite.install(spark)
+    graft.plans.IndexCatalog.clear() // NOTHING registered — resolve() must load from disk
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    try {
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      val df = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score LIMIT 5")
+      assert(df.queryExecution.executedPlan.toString.contains("centroid_id"),
+        "rewrite did not auto-resolve the persisted index from disk")
+      val got = df.collect().map(_.getString(0)).toSeq
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val exact = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score, _id LIMIT 5")
+        .collect().map(_.getString(0)).toSeq
+      assert(got === exact) // full probe at ncentroids=4 -> exact
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      graft.plans.IndexCatalog.clear()
+    }
+  }
+
   test("DDL guardrails: bad vector prop, missing key, PARTITIONED BY, duplicate create") {
     val tbl = freshName("guard")
     intercept[Exception](spark.sql(
