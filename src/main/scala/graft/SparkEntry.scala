@@ -374,6 +374,33 @@ object SparkEntry {
       Crud.upsert(base, updates.unionByName(inserts), "p_partkey")
     }),
 
+    // R1 field-patch semantics through the TABLE lifecycle: the delta's
+    // schema omits a populated scalar (p_brand) AND the vector column —
+    // the reference's AddOrUpdate patches only the fields the doc provides
+    // (gamma_engine.cc:761-800), so updated rows must keep both, while
+    // fresh keys read the absent fields as null. The oracle recomputes the
+    // preserved values from the raw tables.
+    "q_upsert_partial" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_patch").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_brand"), col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "patch", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8)
+      val off = t(s, dir, "part").agg(max(col("p_partkey"))).head().getLong(0) + 1
+      val updates = docs0.filter(col("_id").cast("long") % 7 === 0)
+        .select(col("_id"), (col("p_size") + 100).as("p_size"))
+      val inserts = t(s, dir, "part").filter(col("p_partkey") % 13 === 0)
+        .select((col("p_partkey") + off).cast("string").as("_id"), col("p_size"))
+      tbl.addOrUpdate(updates.unionByName(inserts))
+      tbl.docs.select(col("_id"), col("p_brand"), col("p_size"),
+        when(col("vec").isNull, lit(-1L))
+          .otherwise(size(col("vec")).cast("long")).as("dim"))
+    }),
+
     // R3 — delete by key set.
     "q_delete_by_key" -> ((s, dir) => {
       val part = t(s, dir, "part")
@@ -2446,6 +2473,26 @@ object SparkEntry {
         |SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
         |WHERE p_partkey NOT IN (SELECT p_partkey FROM delta)
         |UNION ALL SELECT * FROM delta""".stripMargin,
+
+    // partial-field upsert: updated rows keep omitted p_brand/vec, fresh
+    // keys read them as null (-1 dim sentinel keeps the column non-void)
+    "q_upsert_partial" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_brand, p_size,
+        |         embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 100 AS p_size FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 7 = 0),
+        |ins AS (
+        |  SELECT CAST(p_partkey + (SELECT max(p_partkey) + 1 FROM part)
+        |              AS VARCHAR) AS _id, p_size
+        |  FROM part WHERE p_partkey % 13 = 0)
+        |SELECT d._id, d.p_brand, coalesce(u.p_size, d.p_size) AS p_size,
+        |       CAST(len(d.vec) AS BIGINT) AS dim
+        |FROM docs0 d LEFT JOIN up u ON d._id = u._id
+        |UNION ALL
+        |SELECT _id, NULL AS p_brand, p_size, CAST(-1 AS BIGINT) AS dim
+        |FROM ins""".stripMargin,
 
     "q_delete_by_key" ->
       """SELECT p_partkey, p_brand FROM part

@@ -366,6 +366,15 @@ class GammaTable private (
     * existing keys are updated in place keeping their `_docid`; fresh keys
     * append with new dense docids. In-batch duplicate keys: last write wins
     * when `orderCol` is given.
+    *
+    * Field-patch semantics on update (the reference's AddOrUpdate patches
+    * ONLY the fields the doc provides, gamma_engine.cc:761-800): a table
+    * column ABSENT from the delta's schema keeps the existing row's value
+    * — a metadata-only delta never nulls the vector column it omitted. An
+    * explicit NULL in a PRESENT column still overwrites (present-null and
+    * absent are distinct). Fresh keys read null for absent columns (a new
+    * doc never provided them), and a delta-only NEW column unions in as
+    * null on untouched rows — both directions of schema width are legal.
     */
   def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
     guardStale()
@@ -410,6 +419,11 @@ class GammaTable private (
     // rows written/updated in this commit are stamped _version = v so
     // incremental index maintenance can find the changed tail cheaply
     val (dCounts, affected) = partitionStats(d, lit(true))
+    // empty delta: NO commit (and critically no bucket read — an empty
+    // `affected` means "all buckets" to currentPaths, so falling through
+    // would merge-rewrite the entire table for zero rows; MERGE action
+    // splits legitimately produce empty batches)
+    if (affected.isEmpty) { d.unpersist(false); return }
     var cached: Option[DataFrame] = None
     val (merged, nFresh) = readBuckets(affected) match {
       case None =>
@@ -417,7 +431,15 @@ class GammaTable private (
           .withColumn(DeletedCol, lit(false)).withColumn(VersionCol, lit(v)),
           dCounts.sum)
       case Some(existing) =>
-        val oldIds = existing.select(col(key), col(DocidCol))
+        // field-preserve: existing data columns the delta OMITS ride the
+        // merge join next to `_docid`, so updated rows keep their values
+        // (fresh rows read them as join nulls — correct for new docs).
+        // Storage internals are re-stamped below, never carried.
+        val deltaCols = d.columns.toSet
+        val preserved = existing.columns.filterNot(c =>
+          deltaCols(c) || c == DocidCol || c == DeletedCol || c == VersionCol)
+        val oldIds = existing.select(
+          (col(key) +: col(DocidCol) +: preserved.toIndexedSeq.map(col)): _*)
         // also O(delta); read by the stats pass, the fresh/kept splits and
         // the write job
         val joined = d.join(oldIds, Seq(key), "left")

@@ -689,6 +689,50 @@ class GammaTableSpec extends GraftSuite {
     assert(h3.docs.select(sum("v")).as[Long].head() === 30L)
   }
 
+  test("partial-field upsert preserves the columns the delta omits (R1 field patch)") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "patch", "_id",
+      Seq(("a", 1, "keep-a", Seq(1f, 2f)), ("b", 2, "keep-b", Seq(3f, 4f)),
+        ("c", 3, "keep-c", Seq(5f, 6f))).toDF("_id", "v", "tag", "vec"),
+      nBuckets = 2)
+    // metadata-only patch: the delta's schema omits `tag` AND the vector
+    // column — the reference patches only provided fields
+    // (gamma_engine.cc:761-800); omitted columns must survive on updated
+    // rows, and the fresh key reads them as null
+    t.addOrUpdate(Seq(("b", 20), ("d", 4)).toDF("_id", "v"))
+    val got = t.docs.select("_id", "v", "tag", "vec").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), Option(r.getString(2)),
+        Option(r.getSeq[Float](3)).map(_.toSeq)))).toMap
+    assert(got === Map(
+      "a" -> ((1, Some("keep-a"), Some(Seq(1f, 2f)))),
+      "b" -> ((20, Some("keep-b"), Some(Seq(3f, 4f)))), // patched v, kept rest
+      "c" -> ((3, Some("keep-c"), Some(Seq(5f, 6f)))),
+      "d" -> ((4, None, None)))) // fresh key: absent fields are null
+    // explicit NULL in a PRESENT column is an overwrite, not a preserve
+    t.addOrUpdate(Seq(("a", 100, null.asInstanceOf[String]))
+      .toDF("_id", "v", "tag"))
+    val a = t.docs.filter($"_id" === "a").select("v", "tag", "vec").head()
+    assert(a.getInt(0) === 100 && a.isNullAt(1) &&
+      a.getSeq[Float](2).toSeq === Seq(1f, 2f))
+  }
+
+  test("partial-field upsert preserves an INT8-stored vector at rest") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "patch8", "_id",
+      Seq(("a", 1, Seq(0.5f, -1.0f)), ("b", 2, Seq(2.0f, 4.0f)))
+        .toDF("_id", "v", "vec"),
+      vectorFields = Seq(VectorFieldDef("vec", 2, store = "INT8")), nBuckets = 2)
+    val before = t.docs.filter($"_id" === "a").select("vec")
+      .as[Array[Float]].head().toSeq
+    t.addOrUpdate(Seq(("a", 10)).toDF("_id", "v")) // omits the vector
+    val after = t.docs.filter($"_id" === "a").select("vec")
+      .as[Array[Float]].head().toSeq
+    // the at-rest INT8 struct is carried through UNCHANGED (no decode/
+    // re-encode round trip), so the decoded surface is bit-identical
+    assert(after === before)
+    assert(t.docs.filter($"_id" === "a").select("v").as[Int].head() === 10)
+  }
+
   test("schema evolves through writes: a delta with a NEW column unions in") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "evo", "_id",
