@@ -801,6 +801,79 @@ object SparkEntry {
               |FROM gamma_cat.gate.items WHERE p_size BETWEEN 1 AND 40""".stripMargin)
     }),
 
+    // The SQL row-level write surface (GammaDmlRewrite): a metadata-only
+    // UPDATE ... SET over a table WITH a vector column — the narrow-delta
+    // patch must preserve the unassigned columns (vec, p_brand on
+    // untouched rows) — then a DELETE whose predicate carries an IN
+    // subquery (the shape SupportsDelete cannot translate; routed through
+    // deleteByQuery). The oracle recomputes both from the raw tables and
+    // hash-checks the vector dims, proving vectors survived the UPDATE.
+    "q_table_update_sql" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      if (s.conf.getOption("spark.sql.catalog.gamma_cat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gamma_cat", "graft.sources.GammaCatalog")
+        s.conf.set("spark.sql.catalog.gamma_cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_wh").toString)
+      }
+      t(s, dir, "part").createOrReplaceTempView("graft_cat_part")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_cat_emb")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gamma_cat.gate")
+      s.sql("DROP TABLE IF EXISTS gamma_cat.gate.upd")
+      s.sql("""CREATE TABLE gamma_cat.gate.upd
+              |(_id STRING, p_brand STRING, p_size INT, vec ARRAY<FLOAT>)
+              |TBLPROPERTIES ('key'='_id', 'buckets'='8',
+              |               'vector.vec'='dim=64,metric=L2')""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.upd (_id, p_brand, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_brand, p_size, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id""".stripMargin)
+      s.sql("""UPDATE gamma_cat.gate.upd
+              |SET p_size = p_size + 100, p_brand = 'Brand#UP'
+              |WHERE p_size BETWEEN 10 AND 20""".stripMargin)
+      s.sql("""DELETE FROM gamma_cat.gate.upd
+              |WHERE _id IN (SELECT CAST(p_partkey AS STRING)
+              |              FROM graft_cat_part WHERE p_partkey % 11 = 0)""".stripMargin)
+      s.sql("""SELECT _id, p_brand, p_size, CAST(size(vec) AS BIGINT) AS dim
+              |FROM gamma_cat.gate.upd""".stripMargin)
+    }),
+
+    // MERGE INTO with all three clause classes — conditional matched
+    // DELETE, matched UPDATE (field patch: brand and vec preserved),
+    // not-matched INSERT (absent columns null). Source keys without
+    // embeddings are NOT in the table, so they take the insert path too —
+    // the oracle derives every branch from the raw tables.
+    "q_table_merge" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      if (s.conf.getOption("spark.sql.catalog.gamma_cat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gamma_cat", "graft.sources.GammaCatalog")
+        s.conf.set("spark.sql.catalog.gamma_cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_wh").toString)
+      }
+      t(s, dir, "part").createOrReplaceTempView("graft_cat_part")
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_cat_emb")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gamma_cat.gate")
+      s.sql("DROP TABLE IF EXISTS gamma_cat.gate.mrg")
+      s.sql("""CREATE TABLE gamma_cat.gate.mrg
+              |(_id STRING, p_brand STRING, p_size INT, vec ARRAY<FLOAT>)
+              |TBLPROPERTIES ('key'='_id', 'buckets'='8',
+              |               'vector.vec'='dim=64,metric=L2')""".stripMargin)
+      s.sql("""INSERT INTO gamma_cat.gate.mrg (_id, p_brand, p_size, vec)
+              |SELECT CAST(p_partkey AS STRING), p_brand, p_size, embedding
+              |FROM graft_cat_part JOIN graft_cat_emb ON p_partkey = vec_id""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_mrg_src AS
+              |SELECT CAST(p_partkey AS STRING) AS sid, p_size,
+              |       p_partkey % 5 = 0 AS kill
+              |FROM graft_cat_part WHERE p_partkey % 3 = 0""".stripMargin)
+      s.sql("""MERGE INTO gamma_cat.gate.mrg t USING graft_mrg_src s
+              |ON t._id = s.sid
+              |WHEN MATCHED AND s.kill THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET p_size = s.p_size + 1000
+              |WHEN NOT MATCHED THEN INSERT (_id, p_size) VALUES (s.sid, s.p_size)
+              |""".stripMargin)
+      s.sql("""SELECT _id, p_brand, p_size,
+              |CAST(CASE WHEN vec IS NULL THEN -1 ELSE size(vec) END AS BIGINT) AS dim
+              |FROM gamma_cat.gate.mrg""".stripMargin)
+    }),
+
     // Snapshot reads (time travel): every commit retains its manifest
     // (`meta/v<N>.json`) and the MVCC bucket layout keeps superseded files
     // until vacuum(), so `VERSION AS OF n` is a pure metadata pin — the
@@ -835,6 +908,32 @@ object SparkEntry {
       s.sql("""SELECT _id, p_size, CAST(size(vec) AS BIGINT) AS dim
               |FROM gamma_cat.gate.snap VERSION AS OF 2
               |WHERE p_size BETWEEN 1 AND 40""".stripMargin)
+    }),
+
+    // The incremental change feed (Missing #2 → done): replay the commits
+    // AFTER the initial load — upsert events carry the commit that wrote
+    // them, rows tombstoned later net to ONE delete event stamped with
+    // the delete's commit. The oracle re-derives every event (key, final
+    // value, type, commit) from the raw tables, so the stamp mechanics
+    // (delete() stamping `_version`, window filtering, net semantics) are
+    // all hash-checked.
+    "q_change_feed" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val emb = t(s, dir, "embeddings")
+      val docs0 = t(s, dir, "part")
+        .join(emb, col("p_partkey") === col("vec_id"))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_size"), col("embedding").as("vec"))
+      val tbl = graft.table.GammaTable.create(s, root, "cdc", "_id", docs0,
+        Seq(graft.table.VectorFieldDef("vec", 64)), nBuckets = 8) // v1
+      val delta = tbl.docs.filter(col("_id").cast("long") % 10 === 3)
+        .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
+      tbl.addOrUpdate(delta)                                      // v2
+      tbl.deleteByQuery(col("p_size").between(10, 12))            // v3
+      tbl.changes(1, 3)
+        .select(col("_id"), col("p_size"), col("_change_type"),
+          col("_change_version"))
     }),
 
     // The DESCRIBE-HISTORY analog over the catalog lifecycle: one row per
@@ -2539,6 +2638,46 @@ object SparkEntry {
         |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
         |FROM docs2 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
 
+    // UPDATE patches p_size/p_brand in the band, preserves vec (dim must
+    // still be 64 everywhere); the subquery DELETE then removes %11 keys
+    "q_table_update_sql" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_brand, p_size,
+        |         embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id)
+        |SELECT _id,
+        |       CASE WHEN p_size BETWEEN 10 AND 20 THEN 'Brand#UP'
+        |            ELSE p_brand END AS p_brand,
+        |       CASE WHEN p_size BETWEEN 10 AND 20 THEN p_size + 100
+        |            ELSE p_size END AS p_size,
+        |       CAST(len(vec) AS BIGINT) AS dim
+        |FROM docs0
+        |WHERE CAST(_id AS BIGINT) % 11 <> 0""".stripMargin,
+
+    // every MERGE branch derived from the raw tables: source = %3 keys of
+    // part (kill flag on %5); matched+kill deleted, matched updated
+    // (+1000, brand/vec kept), unmatched source keys (incl. part keys
+    // without embeddings) inserted with null brand/vec
+    "q_table_merge" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_brand, p_size,
+        |         embedding AS vec
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |src AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS sid, p_size,
+        |         (p_partkey % 5 = 0) AS kill
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT d._id, d.p_brand,
+        |       CASE WHEN s.sid IS NOT NULL THEN s.p_size + 1000
+        |            ELSE d.p_size END AS p_size,
+        |       CAST(len(d.vec) AS BIGINT) AS dim
+        |FROM docs0 d LEFT JOIN src s ON d._id = s.sid
+        |WHERE s.sid IS NULL OR NOT s.kill
+        |UNION ALL
+        |SELECT s.sid AS _id, NULL AS p_brand, s.p_size,
+        |       CAST(-1 AS BIGINT) AS dim
+        |FROM src s WHERE s.sid NOT IN (SELECT _id FROM docs0)""".stripMargin,
+
     // the PRE-DELETE intermediate state (post-upsert): what VERSION AS OF 2
     // must serve — docs1 without the delete step
     "q_table_snapshot" ->
@@ -2552,6 +2691,28 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM up)
         |SELECT _id, p_size, CAST(len(vec) AS BIGINT) AS dim
         |FROM docs1 WHERE p_size BETWEEN 1 AND 40""".stripMargin,
+
+    // change events of (1, 3]: upserted keys (%10=3) carry v2 unless the
+    // new size lands in the delete band (then they net to a v3 delete);
+    // un-upserted keys in the band are plain v3 deletes
+    "q_change_feed" ->
+      """WITH docs0 AS (
+        |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size
+        |  FROM part JOIN embeddings ON p_partkey = vec_id),
+        |up AS (SELECT _id, p_size + 1 AS p_size FROM docs0
+        |       WHERE CAST(_id AS BIGINT) % 10 = 3)
+        |SELECT _id, p_size,
+        |       CASE WHEN p_size BETWEEN 10 AND 12 THEN 'delete'
+        |            ELSE 'upsert' END AS _change_type,
+        |       CAST(CASE WHEN p_size BETWEEN 10 AND 12 THEN 3 ELSE 2 END
+        |            AS BIGINT) AS _change_version
+        |FROM up
+        |UNION ALL
+        |SELECT _id, p_size, 'delete' AS _change_type,
+        |       CAST(3 AS BIGINT) AS _change_version
+        |FROM docs0
+        |WHERE _id NOT IN (SELECT _id FROM up)
+        |  AND p_size BETWEEN 10 AND 12""".stripMargin,
 
     // commit history derived from the raw tables: v0 empty create, v1
     // initial load (maxDocid = join size), v2 upsert of EXISTING keys

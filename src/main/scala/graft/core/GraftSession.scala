@@ -18,6 +18,10 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // graft rules: ANN top-k rewrite (opt-in by conf) + gamma SQL
+      // UPDATE/MERGE conversion (analyzer rules bind at session build —
+      // unlike optimizer rules they cannot be installed after the fact)
+      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

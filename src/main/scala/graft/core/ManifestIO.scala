@@ -36,10 +36,16 @@ object ManifestIO {
   def asNullable(s: StructType): StructType =
     asNullable(s: org.apache.spark.sql.types.DataType).asInstanceOf[StructType]
 
+  /** Manifest reads since JVM start — test instrumentation (the
+    * timestamp-resolution spec pins its read complexity against this).
+    */
+  private[graft] val readCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Whole file as UTF-8, None if absent. Only for driver-written
     * manifests (bytes are bounded by the manifest's own size).
     */
   def readString(spark: SparkSession, file: String): Option[String] = {
+    readCount.incrementAndGet()
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -39,8 +39,17 @@ case class RegisteredIndex(
   */
 object IndexCatalog {
   private val byPath = TrieMap.empty[String, RegisteredIndex]
-  // memoized lazy loads (positive AND negative) — see resolve()
-  private val autoLoaded = TrieMap.empty[String, Option[RegisteredIndex]]
+  // memoized lazy loads (positive AND negative) with their validation
+  // state — see resolve()
+  private case class AutoEntry(
+      loadedVersion: Option[Long],
+      entry: Option[RegisteredIndex],
+      checkedAtMs: Long)
+  private val autoLoaded = TrieMap.empty[String, AutoEntry]
+  // a MISS is re-probed after this long (an index persisted later in the
+  // session gets picked up; persisting one does not bump the table
+  // version, so version validation alone cannot see it)
+  private val NegativeRecheckMs = 30000L
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
@@ -48,6 +57,16 @@ object IndexCatalog {
   def unregister(path: String): Unit = {
     byPath.remove(norm(path))
     autoLoaded.remove(norm(path))
+  }
+  /** Drop every entry at or under `prefix` — catalog DROP/RENAME hooks
+    * (a re-created table at the same root must not serve the old entry
+    * even when its version numbering restarts identically).
+    */
+  def unregisterUnder(prefix: String): Unit = {
+    val p = norm(prefix)
+    (byPath.keySet ++ autoLoaded.keySet).foreach { k =>
+      if (k == p || k.startsWith(p + "/")) { byPath.remove(k); autoLoaded.remove(k) }
+    }
   }
   def clear(): Unit = { byPath.clear(); autoLoaded.clear() }
 
@@ -58,17 +77,45 @@ object IndexCatalog {
     * table root: SQL-only sessions never hold a Scala handle, but a table
     * whose index was built with persist=true carries everything a serve
     * path needs on disk (lists + quantizers + manifest — the reference
-    * likewise replays dump.done index dirs on Load). One load attempt per
-    * root per session, memoized positive or negative, so the rule stays
-    * cheap on non-gamma relations (two fs.exists on first sight, then a
-    * map hit). A root with SEVERAL persisted fields registers its first
-    * DECLARED field's default index — register() remains the override for
-    * multi-index routing.
+    * likewise replays dump.done index dirs on Load). A root with SEVERAL
+    * persisted fields registers its first DECLARED field's default index —
+    * register() remains the override for multi-index routing.
+    *
+    * Staleness: a cached HIT pins the index AND a docs frame at its
+    * load-time bucket versions, so every resolve re-reads the table's
+    * persisted version (one small driver-side manifest read) and reloads
+    * when a commit moved it — SQL INSERT/DELETE/UPDATE on the served
+    * table is picked up on the next query instead of serving stale rows.
+    * A cached MISS is re-probed on a short interval (persisting an index
+    * leaves the version untouched). Non-gamma relations stay cheap: two
+    * fs.exists on first sight, then a map hit until the recheck interval.
     */
   def resolve(rootPaths: Seq[Path]): Option[RegisteredIndex] =
     lookup(rootPaths).orElse(rootPaths.headOption.flatMap { p =>
-      autoLoaded.getOrElseUpdate(norm(p.toString), loadPersisted(p))
+      val key = norm(p.toString)
+      val now = System.currentTimeMillis()
+      autoLoaded.get(key) match {
+        case Some(AutoEntry(_, None, at)) if now - at < NegativeRecheckMs =>
+          None
+        case Some(e @ AutoEntry(lv, some @ Some(_), _)) =>
+          if (currentVersion(p) == lv) some
+          else refresh(key, p, now)
+        case _ => refresh(key, p, now)
+      }
     })
+
+  private def currentVersion(p: Path): Option[Long] =
+    scala.util.Try(graft.table.GammaTable.persistedVersion(
+      org.apache.spark.sql.SparkSession.active, p.toString)).toOption.flatten
+
+  private def refresh(key: String, p: Path, now: Long): Option[RegisteredIndex] = {
+    // version read BEFORE the load: a commit racing the load leaves an
+    // older tag on a newer snapshot, which only costs one extra reload
+    val v = currentVersion(p)
+    val e = loadPersisted(p)
+    autoLoaded.put(key, AutoEntry(v, e, now))
+    e
+  }
 
   private def loadPersisted(p: Path): Option[RegisteredIndex] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -331,8 +378,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   * session use [[AnnRewrite.install]].
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(sess => AnnTopKRewrite(sess))
+    // SQL UPDATE / MERGE INTO / subquery-DELETE over gamma relations —
+    // converted during resolution, before Spark's row-level-operation
+    // rewrites would reject the table
+    ext.injectResolutionRule(sess => GammaDmlRewrite(sess))
+  }
 }
 
 object AnnRewrite {

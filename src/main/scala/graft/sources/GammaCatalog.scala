@@ -46,7 +46,8 @@ import graft.table.{GammaTable, VectorFieldDef}
   * manifest's own `committedAtMs` stamp (survives filesystem copies);
   * legacy pre-stamp manifests fall back to file mtime.
   */
-class GammaCatalog extends TableCatalog with SupportsNamespaces {
+class GammaCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -66,10 +67,14 @@ class GammaCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catName
 
   // identifier segments become path components — refuse separators and
-  // traversal outright rather than trusting downstream normalization
+  // traversal outright rather than trusting downstream normalization.
+  // Path parses its string as a URI, so URI-special characters are
+  // refused too: '#' starts a fragment and '?' a query ('a#b' would
+  // silently collide onto directory 'a'), '%' percent-decodes, ':'
+  // separates a scheme
+  private val BadSegmentChars = Set('/', '\\', '#', '?', '%', ':', '\u0000')
   private def safeSegment(s: String): String = {
-    require(s.nonEmpty && s != ".." && s != "." &&
-      !s.contains('/') && !s.contains('\\') && !s.contains('\u0000'),
+    require(s.nonEmpty && s != ".." && s != "." && !s.exists(BadSegmentChars),
       s"illegal name segment '$s'")
     s
   }
@@ -136,6 +141,18 @@ class GammaCatalog extends TableCatalog with SupportsNamespaces {
     val schema = StructType(columns.toIndexedSeq.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
     val props = properties
+    // a typo'd property must fail, not silently default ('bucket' vs
+    // 'buckets', 'Vector.vec' vs 'vector.vec' — the same silent-typo
+    // class GraftConfig.set guards on the runtime side). Spark-reserved
+    // keys it injects on CREATE pass through.
+    val sparkReserved = Set("provider", "owner", "location", "comment",
+      "external", "is_managed_location", "option.path", "path")
+    props.keySet().forEach { k =>
+      require(k == "key" || k == "buckets" || k.startsWith("vector.") ||
+        sparkReserved(k.toLowerCase(java.util.Locale.ROOT)),
+        s"unknown table property '$k' (expected 'key', 'buckets', or " +
+          "'vector.<column>')")
+    }
     val key = Option(props.get("key")).getOrElse {
       require(schema.fieldNames.contains("_id"),
         "gamma CREATE TABLE needs TBLPROPERTIES ('key'='<column>') or an _id column")
@@ -179,6 +196,9 @@ class GammaCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tableDir(ident)
+    // the ANN rewrite's lazy-load cache keys on the root path: a dropped
+    // (or later re-created) table must not keep serving the old entry
+    graft.plans.IndexCatalog.unregisterUnder(p.toString)
     isTableDir(p) && fs(p).delete(p, true)
   }
 
@@ -187,10 +207,35 @@ class GammaCatalog extends TableCatalog with SupportsNamespaces {
     val to = tableDir(newIdent)
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
     if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent.toString)
+    graft.plans.IndexCatalog.unregisterUnder(from.toString)
     fs(to.getParent).mkdirs(to.getParent)
     if (!fs(from).rename(from, to))
       throw new java.io.IOException(s"rename $from -> $to failed")
   }
+
+  // --------------------------------------------------------- procedures
+  // `CALL <cat>.system.history|vacuum|compact('<ns>.<table>', ...)` — the
+  // maintenance verbs a SQL-only deployment needs (storage GC was the
+  // last Scala-only surface besides BuildIndex). See [[GammaProcedures]].
+
+  private def rootForTableName(qualified: String): String = {
+    val segs = qualified.split('.').toIndexedSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"procedure table argument must be '<ns...>.<table>', got '$qualified'")
+    val p = new Path(dirOf(segs.init), safeSegment(segs.last))
+    if (!isTableDir(p)) throw new NoSuchTableException(
+      Identifier.of(segs.init.toArray, segs.last))
+    p.toString
+  }
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    GammaProcedures.load(ident.name(), rootForTableName).getOrElse(
+      throw new RuntimeException(
+        s"gamma catalog: unknown procedure '${ident.name()}' " +
+          s"(have: ${GammaProcedures.names.mkString(", ")})"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GammaProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
   // --------------------------------------------------------- namespaces
 

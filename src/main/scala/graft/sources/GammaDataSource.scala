@@ -44,11 +44,42 @@ import graft.table.{GammaTable, TableMeta}
   *    vectorized decode, residual-filter pushdown into row groups, and
   *    column pruning all still apply inside.
   */
-class GammaDataSource extends TableProvider with DataSourceRegister {
+class GammaDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "gamma"
 
   override def supportsExternalMetadata(): Boolean = false
+
+  // ------------------------------------------------------------ streaming
+  // `spark.readStream.format("gamma")` — the change-feed source
+  // ([[GammaChangeSource]]): the batch table does not advertise
+  // MICRO_BATCH_READ, so Spark falls back to this V1 stream provider.
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "gamma stream: the change-feed schema is " +
+      "table-defined; drop the user-specified schema")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "gamma stream requires a table root: .load(<root>)"))
+    (shortName(), GammaChangeStream.schemaFor(root))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "gamma stream requires a table root: .load(<root>)"))
+    new GammaChangeSource(sqlContext, root,
+      GammaChangeStream.startingVersionOf(parameters),
+      GammaChangeStream.schemaFor(root))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GammaSql.rootOf(options)
@@ -260,36 +291,59 @@ private[graft] object GammaSql {
         scala.util.Try(java.sql.Timestamp.valueOf(t).getTime).getOrElse(
           throw new IllegalArgumentException(
             s"gamma: timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")))
-      Some(versionAtTimestamp(rootOf(options), ms))
+      val root = rootOf(options)
+      // memoized: inferSchema and getTable both resolve the same read's
+      // options — without the memo a commit landing between the two calls
+      // could pin the schema and the scan to DIFFERENT versions. Also
+      // semantically stable across reads: commit stamps only grow, so a
+      // (root, ts) pair can never resolve to a different version later.
+      if (tsResolveCache.size > 4096) tsResolveCache.clear()
+      Some(tsResolveCache.getOrElseUpdate((root, ms), versionAtTimestamp(root, ms)))
     } else None
   }
 
+  private val tsResolveCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
   /** The newest retained commit at or before `tsMillis`. The commit clock
     * is the manifest's own committedAtMs stamp (survives filesystem
-    * copies); legacy pre-stamp manifests fall back to file mtime.
+    * copies); legacy pre-stamp manifests fall back to file mtime. Commits
+    * are sequential (single-writer contract), so stamps are monotone in
+    * version — resolution BINARY-SEARCHES the retained versions and reads
+    * O(log n) manifests, not all n (at 10^5 retained commits the previous
+    * shape paid 10^5 small reads per time-travel read).
     */
   def versionAtTimestamp(root: String, tsMillis: Long): Long = {
     val spark = SparkSession.active
     val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stampRe = "\"committedAtMs\":(\\d+)".r
-    val candidates = fs.listStatus(metaDir).toSeq.flatMap { st =>
+    // ONE listing: version + status (the mtime rides along as the legacy
+    // fallback so no extra getFileStatus is ever needed)
+    val entries = fs.listStatus(metaDir).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("v") && n.endsWith(".json"))
         scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption
-          .map { v =>
-            val stamp = graft.core.ManifestIO
-              .readString(spark, st.getPath.toString)
-              .flatMap(j => stampRe.findFirstMatchIn(j).map(_.group(1).toLong))
-            (v, stamp.getOrElse(st.getModificationTime))
-          }
+          .map(v => (v, st))
       else None
+    }.sortBy(_._1)
+    def stampOf(i: Int): Long = {
+      val (_, st) = entries(i)
+      graft.core.ManifestIO.readString(spark, st.getPath.toString)
+        .flatMap(j => stampRe.findFirstMatchIn(j).map(_.group(1).toLong))
+        .getOrElse(st.getModificationTime)
     }
-    candidates.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"gamma: no snapshot at $root at or before " +
-          s"${java.time.Instant.ofEpochMilli(tsMillis)} " +
-          s"(history: ${candidates.map(_._1).sorted.mkString(", ")})"))
+    // rightmost version with stamp <= ts
+    var lo = 0; var hi = entries.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (stampOf(mid) <= tsMillis) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (ans < 0) throw new IllegalArgumentException(
+      s"gamma: no snapshot at $root at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"(history: ${entries.map(_._1).mkString(", ")})")
+    entries(ans)._1
   }
 
   def metaAt(root: String, asOf: Option[Long]): TableMeta = asOf match {

@@ -93,8 +93,9 @@ class IncrementalIndexer(
   // table version up to which the lists contain NO entries of tombstoned
   // keys — advanced only when the lists are actually purged (build,
   // compaction, HNSW rebuild). refresh() appends but never purges deletes
-  // (a delete marks rows without bumping their _version), so the stale-
-  // entry scan must look back to min(builtVersion, cleanedVersion)
+  // (tombstones stay in place until compaction, whatever their _version
+  // stamp says), so the stale-entry scan must look back to
+  // min(builtVersion, cleanedVersion)
   @volatile private var cleanedVersion: Long = -1L
 
   /** Buckets changed since this horizon are the only place stale or
@@ -442,12 +443,12 @@ class IncrementalIndexer(
   private def refreshHnsw(h: HnswIndex): Unit = {
     // rebuild trigger: fresh/updated rows (served by the exact tail) plus
     // the STANDING excluded set (purged keys whose graph entries remain).
-    // Tombstone rows themselves are deliberately NOT counted: a delete does
-    // not bump _version, so a tombstone cannot reveal whether it pre-dates
-    // the build (already absent from the graphs) — counting them fired
-    // spurious O(table) rebuilds on tables carrying old uncompacted
-    // tombstones. Deletes enter the trigger when compaction purges them
-    // into the excluded set, which bounds that set's growth.
+    // Tombstone rows themselves are deliberately NOT counted: counting
+    // them fired spurious O(table) rebuilds on tables carrying old
+    // uncompacted tombstones (pre-change-feed tombstones also carry no
+    // delete stamp, so age is not reliably knowable). Deletes enter the
+    // trigger when compaction purges them into the excluded set, which
+    // bounds that set's growth.
     val staleCnt = table.docsChangedSince(builtVersion)
       .filter(!col(DeletedCol) && col(VersionCol) > builtVersion).count()
     val exclCnt = h.excluded.map(_.count()).getOrElse(0L)

@@ -213,6 +213,56 @@ class GammaTable private (
     if (paths.isEmpty) None else Some(readData(paths))
   }
 
+  /** Incremental change feed: NET row-level changes committed in
+    * `(fromVersion, toVersion]`, derived from the `_version` stamps every
+    * upsert and delete writes — the Delta-CDF analog of the reference's
+    * migration source (storage/migrate_data.cc:1-136). One row per key
+    * that changed: its state AT `toVersion` plus `_change_type`
+    * (`upsert` | `delete`) and `_change_version` (the commit that last
+    * touched it). A key updated twice in the range appears once with its
+    * final value; inserted-then-deleted appears as a `delete` the
+    * consumer can drop. `changes(0, current)` replays the whole live
+    * state — exactly what downstream index/BM25 maintenance consumes
+    * internally via [[docsChangedSince]].
+    *
+    * Scale: reads ONLY buckets whose version moved in the range (O(churn)
+    * of the window, not O(table)); resolution is manifest-driven with
+    * zero extra jobs. Fails loudly when `vacuum()` has retired the
+    * range's files or the `toVersion` manifest was never retained.
+    * Caveat (documented, Delta-like): `compact()` physically purges
+    * tombstones — a range spanning a compaction can miss delete events
+    * for rows whose tombstones were purged inside it.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"changes: need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
+    val metaTo =
+      if (toVersion == meta0.version) meta0
+      else GammaTable.readMetaVersionFor(spark, root, toVersion)
+    val paths = metaTo.bucketVersions.toSeq.collect {
+      case (b, bv) if bv > fromVersion => bucketPath(b.toLong, bv)
+    }
+    if (paths.isEmpty)
+      return decodeStored(allDocs.limit(0))
+        .withColumn(ChangeTypeCol, lit("upsert"))
+        .withColumn(ChangeVersionCol, col(VersionCol))
+        .drop(DeletedCol, BucketCol, VersionCol)
+    // vacuumed windows must fail loudly here, not as a mid-job file miss
+    val fs = new org.apache.hadoop.fs.Path(paths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gone = paths.filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (gone.nonEmpty) throw new NoSuchElementException(
+      s"changes($fromVersion, $toVersion]: ${gone.size} bucket version dir(s) " +
+        s"retired by vacuum() (first: ${gone.head}) — the window is no longer " +
+        "replayable; start from a retained snapshot instead")
+    decodeStored(readData(paths))
+      .filter(col(VersionCol) > fromVersion && col(VersionCol) <= toVersion)
+      .withColumn(ChangeTypeCol,
+        when(col(DeletedCol), lit("delete")).otherwise(lit("upsert")))
+      .withColumn(ChangeVersionCol, col(VersionCol))
+      .drop(DeletedCol, BucketCol, VersionCol)
+  }
+
   /** Write per-bucket data as version `v` in ONE Spark job: partitionBy
     * into a staging dir, then filesystem-rename each bucket partition into
     * its version path. Returns the buckets that actually contain rows
@@ -535,11 +585,17 @@ class GammaTable private (
     // no-op guard is required — a full-table rewrite for zero deletes is
     // the worst possible outcome at scale
     if (affected.nonEmpty) readBuckets(affected).foreach { existing =>
+      val v = meta0.version + 1
+      val newlyDel = coalesce(col("__del"), lit(false)) && !col(DeletedCol)
       val marked = existing
         .join(k.select(key).withColumn("__del", lit(true)), Seq(key), "left")
+        // newly-tombstoned rows are stamped with the delete's commit
+        // version — the change feed ([[changes]]) reads delete events off
+        // the same `_version` stamps upserts carry. Already-dead rows and
+        // misses keep their stamp (idempotent re-delete is not a change).
+        .withColumn(VersionCol, when(newlyDel, lit(v)).otherwise(col(VersionCol)))
         .withColumn(DeletedCol, col(DeletedCol) || coalesce(col("__del"), lit(false)))
         .drop("__del")
-      val v = meta0.version + 1
       val (written, stats) = writeVersion(marked, affected, v)
       commit(affected, written, v, 0L, stats)
     }
@@ -1025,6 +1081,9 @@ object GammaTable {
   val DeletedCol = "_deleted"
   val BucketCol = "_bucket"
   val VersionCol = "_version"
+  // change-feed output columns (not stored; synthesized by [[changes]])
+  val ChangeTypeCol = "_change_type"
+  val ChangeVersionCol = "_change_version"
 
   /** Extra exact candidates per vector field before multi-field
     * intersection (the reference over-fetches via `recall_num`,
@@ -1244,7 +1303,7 @@ object GammaTable {
     * `"version":N` in a fixed position, so a regex is exact. None = no
     * manifest yet (first write of a fresh root).
     */
-  private[table] def persistedVersion(spark: SparkSession, root: String): Option[Long] =
+  private[graft] def persistedVersion(spark: SparkSession, root: String): Option[Long] =
     graft.core.ManifestIO.readString(spark, s"$root/meta/meta.json").map { json =>
       "\"version\":(\\d+)".r.findFirstMatchIn(json) match {
         case Some(m) => m.group(1).toLong

@@ -276,6 +276,108 @@ class GammaCatalogSpec extends GraftSuite {
     }
   }
 
+  test("auto-resolved index entries revalidate on table version: SQL UPDATE is visible") {
+    val tbl = freshName("stale")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, p_size INT, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='4', 'vector.vec'='dim=64')""".stripMargin)
+    spark.read.parquet(s"$sf0/embeddings.parquet")
+      .createOrReplaceTempView("stale_ix_emb")
+    spark.sql(s"""INSERT INTO gcat.$tbl (_id, p_size, vec)
+                 |SELECT CAST(vec_id AS STRING), 1, embedding FROM stale_ix_emb""".stripMargin)
+    GammaTable.load(spark, s"$wh/$tbl")
+      .buildIndex("vec", graft.index.IndexParams(ncentroids = 4), persist = true)
+    graft.plans.AnnRewrite.install(spark)
+    graft.plans.IndexCatalog.clear()
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    val q = s"SELECT _id, p_size, l2_sq(vec, $qLit) AS score FROM gcat.$tbl " +
+      "ORDER BY score LIMIT 3"
+    try {
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      // first query populates the lazy cache (docs pinned at this version)
+      val before = spark.sql(q).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(before.values.forall(_ === 1))
+      // a commit through pure SQL moves the table version; the cached
+      // entry must be dropped and reloaded, not serve the old p_size
+      spark.sql(s"UPDATE gcat.$tbl SET p_size = 2")
+      val after = spark.sql(q).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(after.keySet === before.keySet)
+      assert(after.values.forall(_ === 2),
+        s"rewrite served stale docs after a SQL commit: $after")
+      // DROP + re-CREATE under the same name: the catalog unregisters the
+      // root, so the rewrite declines (no index) instead of serving the
+      // dropped table's rows
+      spark.sql(s"DROP TABLE gcat.$tbl")
+      spark.sql(s"CREATE TABLE gcat.$tbl (_id STRING, p_size INT, vec ARRAY<FLOAT>) " +
+        "TBLPROPERTIES ('key'='_id', 'buckets'='4', 'vector.vec'='dim=64')")
+      val df = spark.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("centroid_id"))
+      assert(df.collect().isEmpty)
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      graft.plans.IndexCatalog.clear()
+    }
+  }
+
+  test("CALL procedures: history, compact, vacuum drive maintenance from SQL") {
+    val tbl = freshName("proc")
+    spark.sql(s"CREATE TABLE gcat.$tbl (_id STRING, v INT) " +
+      "TBLPROPERTIES ('key'='_id', 'buckets'='2')")           // v0
+    Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v")
+      .createOrReplaceTempView("proc_src")
+    spark.sql(s"INSERT INTO gcat.$tbl (_id, v) SELECT _id, v FROM proc_src") // v1
+    spark.sql(s"INSERT INTO gcat.$tbl (_id, v) SELECT _id, v + 10 FROM proc_src " +
+      "WHERE _id = 'a'")                                                // v2
+    spark.sql(s"DELETE FROM gcat.$tbl WHERE _id = 'b'")                 // v3
+    // history through CALL matches the Scala surface
+    val hist = spark.sql(s"CALL gcat.system.history('$tbl')")
+      .select("version", "max_docid", "index_status").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val scalaHist = GammaTable.history(spark, s"$wh/$tbl")
+      .select("version", "max_docid", "index_status").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(hist === scalaHist && hist.map(_._1) === Seq(3L, 2L, 1L, 0L))
+    // compact purges the tombstone; live state unchanged               // v4
+    val compacted = spark.sql(s"CALL gcat.system.compact('$tbl')")
+      .collect().head.getInt(0)
+    assert(compacted > 0)
+    assert(spark.sql(s"SELECT _id, v FROM gcat.$tbl ORDER BY _id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("a", 11), ("c", 3)))
+    // vacuum with a retention window (named argument), then full
+    val kept = spark.sql(s"CALL gcat.system.vacuum('$tbl', retain => 1)")
+      .collect().head.getInt(0)
+    assert(kept >= 0)
+    assert(spark.sql(s"CALL gcat.system.vacuum('$tbl')")
+      .collect().head.getInt(0) >= 0)
+    // current state still serves after GC
+    assert(spark.sql(s"SELECT count(*) AS n FROM gcat.$tbl").as[Long].head() === 2L)
+    val e = intercept[Exception](spark.sql(s"CALL gcat.system.nosuch('$tbl')"))
+    // Spark wraps the catalog's "unknown procedure" as FAILED_TO_LOAD_ROUTINE
+    assert(e.getMessage.contains("nosuch"))
+  }
+
+  test("identifier segments refuse URI-special characters (path collision guard)") {
+    for (bad <- Seq("a#b", "a?b", "a%2eb", "a:b", "a/b")) {
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE gcat.`$bad` (_id STRING)"))
+      assert(e.getMessage.contains("illegal name segment"), s"'$bad': ${e.getMessage}")
+    }
+  }
+
+  test("unknown TBLPROPERTIES fail instead of silently defaulting") {
+    val tbl = freshName("typo")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.$tbl (_id STRING) TBLPROPERTIES ('bucket'='4')"))
+    assert(e.getMessage.contains("unknown table property 'bucket'"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>) " +
+        "TBLPROPERTIES ('Vector.vec'='dim=64')"))
+    assert(e2.getMessage.contains("unknown table property 'Vector.vec'"))
+  }
+
   test("DDL guardrails: bad vector prop, missing key, PARTITIONED BY, duplicate create") {
     val tbl = freshName("guard")
     intercept[Exception](spark.sql(

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GammaTable
+
+/** The incremental change feed: GammaTable.changes(from, to] and the
+  * `readStream.format("gamma")` streaming source built on it.
+  */
+class GammaChangeFeedSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_cdc").toString
+
+  private def events(df: org.apache.spark.sql.DataFrame): Map[String, (Int, String, Long)] =
+    df.select("_id", "v", "_change_type", "_change_version").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+
+  test("changes(from, to] replays net upserts and deletes with commit stamps") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdc", "_id",
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v"), nBuckets = 2) // v1
+    t.addOrUpdate(Seq(("b", 20), ("d", 4)).toDF("_id", "v"))            // v2
+    t.delete(Seq("a", "d").toDF("_id"))                                 // v3
+    // full window: a's insert is superseded by its delete (net semantics)
+    assert(events(t.changes(0, 3)) === Map(
+      "a" -> ((1, "delete", 3L)),
+      "b" -> ((20, "upsert", 2L)),
+      "c" -> ((3, "upsert", 1L)),
+      "d" -> ((4, "delete", 3L)))) // inserted-then-deleted nets to delete
+    // tail window (1, 3]: c's v1 insert is outside
+    assert(events(t.changes(1, 3)).keySet === Set("a", "b", "d"))
+    // delete-only window
+    assert(events(t.changes(2, 3)) ===
+      Map("a" -> ((1, "delete", 3L)), "d" -> ((4, "delete", 3L))))
+    // empty window at the head
+    assert(t.changes(3, 3).count() === 0)
+    // historical toVersion through the retained manifest
+    assert(events(t.changes(1, 2)) ===
+      Map("b" -> ((20, "upsert", 2L)), "d" -> ((4, "upsert", 2L))))
+    // re-deleting an already-dead key is NOT a new change event
+    t.delete(Seq("a").toDF("_id")) // v4
+    assert(t.changes(3, 4).count() === 0)
+  }
+
+  test("changes refuses a window vacuum() has retired") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdcv", "_id",
+      Seq(("a", 1)).toDF("_id", "v"), nBuckets = 1)   // v1
+    t.addOrUpdate(Seq(("a", 2)).toDF("_id", "v"))     // v2
+    t.addOrUpdate(Seq(("a", 3)).toDF("_id", "v"))     // v3
+    t.vacuum()
+    val e = intercept[NoSuchElementException](t.changes(1, 2).count())
+    assert(e.getMessage.contains("vacuum"))
+    // the current window stays replayable
+    assert(events(t.changes(2, 3)) === Map("a" -> ((3, "upsert", 3L))))
+  }
+
+  test("readStream.format(gamma) streams commit-versioned change batches") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdcs", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2) // v1
+    val q = spark.readStream.format("gamma").load(root)
+      .writeStream.format("memory").queryName("gamma_cdc_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val s1 = events(spark.table("gamma_cdc_sink"))
+      assert(s1 === Map("a" -> ((1, "upsert", 1L)), "b" -> ((2, "upsert", 1L))))
+      t.addOrUpdate(Seq(("b", 20), ("c", 3)).toDF("_id", "v")) // v2
+      t.delete(Seq("a").toDF("_id"))                           // v3
+      q.processAllAvailable()
+      val s2 = events(spark.table("gamma_cdc_sink"))
+      // appended events from (1, 3]: b/c upserts at v2, a delete at v3
+      assert(s2.get("b").map(_._1) === Some(20))
+      assert(s2.get("c") === Some((3, "upsert", 2L)))
+      assert(spark.table("gamma_cdc_sink")
+        .filter($"_id" === "a" && $"_change_type" === "delete").count() === 1)
+    } finally q.stop()
+  }
+
+  test("startingVersion skips the backfill") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdct", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2) // v1
+    t.addOrUpdate(Seq(("c", 3)).toDF("_id", "v"))             // v2
+    val q = spark.readStream.format("gamma")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName("gamma_cdc_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(events(spark.table("gamma_cdc_tail")).keySet === Set("c"))
+    } finally q.stop()
+  }
+}

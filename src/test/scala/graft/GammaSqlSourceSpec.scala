@@ -200,4 +200,31 @@ class GammaSqlSourceSpec extends GraftSuite {
       graft.plans.IndexCatalog.unregister(root)
     }
   }
+
+  test("timestampAsOf resolution binary-searches the retained manifests (O(log n) reads)") {
+    val root = tmp()
+    GammaTable.create(spark, root, "tsbin", "_id",
+      Seq(("a", 1)).toDF("_id", "v"), nBuckets = 1) // v1 (real stamp = now)
+    // synthesize a deep retained history: 1000 versioned manifests with
+    // monotone future stamps (resolution only reads the stamp field)
+    val base = 4_000_000_000_000L // far future, keeps stamps monotone vs v1
+    val metaDir = java.nio.file.Paths.get(root, "meta")
+    (2 to 1001).foreach { v =>
+      java.nio.file.Files.write(metaDir.resolve(s"v$v.json"),
+        s"""{"version":$v,"committedAtMs":${base + v}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val before = graft.core.ManifestIO.readCount.get()
+    val got = graft.sources.GammaSql.versionAtTimestamp(root, base + 700)
+    val reads = graft.core.ManifestIO.readCount.get() - before
+    assert(got === 700L)
+    // 1001 retained versions -> ceil(log2) + slack; the pre-fix shape read
+    // every manifest (1001 reads)
+    assert(reads <= 12, s"expected O(log n) manifest reads, got $reads")
+    // boundaries: before the first fake stamp resolves to the real v1;
+    // after the last resolves to the newest
+    assert(graft.sources.GammaSql.versionAtTimestamp(root, base + 5000) === 1001L)
+    assert(graft.sources.GammaSql.versionAtTimestamp(
+      root, System.currentTimeMillis() + 60000) === 1L)
+  }
 }
