@@ -219,6 +219,9 @@ case class GammaMergeCommand(
       /** Full-width row build: every data column, assigned value where the
         * action provides one, carried target value otherwise (for insert
         * rows there is no target — absent columns become typed nulls).
+        * An assignment to `_docid` (star expansion covers the exposed
+        * docid; the source must carry one) is storage-ignored — the
+        * table assigns docids.
         */
       def assignedRows(rows: DataFrame, assignments: Seq[Assignment],
           carryTarget: Boolean): DataFrame = {
@@ -245,11 +248,25 @@ case class GammaMergeCommand(
         val dels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         splits(rows, actions).foreach {
           case (UpdateAction(_, as, _), df) =>
-            require(!as.exists(_.key match {
-              case ar: AttributeReference => ar.name == key; case _ => false
-            }) || !carryTarget,
-              s"gamma MERGE cannot reassign the table key '$key'")
-            ups += assignedRows(df, as, carryTarget)
+            // a key "assignment" is legal only as identity (UPDATE SET *
+            // expands one from the ON equality): verify it changes no
+            // key, then carry the TARGET key — a real key change is
+            // DELETE + INSERT, not an in-place update
+            val keyAssign = as.collectFirst {
+              case a if a.key.isInstanceOf[AttributeReference] &&
+                a.key.asInstanceOf[AttributeReference].name == key => a.value
+            }
+            if (carryTarget) keyAssign.foreach { kv =>
+              val changed = df.filter(
+                !(Bridge.column(kv) <=> tAttr(key))).limit(1).count()
+              require(changed == 0,
+                s"gamma MERGE cannot reassign the table key '$key' — a key " +
+                  "change is DELETE + INSERT (docs are addressed by key)")
+            }
+            val effective = as.filterNot(a =>
+              a.key.isInstanceOf[AttributeReference] &&
+                a.key.asInstanceOf[AttributeReference].name == key && carryTarget)
+            ups += assignedRows(df, effective, carryTarget)
           case (InsertAction(_, as), df) => ups += assignedRows(df, as, carryTarget = false)
           case (DeleteAction(_), df) => dels += df.select(tAttr(key).as(key))
           case (other, _) => throw new UnsupportedOperationException(

@@ -1233,6 +1233,28 @@ object GammaTable {
     * re-attaching any persisted ANN indexes found under `root/index/<field>`
     * (the reference replays its newest `dump.done` index dirs on Load).
     */
+  /** Run `f` against a fresh handle, reloading and retrying when another
+    * writer's commit races it (the sanctioned recovery path for
+    * `ConcurrentModificationException` from the single-writer guard):
+    * {{{
+    * GammaTable.withRetryReload(spark, root) { t => t.addOrUpdate(delta) }
+    * }}}
+    * Retrying re-runs `f` on the RELOADED state — `f` must be an
+    * idempotent-by-key write (every engine verb is: upserts re-apply,
+    * deletes re-mark). Bounded attempts; the last failure propagates.
+    */
+  def withRetryReload[A](spark: SparkSession, root: String, maxAttempts: Int = 3)
+      (f: GammaTable => A): A = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var last: java.util.ConcurrentModificationException = null
+    var i = 0
+    while (i < maxAttempts) {
+      try return f(load(spark, root))
+      catch { case e: java.util.ConcurrentModificationException => last = e; i += 1 }
+    }
+    throw last
+  }
+
   def load(spark: SparkSession, root: String): GammaTable = {
     val t = new GammaTable(spark, root, readMeta(spark, s"$root/meta"))
     val ixRoot = new org.apache.hadoop.fs.Path(s"$root/index")

@@ -101,6 +101,27 @@ class GammaDmlSpec extends GraftSuite {
       "b" -> ((2, "orphan")))) // c deleted by the first NMBS action
   }
 
+  test("MERGE star actions: UPDATE SET * / INSERT * map source columns by name") {
+    val root = tmp()
+    GammaTable.create(spark, root, "star", "_id",
+      Seq(("a", 1, "ta"), ("b", 2, "tb")).toDF("_id", "v", "tag"), nBuckets = 2)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_star USING gamma OPTIONS (path '$root')")
+    // star expansion covers every exposed target column including _docid,
+    // so the source carries a null one (the table assigns docids; the
+    // assignment is storage-ignored)
+    Seq(("a", 100, "sa"), ("c", 300, "sc")).toDF("_id", "v", "tag")
+      .withColumn("_docid", lit(null).cast("long"))
+      .createOrReplaceTempView("dml_star_src")
+    spark.sql(
+      """MERGE INTO dml_star t USING dml_star_src s ON t._id = s._id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.table("dml_star").select("_id", "v", "tag").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got === Map(
+      "a" -> ((100, "sa")), "b" -> ((2, "tb")), "c" -> ((300, "sc"))))
+  }
+
   test("MERGE rejects a target row matched by two source rows") {
     val (v, _) = mkView(base)
     Seq(("a", 1), ("a", 2)).toDF("sid", "sv").createOrReplaceTempView("dml_dup")

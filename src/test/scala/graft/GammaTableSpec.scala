@@ -689,6 +689,21 @@ class GammaTableSpec extends GraftSuite {
     assert(h3.docs.select(sum("v")).as[Long].head() === 30L)
   }
 
+  test("withRetryReload recovers a stale handle's write by reloading") {
+    val root = tmp()
+    GammaTable.create(spark, root, "rr", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2)
+    val stale = GammaTable.load(spark, root)
+    GammaTable.load(spark, root).addOrUpdate(Seq(("a", 10)).toDF("_id", "v"))
+    // direct write on the stale handle refuses; the helper reloads+retries
+    intercept[java.util.ConcurrentModificationException](
+      stale.addOrUpdate(Seq(("b", 20)).toDF("_id", "v")))
+    GammaTable.withRetryReload(spark, root) { t =>
+      t.addOrUpdate(Seq(("b", 20)).toDF("_id", "v"))
+    }
+    assert(GammaTable.load(spark, root).docs.select(sum("v")).as[Long].head() === 30L)
+  }
+
   test("partial-field upsert preserves the columns the delta omits (R1 field patch)") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "patch", "_id",
