@@ -2735,6 +2735,7 @@ object SparkEntry {
         |  ('spark.graft.hnsw.adaptiveEf', 'true'),
         |  ('spark.graft.hnsw.maxExcludedRows', '2000000'),
         |  ('spark.graft.ivf.adaptiveProbe', 'true'),
+        |  ('spark.graft.table.lease', 'false'),
         |  ('spark.graft.topk.sortedMinGroups', '1000000'),
         |  ('spark.graft.topk.sortedMaxInflation', '8')
         |) AS t(conf_key, conf_default)""".stripMargin,

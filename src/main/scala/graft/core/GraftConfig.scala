@@ -59,7 +59,13 @@ object GraftConfig {
     Knob("spark.graft.topk.sortedMaxInflation", "8",
       "Volume-aware per-group top-k: the sorted shape is chosen only " +
         "while candidate rows <= inflation * groups * k (its Exchange " +
-        "carries every candidate row; the heap's carries ~groups*k)."))
+        "carries every candidate row; the heap's carries ~groups*k)."),
+    Knob("spark.graft.table.lease", "false",
+      "Opt-in commit lease: writes take an exclusive TTL'd lock file " +
+        "(meta/commit.lock) before the version guard, shrinking the " +
+        "guard's read-check-write window to the filesystem's " +
+        "create-atomicity. Best effort (object-store creates may not be " +
+        "atomic); the version guard stays authoritative."))
 
   private val byKey: Map[String, Knob] = knobs.map(k => k.key -> k).toMap
 
@@ -91,4 +97,8 @@ object GraftConfig {
       s"unknown graft config '$key'; known: ${knobs.map(_.key).mkString(", ")}")
     spark.conf.unset(key)
   }
+
+  /** Typed read of the commit-lease knob (hot path of every write). */
+  def leaseEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.table.lease").exists(_.toBoolean)
 }

@@ -1043,14 +1043,59 @@ class GammaTable private (
     * targets don't offer one), but it converts the common stale-handle
     * case from silent data loss into an error.
     */
-  private def guardStale(): Unit =
+  private def guardStale(): Unit = {
+    // optional commit lease (spark.graft.table.lease=true): an exclusive
+    // lock-file create BEFORE the version check shrinks the guard's
+    // read-check-write window to the filesystem's create-atomicity.
+    // Best-effort by design — local/HDFS creates are atomic, object
+    // stores may not be — and TTL'd so a crashed writer cannot wedge the
+    // table. The version guard below stays authoritative either way.
+    acquireLease()
     GammaTable.persistedVersion(spark, root).foreach { diskV =>
-      if (diskV > meta0.version)
+      if (diskV > meta0.version) {
+        releaseLease()
         throw new java.util.ConcurrentModificationException(
           s"table at $root is at v$diskV on disk but this handle loaded " +
             s"v${meta0.version} — another writer committed since; reload " +
             "the table and retry")
+      }
     }
+  }
+
+  private def leaseEnabled: Boolean =
+    graft.core.GraftConfig.leaseEnabled(spark)
+
+  @volatile private var leaseHeld = false
+  private def leaseFile = new org.apache.hadoop.fs.Path(s"$root/meta/commit.lock")
+
+  private def acquireLease(): Unit = if (leaseEnabled) {
+    val p = leaseFile
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    def tryCreate(): Boolean =
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val st = scala.util.Try(fs.getFileStatus(p)).toOption
+      val stale = st.forall(s =>
+        System.currentTimeMillis() - s.getModificationTime > GammaTable.LeaseTtlMs)
+      if (!(stale && { fs.delete(p, false); tryCreate() }))
+        throw new java.util.ConcurrentModificationException(
+          s"table at $root: another writer holds the commit lease " +
+            s"($p; expires ${GammaTable.LeaseTtlMs} ms after its mtime) — " +
+            "retry after it commits or the lease expires")
+    }
+    leaseHeld = true
+  }
+
+  // only the holder releases — setIndexStatus's writeMeta (no guard) must
+  // not delete a lease some OTHER writer is holding
+  private def releaseLease(): Unit = if (leaseHeld) {
+    leaseHeld = false
+    val p = leaseFile
+    scala.util.Try(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false))
+  }
 
   private def writeMeta(): Unit = {
     // second line of the guard, at the manifest swap itself: the persisted
@@ -1067,6 +1112,7 @@ class GammaTable private (
     val json = GammaTable.metaJson(meta0)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", "meta.json", json)
     GammaTable.writeJsonAtomic(spark, s"$root/meta", s"v${meta0.version}.json", json)
+    releaseLease()
   }
 
   private def touchMarker(p: String): Unit = {
@@ -1090,6 +1136,11 @@ object GammaTable {
     * index/impl/gamma_index_ivfpq.h:633).
     */
   val CandidateFactor = 4
+
+  /** Commit-lease expiry: a crashed writer's lock file is overridable
+    * this long after its mtime (see guardStale / acquireLease).
+    */
+  val LeaseTtlMs = 60000L
 
   private[graft] def bucketOf(keyCol: Column, n: Int): Column =
     pmod(xxhash64(keyCol), lit(n.toLong))

@@ -689,6 +689,30 @@ class GammaTableSpec extends GraftSuite {
     assert(h3.docs.select(sum("v")).as[Long].head() === 30L)
   }
 
+  test("commit lease (opt-in): held blocks, released after commit, stale overridable") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "lease", "_id",
+      Seq(("a", 1)).toDF("_id", "v"), nBuckets = 2)
+    spark.conf.set("spark.graft.table.lease", "true")
+    try {
+      val lock = new org.apache.hadoop.fs.Path(s"$root/meta/commit.lock")
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a normal write acquires and RELEASES — no lock left behind
+      t.addOrUpdate(Seq(("a", 2)).toDF("_id", "v"))
+      assert(!fs.exists(lock))
+      // a FRESH foreign lock blocks the write with the lease message
+      fs.create(lock, false).close()
+      val e = intercept[java.util.ConcurrentModificationException](
+        t.addOrUpdate(Seq(("a", 3)).toDF("_id", "v")))
+      assert(e.getMessage.contains("lease"))
+      // a STALE lock (mtime beyond the TTL) is overridden and the write wins
+      fs.setTimes(lock, System.currentTimeMillis() - GammaTable.LeaseTtlMs - 1000, -1)
+      t.addOrUpdate(Seq(("a", 4)).toDF("_id", "v"))
+      assert(!fs.exists(lock))
+      assert(t.docs.filter($"_id" === "a").select("v").as[Int].head() === 4)
+    } finally spark.conf.unset("spark.graft.table.lease")
+  }
+
   test("withRetryReload recovers a stale handle's write by reloading") {
     val root = tmp()
     GammaTable.create(spark, root, "rr", "_id",

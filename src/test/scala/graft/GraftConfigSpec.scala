@@ -21,6 +21,7 @@ class GraftConfigSpec extends GraftSuite {
       "spark.graft.hnsw.adaptiveEf",
       "spark.graft.hnsw.maxExcludedRows",
       "spark.graft.ivf.adaptiveProbe",
+      "spark.graft.table.lease",
       "spark.graft.topk.sortedMinGroups",
       "spark.graft.topk.sortedMaxInflation"))
   }
