@@ -1,8 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.GammaTable
 
@@ -67,6 +72,57 @@ object GammaStreamOffset {
     case GammaStreamOffset(v) => v
     case other => other.json.trim.toLong
   }
+}
+
+/** Batch read of the change feed through the same `gamma` format:
+  * {{{
+  * spark.read.format("gamma")
+  *   .option("changesFrom", 1).option("changesTo", 3)  // window (1, 3]
+  *   .load(root)
+  * }}}
+  * `changesTo` defaults to the version committed when the scan is built
+  * (pinned per scan, snapshot-consistent). Read-only — the SQL analog of
+  * `GammaTable.changes` for external CDC consumers without a Scala
+  * handle.
+  */
+class GammaChangesTable(
+    val root: String, fromVersion: Long, toVersion: Option[Long])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"gamma-changes($root (${fromVersion}, ${toVersion.getOrElse("current")}])"
+
+  override def schema(): StructType = GammaChangeStream.schemaFor(root)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with V1Scan {
+        // pin the window at scan build: a concurrent commit cannot move
+        // the upper bound mid-query
+        private val toV = toVersion.orElse(
+          GammaTable.persistedVersion(SparkSession.active, root)).getOrElse(0L)
+        override def readSchema(): StructType = schema()
+        override def description(): String =
+          s"gamma-changes $root ($fromVersion, $toV]"
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = GammaChangeStream.schemaFor(root)
+            override def needConversion: Boolean = false
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val t = GammaTable.load(context.sparkSession, root)
+              t.changes(fromVersion, toV).queryExecution.toRdd
+                .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+            }
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 private[sources] object GammaChangeStream {

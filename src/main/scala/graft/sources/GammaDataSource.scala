@@ -83,7 +83,8 @@ class GammaDataSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GammaSql.rootOf(options)
-    GammaSql.exposedSchema(
+    if (options.containsKey("changesFrom")) GammaChangeStream.schemaFor(root)
+    else GammaSql.exposedSchema(
       GammaSql.metaAt(root, GammaSql.asOfOf(options)), root)
   }
 
@@ -92,7 +93,12 @@ class GammaDataSource extends TableProvider with DataSourceRegister
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GammaSqlTable(GammaSql.rootOf(opts), GammaSql.asOfOf(opts))
+    val root = GammaSql.rootOf(opts)
+    if (opts.containsKey("changesFrom"))
+      new GammaChangesTable(root,
+        opts.get("changesFrom").toLong,
+        Option(opts.get("changesTo")).map(_.toLong))
+    else new GammaSqlTable(root, GammaSql.asOfOf(opts))
   }
 }
 

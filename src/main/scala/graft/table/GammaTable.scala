@@ -1220,6 +1220,9 @@ object GammaTable {
     val t = new GammaTable(spark, root,
       TableMeta(name, keyField, nBuckets, 0L, 0L, Map.empty, vectorFields, "UNINDEXED"))
     t.addOrUpdate(initial)
+    // an EMPTY initial batch commits nothing (the empty-delta guard), but
+    // a created table must still be loadable — persist the v0 manifest
+    if (t.meta0.version == 0L) t.writeMeta()
     t
   }
 

@@ -82,6 +82,61 @@ class GammaChangeFeedSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("batch read: spark.read.format(gamma).option(changesFrom/changesTo)") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdcb", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2) // v1
+    t.addOrUpdate(Seq(("b", 20), ("c", 3)).toDF("_id", "v"))  // v2
+    t.delete(Seq("a").toDF("_id"))                            // v3
+    val win = spark.read.format("gamma")
+      .option("changesFrom", "1").option("changesTo", "2").load(root)
+    assert(events(win) ===
+      Map("b" -> ((20, "upsert", 2L)), "c" -> ((3, "upsert", 2L))))
+    // changesTo defaults to the current committed version
+    val toHead = spark.read.format("gamma").option("changesFrom", "2").load(root)
+    assert(events(toHead) === Map("a" -> ((1, "delete", 3L))))
+    // SQL view over the feed works too
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cdc_sql USING gamma " +
+      s"OPTIONS (path '$root', changesFrom '0')")
+    assert(spark.sql("SELECT count(*) AS n FROM cdc_sql WHERE _change_type = 'upsert'")
+      .as[Long].head() === 2L) // b (v2 state), c; a nets to delete
+  }
+
+  test("CDC replication: the feed drives a second table to the same state") {
+    val srcRoot = tmp()
+    val dstRoot = tmp()
+    val src = GammaTable.create(spark, srcRoot, "cdc_src", "_id",
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v"), nBuckets = 2)
+    GammaTable.create(spark, dstRoot, "cdc_dst", "_id",
+      Seq.empty[(String, Int)].toDF("_id", "v"), nBuckets = 2)
+    // the external-consumer loop the feed exists for: apply each change
+    // batch to a REPLICA table through the same upsert/delete verbs the
+    // engine's own maintenance uses (foreachBatch = StreamingIngest's
+    // consumption shape)
+    val q = spark.readStream.format("gamma").load(srcRoot)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dst = GammaTable.load(spark, dstRoot)
+        val ups = batch.filter(col("_change_type") === "upsert")
+          .select("_id", "v")
+        val dels = batch.filter(col("_change_type") === "delete").select("_id")
+        if (!ups.isEmpty) dst.addOrUpdate(ups)
+        if (!dels.isEmpty) dst.delete(dels)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      src.addOrUpdate(Seq(("b", 20), ("d", 4)).toDF("_id", "v"))
+      src.delete(Seq("a").toDF("_id"))
+      q.processAllAvailable()
+      def state(root: String) = GammaTable.load(spark, root).docs
+        .select("_id", "v").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(state(dstRoot) === state(srcRoot))
+      assert(state(dstRoot) === Map("b" -> 20, "c" -> 3, "d" -> 4))
+    } finally q.stop()
+  }
+
   test("startingVersion skips the backfill") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "cdct", "_id",
