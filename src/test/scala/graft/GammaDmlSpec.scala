@@ -131,6 +131,22 @@ class GammaDmlSpec extends GraftSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("UPDATE by key rewrites exactly the key's bucket (manifest-diff bound)") {
+    val root = tmp()
+    GammaTable.create(spark, root, "wamp", "_id",
+      (0 until 64).map(i => (s"k$i", i)).toDF("_id", "v"), nBuckets = 8)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_wamp USING gamma OPTIONS (path '$root')")
+    val before = GammaTable.load(spark, root).meta.bucketVersions
+    spark.sql("UPDATE dml_wamp SET v = -1 WHERE _id = 'k7'")
+    val after = GammaTable.load(spark, root).meta.bucketVersions
+    val moved = after.keySet.filter(b => before.get(b) != after.get(b))
+    // write amplification is ONE bucket of 8: the narrow delta hashes to
+    // the key's bucket and the merge rewrites only that
+    assert(moved.size === 1, s"expected 1 rewritten bucket, got $moved")
+    assert(spark.table("dml_wamp").filter($"_id" === "k7")
+      .select("v").as[Int].head() === -1)
+  }
+
   test("DELETE FROM with a subquery predicate routes through deleteByQuery") {
     val (v, _) = mkView(base)
     Seq("a", "c").toDF("did").createOrReplaceTempView("dml_del")

@@ -479,6 +479,34 @@ class PropertySpec extends AnyFunSuite {
       val cur = spark.read.format("gamma").load(root)
         .select("_id", "v").as[(String, Int)].collect().toMap
       assert(cur === expect.toMap)
+
+      // change-feed invariant: applying ANY window's net events
+      // (upsert = put, delete = remove) to the window-start snapshot
+      // yields the window-end snapshot — stamps, net semantics and
+      // window filtering all have to be right for every pair to match
+      def applyFeed(base: Map[String, Int], from: Long, to: Long): Map[String, Int] = {
+        val events = spark.read.format("gamma")
+          .option("changesFrom", from).option("changesTo", to).load(root)
+          .select("_id", "v", "_change_type")
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        events.foldLeft(base) {
+          case (m, (k, v, "upsert")) => m + (k -> v)
+          case (m, (k, _, "delete")) => m - k
+          case (m, _) => m
+        }
+      }
+      val versions = states.keys.toSeq.sorted
+      versions.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(applyFeed(states(a), a, b) === states(b), s"window ($a, $b]")
+        case _ =>
+      }
+      // full replay from empty, and one random wider window
+      assert(applyFeed(Map.empty, 0, versions.last) === states(versions.last))
+      val i = rng.nextInt(versions.length - 1)
+      val j = i + 1 + rng.nextInt(versions.length - 1 - i)
+      assert(applyFeed(states(versions(i)), versions(i), versions(j)) ===
+        states(versions(j)), s"window (${versions(i)}, ${versions(j)}]")
     }
   }
 }
