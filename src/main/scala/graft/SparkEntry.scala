@@ -1531,6 +1531,45 @@ object SparkEntry {
         md5(col("text")).as("sig"))
     }),
 
+    // REAL image decode (r12 — the decode kernels stop being stubs for
+    // every JDK-decodable format): per doc, a synthesized PNG (row
+    // filters cycling 0-4, zlib IDAT) or 24-bit BMP carrying pixels from
+    // a closed-form generator; the engine decodes (inflate + unfilter /
+    // BGR de-pad) in ONE mapPartitions pass and emits exact per-channel
+    // integer sums, which the oracle recomputes from the same generator
+    // arithmetic — so the whole codec path is hash-checked row by row.
+    // Pixels never leave the executor (only the bounded stats do).
+    "q_media_decode" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.MediaDecode.synthImagePayload(ids, "doc_id")
+      graft.media.MediaDecode.imageStats(payloads, "doc_id", "bytes")
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+    }),
+
+    // REAL resize: decode -> nearest-neighbor resample to 8x8 -> channel
+    // sums in the same pass; the oracle recomputes the resample's source
+    // coordinates ((x*w)//8, (y*h)//8) exactly.
+    "q_media_resize" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.MediaDecode.synthImagePayload(ids, "doc_id")
+      graft.media.MediaDecode.resizeStats(payloads, "doc_id", "bytes", 8, 8)
+    }),
+
+    // REAL audio decode: WAV-PCM16 payloads from a closed-form sample
+    // generator; the engine walks RIFF chunks, decodes PCM and emits
+    // exact integer statistics (energy, L1, peak) per doc.
+    "q_media_audio" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.MediaDecode.synthAudioPayload(ids, "doc_id")
+      graft.media.MediaDecode.audioStats(payloads, "doc_id", "bytes")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_sq"), col("sum_abs"), col("peak"))
+    }),
+
     // S12 — TEXMEX vecs source: export a slice of the embeddings table to
     // an fvecs file (the reference's benchmark corpus format, fvecs_read
     // in tests/test.h:274-304), read it back through the splittable
@@ -3331,6 +3370,58 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS nbytes,
         |       md5(text) AS sig
         |FROM documents""".stripMargin,
+
+    // the decode oracle recomputes the fixture generator's closed form:
+    // channel c of (x, y) in doc id is (31*id + 7*x + 13*y + 97*c) % 256
+    // over an (8 + id%9) x (8 + id*3%9) image
+    "q_media_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+        |         CAST(8 + (doc_id * 3) % 9 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, xs.x AS x, ys.y AS y
+        |  FROM dims d, generate_series(0, 16) xs(x), generate_series(0, 16) ys(y)
+        |  WHERE xs.x < d.width AND ys.y < d.height)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |       width, height,
+        |       CAST(sum((31*doc_id + 7*x + 13*y) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((31*doc_id + 7*x + 13*y + 97) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((31*doc_id + 7*x + 13*y + 194) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // nearest-neighbor source coordinates: sx=(x*w)//8, sy=(y*h)//8
+    "q_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |         CAST(8 + (doc_id * 3) % 9 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, (xs.x * d.w) // 8 AS sx, (ys.y * d.h) // 8 AS sy
+        |  FROM dims d, generate_series(0, 7) xs(x), generate_series(0, 7) ys(y))
+        |SELECT doc_id,
+        |       CAST(sum((31*doc_id + 7*sx + 13*sy) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((31*doc_id + 7*sx + 13*sy + 97) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((31*doc_id + 7*sx + 13*sy + 194) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1""".stripMargin,
+
+    // WAV sample generator: (17*id + 29*i) % 2001 - 1000 over 64 + id%64
+    // samples at 8000 + (id%3)*4000 Hz
+    "q_media_audio" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n,
+        |         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n.n, sample_rate,
+        |         (17*doc_id + 29*i.i) % 2001 - 1000 AS v
+        |  FROM n, generate_series(0, 127) i(i) WHERE i.i < n.n)
+        |SELECT doc_id, sample_rate, CAST(max(n) AS BIGINT) AS n_samples,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_mix_sample" ->
       """SELECT doc_id, lang FROM documents

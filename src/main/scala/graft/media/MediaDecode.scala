@@ -1,0 +1,239 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import MediaCodecs.{Audio, Image}
+
+/** REAL decode + feature operators over opaque media `binary` columns —
+  * the round-12 replacement for MediaOps' documented md5-fake kernels on
+  * every format the JDK can decode (PNG / BMP / WAV-PCM; JPEG/MP4 stay
+  * header-only, see [[MediaCodecs]]).
+  *
+  * Scale design (what matters at 100 TB):
+  *  - decode and statistics happen in ONE `mapPartitions` pass and only
+  *    the bounded stats leave the executor — raw pixels/samples never
+  *    materialize into a column, so nothing pixel-sized ever crosses an
+  *    Exchange;
+  *  - resize is decode -> resample -> stats in the same pass (an export
+  *    variant would re-encode in place — same shape);
+  *  - all statistics are exact integers (channel sums, squared sums,
+  *    peak, perceptual-hash bits), so a DuckDB oracle can recompute them
+  *    from the synthetic generator's closed form and hash-match.
+  */
+object MediaDecode {
+
+  /** Deterministic pixel generator shared by the fixtures and the gate
+    * oracles: channel c of (x, y) in doc `id` is
+    * `(31*id + 7*x + 13*y + 97*c) mod 256`.
+    */
+  @inline private def pixel(id: Long, x: Int, y: Int, c: Int): Byte =
+    (((31L * id + 7L * x + 13L * y + 97L * c) % 256L) & 0xffL).toByte
+
+  private def dimsOf(id: Long): (Int, Int) =
+    ((8 + (id % 9)).toInt, (8 + ((id * 3) % 9)).toInt)
+
+  /** Synthesize REAL image payloads (even ids PNG — with the row filter
+    * cycling 0..4 so the decoder's filter paths all run on real data —
+    * odd ids 24-bit BMP) carrying the deterministic pixels. Output:
+    * (idCol, bytes).
+    */
+  def synthImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (w, h) = dimsOf(id)
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            px(d) = pixel(id, x, y, 0)
+            px(d + 1) = pixel(id, x, y, 1)
+            px(d + 2) = pixel(id, x, y, 2)
+            x += 1
+          }
+          y += 1
+        }
+        val img = Image(w, h, 3, px)
+        val bytes =
+          if (id % 2 == 0) MediaCodecs.encodePng(img, filters = row => (row + id.toInt) % 5)
+          else MediaCodecs.encodeBmp(img)
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Synthesize REAL WAV-PCM payloads: mono, `64 + id % 64` samples of
+    * `(17*id + 29*i) mod 2001 - 1000`, rate `8000 + (id % 3) * 4000`.
+    */
+  def synthAudioPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (64 + (id % 64)).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((17L * id + 29L * i) % 2001L) - 1000L).toShort)
+        Row(id, MediaCodecs.encodeWav(
+          Audio((8000 + (id % 3) * 4000).toInt, 1, samples)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  private def sniffDecode(bytes: Array[Byte]): (String, Image) =
+    if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      ("bmp", MediaCodecs.decodeBmp(bytes))
+    else ("png", MediaCodecs.decodePng(bytes))
+
+  /** Decode + per-channel integer sums + 64-bit average-hash, one pass:
+    * (id, fmt, width, height, channels, r_sum, g_sum, b_sum, ahash64).
+    * The aHash is the standard near-dup image fingerprint: nearest-
+    * neighbor 8x8 grayscale, bit set where the cell exceeds the mean.
+    */
+  def imageStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("ahash64", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, img) = sniffDecode(r.getAs[Array[Byte]](bIdx))
+        val ch = img.channels
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) {
+          val c = i % ch
+          if (c < 3) sums(c) += img.pixels(i) & 0xff // alpha excluded
+          i += 1
+        }
+        Row(r.getLong(idIdx), fmt, img.width, img.height, ch,
+          sums(0), sums(1), sums(2), ahash64(img))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Nearest-neighbor resample to (W, H) then channel sums, one pass —
+    * the real resize kernel measured by its exact output instead of a
+    * metadata rewrite: (id, r_sum, g_sum, b_sum).
+    */
+  def resizeStats(df: DataFrame, idCol: String, bytesCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, img) = sniffDecode(r.getAs[Array[Byte]](bIdx))
+        val rs = resampleNearest(img, targetW, targetH)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rs.pixels.length) {
+          val c = i % rs.channels
+          if (c < 3) sums(c) += rs.pixels(i) & 0xff
+          i += 1
+        }
+        Row(r.getLong(idIdx), sums(0), sums(1), sums(2))
+      }
+    }(Encoders.row(schema))
+  }
+
+  private[graft] def resampleNearest(img: Image, tw: Int, th: Int): Image = {
+    val out = new Array[Byte](tw * th * img.channels)
+    val ch = img.channels
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        var c = 0
+        while (c < ch) {
+          out((y * tw + x) * ch + c) = img.pixels((sy * img.width + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(tw, th, ch, out)
+  }
+
+  /** 64-bit average hash: 8x8 nearest-neighbor grayscale
+    * (`(r+g+b)/3` integer division), bit i set where cell i exceeds the
+    * integer mean. Hamming distance between hashes is the image near-dup
+    * measure (same banding/LSH machinery as SimHash applies downstream).
+    */
+  private[graft] def ahash64(img: Image): Long = {
+    val g = new Array[Int](64)
+    val small = resampleNearest(img, 8, 8)
+    val ch = small.channels
+    var i = 0
+    while (i < 64) {
+      var s = 0
+      var c = 0
+      while (c < math.min(ch, 3)) { s += small.pixels(i * ch + c) & 0xff; c += 1 }
+      g(i) = s / math.min(ch, 3)
+      i += 1
+    }
+    val mean = g.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** WAV decode + exact integer statistics in one pass:
+    * (id, sample_rate, channels, n_samples, sum_sq, sum_abs, peak).
+    */
+  def audioStats(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = MediaCodecs.decodeWav(r.getAs[Array[Byte]](bIdx))
+        var sumSq = 0L; var sumAbs = 0L; var peak = 0
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          sumSq += s.toLong * s
+          val ab = math.abs(s)
+          sumAbs += ab
+          if (ab > peak) peak = ab
+          i += 1
+        }
+        Row(r.getLong(idIdx), a.sampleRate, a.channels,
+          a.samples.length.toLong, sumSq, sumAbs, peak)
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -8,11 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus per-partition batched "decode"/feature
   * operators.
   *
-  * The decode kernels themselves are STUBS — this container has no
-  * image/audio codecs — implemented as deterministic md5-derived fakes.
-  * Everything around them is real and is what matters at 100 TB: the
-  * schema contract, partition-batched execution (`mapPartitions`, the
-  * Scala analog of `mapInPandas` batches), and payload-size-aware
+  * The kernels HERE are stubs (deterministic md5-derived fakes) kept for
+  * the generic schema/batching contract over formats without a JVM
+  * decoder. REAL decode kernels live in [[MediaDecode]]/[[MediaCodecs]]
+  * (r12): PNG (zlib + all five row filters), 24/32-bit BMP, and WAV-PCM
+  * decode/encode in pure JDK bytes, with one-pass decode→stat/resize/
+  * perceptual-hash operators and oracle-exact gates. JPEG/MP4 remain
+  * header-only (MediaHeaders) — DCT/entropy decoders are the one piece
+  * this container genuinely cannot check against a reference.
+  * Everything around the stubs is real and is what matters at 100 TB:
+  * the schema contract, partition-batched execution (`mapPartitions`,
+  * the Scala analog of `mapInPandas` batches), and payload-size-aware
   * repartitioning so a skewed blob column cannot produce straggler tasks.
   */
 object MediaOps {

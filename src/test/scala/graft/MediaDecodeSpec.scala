@@ -1,0 +1,126 @@
+package graft
+
+import graft.media.{MediaCodecs, MediaDecode}
+import graft.media.MediaCodecs.{Audio, Image}
+
+/** The real media codecs (PNG/BMP/WAV, pure JVM) and the one-pass
+  * decode->stat operators built on them.
+  */
+class MediaDecodeSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  private def randImage(w: Int, h: Int, ch: Int): Image =
+    Image(w, h, ch, Array.fill(w * h * ch)(rng.nextInt(256).toByte))
+
+  test("PNG round-trips exactly for every filter type and channel count") {
+    for (ch <- Seq(1, 2, 3, 4); filter <- 0 to 4) {
+      val img = randImage(5 + rng.nextInt(20), 3 + rng.nextInt(20), ch)
+      val back = MediaCodecs.decodePng(MediaCodecs.encodePng(img, _ => filter))
+      assert(back.width === img.width && back.height === img.height &&
+        back.channels === ch)
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"ch=$ch filter=$filter")
+    }
+    // per-row mixed filters (what the fixtures emit)
+    val img = randImage(17, 11, 3)
+    val back = MediaCodecs.decodePng(MediaCodecs.encodePng(img, row => row % 5))
+    assert(back.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("BMP round-trips exactly (incl. the 4-byte row padding widths)") {
+    for (w <- Seq(1, 2, 3, 4, 5, 16, 17)) {
+      val img = randImage(w, 7, 3)
+      val back = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"w=$w")
+      assert((back.width, back.height, back.channels) === ((w, 7, 3)))
+    }
+  }
+
+  test("WAV PCM16 round-trips; decoder skips extra RIFF chunks") {
+    val a = Audio(16000, 2, Array.fill(999)(rng.nextInt(65536).toShort))
+    val bytes = MediaCodecs.encodeWav(a)
+    val back = MediaCodecs.decodeWav(bytes)
+    assert(back.sampleRate === 16000 && back.channels === 2)
+    assert(back.samples.toSeq === a.samples.toSeq)
+    // splice a LIST chunk between fmt and data — real WAVs carry these
+    val head = bytes.take(36)
+    val tail = bytes.drop(36)
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0, 'I', 'N', 'F', 'O', 1, 2)
+    val spliced = head ++ junk ++ tail
+    assert(MediaCodecs.decodeWav(spliced).samples.toSeq === a.samples.toSeq)
+  }
+
+  test("nearest-neighbor resample matches a naive reference; identity at same size") {
+    val img = randImage(13, 9, 3)
+    val same = MediaDecode.resampleNearest(img, 13, 9)
+    assert(same.pixels.toSeq === img.pixels.toSeq)
+    val rs = MediaDecode.resampleNearest(img, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      val sx = x * 13 / 8; val sy = y * 9 / 8
+      assert(rs.pixels((y * 8 + x) * 3 + c) === img.pixels((sy * 13 + sx) * 3 + c))
+    }
+  }
+
+  test("ahash64 matches a naive reference and is invariant to encode format") {
+    val img = randImage(24, 18, 3)
+    val h = MediaDecode.ahash64(img)
+    // naive reference
+    val small = MediaDecode.resampleNearest(img, 8, 8)
+    val gray: Seq[Int] = (0 until 64).map(i =>
+      ((small.pixels(i * 3) & 0xff) + (small.pixels(i * 3 + 1) & 0xff) +
+        (small.pixels(i * 3 + 2) & 0xff)) / 3)
+    val mean = gray.sum / 64
+    val want = gray.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+      if (g > mean) acc | (1L << i) else acc
+    }
+    assert(h === want)
+    // PNG and BMP encodings of the same pixels hash identically
+    val viaPng = MediaDecode.ahash64(MediaCodecs.decodePng(MediaCodecs.encodePng(img)))
+    val viaBmp = MediaDecode.ahash64(MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img)))
+    assert(viaPng === h && viaBmp === h)
+  }
+
+  test("decode rejects malformed payloads loudly") {
+    intercept[Exception](MediaCodecs.decodePng(Array[Byte](1, 2, 3)))
+    intercept[Exception](MediaCodecs.decodeBmp(Array[Byte]('B', 'M', 0)))
+    intercept[Exception](MediaCodecs.decodeWav("RIFFxxxxNOPE".getBytes))
+    // PNG with a bad filter byte
+    val img = randImage(4, 4, 3)
+    val ok = MediaCodecs.encodePng(img)
+    // corrupt: bit depth 16 in IHDR (offset: 8 sig + 8 hdr + 8th byte)
+    val bad = ok.clone(); bad(8 + 8 + 8) = 16
+    intercept[Exception](MediaCodecs.decodePng(bad))
+  }
+
+  test("distributed one-pass stats match local decode over the fixture payloads") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val imgs = MediaDecode.synthImagePayload(ids, "doc_id")
+    val stats = MediaDecode.imageStats(imgs, "doc_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats.size === 40)
+    // spot-check id 6 (png) and id 7 (bmp) against a local decode
+    for (id <- Seq(6L, 7L)) {
+      val bytes = imgs.filter($"doc_id" === id).select("bytes")
+        .as[Array[Byte]].head()
+      val img = if (id % 2 == 0) MediaCodecs.decodePng(bytes)
+        else MediaCodecs.decodeBmp(bytes)
+      val want = (0 until 3).map(c =>
+        img.pixels.indices.filter(_ % 3 == c).map(img.pixels(_) & 0xff)
+          .foldLeft(0L)(_ + _))
+      val got = stats(id)
+      assert((got.getLong(5), got.getLong(6), got.getLong(7)) ===
+        ((want(0), want(1), want(2))))
+      assert(got.getString(1) === (if (id % 2 == 0) "png" else "bmp"))
+    }
+    // audio
+    val wavs = MediaDecode.synthAudioPayload(ids, "doc_id")
+    val a = MediaDecode.audioStats(wavs, "doc_id", "bytes")
+      .filter($"doc_id" === 5).head()
+    val n = 64 + 5 % 64
+    val samples = (0 until n).map(i => ((17L * 5 + 29L * i) % 2001L - 1000L))
+    assert(a.getLong(3) === n.toLong)
+    assert(a.getLong(4) === samples.map(s => s * s).sum)
+    assert(a.getInt(6) === samples.map(math.abs).max.toInt)
+  }
+}
