@@ -319,6 +319,18 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")), p)
   }
 
+  test("media decode -> stats is Exchange-free (pixels never shuffle)") {
+    import spark.implicits._
+    val ids = (0L until 32L).toDF("doc_id")
+    val stats = graft.media.MediaDecode.imageStats(
+      graft.media.MediaDecode.synthImagePayload(ids, "doc_id"), "doc_id", "bytes")
+    val p = plan(stats)
+    assert(!p.contains("Exchange"), p)
+    val audio = graft.media.MediaDecode.audioStats(
+      graft.media.MediaDecode.synthAudioPayload(ids, "doc_id"), "doc_id", "bytes")
+    assert(!plan(audio).contains("Exchange"), plan(audio))
+  }
+
   test("weighted sampling is a pure projection + TakeOrdered (zero Exchange)") {
     val df = SparkEntry.queries("q_sample_weighted")(spark, sf0)
     val p = plan(df)
