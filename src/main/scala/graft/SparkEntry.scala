@@ -1533,12 +1533,13 @@ object SparkEntry {
 
     // REAL image decode (r12 — the decode kernels stop being stubs for
     // every JDK-decodable format): per doc, a synthesized PNG (row
-    // filters cycling 0-4, zlib IDAT) or 24-bit BMP carrying pixels from
-    // a closed-form generator; the engine decodes (inflate + unfilter /
-    // BGR de-pad) in ONE mapPartitions pass and emits exact per-channel
-    // integer sums, which the oracle recomputes from the same generator
-    // arithmetic — so the whole codec path is hash-checked row by row.
-    // Pixels never leave the executor (only the bounded stats do).
+    // filters cycling 0-4, zlib IDAT), 24-bit BMP, or GIF (variable-width
+    // LZW, palette, interlace on even ids) carrying pixels from a
+    // closed-form generator; the engine decodes in ONE mapPartitions pass
+    // and emits exact per-channel integer sums, which the oracle
+    // recomputes from the same generator arithmetic — so the whole codec
+    // path is hash-checked row by row. Pixels never leave the executor
+    // (only the bounded stats do).
     "q_media_decode" -> ((s, dir) => {
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
@@ -3384,7 +3385,8 @@ object SparkEntry {
         |  FROM dims d, generate_series(0, 16) xs(x), generate_series(0, 16) ys(y)
         |  WHERE xs.x < d.width AND ys.y < d.height)
         |SELECT doc_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |            ELSE 'gif' END AS fmt,
         |       width, height,
         |       CAST(sum((31*doc_id + 7*x + 13*y) % 256) AS BIGINT) AS r_sum,
         |       CAST(sum((31*doc_id + 7*x + 13*y + 97) % 256) AS BIGINT) AS g_sum,

@@ -243,6 +243,198 @@ object MediaCodecs {
     b
   }
 
+  // ------------------------------------------------------------------ GIF
+
+  /** GIF87a/89a first frame: variable-width LZW (LSB-first, dictionary
+    * growth to 12 bits, clear/EOF codes), global or local color table,
+    * optional interlace, extensions skipped. Output row-major RGB.
+    */
+  def decodeGif(b: Array[Byte]): Image = {
+    require(b.length > 13 && ascii(b, 0, "GIF8") &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a', "not a GIF")
+    val flags = b(10) & 0xff
+    var o = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      gct = java.util.Arrays.copyOfRange(b, o, o + n * 3)
+      o += n * 3
+    }
+    while (o < b.length) {
+      (b(o) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          o += 2
+          while ((b(o) & 0xff) != 0) o += (b(o) & 0xff) + 1
+          o += 1
+        case 0x2c => // image descriptor — decode this (first) frame
+          val w = le16(b, o + 5); val h = le16(b, o + 7)
+          val iflags = b(o + 9) & 0xff
+          val interlaced = (iflags & 0x40) != 0
+          o += 10
+          var ct = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            ct = java.util.Arrays.copyOfRange(b, o, o + n * 3)
+            o += n * 3
+          }
+          require(ct != null, "GIF image without a color table")
+          val minCode = b(o) & 0xff; o += 1
+          // concatenate the data sub-blocks
+          val data = new ByteArrayOutputStream()
+          while ((b(o) & 0xff) != 0) {
+            val n = b(o) & 0xff
+            data.write(b, o + 1, n)
+            o += n + 1
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, w * h)
+          val out = new Array[Byte](w * h * 3)
+          val rowOrder =
+            if (!interlaced) 0 until h
+            else (0 until h by 8) ++ (4 until h by 8) ++
+              (2 until h by 4) ++ (1 until h by 2)
+          var i = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val idx = indices(i) & 0xff
+              require(idx * 3 + 2 < ct.length, s"GIF index $idx outside color table")
+              val d = (y * w + x) * 3
+              out(d) = ct(idx * 3); out(d + 1) = ct(idx * 3 + 1); out(d + 2) = ct(idx * 3 + 2)
+              i += 1; x += 1
+            }
+          }
+          return Image(w, h, 3, out)
+        case 0x3b => throw new IllegalArgumentException("GIF trailer before any image")
+        case t => throw new IllegalArgumentException(f"bad GIF block 0x$t%02x")
+      }
+    }
+    throw new IllegalArgumentException("GIF without an image descriptor")
+  }
+
+  private def lzwDecode(z: Array[Byte], minCode: Int, expect: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eof = clear + 1
+    val out = new ByteArrayOutputStream(expect)
+    // dictionary: prefix code + appended byte per entry
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = eof + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var bits = 0; var pos = 0
+    val first = new Array[Byte](4096) // first byte of each code's expansion
+    var i = 0
+    while (i < clear) { suffix(i) = i.toByte; first(i) = i.toByte; i += 1 }
+    def expand(code: Int): Unit = {
+      // walk the chain into a scratch, emit reversed
+      var c = code; var n = 0
+      val scratch = new Array[Byte](4096)
+      while (c >= clear + 2) { scratch(n) = suffix(c); n += 1; c = prefix(c) }
+      scratch(n) = suffix(c); n += 1
+      while (n > 0) { n -= 1; out.write(scratch(n)) }
+    }
+    while (pos < z.length && out.size < expect) {
+      acc |= (z(pos) & 0xffL) << bits
+      bits += 8; pos += 1
+      while (bits >= width && out.size < expect) {
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; bits -= width
+        if (code == clear) {
+          dictSize = eof + 1; width = minCode + 1; prev = -1
+        } else if (code == eof) {
+          return out.toByteArray
+        } else {
+          require(code < dictSize || (code == dictSize && prev >= 0),
+            s"corrupt GIF LZW code $code (dict $dictSize)")
+          if (prev < 0) {
+            expand(code)
+          } else {
+            if (code == dictSize) {
+              // KwKwK case: expansion = expand(prev) + first(prev)
+              expand(prev); out.write(first(prev))
+            } else expand(code)
+            if (dictSize < 4096) {
+              prefix(dictSize) = prev
+              suffix(dictSize) = if (code == dictSize) first(prev) else first(code)
+              first(dictSize) = first(prev)
+              dictSize += 1
+              if (dictSize == (1 << width) && width < 12) width += 1
+            }
+          }
+          if (code < clear) first(code) = code.toByte
+          prev = code
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Indexed-GIF encoder for fixtures/round-trips: a palette (≤256 RGB
+    * entries) + index map, optionally interlaced. The LZW stream emits a
+    * CLEAR before every literal (the classic "uncompressed GIF" shape —
+    * bigger but universally decodable, incl. by [[decodeGif]]).
+    */
+  def encodeGif(
+      width: Int, height: Int, palette: Array[Byte], indices: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length <= 768, "bad palette")
+    require(indices.length == width * height, "index buffer size mismatch")
+    val nColors = palette.length / 3
+    var ctBits = 1
+    while ((1 << ctBits) < nColors) ctBits += 1
+    val ctSize = 1 << ctBits
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0x80 | (ctBits - 1)) // GCT present, size
+    out.write(0); out.write(0)
+    out.write(palette, 0, palette.length)
+    var i = palette.length
+    while (i < ctSize * 3) { out.write(0); i += 1 }
+    // image descriptor
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(if (interlaced) 0x40 else 0x00)
+    val minCode = math.max(2, ctBits)
+    out.write(minCode)
+    val clear = 1 << minCode
+    // bit packer, LSB-first
+    val lzw = new ByteArrayOutputStream()
+    var acc = 0L; var bits = 0
+    val w = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << bits; bits += w
+      while (bits >= 8) { lzw.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+    }
+    val rowOrder =
+      if (!interlaced) 0 until height
+      else (0 until height by 8) ++ (4 until height by 8) ++
+        (2 until height by 4) ++ (1 until height by 2)
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < width) {
+        put(clear) // keep the dictionary empty: width never grows
+        put(indices(y * width + x) & 0xff)
+        x += 1
+      }
+    }
+    put(clear + 1) // EOF
+    if (bits > 0) lzw.write((acc & 0xff).toInt)
+    val z = lzw.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------ WAV
 
   /** PCM WAV: 16-bit (and 8-bit unsigned, widened) via the fmt/data

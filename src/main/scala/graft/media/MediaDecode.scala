@@ -34,10 +34,12 @@ object MediaDecode {
   private def dimsOf(id: Long): (Int, Int) =
     ((8 + (id % 9)).toInt, (8 + ((id * 3) % 9)).toInt)
 
-  /** Synthesize REAL image payloads (even ids PNG — with the row filter
-    * cycling 0..4 so the decoder's filter paths all run on real data —
-    * odd ids 24-bit BMP) carrying the deterministic pixels. Output:
-    * (idCol, bytes).
+  /** Synthesize REAL image payloads carrying the deterministic pixels,
+    * rotating the container by id % 3: PNG (row filter cycling 0..4 so
+    * the decoder's filter paths all run on real data), 24-bit BMP, and
+    * GIF — the generator's color set is exactly the 256 triples
+    * `(v, v+97, v+194)`, so a 256-entry palette encodes the SAME image
+    * and the same oracle arithmetic applies. Output: (idCol, bytes).
     */
   def synthImagePayload(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
@@ -62,9 +64,32 @@ object MediaDecode {
           y += 1
         }
         val img = Image(w, h, 3, px)
-        val bytes =
-          if (id % 2 == 0) MediaCodecs.encodePng(img, filters = row => (row + id.toInt) % 5)
-          else MediaCodecs.encodeBmp(img)
+        val bytes = (id % 3) match {
+          case 0 => MediaCodecs.encodePng(img, filters = row => (row + id.toInt) % 5)
+          case 1 => MediaCodecs.encodeBmp(img)
+          case _ =>
+            // palette[v] = (v, v+97, v+194); the pixel base IS the index
+            val palette = new Array[Byte](256 * 3)
+            var v = 0
+            while (v < 256) {
+              palette(v * 3) = v.toByte
+              palette(v * 3 + 1) = ((v + 97) % 256).toByte
+              palette(v * 3 + 2) = ((v + 194) % 256).toByte
+              v += 1
+            }
+            val indices = new Array[Byte](w * h)
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                indices(yy * w + xx) = pixel(id, xx, yy, 0)
+                xx += 1
+              }
+              yy += 1
+            }
+            MediaCodecs.encodeGif(w, h, palette, indices,
+              interlaced = id % 2 == 0) // both row orders on real data
+        }
         Row(id, bytes)
       }
     }(Encoders.row(schema))
@@ -93,6 +118,8 @@ object MediaDecode {
   private def sniffDecode(bytes: Array[Byte]): (String, Image) =
     if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M')
       ("bmp", MediaCodecs.decodeBmp(bytes))
+    else if (bytes.length > 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      ("gif", MediaCodecs.decodeGif(bytes))
     else ("png", MediaCodecs.decodePng(bytes))
 
   /** Decode + per-channel integer sums + 64-bit average-hash, one pass:

@@ -51,6 +51,51 @@ class MediaDecodeSpec extends GraftSuite {
     assert(MediaCodecs.decodeWav(spliced).samples.toSeq === a.samples.toSeq)
   }
 
+  test("GIF round-trips exactly: LZW decode, palette lookup, interlace") {
+    for (interlaced <- Seq(false, true); nColors <- Seq(4, 17, 256)) {
+      val w = 3 + rng.nextInt(25); val h = 3 + rng.nextInt(20)
+      val palette = Array.fill(nColors * 3)(rng.nextInt(256).toByte)
+      val indices = Array.fill(w * h)(rng.nextInt(nColors).toByte)
+      val bytes = MediaCodecs.encodeGif(w, h, palette, indices, interlaced)
+      val img = MediaCodecs.decodeGif(bytes)
+      assert((img.width, img.height, img.channels) === ((w, h, 3)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = palette((indices(y * w + x) & 0xff) * 3 + c)
+        assert(img.pixels((y * w + x) * 3 + c) === want,
+          s"($x,$y,$c) interlaced=$interlaced colors=$nColors")
+      }
+    }
+  }
+
+  test("GIF decoder handles dictionary-growing LZW (KwKwK), not just clear-coded streams") {
+    // hand-built stream with minCode=2: clear(100) a(000) then code 6
+    // (= "aa", the KwKwK case), then EOF(101), width 3, LSB-first
+    val codes = Seq(4 -> 3, 0 -> 3, 6 -> 3, 5 -> 3)
+    var acc = 0L; var bits = 0
+    val lzw = new java.io.ByteArrayOutputStream()
+    codes.foreach { case (c, w) =>
+      acc |= c.toLong << bits; bits += w
+      while (bits >= 8) { lzw.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+    }
+    if (bits > 0) lzw.write((acc & 0xff).toInt)
+    val z = lzw.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(1); out.write(0) // 3x1
+    out.write(0x80); out.write(0); out.write(0)            // GCT 2 entries
+    out.write(Array[Byte](10, 20, 30, 40, 50, 60))         // palette
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(3); out.write(0); out.write(1); out.write(0)
+    out.write(0)
+    out.write(2) // min code size
+    out.write(z.length); out.write(z); out.write(0)
+    out.write(0x3b)
+    val img = MediaCodecs.decodeGif(out.toByteArray)
+    // expected pixels: a, a, a -> palette entry 0 three times
+    assert(img.pixels.toSeq === Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30))
+  }
+
   test("nearest-neighbor resample matches a naive reference; identity at same size") {
     val img = randImage(13, 9, 3)
     val same = MediaDecode.resampleNearest(img, 13, 9)
@@ -99,19 +144,23 @@ class MediaDecodeSpec extends GraftSuite {
     val stats = MediaDecode.imageStats(imgs, "doc_id", "bytes").collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(stats.size === 40)
-    // spot-check id 6 (png) and id 7 (bmp) against a local decode
-    for (id <- Seq(6L, 7L)) {
+    // spot-check one id per container (png/bmp/gif) against a local decode
+    for (id <- Seq(6L, 7L, 8L)) {
       val bytes = imgs.filter($"doc_id" === id).select("bytes")
         .as[Array[Byte]].head()
-      val img = if (id % 2 == 0) MediaCodecs.decodePng(bytes)
-        else MediaCodecs.decodeBmp(bytes)
+      val img = (id % 3) match {
+        case 0 => MediaCodecs.decodePng(bytes)
+        case 1 => MediaCodecs.decodeBmp(bytes)
+        case _ => MediaCodecs.decodeGif(bytes)
+      }
       val want = (0 until 3).map(c =>
         img.pixels.indices.filter(_ % 3 == c).map(img.pixels(_) & 0xff)
           .foldLeft(0L)(_ + _))
       val got = stats(id)
       assert((got.getLong(5), got.getLong(6), got.getLong(7)) ===
         ((want(0), want(1), want(2))))
-      assert(got.getString(1) === (if (id % 2 == 0) "png" else "bmp"))
+      assert(got.getString(1) ===
+        (id % 3 match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" }))
     }
     // audio
     val wavs = MediaDecode.synthAudioPayload(ids, "doc_id")
