@@ -260,13 +260,20 @@ object MediaCodecs {
       gct = java.util.Arrays.copyOfRange(b, o, o + n * 3)
       o += n * 3
     }
+    // truncated input must surface as a precise message, never a bare
+    // ArrayIndexOutOfBounds from a sub-block walk running off the buffer
+    def at(i: Int): Int = {
+      require(i < b.length, s"truncated GIF: need byte $i of ${b.length}")
+      b(i) & 0xff
+    }
     while (o < b.length) {
-      (b(o) & 0xff) match {
+      at(o) match {
         case 0x21 => // extension: label + sub-blocks
           o += 2
-          while ((b(o) & 0xff) != 0) o += (b(o) & 0xff) + 1
+          while (at(o) != 0) o += at(o) + 1
           o += 1
         case 0x2c => // image descriptor — decode this (first) frame
+          require(o + 10 <= b.length, "truncated GIF image descriptor")
           val w = le16(b, o + 5); val h = le16(b, o + 7)
           val iflags = b(o + 9) & 0xff
           val interlaced = (iflags & 0x40) != 0
@@ -278,15 +285,21 @@ object MediaCodecs {
             o += n * 3
           }
           require(ct != null, "GIF image without a color table")
-          val minCode = b(o) & 0xff; o += 1
+          val minCode = at(o); o += 1
           // concatenate the data sub-blocks
           val data = new ByteArrayOutputStream()
-          while ((b(o) & 0xff) != 0) {
+          while (at(o) != 0) {
             val n = b(o) & 0xff
+            require(o + 1 + n <= b.length,
+              s"truncated GIF data sub-block at byte $o")
             data.write(b, o + 1, n)
             o += n + 1
           }
           val indices = lzwDecode(data.toByteArray, minCode, w * h)
+          // lzwDecode returns what the stream yields — a truncated/corrupt
+          // stream can fall short of a full frame
+          require(indices.length >= w * h,
+            s"truncated GIF LZW stream: ${indices.length} of ${w * h} pixels")
           val out = new Array[Byte](w * h * 3)
           val rowOrder =
             if (!interlaced) 0 until h

@@ -281,16 +281,25 @@ case class GammaMergeCommand(
         else Some(src.join(target, cond, "left_anti"))
       val (iUps, _) = srcOnly.map(actionFrames(_, notMatchedActions,
         carryTarget = false)).getOrElse((Nil, Nil))
+      // not-matched-by-source frames MUST bind to the PRE-merge snapshot:
+      // their delete step runs AFTER the upsert batch commits, and with a
+      // non-key ON condition a matched UPDATE can make freshly-updated
+      // rows "not matched by source" in the post-commit state — persist +
+      // force materialization here pins the split before anything writes
       val tgtOnly =
         if (notMatchedBySourceActions.isEmpty) None
-        else Some(target.join(src, cond, "left_anti"))
-      val (nUps, nDels) = tgtOnly.map(actionFrames(_, notMatchedBySourceActions,
-        carryTarget = true)).getOrElse((Nil, Nil))
+        else Some(target.join(src, cond, "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        tgtOnly.foreach(_.foreach(_ => ()))
+        val (nUps, nDels) = tgtOnly.map(actionFrames(_, notMatchedBySourceActions,
+          carryTarget = true)).getOrElse((Nil, Nil))
 
-      (mUps ++ iUps ++ nUps).reduceOption(_.unionByName(_))
-        .foreach(t.addOrUpdate(_))
-      (mDels ++ nDels).reduceOption(_.unionByName(_))
-        .foreach(t.delete)
+        (mUps ++ iUps ++ nUps).reduceOption(_.unionByName(_))
+          .foreach(t.addOrUpdate(_))
+        (mDels ++ nDels).reduceOption(_.unionByName(_))
+          .foreach(t.delete)
+      } finally tgtOnly.foreach(_.unpersist(false))
       Nil
     } finally joined.unpersist(false)
   }

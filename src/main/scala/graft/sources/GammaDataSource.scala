@@ -300,14 +300,26 @@ private[graft] object GammaSql {
       val root = rootOf(options)
       // memoized: inferSchema and getTable both resolve the same read's
       // options — without the memo a commit landing between the two calls
-      // could pin the schema and the scan to DIFFERENT versions. Also
-      // semantically stable across reads: commit stamps only grow, so a
-      // (root, ts) pair can never resolve to a different version later.
+      // could pin the schema and the scan to DIFFERENT versions. The memo
+      // is only semantically stable for timestamps strictly INSIDE the
+      // committed history (stamps only grow, so an interior (root, ts)
+      // can never resolve differently later); a ts at/after the NEWEST
+      // stamp must keep re-resolving — a later commit with stamp <= ts
+      // legitimately changes the answer — so boundary resolutions are
+      // never cached. (The inferSchema->getTable pin then only holds up
+      // to a commit landing between the two calls at the history edge —
+      // in which case resolving the newer version is the correct answer.)
       if (tsResolveCache.size > 4096) tsResolveCache.clear()
-      Some(tsResolveCache.getOrElseUpdate((root, ms), versionAtTimestamp(root, ms)))
+      tsResolveCache.get((root, ms)).orElse {
+        val (v, interior) = versionAtTimestampResolved(root, ms)
+        if (interior) tsResolveCache.put((root, ms), v)
+        Some(v)
+      }
     } else None
   }
 
+  // interior resolutions only (resolved version < newest retained) —
+  // those are stable forever; boundary hits re-resolve every read
   private val tsResolveCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
@@ -319,7 +331,14 @@ private[graft] object GammaSql {
     * O(log n) manifests, not all n (at 10^5 retained commits the previous
     * shape paid 10^5 small reads per time-travel read).
     */
-  def versionAtTimestamp(root: String, tsMillis: Long): Long = {
+  def versionAtTimestamp(root: String, tsMillis: Long): Long =
+    versionAtTimestampResolved(root, tsMillis)._1
+
+  /** As [[versionAtTimestamp]], plus whether the resolution landed
+    * strictly INSIDE the retained history (some retained version is
+    * newer) — only interior answers are immutable and cacheable.
+    */
+  def versionAtTimestampResolved(root: String, tsMillis: Long): (Long, Boolean) = {
     val spark = SparkSession.active
     val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -349,7 +368,7 @@ private[graft] object GammaSql {
       s"gamma: no snapshot at $root at or before " +
         s"${java.time.Instant.ofEpochMilli(tsMillis)} " +
         s"(history: ${entries.map(_._1).mkString(", ")})")
-    entries(ans)._1
+    (entries(ans)._1, ans < entries.length - 1)
   }
 
   def metaAt(root: String, asOf: Option[Long]): TableMeta = asOf match {

@@ -426,8 +426,7 @@ class GammaTable private (
     * doc never provided them), and a delta-only NEW column unions in as
     * null on untouched rows — both directions of schema width are legal.
     */
-  def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = {
-    guardStale()
+  def addOrUpdate(delta: DataFrame, orderCol: Option[String] = None): Unit = guarded {
     val key = meta0.keyField
     val v = meta0.version + 1
     // INT8-declared fields encode at the write boundary; rows merged back
@@ -571,8 +570,7 @@ class GammaTable private (
     * The key frame stays distributed end-to-end — only the (bounded-by-
     * nBuckets) affected-bucket set ever reaches the driver.
     */
-  def delete(keys: DataFrame): Unit = {
-    guardStale()
+  def delete(keys: DataFrame): Unit = guarded {
     val key = meta0.keyField
     // cache: consumed by the bucket collect AND the mark join; an
     // arbitrary caller plan (e.g. deleteByQuery's filtered scan) would
@@ -650,8 +648,7 @@ class GammaTable private (
     * are told to drop/exclude the purged keys FIRST — after the purge the
     * standing stale-entry scan can no longer see the tombstones.
     */
-  def compact(): Unit = {
-    guardStale()
+  def compact(): Unit = guarded {
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
     if (indexers.nonEmpty) {
       val purged = allDocs.filter(col(DeletedCol)).select(col(meta0.keyField))
@@ -672,8 +669,7 @@ class GammaTable private (
     * so this rewrites O(hot buckets), not O(table). Returns the compacted
     * bucket ids.
     */
-  def compactIfNeeded(maxDeletedRatio: Double = 0.3): Seq[Long] = {
-    guardStale()
+  def compactIfNeeded(maxDeletedRatio: Double = 0.3): Seq[Long] = guarded {
     if (meta0.bucketVersions.isEmpty) return Nil
     val victims = allDocs.groupBy(col(BucketCol))
       .agg(count(lit(1)).as("n"),
@@ -1062,13 +1058,28 @@ class GammaTable private (
     }
   }
 
+  /** Runs a write body under [[guardStale]] and guarantees the commit
+    * lease is released on EVERY non-commit exit — empty-delta no-ops,
+    * early returns (incl. non-local returns from the by-name body) and
+    * exceptions mid-write all used to leak the lock file until its TTL.
+    * The commit path itself releases inside [[writeMeta]], making the
+    * `finally` a no-op there (releaseLease is holder-idempotent).
+    */
+  private def guarded[A](body: => A): A = {
+    guardStale()
+    try body finally releaseLease()
+  }
+
   private def leaseEnabled: Boolean =
     graft.core.GraftConfig.leaseEnabled(spark)
 
   @volatile private var leaseHeld = false
   private def leaseFile = new org.apache.hadoop.fs.Path(s"$root/meta/commit.lock")
 
-  private def acquireLease(): Unit = if (leaseEnabled) {
+  // re-entrant for THIS handle: a multi-step write (e.g. MERGE = upsert
+  // batch + delete step) re-guards between steps; if the first step was a
+  // no-op the lease is still held and a second create would self-deadlock
+  private def acquireLease(): Unit = if (leaseEnabled && !leaseHeld) {
     val p = leaseFile
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
@@ -1393,9 +1404,16 @@ object GammaTable {
     * bounded by commit count, and vacuum'd tables keep their manifests —
     * only data files are retired).
     */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  def history(spark: SparkSession, root: String): DataFrame =
+    history(spark, root, Int.MaxValue)
+
+  /** Newest-first commit history, reading at most `limit` retained
+    * manifests — the cap binds BEFORE the driver-side manifest reads, so
+    * a capped DESCRIBE HISTORY pays O(limit) reads, not O(retained).
+    */
+  def history(spark: SparkSession, root: String, limit: Int): DataFrame = {
     import spark.implicits._
-    snapshotVersions(spark, root).sorted(Ordering[Long].reverse).map { v =>
+    snapshotVersions(spark, root).sorted(Ordering[Long].reverse).take(limit).map { v =>
       val m = readMetaVersionFor(spark, root, v)
       (m.version, m.committedAtMs, m.maxDocid,
         m.bucketVersions.size.toLong, m.indexStatus)

@@ -101,6 +101,29 @@ class GammaDmlSpec extends GraftSuite {
       "b" -> ((2, "orphan")))) // c deleted by the first NMBS action
   }
 
+  test("MERGE NOT MATCHED BY SOURCE binds to the pre-merge snapshot (non-key ON)") {
+    // ON t.v = s.sv (non-key): the matched UPDATE changes v, which makes
+    // the updated row 'not matched by source' in the POST-commit state —
+    // the NMBS DELETE must still bind to the pre-merge snapshot and leave
+    // the freshly-updated row alone
+    val root = tmp()
+    GammaTable.create(spark, root, "nmbs", "_id",
+      Seq(("a", 1, "ta"), ("b", 2, "tb"), ("c", 3, "tc")).toDF("_id", "v", "tag"),
+      nBuckets = 4)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dml_nmbs USING gamma OPTIONS (path '$root')")
+    Seq(1).toDF("sv").createOrReplaceTempView("dml_nmbs_src")
+    spark.sql(
+      s"""MERGE INTO dml_nmbs t USING dml_nmbs_src s ON t.v = s.sv
+         |WHEN MATCHED THEN UPDATE SET v = 99
+         |WHEN NOT MATCHED BY SOURCE AND t.tag = 'tb' THEN DELETE
+         |""".stripMargin)
+    val got = spark.table("dml_nmbs").select("_id", "v").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // a: matched (v=1), updated to 99 — NOT deleted despite now being
+    // unmatched; b: pre-merge unmatched with tag tb — deleted; c: kept
+    assert(got === Map("a" -> 99, "c" -> 3))
+  }
+
   test("MERGE star actions: UPDATE SET * / INSERT * map source columns by name") {
     val root = tmp()
     GammaTable.create(spark, root, "star", "_id",

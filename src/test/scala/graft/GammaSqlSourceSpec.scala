@@ -227,4 +227,29 @@ class GammaSqlSourceSpec extends GraftSuite {
     assert(graft.sources.GammaSql.versionAtTimestamp(
       root, System.currentTimeMillis() + 60000) === 1L)
   }
+
+  test("timestampAsOf at the history edge re-resolves after later commits (no stale cache)") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "tsedge", "_id",
+      Seq(("a", 1)).toDF("_id", "v"), nBuckets = 1) // v1
+    // a timestamp AT/AFTER the newest stamp resolves to the newest
+    // version — but that answer is only valid until the next commit, so
+    // it must never be served from the (root, ts) memo
+    val future = System.currentTimeMillis() + 3_600_000L
+    def idsAt(): Set[String] = spark.read.format("gamma")
+      .option("timestampAsOf", future.toString).load(root)
+      .select("_id").as[String].collect().toSet
+    assert(idsAt() === Set("a"))
+    Thread.sleep(5) // strictly later commit stamp
+    t.addOrUpdate(Seq(("b", 2)).toDF("_id", "v")) // v2, stamp still <= future
+    assert(idsAt() === Set("a", "b"),
+      "boundary timestamp resolution was served stale from the memo")
+    // interior timestamps stay memoized and stable: pin between v1 and v2
+    val v1Stamp = GammaTable.readMetaVersionFor(spark, root, 1L)
+      .committedAtMs.get
+    val interior = spark.read.format("gamma")
+      .option("timestampAsOf", v1Stamp.toString).load(root)
+      .select("_id").as[String].collect().toSet
+    assert(interior === Set("a"))
+  }
 }

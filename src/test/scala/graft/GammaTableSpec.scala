@@ -713,6 +713,33 @@ class GammaTableSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.table.lease")
   }
 
+  test("commit lease: no-op write paths release it (empty delta, no-match delete, no-victim compact)") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "leasenoop", "_id",
+      Seq(("a", 1), ("b", 2)).toDF("_id", "v"), nBuckets = 2)
+    spark.conf.set("spark.graft.table.lease", "true")
+    try {
+      val lock = new org.apache.hadoop.fs.Path(s"$root/meta/commit.lock")
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // empty-delta upsert commits nothing AND must not leak the lock —
+      // MERGE action splits legitimately produce empty batches, and the
+      // merge's own delete step follows immediately on the same handle
+      t.addOrUpdate(Seq.empty[(String, Int)].toDF("_id", "v"))
+      assert(!fs.exists(lock), "empty-delta upsert leaked the commit lease")
+      // delete with an empty key frame is the same no-op shape
+      t.delete(Seq.empty[String].toDF("_id"))
+      assert(!fs.exists(lock), "no-match delete leaked the commit lease")
+      // compactIfNeeded with zero victims early-returns before commit
+      assert(t.compactIfNeeded() === Nil)
+      assert(!fs.exists(lock), "no-victim compact leaked the commit lease")
+      // ...and the very next real write on the SAME handle succeeds
+      // immediately (pre-fix: ConcurrentModificationException until TTL)
+      t.addOrUpdate(Seq(("a", 10)).toDF("_id", "v"))
+      assert(!fs.exists(lock))
+      assert(t.docs.filter($"_id" === "a").select("v").as[Int].head() === 10)
+    } finally spark.conf.unset("spark.graft.table.lease")
+  }
+
   test("withRetryReload recovers a stale handle's write by reloading") {
     val root = tmp()
     GammaTable.create(spark, root, "rr", "_id",

@@ -96,6 +96,29 @@ class MediaDecodeSpec extends GraftSuite {
     assert(img.pixels.toSeq === Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30))
   }
 
+  test("truncated GIF surfaces a precise error, never a bare index exception") {
+    val w = 16; val h = 12
+    val palette = Array.fill(8 * 3)(rng.nextInt(256).toByte)
+    val indices = Array.fill(w * h)(rng.nextInt(8).toByte)
+    val full = MediaCodecs.encodeGif(w, h, palette, indices, interlaced = false)
+    // every truncation point must raise IllegalArgumentException with a
+    // message (the decoder's contract) — not ArrayIndexOutOfBounds from
+    // the sub-block walk or the pixel loop reading past a short LZW stream
+    // (full.length - 1 only drops the trailer AFTER a complete frame —
+    // that still decodes, by design; cut inside header/palette/data)
+    for (cut <- Seq(14, 40, full.length / 2, full.length - 2)
+         if cut < full.length) {
+      val e = intercept[IllegalArgumentException](
+        MediaCodecs.decodeGif(full.take(cut)))
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"cut=$cut")
+    }
+    // corrupt sub-block length claiming bytes beyond the buffer
+    val descAt = full.indexWhere(_ == 0x2c.toByte)
+    assert(descAt > 0)
+    val corrupt = full.take(descAt + 11) :+ 0xff.toByte // oversized sub-block
+    intercept[IllegalArgumentException](MediaCodecs.decodeGif(corrupt))
+  }
+
   test("nearest-neighbor resample matches a naive reference; identity at same size") {
     val img = randImage(13, 9, 3)
     val same = MediaDecode.resampleNearest(img, 13, 9)
