@@ -29,6 +29,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Hamming block count for q_media_neardup — an LSH operating point the
+    * scale sweeps widen as the corpus grows (see the gate's comment).
+    * Read once so the gate AND its interpolated oracle agree within one
+    * Verify run.
+    */
+  private val mediaNearDupBlocks: Int =
+    sys.env.get("GRAFT_MEDIA_NEARDUP_BLOCKS").map(_.toInt).getOrElse(4)
+
   /** Fixed budget for modulo-derived query sets (bm25/bm25f/phrase/
     * proximity/hybrid/mmr gates): the first 64 qualifying ids, in id
     * order. Without the cap the query COUNT grows with the corpus
@@ -910,12 +918,17 @@ object SparkEntry {
               |WHERE p_size BETWEEN 1 AND 40""".stripMargin)
     }),
 
-    // The incremental change feed (Missing #2 → done): replay the commits
-    // AFTER the initial load — upsert events carry the commit that wrote
-    // them, rows tombstoned later net to ONE delete event stamped with
-    // the delete's commit. The oracle re-derives every event (key, final
-    // value, type, commit) from the raw tables, so the stamp mechanics
-    // (delete() stamping `_version`, window filtering, net semantics) are
+    // The incremental change feed: replay the commits AFTER the initial
+    // load — upsert events carry the commit that wrote them, rows
+    // tombstoned later net to ONE delete event stamped with the delete's
+    // commit, and the window SPANS a compact(): the physically-purged
+    // tombstones must replay from the compaction purge log (the
+    // reference's migration source replays tombstones,
+    // storage/migrate_data.cc:63-101 — pre-r13 a spanning window silently
+    // dropped them). Purged delete events carry key + internals with data
+    // columns null; a key purged then REINSERTED in the window nets to
+    // its upsert. The oracle re-derives every event from the raw tables,
+    // so stamps, purge replay, net semantics and the null pre-image are
     // all hash-checked.
     "q_change_feed" -> ((s, dir) => {
       GraftSession.prepare(s)
@@ -931,9 +944,21 @@ object SparkEntry {
         .select(col("_id"), (col("p_size") + 1).as("p_size"), col("vec"))
       tbl.addOrUpdate(delta)                                      // v2
       tbl.deleteByQuery(col("p_size").between(10, 12))            // v3
-      tbl.changes(1, 3)
-        .select(col("_id"), col("p_size"), col("_change_type"),
-          col("_change_version"))
+      tbl.compact()                                               // v4 purges
+      // reinsert a deterministic subset of the PURGED keys, vec omitted
+      // (partial upsert of a fresh key post-purge)
+      val s2 = docs0.select(col("_id"),
+        when(col("_id").cast("long") % 10 === 3, col("p_size") + 1)
+          .otherwise(col("p_size")).as("p_size"))
+      val reins = s2.filter(col("p_size").between(10, 12) &&
+          col("_id").cast("long") % 10 === 7)
+        .select(col("_id"), lit(999).as("p_size"))
+      tbl.addOrUpdate(reins)                                      // v5
+      // purged deletes read a NULL pre-image; -1 sentinel because the
+      // hash compare can't represent integer NULLs stably
+      tbl.changes(1, tbl.meta.version)
+        .select(col("_id"), coalesce(col("p_size"), lit(-1)).as("p_size"),
+          col("_change_type"), col("_change_version"))
     }),
 
     // The DESCRIBE-HISTORY analog over the catalog lifecycle: one row per
@@ -1248,6 +1273,27 @@ object SparkEntry {
         threshold = 0.4)
     }),
 
+    // ngram-Jaccard via the MinHash-LSH path — THE scale arm: the exact
+    // AllPairs prefix-filter verify shuffle exceeds a single host's disk
+    // at the 1000x replica (documented r11/r12 boundary), banding is how
+    // the operator survives 100 TB. Approximate by design -> verdict
+    // gate: brute_pairs is the oracle's own prefix-filter recount (real
+    // cross-engine check), soundness is structural (both arms
+    // exact-verify Jaccard at the same threshold, so LSH \ brute must be
+    // empty), and the recall floor pins banding quality (32 hashes x 16
+    // bands of 2 rows: P(candidate) = 1-(1-J^2)^16, ~0.94 at J=0.4 and
+    // ~0.999 at J=0.6).
+    "q_ngram_jaccard_lsh" -> ((s, dir) => {
+      GraftSession.prepare(s)
+      val docs = t(s, dir, "documents")
+      val lsh = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.4, numHashes = 32, bands = 16)
+      val brute = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.4)
+      graft.operators.GateVerdicts.pairsVerdict(s, lsh, brute,
+        recallFloorMilli = 900)
+    }),
+
     // Embedding-cosine near-dup, exact baseline.
     "q_embed_neardup" -> ((s, dir) => {
       GraftSession.prepare(s)
@@ -1559,6 +1605,20 @@ object SparkEntry {
       graft.media.MediaDecode.resizeStats(payloads, "doc_id", "bytes", 8, 8)
     }),
 
+    // REAL baseline-JPEG decode (r13 — the former last stub): Huffman
+    // entropy decode, dequant, IDCT, pad-crop — on DC-exact tiled
+    // fixtures, so the oracle recomputes every decoded pixel closed-form
+    // (see MediaDecode.synthJpegPayload for why flat blocks + DC quant 1
+    // make a lossy codec bit-exact).
+    "q_media_jpeg" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.MediaDecode.synthJpegPayload(ids, "doc_id")
+      graft.media.MediaDecode.imageStats(payloads, "doc_id", "bytes")
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("channels"), col("r_sum").as("gray_sum"))
+    }),
+
     // REAL audio decode: WAV-PCM16 payloads from a closed-form sample
     // generator; the engine walks RIFF chunks, decodes PCM and emits
     // exact integer statistics (energy, L1, peak) per doc.
@@ -1569,6 +1629,33 @@ object SparkEntry {
       graft.media.MediaDecode.audioStats(payloads, "doc_id", "bytes")
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           col("sum_sq"), col("sum_abs"), col("peak"))
+    }),
+
+    // Multimodal near-dup, END TO END: decode real image payloads ->
+    // 64-bit aHash fingerprint -> banded Hamming join (4 x 16-bit blocks;
+    // any pair within hamming < 4 shares a block, so those are found with
+    // CERTAINTY) -> popcount-verified pairs. The corpus plants a
+    // perturbed BMP twin for every 10th doc (one sampled pixel shifted);
+    // the oracle recomputes the ENTIRE pipeline closed-form in SQL —
+    // pixels, 8x8 resample, mean-threshold bits, block keys, pair join,
+    // hamming — so decode, fingerprint and banding are all hash-checked.
+    // Scale: |docs| x 4 exploded block keys into ONE equi-join, never
+    // all-pairs (plan-asserted in MediaDecodeSpec).
+    // Block width is an LSH operating point: like minhash bands, it
+    // trades candidate volume against the certainty radius, so the scale
+    // sweeps can widen blocks as the corpus grows (at 5M docs, 16-bit
+    // blocks put ~84 docs in every bucket — ~1e9 candidate pairs — while
+    // 32-bit blocks collide ~birthday-rarely). GRAFT_MEDIA_NEARDUP_BLOCKS
+    // overrides (default 4); the ORACLE below interpolates the SAME value
+    // so gate and oracle always describe one operating point.
+    "q_media_neardup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val corpus = graft.media.MediaDecode.synthNearDupCorpus(ids, "doc_id")
+      val hashed = graft.media.MediaDecode.imageStats(corpus, "doc_id", "bytes")
+        .select(col("doc_id"), col("ahash64"))
+      graft.dedup.Dedup.hammingPairs(hashed, "doc_id", "ahash64",
+        bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
     }),
 
     // S12 — TEXMEX vecs source: export a slice of the embeddings table to
@@ -2739,20 +2826,27 @@ object SparkEntry {
       """WITH docs0 AS (
         |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_size
         |  FROM part JOIN embeddings ON p_partkey = vec_id),
-        |up AS (SELECT _id, p_size + 1 AS p_size FROM docs0
-        |       WHERE CAST(_id AS BIGINT) % 10 = 3)
-        |SELECT _id, p_size,
-        |       CASE WHEN p_size BETWEEN 10 AND 12 THEN 'delete'
-        |            ELSE 'upsert' END AS _change_type,
-        |       CAST(CASE WHEN p_size BETWEEN 10 AND 12 THEN 3 ELSE 2 END
-        |            AS BIGINT) AS _change_version
-        |FROM up
+        |s2 AS (SELECT _id,
+        |         CASE WHEN CAST(_id AS BIGINT) % 10 = 3 THEN p_size + 1
+        |              ELSE p_size END AS p_size
+        |       FROM docs0),
+        |del AS (SELECT _id FROM s2 WHERE p_size BETWEEN 10 AND 12),
+        |reins AS (SELECT _id FROM del WHERE CAST(_id AS BIGINT) % 10 = 7)
+        |SELECT _id, p_size, 'upsert' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _change_version
+        |FROM s2
+        |WHERE CAST(_id AS BIGINT) % 10 = 3
+        |  AND _id NOT IN (SELECT _id FROM del)
         |UNION ALL
-        |SELECT _id, p_size, 'delete' AS _change_type,
+        |-- purged tombstones replay with a NULL pre-image (key + stamp
+        |-- only); -1 sentinel mirrors the gate's coalesce
+        |SELECT _id, -1 AS p_size, 'delete' AS _change_type,
         |       CAST(3 AS BIGINT) AS _change_version
-        |FROM docs0
-        |WHERE _id NOT IN (SELECT _id FROM up)
-        |  AND p_size BETWEEN 10 AND 12""".stripMargin,
+        |FROM del WHERE _id NOT IN (SELECT _id FROM reins)
+        |UNION ALL
+        |SELECT _id, 999 AS p_size, 'upsert' AS _change_type,
+        |       CAST(5 AS BIGINT) AS _change_version
+        |FROM reins""".stripMargin,
 
     // commit history derived from the raw tables: v0 empty create, v1
     // initial load (maxDocid = join size), v2 upsert of EXISTING keys
@@ -2949,6 +3043,29 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(xa.htoks, yb.htoks))) AS DOUBLE) AS jaccard
          |  FROM cand JOIN ht xa ON xa.doc_id = cand.a JOIN ht yb ON yb.doc_id = cand.b)
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4""".stripMargin,
+
+    // the verdict gate's brute_pairs row is the oracle's own prefix-filter
+    // recount of exact-Jaccard pairs at the same threshold; the
+    // structural/floor rows are constants the engine must reproduce (a
+    // soundness violation or recall regression flips pass -> mismatch)
+    "q_ngram_jaccard_lsh" ->
+      s"""WITH $ShingleCte,
+         |ht AS (SELECT doc_id, list_sort(list_distinct(list_transform(toks,
+         |  s -> ('0x'||substr(md5(s),1,8))::BIGINT))) AS htoks FROM toks),
+         |pre AS (SELECT doc_id, unnest(htoks[1 : greatest(1,
+         |  len(htoks) - CAST(ceil(len(htoks) * 0.4) AS INTEGER) + 1)]) AS h
+         |  FROM ht WHERE len(htoks) > 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |j AS (SELECT a, b,
+         |  CAST(len(list_intersect(xa.htoks, yb.htoks)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(xa.htoks, yb.htoks))) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN ht xa ON xa.doc_id = cand.a JOIN ht yb ON yb.doc_id = cand.b)
+         |SELECT 'brute_pairs' AS metric,
+         |  CAST((SELECT count(*) FROM j WHERE jaccard >= 0.4) AS BIGINT) AS value,
+         |  TRUE AS pass
+         |UNION ALL SELECT 'lsh_pairs_not_in_brute', 0, TRUE
+         |UNION ALL SELECT 'recall_vs_brute_ge_milli', 900, TRUE""".stripMargin,
 
     // r10: fixed-size DOUBLE[64] arrays + DuckDB's native (vectorized)
     // array_cosine_similarity instead of per-pair list_transform lambdas —
@@ -3424,6 +3541,71 @@ object SparkEntry {
         |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |       CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // decoded-JPEG pixels re-derived closed-form: pixel (x,y) of doc id
+    // is the 8x8-tile value (31*id + 7*(x/8) + 13*(y/8)) % 256 (flat
+    // blocks + DC quant 1 -> bit-exact decode)
+    "q_media_jpeg" ->
+      """WITH dims AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT id, w, h, xs.x AS x, ys.y AS y
+        |  FROM dims, generate_series(0, 16) xs(x), generate_series(0, 16) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT id AS doc_id, 'jpeg' AS fmt,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(sum((31 * id + 7 * (x // 8) + 13 * (y // 8)) % 256)
+        |            AS BIGINT) AS gray_sum
+        |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // the full multimodal near-dup pipeline re-derived closed-form:
+    // pixel(src,x,y,c) = (31*src + 7*x + 13*y + 97*c) % 256, twin of every
+    // 10th doc perturbs channel 0 of pixel (0,0) by +8 (mod 256); aHash =
+    // 8x8 nearest-neighbor grayscale mean-threshold bits; candidates
+    // share one of four 16-bit blocks; keep hamming <= 3
+    "q_media_neardup" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |corpus AS (
+        |  SELECT id, id AS src, 0 AS pert FROM ids
+        |  UNION ALL
+        |  SELECT id + 1000000000000, id, 1 FROM ids WHERE id % 10 = 0),
+        |cells AS (
+        |  SELECT c.id, c.src, c.pert, g.i,
+        |         ((g.i % 8) * (8 + c.src % 9)) // 8 AS sx,
+        |         ((g.i // 8) * (8 + (c.src * 3) % 9)) // 8 AS sy
+        |  FROM corpus c, generate_series(0, 63) g(i)),
+        |gray AS (
+        |  SELECT id, i,
+        |    (((31 * src + 7 * sx + 13 * sy) % 256
+        |      + CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256
+        |     + (31 * src + 7 * sx + 13 * sy + 97) % 256
+        |     + (31 * src + 7 * sx + 13 * sy + 194) % 256) // 3 AS g
+        |  FROM cells),
+        |bits AS (
+        |  SELECT gr.id, gr.i, CASE WHEN gr.g > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM gray gr
+        |  JOIN (SELECT id, sum(g) // 64 AS mean FROM gray GROUP BY id) m
+        |    ON gr.id = m.id),
+        |keys AS (
+        |  SELECT id, i // ${64 / mediaNearDupBlocks} AS blk,
+        |         sum(bit * (CAST(1 AS BIGINT) << (i % ${64 / mediaNearDupBlocks}))) AS key
+        |  FROM bits GROUP BY id, i // ${64 / mediaNearDupBlocks}),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM keys x JOIN keys y
+        |    ON x.blk = y.blk AND x.key = y.key AND x.id < y.id),
+        |ham AS (
+        |  SELECT c.a, c.b,
+        |         sum(CASE WHEN bx.bit <> by.bit THEN 1 ELSE 0 END) AS hd
+        |  FROM cand c
+        |  JOIN bits bx ON bx.id = c.a
+        |  JOIN bits by ON by.id = c.b AND by.i = bx.i
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, CAST(hd AS INTEGER) AS hdist FROM ham
+        |WHERE hd <= 3""".stripMargin,
 
     "q_mix_sample" ->
       """SELECT doc_id, lang FROM documents

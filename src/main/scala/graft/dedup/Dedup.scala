@@ -231,6 +231,42 @@ object Dedup {
       .filter(col("hdist") <= maxHamming)
   }
 
+  /** Generic blocked Hamming near-dup pairs over a PRE-COMPUTED integer
+    * fingerprint column — the same blocking simhashPairs uses, with the
+    * fingerprint pluggable (media aHash64, any 64-bit sketch): candidates
+    * share one of `blocks` contiguous `bits/blocks`-wide blocks of the
+    * hash (pigeonhole: a pair within hamming distance < blocks agrees on
+    * at least one block — those are found with CERTAINTY; pairs at
+    * blocks..maxHamming are best-effort), verified by
+    * bit_count(xor) <= maxHamming. Returns (a, b, hdist), a < b.
+    *
+    * Scale: |docs| x blocks exploded (block, key) rows into one equi-join
+    * — never an all-pairs theta-join; unsigned shifts so a full-width
+    * (sign-bit-bearing) 64-bit hash blocks correctly.
+    */
+  def hammingPairs(
+      df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits > 0 && bits <= 64 && blocks > 0 && bits % blocks == 0,
+      s"hammingPairs: need bits % blocks == 0 within 64, got $bits/$blocks")
+    val w = bits / blocks
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val sigs = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
+    val blocked = sigs.select(col("id"), col("sh"),
+        explode(array((0 until blocks).map { b =>
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("sh"), b * w).bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.blk"), col("bk.key"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hdist"))
+      .distinct()
+      .filter(col("hdist") <= maxHamming)
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs at `threshold` via AllPairs prefix

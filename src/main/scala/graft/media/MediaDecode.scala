@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 import MediaCodecs.{Audio, Image}
 
 /** REAL decode + feature operators over opaque media `binary` columns —
-  * the round-12 replacement for MediaOps' documented md5-fake kernels on
-  * every format the JDK can decode (PNG / BMP / WAV-PCM; JPEG/MP4 stay
-  * header-only, see [[MediaCodecs]]).
+  * the round-12 replacement for MediaOps' documented md5-fake kernels
+  * (PNG / BMP / GIF / WAV-PCM in [[MediaCodecs]]; baseline JPEG in
+  * [[JpegCodec]] since r13 — MP4 stays header-only, the one remaining
+  * boundary).
   *
   * Scale design (what matters at 100 TB):
   *  - decode and statistics happen in ONE `mapPartitions` pass and only
@@ -95,6 +96,87 @@ object MediaDecode {
     }(Encoders.row(schema))
   }
 
+  /** Twin ids in [[synthNearDupCorpus]] live at `base + TwinOffset` — far
+    * above any doc_id the testdata mints, so the two id spaces never
+    * collide.
+    */
+  val TwinOffset = 1000000000000L
+
+  /** Near-duplicate image corpus: every id's payload (format-rotating,
+    * as [[synthImagePayload]]) PLUS, for ids divisible by 10, a perturbed
+    * twin at `id + TwinOffset`: the SAME pixels except channel 0 of pixel
+    * (0,0) shifted by +8 (mod 256), encoded as BMP. Pixel (0,0) is always
+    * an aHash sample point (cell 0 reads `(0*w/8, 0*h/8)`), so the twin's
+    * fingerprint lands within a couple of bits of its base — the planted
+    * near-dup population for the banded Hamming join. Output (idCol,
+    * bytes); the generator is closed-form so a SQL oracle can recompute
+    * every hash.
+    */
+  def synthNearDupCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val twins = df.filter(col(idCol) % 10 === 0).mapPartitions { rows =>
+      rows.map { r =>
+        val base = r.getLong(idIdx)
+        val (w, h) = dimsOf(base)
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            px(d) =
+              if (x == 0 && y == 0) (((pixel(base, 0, 0, 0) & 0xff) + 8) % 256).toByte
+              else pixel(base, x, y, 0)
+            px(d + 1) = pixel(base, x, y, 1)
+            px(d + 2) = pixel(base, x, y, 2)
+            x += 1
+          }
+          y += 1
+        }
+        Row(base + TwinOffset, MediaCodecs.encodeBmp(Image(w, h, 3, px)))
+      }
+    }(Encoders.row(schema))
+    synthImagePayload(df, idCol).unionByName(twins)
+  }
+
+  /** Synthesize REAL baseline-JPEG payloads whose decode is BIT-EXACT:
+    * grayscale images tiled by 8x8 block — pixel (x,y) reads the tile
+    * value `(31*id + 7*(x/8) + 13*(y/8)) % 256` — so every DCT block is
+    * FLAT. A flat block quantized with DC step 1 carries only its DC
+    * coefficient, and the IDCT of a DC-only block is integer-exact under
+    * any conforming IDCT: the one lossless corner of a lossy codec, which
+    * is what lets a SQL oracle recompute every decoded pixel closed-form.
+    * Dims follow the other image fixtures (so edge blocks exercise the
+    * pad-and-crop path; replication padding keeps edge blocks flat too).
+    */
+  def synthJpegPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (w, h) = dimsOf(id)
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) =
+              (((31L * id + 7L * (x / 8) + 13L * (y / 8)) % 256L) & 0xffL).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeJpeg(Image(w, h, 1, px), qDc = 1, qAc = 16))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Synthesize REAL WAV-PCM payloads: mono, `64 + id % 64` samples of
     * `(17*id + 29*i) mod 2001 - 1000`, rate `8000 + (id % 3) * 4000`.
     */
@@ -120,6 +202,8 @@ object MediaDecode {
       ("bmp", MediaCodecs.decodeBmp(bytes))
     else if (bytes.length > 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       ("gif", MediaCodecs.decodeGif(bytes))
+    else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      ("jpeg", JpegCodec.decodeJpeg(bytes))
     else ("png", MediaCodecs.decodePng(bytes))
 
   /** Decode + per-channel integer sums + 64-bit average-hash, one pass:

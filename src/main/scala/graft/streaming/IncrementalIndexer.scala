@@ -87,6 +87,15 @@ class IncrementalIndexer(
   }
   private def indexRoot = s"${table.root}/index/$dirName"
 
+  /** Table version the index is built through (read-only status surface
+    * for `CALL system.build_index` and tooling).
+    */
+  def indexedThroughVersion: Long = builtVersion
+  /** Directory name under `<table.root>/index/` the persisted lists live
+    * in (`<field>` or `<field>@<TYPE>` for non-default models).
+    */
+  def indexDirName: String = dirName
+
   @volatile private var index: Option[AnnIndex] = None
   @volatile private var builtVersion: Long = -1L
   @volatile private var listsVersion: Long = 0L

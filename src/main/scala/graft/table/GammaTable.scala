@@ -49,7 +49,13 @@ case class TableMeta(
     // wall-clock commit stamp (ms) — the TIMESTAMP AS OF clock that
     // survives filesystem copies (file mtimes, the fallback, do not);
     // None on legacy manifests
-    committedAtMs: Option[Long] = None)
+    committedAtMs: Option[Long] = None,
+    // compaction commits that purged >=1 tombstone, newest last. Each has
+    // a key-level purge log at data/purged/v<N> so the change feed stays
+    // complete across compact() (tombstone replay, the reference's
+    // migration contract — storage/migrate_data.cc:63-101); empty/null on
+    // legacy manifests
+    purgedVersions: Seq[Long] = Nil)
 
 /** A gamma "table" re-expressed Spark-first: one parquet dataset of
   * scalar+vector documents, hash-bucketed by primary key with a per-bucket
@@ -229,9 +235,17 @@ class GammaTable private (
     * of the window, not O(table)); resolution is manifest-driven with
     * zero extra jobs. Fails loudly when `vacuum()` has retired the
     * range's files or the `toVersion` manifest was never retained.
-    * Caveat (documented, Delta-like): `compact()` physically purges
-    * tombstones — a range spanning a compaction can miss delete events
-    * for rows whose tombstones were purged inside it.
+    *
+    * Complete across `compact()`: a compaction physically purges
+    * tombstones, but it first persists them to a key-level purge log
+    * (`data/purged/v<N>`, see [[writePurgeLog]]) — a window spanning the
+    * compaction replays those delete events from the log (the reference's
+    * migration source likewise replays tombstones,
+    * storage/migrate_data.cc:63-101). Purged delete events carry the key
+    * and internals; their DATA columns read null (the pre-image went with
+    * the purge — consumers of deletes key on the key). A purge log
+    * retired by `vacuum()` fails the window loudly like any other
+    * vacuumed range.
     */
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion >= 0 && fromVersion <= toVersion,
@@ -242,21 +256,45 @@ class GammaTable private (
     val paths = metaTo.bucketVersions.toSeq.collect {
       case (b, bv) if bv > fromVersion => bucketPath(b.toLong, bv)
     }
-    if (paths.isEmpty)
+    // compactions inside the window whose purged tombstones must replay
+    val purgeVs = Option(metaTo.purgedVersions).getOrElse(Nil)
+      .filter(c => c > fromVersion && c <= toVersion)
+    val purgePaths = purgeVs.map(c => s"$root/data/purged/v$c")
+    if (paths.isEmpty && purgePaths.isEmpty)
       return decodeStored(allDocs.limit(0))
         .withColumn(ChangeTypeCol, lit("upsert"))
         .withColumn(ChangeVersionCol, col(VersionCol))
         .drop(DeletedCol, BucketCol, VersionCol)
     // vacuumed windows must fail loudly here, not as a mid-job file miss
-    val fs = new org.apache.hadoop.fs.Path(paths.head)
+    val fs = new org.apache.hadoop.fs.Path((paths ++ purgePaths).head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gone = paths.filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val gone = (paths ++ purgePaths)
+      .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (gone.nonEmpty) throw new NoSuchElementException(
-      s"changes($fromVersion, $toVersion]: ${gone.size} bucket version dir(s) " +
-        s"retired by vacuum() (first: ${gone.head}) — the window is no longer " +
-        "replayable; start from a retained snapshot instead")
-    decodeStored(readData(paths))
-      .filter(col(VersionCol) > fromVersion && col(VersionCol) <= toVersion)
+      s"changes($fromVersion, $toVersion]: ${gone.size} bucket version/purge " +
+        s"dir(s) retired by vacuum() (first: ${gone.head}) — the window is no " +
+        "longer replayable; start from a retained snapshot instead")
+    val inWindow =
+      col(VersionCol) > fromVersion && col(VersionCol) <= toVersion
+    // schema-stable base even in purge-only windows
+    val main = decodeStored(
+      if (paths.nonEmpty) readData(paths)
+      else atRestSchema.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(rawAllDocs).limit(0)).filter(inWindow)
+    val events = if (purgePaths.isEmpty) main else {
+      val purged = spark.read.schema(GammaTable.purgeLogSchema(
+        main.schema, meta0.keyField)).parquet(purgePaths: _*).filter(inWindow)
+      val merged = main.unionByName(purged, allowMissingColumns = true)
+      // a key purged at compaction c and re-upserted later in the window
+      // appears in BOTH frames — net-change semantics keep the newest
+      // commit's event ((key, version) is unique: one change per commit)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(meta0.keyField)).orderBy(col(VersionCol).desc)
+      merged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    events
       .withColumn(ChangeTypeCol,
         when(col(DeletedCol), lit("delete")).otherwise(lit("upsert")))
       .withColumn(ChangeVersionCol, col(VersionCol))
@@ -389,6 +427,35 @@ class GammaTable private (
         .write.mode(SaveMode.Overwrite).parquet(dest.toString)
       (Seq(b), stats)
     } else (written, stats)
+  }
+
+  /** Persist the purge log for compaction commit `v`: the tombstones the
+    * compaction is about to remove physically, kept narrow (key +
+    * internals — no data columns, so no vector write amplification) under
+    * `data/purged/v<N>`. [[changes]] windows spanning the compaction
+    * replay their delete events from here. ONE job; the row count rides
+    * the write itself via observe(), no separate count pass. Returns
+    * false (and leaves no dir) when there was nothing to purge.
+    */
+  private def writePurgeLog(tombstones: DataFrame, v: Long): Boolean = {
+    val keep = Set(meta0.keyField, DocidCol, VersionCol, DeletedCol)
+    val narrow = tombstones.select(
+      tombstones.columns.filter(keep).toIndexedSeq.map(col): _*)
+    val obs = org.apache.spark.sql.Observation(s"purge_v${v}_${System.nanoTime()}")
+    val staging = new org.apache.hadoop.fs.Path(s"$root/data/.staging_v${v}_purged")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    narrow.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0L) { fs.delete(staging, true); false }
+    else {
+      val dest = new org.apache.hadoop.fs.Path(s"$root/data/purged/v$v")
+      fs.mkdirs(dest.getParent)
+      fs.delete(dest, true) // crash-retry idempotence
+      if (!fs.rename(staging, dest))
+        throw new java.io.IOException(s"rename $staging -> $dest failed")
+      true
+    }
   }
 
   private def commit(
@@ -650,14 +717,18 @@ class GammaTable private (
     */
   def compact(): Unit = guarded {
     val buckets = meta0.bucketVersions.keys.map(_.toLong).toSeq
-    if (indexers.nonEmpty) {
-      val purged = allDocs.filter(col(DeletedCol)).select(col(meta0.keyField))
-      indexers.values.foreach(_.excludePurged(purged))
-    }
+    val tombstones = rawAllDocs.filter(col(DeletedCol))
+    if (indexers.nonEmpty)
+      indexers.values.foreach(_.excludePurged(tombstones.select(col(meta0.keyField))))
     val v = meta0.version + 1
+    // the purge log goes FIRST: once the rewrite lands the tombstones are
+    // gone from the bucket files, and the change feed's completeness
+    // contract needs their delete events replayable (see [[changes]])
+    val logged = writePurgeLog(tombstones, v)
     // RAW read: a rewrite must carry the at-rest encoding through, not
     // materialize decoded floats
     val (written, stats) = writeVersion(rawAllDocs.filter(!col(DeletedCol)), buckets, v)
+    if (logged) meta0 = meta0.copy(purgedVersions = meta0.purgedVersions :+ v)
     commit(buckets, written, v, 0L, stats)
   }
 
@@ -684,9 +755,13 @@ class GammaTable private (
       indexers.values.foreach(_.excludePurged(purged))
     }
     val v = meta0.version + 1
+    // victim-bucket tombstones replay from the purge log (see [[changes]])
+    val logged = readBuckets(victims)
+      .exists(pre => writePurgeLog(pre.filter(col(DeletedCol)), v))
     val live = readBuckets(victims).map(_.filter(!col(DeletedCol)))
     val (written, stats) = live.map(writeVersion(_, victims, v))
       .getOrElse((Nil, Map.empty[String, Map[String, Seq[Double]]]))
+    if (logged) meta0 = meta0.copy(purgedVersions = meta0.purgedVersions :+ v)
     commit(victims, written, v, 0L, stats)
     victims
   }
@@ -744,11 +819,24 @@ class GammaTable private (
       val name = st.getPath.getName
       if (name.startsWith(".staging_")) {
         // staging at a version AT OR BELOW the committed cutoff is a
-        // crashed writeVersion's scratch; a version ABOVE it may be an
-        // IN-FLIGHT writer (single-writer contract: version+1) — spare it
-        val sv = name.stripPrefix(".staging_v")
+        // crashed writeVersion's (or writePurgeLog's) scratch; a version
+        // ABOVE it may be an IN-FLIGHT writer (single-writer contract:
+        // version+1) — spare it
+        val sv = name.stripPrefix(".staging_v").stripSuffix("_purged")
         val dead = scala.util.Try(sv.toLong).toOption.exists(_ <= cutoff)
         if (dead && fs.delete(st.getPath, true)) removed += 1
+      } else if (name == "purged" && st.isDirectory) {
+        // purge logs (change-feed tombstone replay) follow the same
+        // retention rule as bucket versions: once the oldest retained
+        // manifest is at or past compaction c, no retained window can
+        // span c — changes() refuses vacuumed windows loudly either way
+        val floor = retainedMetas.map(_.version).min
+        fs.listStatus(st.getPath).foreach { pst =>
+          val dead = scala.util.Try(
+            pst.getPath.getName.stripPrefix("v").toLong).toOption
+            .exists(_ <= floor)
+          if (dead && fs.delete(pst.getPath, true)) removed += 1
+        }
       } else if (name.startsWith("b") && st.isDirectory) {
         val keep = referenced.getOrElse(name.drop(1), Set.empty)
         fs.listStatus(st.getPath).foreach { vst =>
@@ -1142,6 +1230,17 @@ object GammaTable {
   val ChangeTypeCol = "_change_type"
   val ChangeVersionCol = "_change_version"
 
+  /** Schema of a compaction purge log (see writePurgeLog): the key plus
+    * internals, projected out of the table's decoded schema so the change
+    * feed's union binds by name with matching types.
+    */
+  private[table] def purgeLogSchema(
+      full: org.apache.spark.sql.types.StructType,
+      key: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(full.fields.filter(f =>
+      f.name == key || f.name == DocidCol || f.name == VersionCol ||
+        f.name == DeletedCol))
+
   /** Extra exact candidates per vector field before multi-field
     * intersection (the reference over-fetches via `recall_num`,
     * index/impl/gamma_index_ivfpq.h:633).
@@ -1440,7 +1539,9 @@ object GammaTable {
 
   private def normalizeMeta(m0: TableMeta): TableMeta = {
     // metas written before bucketStats existed read the field as null
-    val m = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
+    val m1 = if (m0.bucketStats == null) m0.copy(bucketStats = Map.empty) else m0
+    // metas written before the purge log existed read the field as null
+    val m = if (m1.purgedVersions == null) m1.copy(purgedVersions = Nil) else m1
     // metas written before the store field read it as null -> FLOAT
     if (m.vectorFields.exists(_.store == null))
       m.copy(vectorFields = m.vectorFields.map(f =>
@@ -1473,10 +1574,12 @@ object GammaTable {
       }.mkString("{", ",", "}")
     val ds = Option(m.dataSchema).map(s => s""","dataSchema":${q(s)}""").getOrElse("")
     val ct = m.committedAtMs.map(t => s""","committedAtMs":$t""").getOrElse("")
+    val pv = Option(m.purgedVersions).filter(_.nonEmpty)
+      .map(vs => s""","purgedVersions":[${vs.mkString(",")}]""").getOrElse("")
     s"""{"name":${q(m.name)},"keyField":${q(m.keyField)},"nBuckets":${m.nBuckets},""" +
       s""""maxDocid":${m.maxDocid},"version":${m.version},"bucketVersions":$bv,""" +
       s""""vectorFields":$vf,"indexStatus":${q(m.indexStatus)},""" +
-      s""""bucketStats":$bs$ds$ct}"""
+      s""""bucketStats":$bs$ds$ct$pv}"""
   }
 
   /** Driver-side atomic single-file write. Write-temp-then-rename:

@@ -359,6 +359,55 @@ class GammaCatalogSpec extends GraftSuite {
     assert(e.getMessage.contains("nosuch"))
   }
 
+  test("CALL system.build_index: full SQL-only lifecycle, zero Scala handles") {
+    // create -> insert -> build_index -> ANN top-k -> update -> vacuum,
+    // every verb SQL — the reference's BuildIndex (c_api/gamma_api.h:131,
+    // gamma_engine.cc:996-1010) was the last Scala-only step
+    val tbl = freshName("sqlix")
+    spark.sql(
+      s"""CREATE TABLE gcat.$tbl (_id STRING, vec ARRAY<FLOAT>)
+         |TBLPROPERTIES ('key'='_id', 'buckets'='4', 'vector.vec'='dim=64')""".stripMargin)
+    spark.read.parquet(s"$sf0/embeddings.parquet")
+      .createOrReplaceTempView("sqlix_emb")
+    spark.sql(s"""INSERT INTO gcat.$tbl (_id, vec)
+                 |SELECT CAST(vec_id AS STRING), embedding FROM sqlix_emb""".stripMargin)
+    graft.plans.AnnRewrite.install(spark)
+    graft.plans.IndexCatalog.clear()
+    val built = spark.sql(
+      s"CALL gcat.system.build_index('$tbl', 'vec', ncentroids => 4)")
+      .collect().head
+    assert(built.getString(0) === "vec" && built.getString(1) === "IVFFLAT")
+    assert(built.getLong(2) >= 1L) // built through the insert's version
+    val qvec = spark.read.parquet(s"$sf0/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val qLit = s"array(${qvec.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+    try {
+      spark.conf.set("spark.graft.ann.rewrite", "true")
+      val df = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score LIMIT 5")
+      assert(df.queryExecution.executedPlan.toString.contains("centroid_id"),
+        "top-k after CALL build_index did not route through the index")
+      val got = df.collect().map(_.getString(0)).toSeq
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val exact = spark.sql(
+        s"SELECT _id, l2_sq(vec, $qLit) AS score FROM gcat.$tbl ORDER BY score, _id LIMIT 5")
+        .collect().map(_.getString(0)).toSeq
+      assert(got === exact) // full probe at ncentroids=4 -> exact
+      // an IVFPQ build over the same field lands in its own @-suffixed dir
+      val pq = spark.sql(s"CALL gcat.system.build_index('$tbl', 'vec', " +
+        "retrieval_type => 'IVFPQ', ncentroids => 4, nsubvector => 8)")
+        .collect().head
+      assert(pq.getString(3).endsWith("vec@IVFPQ"))
+      // maintenance still drives from SQL after the builds
+      assert(spark.sql(s"CALL gcat.system.vacuum('$tbl')")
+        .collect().head.getInt(0) >= 0)
+      assert(spark.sql(s"SELECT count(*) FROM gcat.$tbl").as[Long].head() > 0L)
+    } finally {
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      graft.plans.IndexCatalog.clear()
+    }
+  }
+
   test("identifier segments refuse URI-special characters (path collision guard)") {
     for (bad <- Seq("a#b", "a?b", "a%2eb", "a:b", "a/b")) {
       val e = intercept[Exception](spark.sql(

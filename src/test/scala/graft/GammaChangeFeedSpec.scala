@@ -59,6 +59,56 @@ class GammaChangeFeedSpec extends GraftSuite {
     assert(events(t.changes(2, 3)) === Map("a" -> ((3, "upsert", 3L))))
   }
 
+  test("changes across compact() replays purged tombstones from the purge log") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdcc", "_id",
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v"), nBuckets = 2) // v1
+    t.delete(Seq("a").toDF("_id"))                                      // v2
+    t.addOrUpdate(Seq(("b", 20)).toDF("_id", "v"))                      // v3
+    t.compact()                                                         // v4 purges a
+    // the window spans the compaction: a's delete (v2) must replay even
+    // though its tombstone is physically gone — pre-fix this silently
+    // dropped the event and a replica kept the row forever
+    val got = events(t.changes(1, 4))
+    assert(got.keySet === Set("a", "b"))
+    assert(got("b") === ((20, "upsert", 3L)))
+    val (aV, aType, aVer) = got("a")
+    assert(aType === "delete" && aVer === 2L)
+    assert(aV === -1, "purged delete events carry key + internals, data cols null")
+    // windows NOT spanning the compaction see no purge events
+    assert(events(t.changes(2, 3)) === Map("b" -> ((20, "upsert", 3L))))
+    assert(t.changes(4, 4).count() === 0) // the compaction commit itself is silent
+    // delete -> compact -> REINSERT inside one window nets to the upsert
+    t.addOrUpdate(Seq(("a", 100)).toDF("_id", "v"))                     // v5
+    assert(events(t.changes(1, 5))("a") === ((100, "upsert", 5L)))
+    // full replay from 0 still reconstructs the live state exactly
+    val replay = t.changes(0, 5)
+    val live = replay.filter($"_change_type" === "upsert")
+      .select("_id", "v").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(live === Map("a" -> 100, "b" -> 20, "c" -> 3))
+    // vacuum retires the purge log too -> spanning windows refuse loudly
+    t.vacuum()
+    val e = intercept[NoSuchElementException](t.changes(1, 4).count())
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("per-bucket compactIfNeeded also logs purged tombstones") {
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdcp", "_id",
+      (0 until 20).map(i => (s"k$i", i)).toDF("_id", "v"), nBuckets = 4) // v1
+    // delete every key in whatever bucket k0 lives in -> that bucket
+    // crosses any deleted-ratio threshold
+    t.delete((0 until 20).filter(_ % 2 == 0).map(i => s"k$i").toDF("_id")) // v2
+    val victims = t.compactIfNeeded(maxDeletedRatio = 0.1)                 // v3
+    assert(victims.nonEmpty)
+    val got = events(t.changes(1, 3))
+    // every deleted key still reports its delete event at v2
+    (0 until 20).filter(_ % 2 == 0).foreach { i =>
+      assert(got.get(s"k$i").exists(e => e._2 == "delete" && e._3 == 2L),
+        s"k$i delete event lost across compactIfNeeded")
+    }
+  }
+
   test("readStream.format(gamma) streams commit-versioned change batches") {
     val root = tmp()
     val t = GammaTable.create(spark, root, "cdcs", "_id",
@@ -79,6 +129,46 @@ class GammaChangeFeedSpec extends GraftSuite {
       assert(s2.get("c") === Some((3, "upsert", 2L)))
       assert(spark.table("gamma_cdc_sink")
         .filter($"_id" === "a" && $"_change_type" === "delete").count() === 1)
+    } finally q.stop()
+  }
+
+  test("public CDC stream drives external BM25 maintenance to a fresh-build-identical state") {
+    // the engine's OWN incremental maintenance consumes docsChangedSince
+    // internally; this proves the PUBLIC surface (readStream.format
+    // gamma) carries everything an external consumer needs for the same
+    // job: upsert events carry the new doc, delete events carry the
+    // pre-image (the docs-as-indexed text removeDocs requires)
+    import graft.text.TextIndex
+    val root = tmp()
+    val t = GammaTable.create(spark, root, "cdix", "doc_id",
+      Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+        (3L, "gamma delta epsilon")).toDF("doc_id", "text"), nBuckets = 2) // v1
+    var ix: TextIndex.BuiltIndex = null
+    val q = spark.readStream.format("gamma").load(root)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ups = b.filter($"_change_type" === "upsert").select($"doc_id", $"text")
+        val dels = b.filter($"_change_type" === "delete").select($"doc_id", $"text")
+        if (ix == null) ix = TextIndex.build(ups, "doc_id", "text", maxDfRatio = 0.98)
+        else ix = TextIndex.appendDelta(ix, ups, "doc_id", "text")
+        if (!dels.isEmpty) ix = TextIndex.removeDocs(ix, dels, "doc_id", "text")
+      }.start()
+    try {
+      q.processAllAvailable() // backfill batch: v1 docs
+      t.addOrUpdate(Seq((4L, "epsilon zeta alpha"), (5L, "zeta eta beta"))
+        .toDF("doc_id", "text"))                                           // v2
+      q.processAllAvailable()
+      t.delete(Seq(2L).toDF("doc_id"))                                     // v3
+      q.processAllAvailable()
+      val queries = Seq((1L, "beta gamma"), (2L, "zeta alpha")).toDF("qid", "qtext")
+      val fresh = TextIndex.build(t.docs.select($"doc_id", $"text"),
+        "doc_id", "text", maxDfRatio = 0.98)
+      def ranked(i: TextIndex.BuiltIndex) =
+        TextIndex.bm25(i, queries, "qid", "qtext", k = 5).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(ix != null)
+      assert(ranked(ix) === ranked(fresh),
+        "feed-maintained BM25 diverged from a fresh build over the live docs")
+      assert(ix.nDocs === 4 && ix.nDocs === fresh.nDocs)
     } finally q.stop()
   }
 

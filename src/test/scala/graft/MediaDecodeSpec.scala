@@ -161,6 +161,89 @@ class MediaDecodeSpec extends GraftSuite {
     intercept[Exception](MediaCodecs.decodePng(bad))
   }
 
+  test("JPEG: DC-exact tiled fixtures decode bit-exactly (gray and color)") {
+    import graft.media.JpegCodec
+    for (id <- 0L until 12L) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 3) % 9).toInt
+      def tile(x: Int, y: Int): Int =
+        (((31L * id + 7L * (x / 8) + 13L * (y / 8)) % 256L) & 0xffL).toInt
+      val gray = Image(w, h, 1,
+        Array.tabulate(w * h)(i => tile(i % w, i / w).toByte))
+      val back = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(gray, qDc = 1))
+      assert((back.width, back.height, back.channels) === ((w, h, 1)))
+      assert(back.pixels.toSeq === gray.pixels.toSeq, s"gray id=$id")
+      // 3-component: equal channels -> Cb=Cr=128 exactly, conversion
+      // round-trips without error on flat tiles
+      val rgb = Image(w, h, 3, Array.tabulate(w * h * 3)(i => tile((i / 3) % w, i / 3 / w).toByte))
+      val backRgb = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(rgb, qDc = 1))
+      assert(backRgb.channels === 3)
+      assert(backRgb.pixels.toSeq === rgb.pixels.toSeq, s"rgb id=$id")
+    }
+  }
+
+  test("JPEG: general content round-trips within IDCT rounding at quant 1; rejects unsupported streams") {
+    import graft.media.JpegCodec
+    val img = randImage(19, 13, 1)
+    val back = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(img, qDc = 1, qAc = 1))
+    assert((back.width, back.height) === ((19, 13)))
+    val maxErr = img.pixels.indices.map(i =>
+      math.abs((img.pixels(i) & 0xff) - (back.pixels(i) & 0xff))).max
+    assert(maxErr <= 2, s"gray roundtrip err $maxErr")
+    // color path: random RGB, quant 1 — YCbCr rounding adds ~1/channel
+    val rgb = randImage(16, 16, 3)
+    val backRgb = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(rgb, qDc = 1, qAc = 1))
+    val maxErrRgb = rgb.pixels.indices.map(i =>
+      math.abs((rgb.pixels(i) & 0xff) - (backRgb.pixels(i) & 0xff))).max
+    assert(maxErrRgb <= 4, s"rgb roundtrip err $maxErrRgb")
+    // imageStats sniffs and serves the jpeg format tag
+    val ids = Seq(3L).toDF("doc_id")
+    val st = MediaDecode.imageStats(
+      MediaDecode.synthJpegPayload(ids, "doc_id"), "doc_id", "bytes").head()
+    assert(st.getString(1) === "jpeg")
+    // progressive (SOF2) refused loudly
+    val good = JpegCodec.encodeJpeg(img, qDc = 1)
+    val prog = good.clone()
+    val sof = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(prog))
+    assert(e.getMessage.contains("progressive"))
+    // truncation refused loudly
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(good.take(good.length / 2)))
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(Array[Byte](0, 1, 2, 3)))
+  }
+
+  test("multimodal near-dup: decode -> aHash -> banded Hamming finds the planted twins, never all-pairs") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val corpus = MediaDecode.synthNearDupCorpus(ids, "doc_id")
+    assert(corpus.count() === 66) // 60 bases + 6 twins (ids % 10 == 0)
+    val hashed = MediaDecode.imageStats(corpus, "doc_id", "bytes")
+      .select($"doc_id", $"ahash64")
+    val pairs = graft.dedup.Dedup.hammingPairs(
+      hashed, "doc_id", "ahash64", bits = 64, blocks = 4, maxHamming = 3)
+    // pigeonhole guarantee: any pair at true hamming < 4 MUST be found —
+    // verify against the brute-force reference over the hashes
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    // the planted twins are in the result (their aHash is within a couple
+    // of bits of the base by construction)
+    val twinPairs = got.filter { case (a, b, _) => b == a + MediaDecode.TwinOffset }
+    assert(twinPairs.nonEmpty, "no planted twin survived the hamming threshold")
+    twinPairs.foreach { case (_, _, d) => assert(d <= 3) }
+    // scale shape: banded candidates only — no cartesian / nested-loop join
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"hammingPairs planned an all-pairs join:\n$plan")
+  }
+
   test("distributed one-pass stats match local decode over the fixture payloads") {
     val ids = (0L until 40L).toDF("doc_id")
     val imgs = MediaDecode.synthImagePayload(ids, "doc_id")
