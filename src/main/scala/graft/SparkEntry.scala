@@ -3490,8 +3490,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the decode oracle recomputes the fixture generator's closed form:
-    // channel c of (x, y) in doc id is (31*id + 7*x + 13*y + 97*c) % 256
-    // over an (8 + id%9) x (8 + id*3%9) image
+    // channel c of (x, y) in doc id is
+    // (31*id + (7 + (id//256)%251)*x + (13 + (id//65536)%241)*y + 97*c) % 256
+    // over an (8 + id%9) x (8 + id*3%9) image (high-bit gradients keep
+    // images unique at replica scale — see MediaDecode.pixel)
     "q_media_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
@@ -3505,9 +3507,12 @@ object SparkEntry {
         |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |            ELSE 'gif' END AS fmt,
         |       width, height,
-        |       CAST(sum((31*doc_id + 7*x + 13*y) % 256) AS BIGINT) AS r_sum,
-        |       CAST(sum((31*doc_id + 7*x + 13*y + 97) % 256) AS BIGINT) AS g_sum,
-        |       CAST(sum((31*doc_id + 7*x + 13*y + 194) % 256) AS BIGINT) AS b_sum
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*x
+        |                 + (13 + (doc_id//65536) % 241)*y) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*x
+        |                 + (13 + (doc_id//65536) % 241)*y + 97) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*x
+        |                 + (13 + (doc_id//65536) % 241)*y + 194) % 256) AS BIGINT) AS b_sum
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // nearest-neighbor source coordinates: sx=(x*w)//8, sy=(y*h)//8
@@ -3520,9 +3525,12 @@ object SparkEntry {
         |  SELECT d.doc_id, (xs.x * d.w) // 8 AS sx, (ys.y * d.h) // 8 AS sy
         |  FROM dims d, generate_series(0, 7) xs(x), generate_series(0, 7) ys(y))
         |SELECT doc_id,
-        |       CAST(sum((31*doc_id + 7*sx + 13*sy) % 256) AS BIGINT) AS r_sum,
-        |       CAST(sum((31*doc_id + 7*sx + 13*sy + 97) % 256) AS BIGINT) AS g_sum,
-        |       CAST(sum((31*doc_id + 7*sx + 13*sy + 194) % 256) AS BIGINT) AS b_sum
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*sx
+        |                 + (13 + (doc_id//65536) % 241)*sy) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*sx
+        |                 + (13 + (doc_id//65536) % 241)*sy + 97) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((31*doc_id + (7 + (doc_id//256) % 251)*sx
+        |                 + (13 + (doc_id//65536) % 241)*sy + 194) % 256) AS BIGINT) AS b_sum
         |FROM px GROUP BY 1""".stripMargin,
 
     // WAV sample generator: (17*id + 29*i) % 2001 - 1000 over 64 + id%64
@@ -3562,7 +3570,8 @@ object SparkEntry {
         |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // the full multimodal near-dup pipeline re-derived closed-form:
-    // pixel(src,x,y,c) = (31*src + 7*x + 13*y + 97*c) % 256, twin of every
+    // pixel(src,x,y,c) = (31*src + (7+(src//256)%251)*x
+    // + (13+(src//65536)%241)*y + 97*c) % 256, twin of every
     // 10th doc perturbs channel 0 of pixel (0,0) by +8 (mod 256); aHash =
     // 8x8 nearest-neighbor grayscale mean-threshold bits; candidates
     // share one of four 16-bit blocks; keep hamming <= 3
@@ -3579,10 +3588,13 @@ object SparkEntry {
         |  FROM corpus c, generate_series(0, 63) g(i)),
         |gray AS (
         |  SELECT id, i,
-        |    (((31 * src + 7 * sx + 13 * sy) % 256
+        |    (((31*src + (7 + (src//256) % 251)*sx
+        |       + (13 + (src//65536) % 241)*sy) % 256
         |      + CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256
-        |     + (31 * src + 7 * sx + 13 * sy + 97) % 256
-        |     + (31 * src + 7 * sx + 13 * sy + 194) % 256) // 3 AS g
+        |     + (31*src + (7 + (src//256) % 251)*sx
+        |        + (13 + (src//65536) % 241)*sy + 97) % 256
+        |     + (31*src + (7 + (src//256) % 251)*sx
+        |        + (13 + (src//65536) % 241)*sy + 194) % 256) // 3 AS g
         |  FROM cells),
         |bits AS (
         |  SELECT gr.id, gr.i, CASE WHEN gr.g > m.mean THEN 1 ELSE 0 END AS bit

@@ -27,10 +27,18 @@ object MediaDecode {
 
   /** Deterministic pixel generator shared by the fixtures and the gate
     * oracles: channel c of (x, y) in doc `id` is
-    * `(31*id + 7*x + 13*y + 97*c) mod 256`.
+    * `(31*id + (7 + (id>>8)%251)*x + (13 + (id>>16)%241)*y + 97*c) mod 256`.
+    * The x/y gradient coefficients carry the id's HIGH bits (r13): the old
+    * `7x + 13y` form made the whole image a function of id mod 2304, so a
+    * 1000x replica held ~2400-member groups of IDENTICAL images and any
+    * pairwise operator's OUTPUT went quadratic — a generator artifact, not
+    * an operator property. With high-bit gradients the pattern space is
+    * ~2^24, images are effectively unique at 5M docs, and near-dup output
+    * stays linear in the planted-dup count.
     */
   @inline private def pixel(id: Long, x: Int, y: Int, c: Int): Byte =
-    (((31L * id + 7L * x + 13L * y + 97L * c) % 256L) & 0xffL).toByte
+    (((31L * id + (7L + (id >> 8) % 251L) * x + (13L + (id >> 16) % 241L) * y
+      + 97L * c) % 256L) & 0xffL).toByte
 
   private def dimsOf(id: Long): (Int, Int) =
     ((8 + (id % 9)).toInt, (8 + ((id * 3) % 9)).toInt)
