@@ -164,12 +164,15 @@ object JpegCodec {
     c
   }
 
-  /** Encode baseline JPEG: grayscale (channels=1) or YCbCr 4:4:4
-    * (channels=3, converted with BT.601 rounding). `qDc`/`qAc` fill the
-    * single quantization table (DC position gets qDc, the 63 AC positions
-    * qAc) — qDc=1 is the DC-exact operating point the fixtures use.
+  /** Encode baseline JPEG: grayscale (channels=1) or YCbCr color
+    * (channels=3, BT.601 rounding) at 4:4:4 or — with `subsample420` —
+    * 4:2:0 (luma 2x2, chroma quarter-res via rounded 2x2 box average).
+    * `qDc`/`qAc` fill the single quantization table (DC position gets
+    * qDc, the 63 AC positions qAc) — qDc=1 is the DC-exact operating
+    * point the fixtures use.
     */
-  def encodeJpeg(img: Image, qDc: Int = 1, qAc: Int = 16): Array[Byte] = {
+  def encodeJpeg(img: Image, qDc: Int = 1, qAc: Int = 16,
+      subsample420: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"encodeJpeg: 1 or 3 channels, got ${img.channels}")
     val w = img.width; val h = img.height
@@ -189,6 +192,40 @@ object JpegCodec {
       }
       i += 1
     }
+    require(!subsample420 || nc == 3, "4:2:0 needs 3 channels")
+    // 4:2:0: chroma planes shrink to quarter resolution (rounded 2x2 box
+    // average, edge cells average whatever the image covers)
+    val sub = subsample420
+    val cw = if (sub) (w + 1) / 2 else w
+    val chh = if (sub) (h + 1) / 2 else h
+    val chroma: Array[Array[Int]] =
+      if (!sub) Array(if (nc == 3) planes(1) else null,
+        if (nc == 3) planes(2) else null)
+      else Array.tabulate(2) { ci =>
+        val src = planes(ci + 1)
+        val d = new Array[Int](cw * chh)
+        var yy = 0
+        while (yy < chh) {
+          var xx = 0
+          while (xx < cw) {
+            var sum = 0; var n = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val px = xx * 2 + dx; val py = yy * 2 + dy
+                if (px < w && py < h) { sum += src(py * w + px); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            d(yy * cw + xx) = math.round(sum.toDouble / n).toInt
+            xx += 1
+          }
+          yy += 1
+        }
+        d
+      }
     val q = Array.tabulate(64)(k => if (k == 0) qDc else qAc)
     val out = new ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -200,7 +237,12 @@ object JpegCodec {
     marker(0xc0) // SOF0
     u16(8 + 3 * nc); out.write(8); u16(h); u16(w); out.write(nc)
     var c = 0
-    while (c < nc) { out.write(c + 1); out.write(0x11); out.write(0); c += 1 }
+    while (c < nc) {
+      out.write(c + 1)
+      out.write(if (sub && c == 0) 0x22 else 0x11)
+      out.write(0)
+      c += 1
+    }
     def dht(tc: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
       var l = 1
@@ -216,53 +258,75 @@ object JpegCodec {
     out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
     val bw = new BitWriter(out)
     val pred = new Array[Int](nc)
-    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val mcuPx = if (sub) 16 else 8
+    val mcusX = (w + mcuPx - 1) / mcuPx; val mcusY = (h + mcuPx - 1) / mcuPx
+    // one data unit: FDCT + entropy-code an 8x8 block of component `c`
+    // read from (plane, pw, ph) at origin (ox, oy) with replication pad
+    def unit(c: Int, plane: Array[Int], pw0: Int, ph0: Int,
+        ox: Int, oy: Int): Unit = {
+      val block = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(ox + x, pw0 - 1)
+          val sy = math.min(oy + y, ph0 - 1)
+          block(y * 8 + x) = plane(sy * pw0 + sx)
+          x += 1
+        }
+        y += 1
+      }
+      val coefs = fdctQuant(block, q)
+      val diff = coefs(0) - pred(c)
+      pred(c) = coefs(0)
+      val s = category(diff)
+      bw.put(DcHuff.codeOf(s), DcHuff.lenOf(s))
+      if (s > 0)
+        bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      // AC run-length coding over zigzag order
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val v = coefs(Zigzag(kk))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            bw.put(AcHuff.codeOf(0xf0), AcHuff.lenOf(0xf0)); run -= 16
+          }
+          val sz = category(v)
+          val rs = (run << 4) | sz
+          bw.put(AcHuff.codeOf(rs), AcHuff.lenOf(rs))
+          bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) bw.put(AcHuff.codeOf(0x00), AcHuff.lenOf(0x00)) // EOB
+    }
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        c = 0
-        while (c < nc) {
-          val block = new Array[Int](64)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              // edge replication pad
-              val sx = math.min(mx * 8 + x, w - 1)
-              val sy = math.min(my * 8 + y, h - 1)
-              block(y * 8 + x) = planes(c)(sy * w + sx)
-              x += 1
-            }
-            y += 1
+        if (!sub) {
+          c = 0
+          while (c < nc) {
+            val plane = if (c == 0) planes(0) else chroma(c - 1)
+            unit(c, plane, w, h, mx * 8, my * 8)
+            c += 1
           }
-          val coefs = fdctQuant(block, q)
-          val diff = coefs(0) - pred(c)
-          pred(c) = coefs(0)
-          val s = category(diff)
-          bw.put(DcHuff.codeOf(s), DcHuff.lenOf(s))
-          if (s > 0)
-            bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-          // AC run-length coding over zigzag order
-          var run = 0
-          var kk = 1
-          while (kk < 64) {
-            val v = coefs(Zigzag(kk))
-            if (v == 0) run += 1
-            else {
-              while (run > 15) {
-                bw.put(AcHuff.codeOf(0xf0), AcHuff.lenOf(0xf0)); run -= 16
-              }
-              val sz = category(v)
-              val rs = (run << 4) | sz
-              bw.put(AcHuff.codeOf(rs), AcHuff.lenOf(rs))
-              bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-              run = 0
+        } else {
+          // 4:2:0 MCU: 4 luma blocks (2x2 raster) then Cb, Cr
+          var by = 0
+          while (by < 2) {
+            var bx = 0
+            while (bx < 2) {
+              unit(0, planes(0), w, h, (mx * 2 + bx) * 8, (my * 2 + by) * 8)
+              bx += 1
             }
-            kk += 1
+            by += 1
           }
-          if (run > 0) bw.put(AcHuff.codeOf(0x00), AcHuff.lenOf(0x00)) // EOB
-          c += 1
+          unit(1, chroma(0), cw, chh, mx * 8, my * 8)
+          unit(2, chroma(1), cw, chh, mx * 8, my * 8)
         }
         mx += 1
       }
@@ -388,6 +452,8 @@ object JpegCodec {
     var w = 0; var h = 0
     var nc = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var restartInterval = 0
     var sosComps: Array[(Int, Int, Int)] = null // (compIdx, dcT, acT)
 
@@ -432,14 +498,23 @@ object JpegCodec {
           nc = b(pos + 7) & 0xff
           require(nc == 1 || nc == 3, s"JPEG: 1 or 3 components supported, got $nc")
           compQ = new Array[Int](nc)
+          compH = new Array[Int](nc)
+          compV = new Array[Int](nc)
           var c = 0
           while (c < nc) {
             val hv = b(pos + 9 + c * 3) & 0xff
-            require(hv == 0x11,
-              f"JPEG: only 1x1 sampling (4:4:4/grayscale) supported, got 0x$hv%02x")
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            // supported grid: factors 1 or 2, chroma always 1x1 — covers
+            // grayscale, 4:4:4, 4:2:0 (2,2) and 4:2:2 (2,1)/(1,2)
+            require(compH(c) >= 1 && compH(c) <= 2 &&
+              compV(c) >= 1 && compV(c) <= 2 &&
+              (c == 0 || hv == 0x11),
+              f"JPEG: unsupported sampling 0x$hv%02x for component $c " +
+                "(luma 1..2, chroma 1x1)")
             compQ(c) = b(pos + 10 + c * 3) & 0x0f
             c += 1
           }
+          if (nc == 1) { compH(0) = 1; compV(0) = 1 } // non-interleaved gray
           pos += len
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) not supported (baseline decoder)")
@@ -460,10 +535,14 @@ object JpegCodec {
             (cs - 1, tt >> 4, tt & 0x0f)
           }
           pos += len
-          // ---- entropy decode ----
+          // ---- entropy decode (interleaved MCUs, general h/v grid) ----
           require(w > 0 && h > 0, "JPEG SOS before SOF")
-          val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
-          val planes = Array.fill(nc)(new Array[Int](mcusX * 8 * mcusY * 8))
+          val hmax = compH.max; val vmax = compV.max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          // per-component plane, padded to its own whole-block grid
+          val pw = Array.tabulate(nc)(c => mcusX * 8 * compH(c))
+          val planes = Array.tabulate(nc)(c => new Array[Int](pw(c) * mcusY * 8 * compV(c)))
           val br = new BitReader(b, pos)
           val pred = new Array[Int](nc)
           var mcu = 0
@@ -481,52 +560,63 @@ object JpegCodec {
               require(dc != null && ac != null, "JPEG scan references missing DHT")
               val q = quant(compQ(ci))
               require(q != null, "JPEG frame references missing DQT")
-              val coefs = new Array[Int](64)
-              val s = huffDecode(br, dc)
-              val diff = extend(br.receive(s), s)
-              pred(ci) += diff
-              coefs(0) = pred(ci) * q(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = huffDecode(br, ac)
-                val r = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r == 15) k += 16 else eob = true
-                } else {
-                  k += r
-                  require(k < 64, "JPEG AC run past block end")
-                  coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(Zigzag(k))
-                  k += 1
+              var by = 0
+              while (by < compV(ci)) {
+                var bx = 0
+                while (bx < compH(ci)) {
+                  val coefs = new Array[Int](64)
+                  val s = huffDecode(br, dc)
+                  val diff = extend(br.receive(s), s)
+                  pred(ci) += diff
+                  coefs(0) = pred(ci) * q(0)
+                  var k = 1
+                  var eob = false
+                  while (k < 64 && !eob) {
+                    val rs = huffDecode(br, ac)
+                    val r = rs >> 4; val sz = rs & 0x0f
+                    if (sz == 0) {
+                      if (r == 15) k += 16 else eob = true
+                    } else {
+                      k += r
+                      require(k < 64, "JPEG AC run past block end")
+                      coefs(Zigzag(k)) = extend(br.receive(sz), sz) * q(Zigzag(k))
+                      k += 1
+                    }
+                  }
+                  val px = idct(coefs)
+                  val ox = (mx * compH(ci) + bx) * 8
+                  val oy = (my * compV(ci) + by) * 8
+                  var y = 0
+                  while (y < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      planes(ci)((oy + y) * pw(ci) + ox + x) = px(y * 8 + x)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  bx += 1
                 }
-              }
-              val px = idct(coefs)
-              val rowW = mcusX * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  planes(ci)((my * 8 + y) * rowW + mx * 8 + x) = px(y * 8 + x)
-                  x += 1
-                }
-                y += 1
+                by += 1
               }
               j += 1
             }
             mcu += 1
           }
-          // crop + color convert
-          val rowW = mcusX * 8
+          // crop + (upsampling) color convert: chroma samples at
+          // (x*h_i/hmax, y*v_i/vmax) — nearest-neighbor replication
           val out = new Array[Byte](w * h * (if (nc == 3) 3 else 1))
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              if (nc == 1) out(y * w + x) = planes(0)(y * rowW + x).toByte
+              if (nc == 1) out(y * w + x) = planes(0)(y * pw(0) + x).toByte
               else {
-                val yy = planes(0)(y * rowW + x)
-                val cb = planes(1)(y * rowW + x) - 128
-                val cr = planes(2)(y * rowW + x) - 128
+                val yy = planes(0)(y * pw(0) + x)
+                val cbX = x * compH(1) / hmax; val cbY = y * compV(1) / vmax
+                val crX = x * compH(2) / hmax; val crY = y * compV(2) / vmax
+                val cb = planes(1)(cbY * pw(1) + cbX) - 128
+                val cr = planes(2)(crY * pw(2) + crX) - 128
                 val d = (y * w + x) * 3
                 out(d) = clamp8(yy + 1.402 * cr).toByte
                 out(d + 1) = clamp8(yy - 0.344136 * cb - 0.714136 * cr).toByte

@@ -215,6 +215,47 @@ class MediaDecodeSpec extends GraftSuite {
       JpegCodec.decodeJpeg(Array[Byte](0, 1, 2, 3)))
   }
 
+  test("JPEG 4:2:0: subsampled encode decodes through the general h/v grid") {
+    import graft.media.JpegCodec
+    // flat gray color: Y flat, Cb=Cr=128 everywhere — box-downsample of a
+    // constant is the constant, so 4:2:0 is DC-exact like 4:4:4
+    for (v <- Seq(0, 7, 128, 200, 255); (w, h) <- Seq((16, 16), (19, 13), (8, 24))) {
+      val img = Image(w, h, 3, Array.fill(w * h * 3)(v.toByte))
+      val back = JpegCodec.decodeJpeg(
+        JpegCodec.encodeJpeg(img, qDc = 1, subsample420 = true))
+      assert((back.width, back.height, back.channels) === ((w, h, 3)))
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"flat v=$v ${w}x$h")
+    }
+    // gray-valued content (r=g=b): chroma is constant 128, so subsampling
+    // loses nothing — roundtrip error is IDCT rounding on the Y detail
+    val g = Array.tabulate(20 * 17)(i => (rng.nextInt(256)).toByte)
+    val gray3 = Image(20, 17, 3, Array.tabulate(20 * 17 * 3)(i => g(i / 3)))
+    val back3 = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(gray3, qDc = 1, qAc = 1, subsample420 = true))
+    val maxErr = gray3.pixels.indices.map(i =>
+      math.abs((gray3.pixels(i) & 0xff) - (back3.pixels(i) & 0xff))).max
+    assert(maxErr <= 3, s"4:2:0 gray roundtrip err $maxErr")
+    // 2x2-constant color: the box downsample is lossless on the chroma,
+    // replication upsample restores it — bounded roundtrip error
+    val blocks = Image(16, 16, 3, Array.tabulate(16 * 16 * 3) { i =>
+      val p = i / 3; val x = p % 16; val y = p / 16
+      (((x / 2) * 37 + (y / 2) * 91 + (i % 3) * 53) % 256).toByte
+    })
+    val backB = JpegCodec.decodeJpeg(
+      JpegCodec.encodeJpeg(blocks, qDc = 1, qAc = 1, subsample420 = true))
+    val maxErrB = blocks.pixels.indices.map(i =>
+      math.abs((blocks.pixels(i) & 0xff) - (backB.pixels(i) & 0xff))).max
+    assert(maxErrB <= 5, s"4:2:0 block-color roundtrip err $maxErrB")
+    // unsupported factors refused loudly: patch Y's sampling to 3x1
+    val bytes = JpegCodec.encodeJpeg(gray3, subsample420 = true)
+    val sof = (0 until bytes.length - 1).find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    val bad = bytes.clone()
+    bad(sof + 11) = 0x31.toByte // component 1's HiVi byte
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(bad))
+    assert(e.getMessage.contains("sampling"))
+  }
+
   test("multimodal near-dup: decode -> aHash -> banded Hamming finds the planted twins, never all-pairs") {
     val ids = (0L until 60L).toDF("doc_id")
     val corpus = MediaDecode.synthNearDupCorpus(ids, "doc_id")
