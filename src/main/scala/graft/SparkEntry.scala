@@ -1658,6 +1658,20 @@ object SparkEntry {
         bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
     }),
 
+    // ...and folded to duplicate CLUSTERS (min-label connected components
+    // over the verified pairs) — the image dedup-group story end to end:
+    // decode -> fingerprint -> banded candidates -> verify -> cluster.
+    "q_media_neardup_clusters" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val corpus = graft.media.MediaDecode.synthNearDupCorpus(ids, "doc_id")
+      val hashed = graft.media.MediaDecode.imageStats(corpus, "doc_id", "bytes")
+        .select(col("doc_id"), col("ahash64"))
+      val pairs = graft.dedup.Dedup.hammingPairs(hashed, "doc_id", "ahash64",
+        bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
+      graft.dedup.Dedup.duplicateClusters(pairs)
+    }),
+
     // S12 — TEXMEX vecs source: export a slice of the embeddings table to
     // an fvecs file (the reference's benchmark corpus format, fvecs_read
     // in tests/test.h:274-304), read it back through the splittable
@@ -3576,48 +3590,22 @@ object SparkEntry {
     // 8x8 nearest-neighbor grayscale mean-threshold bits; candidates
     // share one of four 16-bit blocks; keep hamming <= 3
     "q_media_neardup" ->
-      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |corpus AS (
-        |  SELECT id, id AS src, 0 AS pert FROM ids
-        |  UNION ALL
-        |  SELECT id + 1000000000000, id, 1 FROM ids WHERE id % 10 = 0),
-        |cells AS (
-        |  SELECT c.id, c.src, c.pert, g.i,
-        |         ((g.i % 8) * (8 + c.src % 9)) // 8 AS sx,
-        |         ((g.i // 8) * (8 + (c.src * 3) % 9)) // 8 AS sy
-        |  FROM corpus c, generate_series(0, 63) g(i)),
-        |gray AS (
-        |  SELECT id, i,
-        |    (((31*src + (7 + (src//256) % 251)*sx
-        |       + (13 + (src//65536) % 241)*sy) % 256
-        |      + CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256
-        |     + (31*src + (7 + (src//256) % 251)*sx
-        |        + (13 + (src//65536) % 241)*sy + 97) % 256
-        |     + (31*src + (7 + (src//256) % 251)*sx
-        |        + (13 + (src//65536) % 241)*sy + 194) % 256) // 3 AS g
-        |  FROM cells),
-        |bits AS (
-        |  SELECT gr.id, gr.i, CASE WHEN gr.g > m.mean THEN 1 ELSE 0 END AS bit
-        |  FROM gray gr
-        |  JOIN (SELECT id, sum(g) // 64 AS mean FROM gray GROUP BY id) m
-        |    ON gr.id = m.id),
-        |keys AS (
-        |  SELECT id, i // ${64 / mediaNearDupBlocks} AS blk,
-        |         sum(bit * (CAST(1 AS BIGINT) << (i % ${64 / mediaNearDupBlocks}))) AS key
-        |  FROM bits GROUP BY id, i // ${64 / mediaNearDupBlocks}),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS a, y.id AS b
-        |  FROM keys x JOIN keys y
-        |    ON x.blk = y.blk AND x.key = y.key AND x.id < y.id),
-        |ham AS (
-        |  SELECT c.a, c.b,
-        |         sum(CASE WHEN bx.bit <> by.bit THEN 1 ELSE 0 END) AS hd
-        |  FROM cand c
-        |  JOIN bits bx ON bx.id = c.a
-        |  JOIN bits by ON by.id = c.b AND by.i = bx.i
-        |  GROUP BY c.a, c.b)
+      s"""WITH $MediaNearDupCtes
         |SELECT a, b, CAST(hd AS INTEGER) AS hdist FROM ham
         |WHERE hd <= 3""".stripMargin,
+
+    // same pipeline folded to connected components: min-label clusters
+    // over the verified pairs (recursive transitive closure in the
+    // oracle, exactly the q_dedup_clusters contract)
+    "q_media_neardup_clusters" ->
+      s"""WITH RECURSIVE $MediaNearDupCtes,
+        |pr AS (SELECT a, b FROM ham WHERE hd <= 3),
+        |e AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
 
     "q_mix_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -4596,6 +4584,60 @@ object SparkEntry {
     * to min-id components via a recursive CTE. One val — the driver path
     * and the distributed star path cannot drift against different SQL.
     */
+  /** Shared CTE chain of the multimodal near-dup oracle: closed-form
+    * pixels -> 8x8 grayscale bits -> block keys -> banded candidates ->
+    * per-block-popcount hamming (`ham(a, b, hd)`). One derivation for
+    * the pair gate and the clusters gate, so they cannot drift.
+    */
+  private lazy val MediaNearDupCtes: String =
+    s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |corpus AS (
+        |  SELECT id, id AS src, 0 AS pert FROM ids
+        |  UNION ALL
+        |  SELECT id + 1000000000000, id, 1 FROM ids WHERE id % 10 = 0),
+        |cells AS (
+        |  SELECT c.id, c.src, c.pert, g.i,
+        |         ((g.i % 8) * (8 + c.src % 9)) // 8 AS sx,
+        |         ((g.i // 8) * (8 + (c.src * 3) % 9)) // 8 AS sy
+        |  FROM corpus c, generate_series(0, 63) g(i)),
+        |gray AS (
+        |  SELECT id, i,
+        |    (((31*src + (7 + (src//256) % 251)*sx
+        |       + (13 + (src//65536) % 241)*sy) % 256
+        |      + CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 8 ELSE 0 END) % 256
+        |     + (31*src + (7 + (src//256) % 251)*sx
+        |        + (13 + (src//65536) % 241)*sy + 97) % 256
+        |     + (31*src + (7 + (src//256) % 251)*sx
+        |        + (13 + (src//65536) % 241)*sy + 194) % 256) // 3 AS g
+        |  FROM cells),
+        |bits AS (
+        |  SELECT gr.id, gr.i, CASE WHEN gr.g > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM gray gr
+        |  JOIN (SELECT id, sum(g) // 64 AS mean FROM gray GROUP BY id) m
+        |    ON gr.id = m.id),
+        |keys AS (
+        |  SELECT id, i // ${64 / mediaNearDupBlocks} AS blk,
+        |         sum(bit * (CAST(1 AS BIGINT) << (i % ${64 / mediaNearDupBlocks}))) AS key
+        |  FROM bits GROUP BY id, i // ${64 / mediaNearDupBlocks}),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM keys x JOIN keys y
+        |    ON x.blk = y.blk AND x.key = y.key AND x.id < y.id),
+        |-- blocks partition the 64 bits, so hamming = sum of per-block
+        |-- popcounts of XORed keys — no per-bit join (the bits-table form
+        |-- materialized 64 join rows per candidate side and fell over at
+        |-- the 5M-doc replica's ~40M pairs)
+        |wide AS (SELECT id, ${(0 until mediaNearDupBlocks)
+          .map(b => s"max(CASE WHEN blk = $b THEN key END) AS k$b")
+          .mkString(", ")}
+        |  FROM keys GROUP BY id),
+        |ham AS (
+        |  SELECT c.a, c.b, ${(0 until mediaNearDupBlocks)
+          .map(b => s"bit_count(xor(wa.k$b, wb.k$b))").mkString(" + ")} AS hd
+        |  FROM cand c
+        |  JOIN wide wa ON wa.id = c.a
+        |  JOIN wide wb ON wb.id = c.b)""".stripMargin
+
   private lazy val oracleSqlClusters: String =
     s"""WITH RECURSIVE $ShingleCte, $MinhashPairCtes,
        |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),

@@ -172,7 +172,7 @@ object JpegCodec {
     * point the fixtures use.
     */
   def encodeJpeg(img: Image, qDc: Int = 1, qAc: Int = 16,
-      subsample420: Boolean = false): Array[Byte] = {
+      subsample420: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"encodeJpeg: 1 or 3 channels, got ${img.channels}")
     val w = img.width; val h = img.height
@@ -251,6 +251,9 @@ object JpegCodec {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { // DRI
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
     marker(0xda) // SOS
     u16(6 + 2 * nc); out.write(nc)
     c = 0
@@ -304,9 +307,20 @@ object JpegCodec {
       if (run > 0) bw.put(AcHuff.codeOf(0x00), AcHuff.lenOf(0x00)) // EOB
     }
     var my = 0
+    var mcuIdx = 0
+    var rstN = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // byte-align and emit RSTn between restart groups; DC predictors
+        // reset on both sides (T.81 E.1.4)
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        mcuIdx += 1
         if (!sub) {
           c = 0
           while (c < nc) {

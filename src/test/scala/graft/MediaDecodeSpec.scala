@@ -215,6 +215,30 @@ class MediaDecodeSpec extends GraftSuite {
       JpegCodec.decodeJpeg(Array[Byte](0, 1, 2, 3)))
   }
 
+  test("JPEG restart markers: DRI streams resync and stay DC-exact") {
+    import graft.media.JpegCodec
+    for (id <- Seq(2L, 5L); ri <- Seq(1, 2, 3)) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id * 3) % 9).toInt
+      def tile(x: Int, y: Int): Int =
+        (((31L * id + 7L * (x / 8) + 13L * (y / 8)) % 256L) & 0xffL).toInt
+      val gray = Image(w, h, 1,
+        Array.tabulate(w * h)(i => tile(i % w, i / w).toByte))
+      val bytes = JpegCodec.encodeJpeg(gray, qDc = 1, restartInterval = ri)
+      // the stream really carries RSTn markers (encoder emitted DRI)
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) >= 0xd0 &&
+          (bytes(i + 1) & 0xff) <= 0xd7) || w <= 8 * ri && h <= 8,
+        s"no RST marker emitted at ri=$ri for ${w}x$h")
+      val back = JpegCodec.decodeJpeg(bytes)
+      assert(back.pixels.toSeq === gray.pixels.toSeq, s"id=$id ri=$ri")
+    }
+    // 4:2:0 + restarts together
+    val img = Image(20, 17, 3, Array.tabulate(20 * 17 * 3)(i => ((i / 3) % 256).toByte))
+    val back = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(
+      img, qDc = 1, qAc = 1, subsample420 = true, restartInterval = 1))
+    assert((back.width, back.height, back.channels) === ((20, 17, 3)))
+  }
+
   test("JPEG 4:2:0: subsampled encode decodes through the general h/v grid") {
     import graft.media.JpegCodec
     // flat gray color: Y flat, Cb=Cr=128 everywhere — box-downsample of a
