@@ -1619,6 +1619,20 @@ object SparkEntry {
           col("channels"), col("r_sum").as("gray_sum"))
     }),
 
+    // MP4 SAMPLE-TABLE indexing (r13): the container-level half of video
+    // frame sampling — per-sample byte ranges and timestamps from the
+    // stbl walk (stsz sizes, multi-run stsc, stco/co64 alternating by id,
+    // stts deltas), codec-agnostic (payload opaque; entropy decode stays
+    // the documented boundary). The fixture puts mdat BEFORE moov so
+    // chunk offsets are closed-form (32 + prefix sums) and the oracle
+    // recomputes every (offset, size, pts) row.
+    "q_media_mp4_samples" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4Payload(ids, "doc_id")
+      graft.media.Mp4Index.sampleIndex(payloads, "doc_id", "bytes")
+    }),
+
     // REAL audio decode: WAV-PCM16 payloads from a closed-form sample
     // generator; the engine walks RIFF chunks, decodes PCM and emits
     // exact integer statistics (energy, L1, peak) per doc.
@@ -3563,6 +3577,24 @@ object SparkEntry {
         |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |       CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // MP4 sample table re-derived closed-form: chunks are contiguous in
+    // mdat, so offset(i) = 32 + prefix-sum of sizes; sizes/deltas from the
+    // fixture arithmetic
+    "q_media_mp4_samples" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |s AS (
+        |  SELECT id, i.i AS sample_idx,
+        |         10 + (17*id + 31*i.i) % 90 AS sz,
+        |         CAST(i.i // 3 AS INT) AS chunk_idx,
+        |         i.i * (100 + id % 50) AS pts
+        |  FROM ids, generate_series(0, 10) i(i)
+        |  WHERE i.i < 6 + id % 5)
+        |SELECT id AS doc_id, CAST(sample_idx AS INT) AS sample_idx, chunk_idx,
+        |       CAST(32 + sum(sz) OVER (PARTITION BY id ORDER BY sample_idx
+        |            ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS offset,
+        |       CAST(sz AS BIGINT) AS size, CAST(pts AS BIGINT) AS pts
+        |FROM s""".stripMargin,
 
     // decoded-JPEG pixels re-derived closed-form: pixel (x,y) of doc id
     // is the 8x8-tile value (31*id + 7*(x/8) + 13*(y/8)) % 256 (flat

@@ -10,8 +10,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * compressed-DCT formats. PNG is zlib (java.util.zip) + four byte-level
   * row filters, BMP is bare pixels, WAV-PCM is bare samples — all
   * decodable (and encodable, for fixtures) with nothing beyond the JDK.
-  * Baseline JPEG (Huffman + IDCT) lives in [[JpegCodec]] (r13); MP4
-  * stays header-only (the one remaining documented boundary).
+  * Baseline JPEG (Huffman + IDCT) lives in [[JpegCodec]] and MP4
+  * sample-table indexing in [[Mp4Index]] (r13); H.264/HEVC entropy
+  * decode is the one remaining documented boundary.
   *
   * Decoded surface: `Image(w, h, channels, pixels)` with row-major
   * interleaved 8-bit samples, `Audio(sampleRate, channels, samples)` with

@@ -9,8 +9,8 @@ import MediaCodecs.{Audio, Image}
 /** REAL decode + feature operators over opaque media `binary` columns —
   * the round-12 replacement for MediaOps' documented md5-fake kernels
   * (PNG / BMP / GIF / WAV-PCM in [[MediaCodecs]]; baseline JPEG in
-  * [[JpegCodec]] since r13 — MP4 stays header-only, the one remaining
-  * boundary).
+  * [[JpegCodec]] and MP4 sample-table indexing in [[Mp4Index]] since r13
+  * — H.264/HEVC entropy decode is the one remaining documented boundary).
   *
   * Scale design (what matters at 100 TB):
   *  - decode and statistics happen in ONE `mapPartitions` pass and only

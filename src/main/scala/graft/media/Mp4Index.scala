@@ -1,0 +1,290 @@
+package graft.media
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** ISO-BMFF (ISO/IEC 14496-12) SAMPLE-TABLE indexing — the container-level
+  * half of video frame sampling. A 100 TB video pipeline's first pass is
+  * not a decode: it is "where are the samples" — per-sample byte ranges
+  * and timestamps from the `stbl` boxes (stsz sizes, stsc
+  * samples-per-chunk runs, stco/co64 chunk offsets, stts time deltas) —
+  * so downstream GPU decoders can seek straight to the frames they were
+  * told to sample. This implements that walk in pure JVM bytes, codec-
+  * agnostic (the payload stays opaque; H.264/HEVC entropy decode remains
+  * the documented out-of-scope boundary).
+  *
+  * Reference mapping: vearch carries media as opaque byte payloads with no
+  * container awareness at all; this extends the header surface
+  * ([[MediaHeaders]]) the same way the image codecs extended decode.
+  *
+  * Scale shape: parse happens per-row inside `mapPartitions`; one row per
+  * SAMPLE leaves the executor (bounded integers — offsets, sizes, pts),
+  * payload bytes never cross an Exchange.
+  */
+object Mp4Index {
+
+  /** One sample's location: (sample_idx, chunk_idx, offset, size, pts) —
+    * offset is the absolute byte offset in the container, pts in media
+    * timescale units (exact integers; callers divide by the timescale).
+    */
+  final case class SampleLoc(
+      sampleIdx: Int, chunkIdx: Int, offset: Long, size: Long, pts: Long)
+
+  private def be32(b: Array[Byte], o: Int): Long = {
+    require(o + 4 <= b.length, s"truncated MP4: need 4 bytes at $o")
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  }
+  private def be64(b: Array[Byte], o: Int): Long = {
+    require(o + 8 <= b.length, s"truncated MP4: need 8 bytes at $o")
+    (be32(b, o) << 32) | be32(b, o + 4)
+  }
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    require(o + 4 <= b.length, s"truncated MP4: need fourcc at $o")
+    new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)), "US-ASCII")
+  }
+
+  /** Find the first child box with type `name` inside [from, to); returns
+    * (payloadStart, payloadEnd) or null. Box = BE32 size + fourcc
+    * (size 1 -> 64-bit largesize; size 0 -> to end of enclosing box).
+    */
+  private def child(b: Array[Byte], from: Int, to: Int, name: String): (Int, Int) = {
+    var o = from
+    while (o + 8 <= to) {
+      val sz0 = be32(b, o)
+      val t = fourcc(b, o + 4)
+      val (hdr, sz) =
+        if (sz0 == 1L) (16, be64(b, o + 8))
+        else if (sz0 == 0L) (8, (to - o).toLong)
+        else (8, sz0)
+      require(sz >= hdr && o + sz <= to,
+        s"malformed MP4 box '$t' at $o: size $sz exceeds enclosing box")
+      if (t == name) return (o + hdr, o + sz.toInt)
+      o += sz.toInt
+    }
+    null
+  }
+
+  /** Parse the first video/media track's sample table. Supports stsz
+    * (fixed or per-sample sizes), stsc runs, stco and co64, stts runs;
+    * version-0 and version-1 full boxes where relevant. Fails loudly on
+    * truncation or inconsistent tables (counts that do not reconcile).
+    */
+  def parseSampleTable(b: Array[Byte]): Seq[SampleLoc] = {
+    require(b.length >= 16 && {
+      val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
+    }, "not an ISO-BMFF container")
+    val moov = child(b, 0, b.length, "moov")
+    require(moov != null, "MP4 without a moov box")
+    val trak = child(b, moov._1, moov._2, "trak")
+    require(trak != null, "MP4 moov without a trak")
+    val mdia = child(b, trak._1, trak._2, "mdia")
+    require(mdia != null, "MP4 trak without mdia")
+    val minf = child(b, mdia._1, mdia._2, "minf")
+    require(minf != null, "MP4 mdia without minf")
+    val stbl = child(b, minf._1, minf._2, "stbl")
+    require(stbl != null, "MP4 minf without stbl")
+
+    // stsz: full box; sample_size != 0 -> fixed; else per-sample table
+    val stsz = child(b, stbl._1, stbl._2, "stsz")
+    require(stsz != null, "MP4 stbl without stsz")
+    val fixedSize = be32(b, stsz._1 + 4)
+    val nSamples = be32(b, stsz._1 + 8).toInt
+    require(nSamples >= 0 && nSamples < (1 << 24), s"implausible sample count $nSamples")
+    val sizes: Array[Long] =
+      if (fixedSize != 0L) Array.fill(nSamples)(fixedSize)
+      else Array.tabulate(nSamples)(i => be32(b, stsz._1 + 12 + i * 4))
+
+    // stsc: runs of (first_chunk, samples_per_chunk, desc_idx)
+    val stsc = child(b, stbl._1, stbl._2, "stsc")
+    require(stsc != null, "MP4 stbl without stsc")
+    val nRuns = be32(b, stsc._1 + 4).toInt
+    val runs = Array.tabulate(nRuns)(i =>
+      (be32(b, stsc._1 + 8 + i * 12).toInt,      // first_chunk (1-based)
+        be32(b, stsc._1 + 12 + i * 12).toInt))   // samples_per_chunk
+
+    // stco (32-bit) or co64 chunk offsets
+    val (coPay, coWide) = {
+      val stco = child(b, stbl._1, stbl._2, "stco")
+      if (stco != null) (stco, false)
+      else {
+        val co64 = child(b, stbl._1, stbl._2, "co64")
+        require(co64 != null, "MP4 stbl without stco/co64")
+        (co64, true)
+      }
+    }
+    val nChunks = be32(b, coPay._1 + 4).toInt
+    val chunkOff = Array.tabulate(nChunks)(i =>
+      if (coWide) be64(b, coPay._1 + 8 + i * 8) else be32(b, coPay._1 + 8 + i * 4))
+
+    // stts: runs of (sample_count, sample_delta)
+    val stts = child(b, stbl._1, stbl._2, "stts")
+    require(stts != null, "MP4 stbl without stts")
+    val nTt = be32(b, stts._1 + 4).toInt
+    val tts = Array.tabulate(nTt)(i =>
+      (be32(b, stts._1 + 8 + i * 8).toInt, be32(b, stts._1 + 12 + i * 8)))
+
+    // samples-per-chunk resolved from the stsc runs
+    def samplesInChunk(c1: Int): Int = { // 1-based chunk index
+      var spc = 0
+      var i = 0
+      while (i < nRuns && runs(i)._1 <= c1) { spc = runs(i)._2; i += 1 }
+      require(spc > 0, s"MP4 stsc does not cover chunk $c1")
+      spc
+    }
+
+    val out = Vector.newBuilder[SampleLoc]
+    var sample = 0
+    var pts = 0L
+    var ttRun = 0
+    var ttLeft = if (nTt > 0) tts(0)._1 else 0
+    var chunk = 0
+    while (sample < nSamples) {
+      require(chunk < nChunks,
+        s"MP4 tables inconsistent: sample $sample of $nSamples but only $nChunks chunks")
+      val spc = samplesInChunk(chunk + 1)
+      var within = 0
+      var off = chunkOff(chunk)
+      while (within < spc && sample < nSamples) {
+        require(ttLeft > 0 || ttRun < nTt, "MP4 stts does not cover every sample")
+        if (ttLeft == 0) { ttRun += 1; ttLeft = tts(ttRun)._1 }
+        out += SampleLoc(sample, chunk, off, sizes(sample), pts)
+        pts += tts(ttRun)._2
+        ttLeft -= 1
+        off += sizes(sample)
+        sample += 1
+        within += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+
+  /** DataFrame operator: one row per sample of each container —
+    * (idCol, sample_idx, chunk_idx, offset, size, pts). Parse is
+    * executor-local; only the bounded index rows leave.
+    */
+  def sampleIndex(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("pts", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        parseSampleTable(r.getAs[Array[Byte]](bIdx)).map(s =>
+          Row(id, s.sampleIdx, s.chunkIdx, s.offset, s.size, s.pts))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // ------------------------------------------------------------- fixture
+
+  /** Minimal spec-complete MP4 with a REAL sample table, closed-form from
+    * `id` so a SQL oracle can recompute every row:
+    *  - nSamples = 6 + id%5; size(i) = 10 + (17*id + 31*i) % 90
+    *  - chunks of 3 samples (the last chunk may be partial -> a second
+    *    stsc run, exercising the run walk)
+    *  - stts: constant delta 100 + id%50 at timescale 600
+    *  - chunk offsets point into a real mdat carrying the payload bytes.
+    * Layout: ftyp, mdat, moov (mdat FIRST so stco offsets are independent
+    * of moov's variable table sizes — closed-form in nSamples alone).
+    */
+  def synthMp4(id: Long): Array[Byte] = {
+    val n = (6 + id % 5).toInt
+    val sizes = Array.tabulate(n)(i => (10 + (17 * id + 31 * i) % 90).toInt)
+    val delta = (100 + id % 50).toInt
+    val nChunks = (n + 2) / 3
+    val out = new ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    // ftyp (24 bytes)
+    be32(24); tag("ftyp"); tag("isom"); be32(512); tag("isom"); tag("iso2")
+    // mdat: header + payload
+    val payload = sizes.sum
+    be32(8L + payload); tag("mdat")
+    val mdatDataStart = 24 + 8
+    var v = 0
+    sizes.zipWithIndex.foreach { case (sz, i) =>
+      var k = 0
+      while (k < sz) { out.write((id + 7 * i + k).toInt & 0xff); k += 1 }
+      v += sz
+    }
+    // chunk offsets: cumulative over whole chunks of 3
+    val chunkOff = new Array[Long](nChunks)
+    var acc = mdatDataStart.toLong
+    var s = 0
+    for (c <- 0 until nChunks) {
+      chunkOff(c) = acc
+      var j = 0
+      while (j < 3 && s < n) { acc += sizes(s); s += 1; j += 1 }
+    }
+    // moov/trak/mdia/minf/stbl with stsz/stsc/stco/stts
+    def box(name: String)(body: => Array[Byte]): Array[Byte] = {
+      val inner = body
+      val o = new ByteArrayOutputStream()
+      val sz = 8 + inner.length
+      o.write(((sz >> 24) & 0xff)); o.write(((sz >> 16) & 0xff))
+      o.write(((sz >> 8) & 0xff)); o.write((sz & 0xff))
+      o.write(name.getBytes("US-ASCII")); o.write(inner)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      vs.foreach { x =>
+        o.write(((x >> 24) & 0xff).toInt); o.write(((x >> 16) & 0xff).toInt)
+        o.write(((x >> 8) & 0xff).toInt); o.write((x & 0xff).toInt)
+      }
+      o.toByteArray
+    }
+    val stsz = box("stsz")(ints((0L +: 0L +: n.toLong +: sizes.map(_.toLong).toSeq): _*))
+    val stscRuns: Seq[Long] =
+      if (n % 3 == 0) Seq(1L, 3L, 1L)
+      else Seq(1L, 3L, 1L, nChunks.toLong, (n % 3).toLong, 1L)
+    val stsc = box("stsc")(ints((0L +: (stscRuns.length / 3).toLong +: stscRuns): _*))
+    // odd ids carry 64-bit chunk offsets (co64) so both offset-box paths
+    // run on real data; values are identical, only the width differs
+    val stco =
+      if (id % 2 == 1) box("co64") {
+        val o = new ByteArrayOutputStream()
+        o.write(ints(0L, nChunks.toLong))
+        chunkOff.foreach { x =>
+          o.write(ints(x >>> 32)); o.write(ints(x & 0xffffffffL))
+        }
+        o.toByteArray
+      }
+      else box("stco")(ints((0L +: nChunks.toLong +: chunkOff.toSeq): _*))
+    val stts = box("stts")(ints(0L, 1L, n.toLong, delta.toLong))
+    val stbl = box("stbl")(stsz ++ stsc ++ stco ++ stts)
+    val minf = box("minf")(stbl)
+    // mdhd: version 0, timescale 600, duration n*delta
+    val mdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, n.toLong * delta))
+    val mdia = box("mdia")(mdhd ++ minf)
+    val trak = box("trak")(mdia)
+    val mvhd = box("mvhd")(ints(0L, 0L, 0L, 600L, n.toLong * delta))
+    val moov = box("moov")(mvhd ++ trak)
+    out.write(moov)
+    out.toByteArray
+  }
+
+  /** Fixture frame: (idCol, bytes) of [[synthMp4]] containers. */
+  def synthMp4Payload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(idIdx), synthMp4(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+}
