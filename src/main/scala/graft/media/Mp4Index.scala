@@ -214,11 +214,9 @@ object Mp4Index {
     val payload = sizes.sum
     be32(8L + payload); tag("mdat")
     val mdatDataStart = 24 + 8
-    var v = 0
     sizes.zipWithIndex.foreach { case (sz, i) =>
       var k = 0
       while (k < sz) { out.write((id + 7 * i + k).toInt & 0xff); k += 1 }
-      v += sz
     }
     // chunk offsets: cumulative over whole chunks of 3
     val chunkOff = new Array[Long](nChunks)
