@@ -1633,6 +1633,45 @@ object SparkEntry {
       graft.media.Mp4Index.sampleIndex(payloads, "doc_id", "bytes")
     }),
 
+    // MP4 KEYFRAME sampling (r14 — the "sample N keyframes per video"
+    // entry point a GPU decode stage seeks by): stss sync flags + ctts
+    // composition offsets (version 1 signed — the B-frame H.264 shape)
+    // turn the sample index into per-tick seek targets: for every
+    // presentation tick (every 150 timescale units = 0.25 s at the
+    // fixture's 600), the sync sample with the smallest pts at-or-after
+    // it. The fixture writes closed-form stss (sync = every 3rd sample;
+    // absent on id%3==0 docs -> all-sync default) and ctts (absent on
+    // id%5==0; v0 unsigned on even ids, v1 SIGNED incl. negative offsets
+    // on odd), so the oracle recomputes every (tick, sample, pts) row.
+    "q_media_mp4_keyframes" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4Payload(ids, "doc_id")
+      graft.media.Mp4Index.keyframeIndex(payloads, "doc_id", "bytes", everyPts = 150L)
+    }),
+
+    // Container-level VIDEO dedup at zero decode cost (r14): md5 over the
+    // stsz sample-size sequence — re-muxing preserves coded sample bytes
+    // and therefore sizes, so re-muxed copies collide while distinct
+    // streams essentially never do. The corpus plants a re-muxed twin
+    // (different box layout, offsets, payload bytes; same stream tables)
+    // for every 10th doc, and ids congruent mod 90 share size sequences
+    // outright (generator period), so REAL mass groups form too. Output:
+    // every container in a >=2 group with its group keeper (min id) —
+    // linear in docs, never pair-shaped.
+    "q_media_mp4_dupsig" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val corpus = graft.media.Mp4Index.synthMp4RemuxCorpus(ids, "doc_id")
+      val sigs = graft.media.Mp4Index.sizeSignature(corpus, "doc_id", "bytes")
+        .select(col("doc_id"), col("sig"))
+      val groups = sigs.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("group_id"), count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > 1)
+        .drop("__cnt")
+      sigs.join(groups, Seq("sig")).select(col("doc_id"), col("sig"), col("group_id"))
+    }),
+
     // REAL audio decode: WAV-PCM16 payloads from a closed-form sample
     // generator; the engine walks RIFF chunks, decodes PCM and emits
     // exact integer statistics (energy, L1, peak) per doc.
@@ -1643,6 +1682,22 @@ object SparkEntry {
       graft.media.MediaDecode.audioStats(payloads, "doc_id", "bytes")
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           col("sum_sq"), col("sum_abs"), col("peak"))
+    }),
+
+    // AUDIO near-dup, end to end (r14 — the audio half of multimodal
+    // dedup): WAV decode -> 64-frame energy fingerprint (mean-threshold
+    // bits, the Haitsma-Kalman shape in exact integers) -> the SAME
+    // collapse-then-blocked-Hamming join images use. The corpus plants a
+    // perturbed twin (first sample +100) for every 10th doc; the oracle
+    // recomputes the ENTIRE pipeline — samples, frame energies, bits,
+    // block keys, candidates, hamming — closed-form in SQL.
+    "q_media_audio_neardup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val corpus = graft.media.MediaDecode.synthAudioNearDupCorpus(ids, "doc_id")
+      val hashed = graft.media.MediaDecode.audioFingerprint64(corpus, "doc_id", "bytes")
+      graft.dedup.Dedup.hammingPairs(hashed, "doc_id", "afp64",
+        bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
     }),
 
     // Multimodal near-dup, END TO END: decode real image payloads ->
@@ -1672,18 +1727,44 @@ object SparkEntry {
         bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
     }),
 
-    // ...and folded to duplicate CLUSTERS (min-label connected components
-    // over the verified pairs) — the image dedup-group story end to end:
-    // decode -> fingerprint -> banded candidates -> verify -> cluster.
+    // ...and folded to duplicate CLUSTERS (min-label connected components)
+    // — the image dedup-group story end to end: decode -> fingerprint ->
+    // collapse identical hashes -> banded candidates over DISTINCT
+    // fingerprints -> verify -> cluster reps -> members inherit labels.
+    // hammingClusters (r14) never materializes id-level pairs: work and
+    // output stay linear in docs + distinct-hash pairs even when one
+    // fingerprint covers millions of docs (the web-corpus shape). Output
+    // contract — and therefore the oracle — identical to
+    // duplicateClusters(hammingPairs(...)).
     "q_media_neardup_clusters" -> ((s, dir) => {
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
       val corpus = graft.media.MediaDecode.synthNearDupCorpus(ids, "doc_id")
       val hashed = graft.media.MediaDecode.imageStats(corpus, "doc_id", "bytes")
         .select(col("doc_id"), col("ahash64"))
-      val pairs = graft.dedup.Dedup.hammingPairs(hashed, "doc_id", "ahash64",
+      graft.dedup.Dedup.hammingClusters(hashed, "doc_id", "ahash64",
         bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
-      graft.dedup.Dedup.duplicateClusters(pairs)
+    }),
+
+    // The DUP-HEAVY decade point (r14): every doc's payload is source
+    // image `doc_id % G` with G = min(n/24, 2500) — identical-fingerprint
+    // groups of ~24 docs at sf0.01 and ~2000 at the 1000x replica, the
+    // adversarial mass-duplicate shape the unique-corpus gates above
+    // cannot exercise. The collapse keeps the blocked join over G
+    // distinct hashes (not n docs) and the cluster output linear in n;
+    // the id-level pair surface would be quadratic in group size, which
+    // is exactly why this gate is clusters-only. The oracle recomputes
+    // hashes per distinct source, groups by full hash, closes over
+    // representative edges, and expands members — all closed-form.
+    "q_media_neardup_dupheavy" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val g = math.min(2500L, math.max(1L, ids.count() / 24L))
+      val corpus = graft.media.MediaDecode.synthDupHeavyCorpus(ids, "doc_id", g)
+      val hashed = graft.media.MediaDecode.imageStats(corpus, "doc_id", "bytes")
+        .select(col("doc_id"), col("ahash64"))
+      graft.dedup.Dedup.hammingClusters(hashed, "doc_id", "ahash64",
+        bits = 64, blocks = mediaNearDupBlocks, maxHamming = 3)
     }),
 
     // S12 — TEXMEX vecs source: export a slice of the embeddings table to
@@ -3578,23 +3659,64 @@ object SparkEntry {
         |       CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // the full audio near-dup pipeline re-derived closed-form: PCM
+    // samples -> 64 frame energies -> mean-threshold bits -> banded
+    // candidates -> popcount hamming; keep hamming <= 3
+    "q_media_audio_neardup" ->
+      s"""WITH $AudioNearDupCtes
+        |SELECT a, b, CAST(hd AS INTEGER) AS hdist FROM ham
+        |WHERE hd <= 3""".stripMargin,
+
     // MP4 sample table re-derived closed-form: chunks are contiguous in
     // mdat, so offset(i) = 32 + prefix-sum of sizes; sizes/deltas from the
-    // fixture arithmetic
+    // fixture arithmetic; dts = i*delta, pts = dts + the closed-form ctts
+    // offset (absent on id%5==0; v1 signed on odd ids, v0 unsigned on
+    // even); is_sync from the closed-form stss (absent on id%3==0 -> all
+    // sync, else every 3rd sample)
     "q_media_mp4_samples" ->
-      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |s AS (
-        |  SELECT id, i.i AS sample_idx,
-        |         10 + (17*id + 31*i.i) % 90 AS sz,
-        |         CAST(i.i // 3 AS INT) AS chunk_idx,
-        |         i.i * (100 + id % 50) AS pts
-        |  FROM ids, generate_series(0, 10) i(i)
-        |  WHERE i.i < 6 + id % 5)
+      s"""WITH $Mp4SampleCte
         |SELECT id AS doc_id, CAST(sample_idx AS INT) AS sample_idx, chunk_idx,
-        |       CAST(32 + sum(sz) OVER (PARTITION BY id ORDER BY sample_idx
-        |            ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS offset,
-        |       CAST(sz AS BIGINT) AS size, CAST(pts AS BIGINT) AS pts
+        |       s."offset", CAST(sz AS BIGINT) AS size, CAST(dts AS BIGINT) AS dts,
+        |       CAST(pts AS BIGINT) AS pts, is_sync
         |FROM s""".stripMargin,
+
+    // keyframe sampling re-derived closed-form: ticks every 150 units
+    // below the track duration n*delta; per tick the sync sample with
+    // the smallest pts at-or-after it (ties: smallest sample_idx)
+    "q_media_mp4_keyframes" ->
+      s"""WITH $Mp4SampleCte,
+        |ticks AS (
+        |  SELECT id, 150 * k.k AS tick
+        |  FROM ids, generate_series(0, 12) k(k)
+        |  WHERE 150 * k.k < (6 + id % 5) * (100 + id % 50)),
+        |cand AS (
+        |  SELECT t.id, t.tick, s.sample_idx, s.pts, s."offset", s.sz,
+        |         row_number() OVER (PARTITION BY t.id, t.tick
+        |           ORDER BY s.pts, s.sample_idx) AS rn
+        |  FROM ticks t JOIN s ON s.id = t.id AND s.is_sync AND s.pts >= t.tick)
+        |SELECT id AS doc_id, CAST(tick AS BIGINT) AS tick,
+        |       CAST(sample_idx AS INT) AS sample_idx, CAST(pts AS BIGINT) AS pts,
+        |       cand."offset", CAST(sz AS BIGINT) AS size
+        |FROM cand WHERE rn = 1""".stripMargin,
+
+    // size-sequence dup signature re-derived closed-form: md5 over the
+    // comma-joined stsz sizes of src = base id (twins at id+1e12 reuse
+    // the BASE id's tables); groups keyed by the full digest
+    "q_media_mp4_dupsig" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |corpus AS (
+        |  SELECT id, id AS src FROM ids
+        |  UNION ALL
+        |  SELECT id + 1000000000000, id FROM ids WHERE id % 10 = 0),
+        |sigs AS (
+        |  SELECT id, md5(array_to_string(
+        |    list_transform(range(0, CAST(6 + src % 5 AS INT)),
+        |      i -> CAST(10 + (17*src + 31*i) % 90 AS VARCHAR)), ',')) AS sig
+        |  FROM corpus),
+        |g AS (SELECT sig, min(id) AS group_id, count(*) AS cnt
+        |      FROM sigs GROUP BY sig)
+        |SELECT s.id AS doc_id, s.sig, g.group_id
+        |FROM sigs s JOIN g ON g.sig = s.sig WHERE g.cnt > 1""".stripMargin,
 
     // decoded-JPEG pixels re-derived closed-form: pixel (x,y) of doc id
     // is the 8x8-tile value (31*id + 7*(x/8) + 13*(y/8)) % 256 (flat
@@ -3638,6 +3760,82 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // the dup-heavy decade point re-derived closed-form: hashes per
+    // DISTINCT source (src = id % G, G = min(n/24, 2500)), grouped by the
+    // FULL hash (the block-key tuple partitions all 64 bits), banded
+    // candidates + transitive closure over hash REPRESENTATIVES (min
+    // member id), members expanded at the end — the same
+    // collapse-before-pairing shape the engine runs, in SQL. A
+    // multi-member hash with no cross-hash edge still clusters on its
+    // own representative.
+    "q_media_neardup_dupheavy" -> {
+      val B = mediaNearDupBlocks
+      val W = 64 / B
+      val kCols = (0 until B).map(b => s"k$b").mkString(", ")
+      s"""WITH RECURSIVE
+        |gp AS (SELECT least(greatest(count(*) // 24, 1), 2500) AS g FROM documents),
+        |ids AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |               CAST(doc_id AS BIGINT) % (SELECT g FROM gp) AS src
+        |        FROM documents),
+        |srcs AS (SELECT DISTINCT src FROM ids),
+        |cells AS (
+        |  SELECT s.src, gi.i,
+        |         ((gi.i % 8) * (8 + s.src % 9)) // 8 AS sx,
+        |         ((gi.i // 8) * (8 + (s.src * 3) % 9)) // 8 AS sy
+        |  FROM srcs s, generate_series(0, 63) gi(i)),
+        |gray AS (
+        |  SELECT src, i,
+        |    ((31*src + (7 + (src//256) % 251)*sx + (13 + (src//65536) % 241)*sy) % 256
+        |     + (31*src + (7 + (src//256) % 251)*sx + (13 + (src//65536) % 241)*sy + 97) % 256
+        |     + (31*src + (7 + (src//256) % 251)*sx + (13 + (src//65536) % 241)*sy + 194) % 256) // 3 AS gv
+        |  FROM cells),
+        |bits AS (
+        |  SELECT gr.src, gr.i, CASE WHEN gr.gv > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM gray gr
+        |  JOIN (SELECT src, sum(gv) // 64 AS mean FROM gray GROUP BY src) m
+        |    ON gr.src = m.src),
+        |skeys AS (
+        |  SELECT src, i // $W AS blk,
+        |         sum(bit * (CAST(1 AS BIGINT) << (i % $W))) AS key
+        |  FROM bits GROUP BY src, i // $W),
+        |swide AS (SELECT src, ${(0 until B)
+          .map(b => s"max(CASE WHEN blk = $b THEN key END) AS k$b")
+          .mkString(", ")}
+        |  FROM skeys GROUP BY src),
+        |mem AS (SELECT i.id, $kCols FROM ids i JOIN swide w ON w.src = i.src),
+        |hg AS (SELECT $kCols, min(id) AS rid, count(*) AS cnt
+        |       FROM mem GROUP BY $kCols),
+        |hkeys AS (${(0 until B)
+          .map(b => s"SELECT rid, $b AS blk, k$b AS key FROM hg")
+          .mkString(" UNION ALL ")}),
+        |cand AS (
+        |  SELECT DISTINCT x.rid AS ra, y.rid AS rb
+        |  FROM hkeys x JOIN hkeys y
+        |    ON x.blk = y.blk AND x.key = y.key AND x.rid < y.rid),
+        |ham AS (
+        |  SELECT c.ra, c.rb, ${(0 until B)
+          .map(b => s"bit_count(xor(ha.k$b, hb.k$b))").mkString(" + ")} AS hd
+        |  FROM cand c
+        |  JOIN hg ha ON ha.rid = c.ra
+        |  JOIN hg hb ON hb.rid = c.rb),
+        |pr AS (SELECT ra, rb FROM ham WHERE hd <= 3),
+        |e AS (SELECT ra AS es, rb AS ed FROM pr UNION SELECT rb, ra FROM pr),
+        |reach(nid, r) AS (
+        |  SELECT DISTINCT es, es FROM e
+        |  UNION
+        |  SELECT e.es, reach.r FROM e JOIN reach ON e.ed = reach.nid),
+        |rlab AS (SELECT nid AS rid, min(r) AS cluster FROM reach GROUP BY nid),
+        |glab AS (
+        |  SELECT ${(0 until B).map(b => s"hg.k$b").mkString(", ")},
+        |         coalesce(rl.cluster, hg.rid) AS cluster,
+        |         (rl.rid IS NOT NULL OR hg.cnt > 1) AS keep
+        |  FROM hg LEFT JOIN rlab rl ON rl.rid = hg.rid)
+        |SELECT m.id, gl.cluster
+        |FROM mem m JOIN glab gl ON ${(0 until B)
+          .map(b => s"m.k$b = gl.k$b").mkString(" AND ")}
+        |WHERE gl.keep""".stripMargin
+    },
 
     "q_mix_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -4621,6 +4819,77 @@ object SparkEntry {
     * per-block-popcount hamming (`ham(a, b, hd)`). One derivation for
     * the pair gate and the clusters gate, so they cannot drift.
     */
+  /** Shared CTE of the MP4 oracles: the fixture's sample table re-derived
+    * closed-form — sizes, chunking, prefix-sum offsets (chunks contiguous
+    * in mdat), stts dts ladder, ctts pts offsets (absent on id%5==0; v1
+    * signed on odd ids, v0 unsigned on even), stss sync flags (absent on
+    * id%3==0 -> all sync, else every 3rd sample). One derivation for the
+    * samples and keyframes gates, so they cannot drift.
+    */
+  private val Mp4SampleCte: String =
+    """ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |s0 AS (
+      |  SELECT id, i.i AS sample_idx,
+      |         10 + (17*id + 31*i.i) % 90 AS sz,
+      |         CAST(i.i // 3 AS INT) AS chunk_idx,
+      |         i.i * (100 + id % 50) AS dts,
+      |         i.i * (100 + id % 50) + CASE
+      |           WHEN id % 5 = 0 THEN 0
+      |           WHEN id % 2 = 1 THEN ((i.i % 3) - 1) * (100 + id % 50)
+      |           ELSE (i.i % 3) * (100 + id % 50) END AS pts,
+      |         (id % 3 = 0 OR i.i % 3 = 0) AS is_sync
+      |  FROM ids, generate_series(0, 10) i(i)
+      |  WHERE i.i < 6 + id % 5),
+      |s AS (
+      |  SELECT *, CAST(32 + sum(sz) OVER (PARTITION BY id ORDER BY sample_idx
+      |       ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS offset
+      |  FROM s0)""".stripMargin
+
+  /** Shared CTE chain of the AUDIO near-dup oracle: closed-form PCM
+    * samples (twin of every 10th doc bumps sample 0 by +100) -> 64
+    * nearest-neighbor frames -> exact integer energies -> mean-threshold
+    * bits -> block keys -> banded candidates -> per-block-popcount
+    * hamming — the WAV mirror of [[MediaNearDupCtes]], same operating
+    * point (`mediaNearDupBlocks`).
+    */
+  private lazy val AudioNearDupCtes: String =
+    s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |corpus AS (
+        |  SELECT id, id AS src, 0 AS pert FROM ids
+        |  UNION ALL
+        |  SELECT id + 1000000000000, id, 1 FROM ids WHERE id % 10 = 0),
+        |samp AS (
+        |  SELECT c.id, gi.i AS i, 64 + c.src % 64 AS n,
+        |         (17*c.src + 29*gi.i) % 2001 - 1000
+        |           + CASE WHEN c.pert = 1 AND gi.i = 0 THEN 100 ELSE 0 END AS v
+        |  FROM corpus c, generate_series(0, 127) gi(i)
+        |  WHERE gi.i < 64 + c.src % 64),
+        |en AS (
+        |  SELECT id, (i * 64) // n AS f, sum(v * v) AS e
+        |  FROM samp GROUP BY id, (i * 64) // n),
+        |bits AS (
+        |  SELECT en.id, en.f AS i, CASE WHEN en.e > m.mean THEN 1 ELSE 0 END AS bit
+        |  FROM en JOIN (SELECT id, sum(e) // 64 AS mean FROM en GROUP BY id) m
+        |    ON en.id = m.id),
+        |keys AS (
+        |  SELECT id, i // ${64 / mediaNearDupBlocks} AS blk,
+        |         sum(bit * (CAST(1 AS BIGINT) << (i % ${64 / mediaNearDupBlocks}))) AS key
+        |  FROM bits GROUP BY id, i // ${64 / mediaNearDupBlocks}),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM keys x JOIN keys y
+        |    ON x.blk = y.blk AND x.key = y.key AND x.id < y.id),
+        |wide AS (SELECT id, ${(0 until mediaNearDupBlocks)
+          .map(b => s"max(CASE WHEN blk = $b THEN key END) AS k$b")
+          .mkString(", ")}
+        |  FROM keys GROUP BY id),
+        |ham AS (
+        |  SELECT c.a, c.b, ${(0 until mediaNearDupBlocks)
+          .map(b => s"bit_count(xor(wa.k$b, wb.k$b))").mkString(" + ")} AS hd
+        |  FROM cand c
+        |  JOIN wide wa ON wa.id = c.a
+        |  JOIN wide wb ON wb.id = c.b)""".stripMargin
+
   private lazy val MediaNearDupCtes: String =
     s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |corpus AS (

@@ -210,61 +210,127 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share one of 4 15-bit blocks
     * (standard simhash blocking — a pair within hamming distance r<=3 of 60
     * bits must agree on at least one of 4 blocks), verified by
-    * bit_count(xor) <= maxHamming. Returns (a, b, hdist).
+    * bit_count(xor) <= maxHamming. Returns (a, b, hdist). Routed through
+    * [[hammingPairs]] since r14, so identical texts (identical simhash)
+    * collapse to one node before the blocked join.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
-    val sigs = withSimhash(df, idCol, textCol, shingleN)
-    val blocked = sigs.select(col("id"), col("sh"),
-        explode(array((0 until 4).map { b =>
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame =
+    hammingPairs(withSimhash(df, idCol, textCol, shingleN), "id", "sh",
+      bits = 60, blocks = 4, maxHamming = maxHamming)
+
+  /** Blocked Hamming candidate pairs over DISTINCT fingerprints: one node
+    * per distinct hash value (representative id = MIN member id), the
+    * standard pigeonhole blocking over `blocks` contiguous
+    * `bits/blocks`-wide blocks, popcount-verified. Returns
+    * (sha, shb, ra, rb, hdist) with ra < rb and 1 <= hdist <= maxHamming.
+    *
+    * Input: a pre-shaped (id, sh) frame. Callers should localCheckpoint it
+    * if its lineage is expensive (decode, shingling) — it is referenced
+    * once here but usually again for member expansion.
+    *
+    * This collapse is what keeps real corpora safe: identical fingerprints
+    * (solid images all aHash to 0x0/0xFF.., exact dups are everywhere on
+    * the web) otherwise pile into one (block, key) bucket and the join
+    * goes quadratic IN THE HOT BUCKET. Over distinct hashes the bucket
+    * holds at most one row per distinct value — the same
+    * collapse-before-pairing principle gamma applies to multi-vid docs
+    * before ranking (vector/vector_manager.cc:396-417).
+    */
+  private[graft] def fingerprintPairs(
+      sigs: DataFrame, bits: Int, blocks: Int, maxHamming: Int): DataFrame = {
+    require(bits > 0 && bits <= 64 && blocks > 0 && bits % blocks == 0,
+      s"fingerprintPairs: need bits % blocks == 0 within 64, got $bits/$blocks")
+    val w = bits / blocks
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("rid"))
+    val blocked = reps.select(col("rid"), col("sh"),
+        explode(array((0 until blocks).map { b =>
           struct(lit(b).as("blk"),
-            shiftright(col("sh"), b * 15).bitwiseAND(32767L).as("key"))
+            shiftrightunsigned(col("sh"), b * w).bitwiseAND(mask).as("key"))
         }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.blk"), col("bk.key"))
+      .select(col("rid"), col("sh"), col("bk.blk"), col("bk.key"))
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.rid") < col("y.rid"))
+      .select(col("x.sh").as("sha"), col("y.sh").as("shb"),
+        col("x.rid").as("ra"), col("y.rid").as("rb"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hdist"))
       .distinct()
       .filter(col("hdist") <= maxHamming)
   }
 
   /** Generic blocked Hamming near-dup pairs over a PRE-COMPUTED integer
-    * fingerprint column — the same blocking simhashPairs uses, with the
-    * fingerprint pluggable (media aHash64, any 64-bit sketch): candidates
-    * share one of `blocks` contiguous `bits/blocks`-wide blocks of the
-    * hash (pigeonhole: a pair within hamming distance < blocks agrees on
-    * at least one block — those are found with CERTAINTY; pairs at
-    * blocks..maxHamming are best-effort), verified by
-    * bit_count(xor) <= maxHamming. Returns (a, b, hdist), a < b.
+    * fingerprint column — the fingerprint pluggable (media aHash64, audio
+    * energy hash, any 64-bit sketch): candidates share one of `blocks`
+    * contiguous `bits/blocks`-wide blocks of the hash (pigeonhole: a pair
+    * within hamming distance < blocks agrees on at least one block — those
+    * are found with CERTAINTY; pairs at blocks..maxHamming are
+    * best-effort), verified by bit_count(xor) <= maxHamming.
+    * Returns (a, b, hdist), a < b.
     *
-    * Scale: |docs| x blocks exploded (block, key) rows into one equi-join
-    * — never an all-pairs theta-join; unsigned shifts so a full-width
-    * (sign-bit-bearing) 64-bit hash blocks correctly.
+    * Scale (r14 shape): identical fingerprints collapse to ONE node before
+    * the blocked join ([[fingerprintPairs]]) — the join is over distinct
+    * hashes, so a mass of identical images/docs costs one bucket row, not
+    * a quadratic hot bucket. Member expansion happens after verification:
+    * cross-group pairs via two equi-joins on the hash, same-hash pairs
+    * (hdist 0) via an exact-key self-join whose output IS the answer —
+    * this id-level pair surface is inherently quadratic in group size, so
+    * on dup-heavy corpora prefer [[hammingClusters]], whose output stays
+    * linear in ids. Unsigned shifts so a full-width (sign-bit-bearing)
+    * 64-bit hash blocks correctly.
     */
   def hammingPairs(
       df: DataFrame, idCol: String, hashCol: String,
       bits: Int = 64, blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bits > 0 && bits <= 64 && blocks > 0 && bits % blocks == 0,
-      s"hammingPairs: need bits % blocks == 0 within 64, got $bits/$blocks")
-    val w = bits / blocks
-    val mask = if (w == 64) -1L else (1L << w) - 1
+    // materialize once: the (id, sh) frame feeds the collapse, both
+    // expansion joins and the same-hash self-join — unmaterialized, an
+    // expensive upstream (image decode) would re-run per plan reference
     val sigs = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
-    val blocked = sigs.select(col("id"), col("sh"),
-        explode(array((0 until blocks).map { b =>
-          struct(lit(b).as("blk"),
-            shiftrightunsigned(col("sh"), b * w).bitwiseAND(mask).as("key"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.blk"), col("bk.key"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
+      .localCheckpoint(true)
+    val fp = fingerprintPairs(sigs, bits, blocks, maxHamming)
+    val cross = fp
+      .join(sigs.as("ma"), col("ma.sh") === col("sha"))
+      .join(sigs.as("mb"), col("mb.sh") === col("shb"))
+      .select(least(col("ma.id"), col("mb.id")).as("a"),
+        greatest(col("ma.id"), col("mb.id")).as("b"), col("hdist"))
+    val within = sigs.as("x").join(sigs.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hdist"))
-      .distinct()
-      .filter(col("hdist") <= maxHamming)
+    cross.unionByName(within)
+  }
+
+  /** Blocked-Hamming duplicate CLUSTERS without ever materializing
+    * id-level pairs: the dup-heavy scale path. Nodes are DISTINCT
+    * fingerprints; edges from [[fingerprintPairs]]; components via
+    * [[duplicateClusters]] over representative ids; then every member id
+    * inherits its fingerprint's component label. A multi-member
+    * fingerprint with no cross-hash edges still forms its own cluster
+    * (its members are exact dups of each other — label = representative).
+    *
+    * Output contract identical to duplicateClusters(hammingPairs(...)):
+    * (id, cluster) where cluster is the MINIMUM member id of the
+    * component — min member per hash = rep, min rep over the hash
+    * component = min id overall — but the work and output are linear in
+    * ids + distinct-hash pairs, never in per-group pair counts.
+    */
+  def hammingClusters(
+      df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, blocks: Int = 4, maxHamming: Int = 3,
+      maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
+      .localCheckpoint(true)
+    val groups = sigs.groupBy(col("sh"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("cnt"))
+    val fp = fingerprintPairs(sigs, bits, blocks, maxHamming)
+    val repClusters = duplicateClusters(fp, "ra", "rb", maxDriverEdges)
+      .withColumnRenamed("id", "grid")
+    val labeled = groups.join(repClusters, col("rid") === col("grid"), "left")
+      .filter(col("grid").isNotNull || col("cnt") > 1)
+      .select(col("sh"), coalesce(col("cluster"), col("rid")).as("cluster"))
+    sigs.join(labeled, Seq("sh")).select(col("id"), col("cluster"))
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -175,6 +175,12 @@ object JpegCodec {
       subsample420: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"encodeJpeg: 1 or 3 channels, got ${img.channels}")
+    // a zero/negative quant divides the FDCT by <= 0 — coefficients blow
+    // past the Annex K symbol range and the old encoder emitted a
+    // silently CORRUPT bitstream (the symbol guards below now also catch
+    // it, but the precise error belongs at the API edge)
+    require(qDc >= 1 && qAc >= 1,
+      s"encodeJpeg: quant steps must be >= 1, got qDc=$qDc qAc=$qAc")
     val w = img.width; val h = img.height
     val nc = img.channels
     // planar component samples (level-shift happens at FDCT input)
@@ -283,6 +289,14 @@ object JpegCodec {
       val diff = coefs(0) - pred(c)
       pred(c) = coefs(0)
       val s = category(diff)
+      // a symbol missing from the Annex K tables would look up code 0 /
+      // length 0 and bw.put(_, 0) is a no-op — a silently CORRUPT
+      // bitstream. Reachable through the public qDc/qAc knobs (qDc=1 on
+      // wide-range input yields DC categories beyond the table); the
+      // file's contract is a precise error, never a wrong image.
+      require(DcHuff.lenOf(s) > 0,
+        f"JPEG DC symbol 0x$s%02x outside the Annex K table — " +
+          "coefficient magnitude too large for baseline tables (raise qDc)")
       bw.put(DcHuff.codeOf(s), DcHuff.lenOf(s))
       if (s > 0)
         bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
@@ -298,6 +312,9 @@ object JpegCodec {
           }
           val sz = category(v)
           val rs = (run << 4) | sz
+          require(AcHuff.lenOf(rs) > 0,
+            f"JPEG AC symbol 0x$rs%02x outside the Annex K table — " +
+              "coefficient magnitude too large for baseline tables (raise qAc)")
           bw.put(AcHuff.codeOf(rs), AcHuff.lenOf(rs))
           bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
           run = 0

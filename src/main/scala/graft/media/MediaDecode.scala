@@ -56,52 +56,75 @@ object MediaDecode {
       StructField("bytes", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(idIdx), imageBytesOf(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+
+  /** Dup-heavy image corpus: row `id` carries the payload of SOURCE image
+    * `id % groups` — every source repeats ~n/groups times, so identical
+    * fingerprints form real mass groups (the web-corpus shape: solid
+    * images, exact re-posts). This is the adversarial fixture for the
+    * collapse-before-pairing path ([[graft.dedup.Dedup.hammingClusters]]);
+    * closed-form in (id, groups) so a SQL oracle recomputes every hash
+    * from `src = id % groups` alone.
+    */
+  def synthDupHeavyCorpus(df: DataFrame, idCol: String, groups: Long): DataFrame = {
+    require(groups >= 1, s"synthDupHeavyCorpus: groups >= 1, got $groups")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val (w, h) = dimsOf(id)
-        val px = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val d = (y * w + x) * 3
-            px(d) = pixel(id, x, y, 0)
-            px(d + 1) = pixel(id, x, y, 1)
-            px(d + 2) = pixel(id, x, y, 2)
-            x += 1
-          }
-          y += 1
-        }
-        val img = Image(w, h, 3, px)
-        val bytes = (id % 3) match {
-          case 0 => MediaCodecs.encodePng(img, filters = row => (row + id.toInt) % 5)
-          case 1 => MediaCodecs.encodeBmp(img)
-          case _ =>
-            // palette[v] = (v, v+97, v+194); the pixel base IS the index
-            val palette = new Array[Byte](256 * 3)
-            var v = 0
-            while (v < 256) {
-              palette(v * 3) = v.toByte
-              palette(v * 3 + 1) = ((v + 97) % 256).toByte
-              palette(v * 3 + 2) = ((v + 194) % 256).toByte
-              v += 1
-            }
-            val indices = new Array[Byte](w * h)
-            var yy = 0
-            while (yy < h) {
-              var xx = 0
-              while (xx < w) {
-                indices(yy * w + xx) = pixel(id, xx, yy, 0)
-                xx += 1
-              }
-              yy += 1
-            }
-            MediaCodecs.encodeGif(w, h, palette, indices,
-              interlaced = id % 2 == 0) // both row orders on real data
-        }
-        Row(id, bytes)
+        Row(id, imageBytesOf(id % groups))
       }
     }(Encoders.row(schema))
+  }
+
+  private def imageBytesOf(id: Long): Array[Byte] = {
+    val (w, h) = dimsOf(id)
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        px(d) = pixel(id, x, y, 0)
+        px(d + 1) = pixel(id, x, y, 1)
+        px(d + 2) = pixel(id, x, y, 2)
+        x += 1
+      }
+      y += 1
+    }
+    val img = Image(w, h, 3, px)
+    val bytes = (id % 3) match {
+      case 0 => MediaCodecs.encodePng(img, filters = row => (row + id.toInt) % 5)
+      case 1 => MediaCodecs.encodeBmp(img)
+      case _ =>
+        // palette[v] = (v, v+97, v+194); the pixel base IS the index
+        val palette = new Array[Byte](256 * 3)
+        var v = 0
+        while (v < 256) {
+          palette(v * 3) = v.toByte
+          palette(v * 3 + 1) = ((v + 97) % 256).toByte
+          palette(v * 3 + 2) = ((v + 194) % 256).toByte
+          v += 1
+        }
+        val indices = new Array[Byte](w * h)
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            indices(yy * w + xx) = pixel(id, xx, yy, 0)
+            xx += 1
+          }
+          yy += 1
+        }
+        MediaCodecs.encodeGif(w, h, palette, indices,
+          interlaced = id % 2 == 0) // both row orders on real data
+    }
+    bytes
   }
 
   /** Twin ids in [[synthNearDupCorpus]] live at `base + TwinOffset` — far
@@ -321,6 +344,74 @@ object MediaDecode {
     i = 0
     while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
     bits
+  }
+
+  /** 64-bit audio energy fingerprint (the Haitsma-Kalman robust-hash
+    * shape reduced to exact integers): decode WAV PCM, bucket samples into
+    * 64 frames by nearest-neighbor index (frame of sample i = i*64/n —
+    * every frame non-empty for n >= 64), exact integer frame energies
+    * (sum of squared samples, channel-interleaved), bit f set where
+    * energy(f) exceeds the integer mean. Same mean-threshold shape as
+    * [[ahash64]], so the SAME collapse-then-blocked-Hamming machinery
+    * ([[graft.dedup.Dedup.hammingPairs]] /
+    * [[graft.dedup.Dedup.hammingClusters]]) closes the audio half of
+    * multimodal near-dup. Output (idCol, afp64).
+    */
+  def audioFingerprint64(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("afp64", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = MediaCodecs.decodeWav(r.getAs[Array[Byte]](bIdx))
+        Row(r.getLong(idIdx), afp64(a.samples))
+      }
+    }(Encoders.row(schema))
+  }
+
+  private[graft] def afp64(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n > 0, "audio fingerprint of an empty stream")
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val v = samples(i).toLong
+      e((i.toLong * 64L / n).toInt) += v * v
+      i += 1
+    }
+    val mean = e.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (e(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Near-duplicate AUDIO corpus: every id's WAV (as
+    * [[synthAudioPayload]]) plus, for ids divisible by 10, a perturbed
+    * twin at `id + TwinOffset` whose FIRST sample is shifted by +100 —
+    * frame 0's energy (and the integer mean) move a little, so the twin's
+    * fingerprint lands within a couple of bits of its base. Closed-form
+    * so a SQL oracle recomputes every hash from the generator arithmetic.
+    */
+  def synthAudioNearDupCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val twins = df.filter(col(idCol) % 10 === 0).mapPartitions { rows =>
+      rows.map { r =>
+        val base = r.getLong(idIdx)
+        val n = (64 + (base % 64)).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((((17L * base + 29L * i) % 2001L) - 1000L)
+            + (if (i == 0) 100L else 0L)).toShort)
+        Row(base + TwinOffset, MediaCodecs.encodeWav(
+          Audio((8000 + (base % 3) * 4000).toInt, 1, samples)))
+      }
+    }(Encoders.row(schema))
+    synthAudioPayload(df, idCol).unionByName(twins)
   }
 
   /** WAV decode + exact integer statistics in one pass:

@@ -25,12 +25,17 @@ import org.apache.spark.sql.types._
   */
 object Mp4Index {
 
-  /** One sample's location: (sample_idx, chunk_idx, offset, size, pts) —
-    * offset is the absolute byte offset in the container, pts in media
-    * timescale units (exact integers; callers divide by the timescale).
+  /** One sample's location and timing: offset is the absolute byte offset
+    * in the container; dts/pts in media timescale units (exact integers;
+    * callers divide by the timescale). pts = dts + ctts composition offset
+    * (equal when the stream carries no ctts — no B-frame reordering);
+    * isSync from stss (ALL samples are sync when stss is absent, per
+    * ISO/IEC 14496-12 8.6.2 — a keyframe-seeking reader may start
+    * anywhere).
     */
   final case class SampleLoc(
-      sampleIdx: Int, chunkIdx: Int, offset: Long, size: Long, pts: Long)
+      sampleIdx: Int, chunkIdx: Int, offset: Long, size: Long,
+      dts: Long, pts: Long, isSync: Boolean)
 
   private def be32(b: Array[Byte], o: Int): Long = {
     require(o + 4 <= b.length, s"truncated MP4: need 4 bytes at $o")
@@ -72,7 +77,14 @@ object Mp4Index {
     * version-0 and version-1 full boxes where relevant. Fails loudly on
     * truncation or inconsistent tables (counts that do not reconcile).
     */
-  def parseSampleTable(b: Array[Byte]): Seq[SampleLoc] = {
+  def parseSampleTable(b: Array[Byte]): Seq[SampleLoc] =
+    walkSampleTable(b)._1
+
+  /** [[parseSampleTable]] plus the EXACT track duration in timescale
+    * units — the sum of every sample's stts delta, i.e. the dts the next
+    * sample would start at.
+    */
+  private[graft] def walkSampleTable(b: Array[Byte]): (Seq[SampleLoc], Long) = {
     require(b.length >= 16 && {
       val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
     }, "not an ISO-BMFF container")
@@ -126,6 +138,41 @@ object Mp4Index {
     val tts = Array.tabulate(nTt)(i =>
       (be32(b, stts._1 + 8 + i * 8).toInt, be32(b, stts._1 + 12 + i * 8)))
 
+    // stss (OPTIONAL): 1-based sync-sample numbers; absent -> ALL sync
+    val stss = child(b, stbl._1, stbl._2, "stss")
+    val syncSet: java.util.HashSet[Integer] =
+      if (stss == null) null
+      else {
+        val nSync = be32(b, stss._1 + 4).toInt
+        val set = new java.util.HashSet[Integer](nSync * 2)
+        var i = 0
+        while (i < nSync) {
+          val sn = be32(b, stss._1 + 8 + i * 4)
+          require(sn >= 1 && sn <= nSamples,
+            s"MP4 stss references sample $sn outside 1..$nSamples")
+          set.add((sn - 1).toInt)
+          i += 1
+        }
+        set
+      }
+
+    // ctts (OPTIONAL): runs of (sample_count, composition offset);
+    // version 1 offsets are SIGNED 32-bit (the dominant H.264 B-frame
+    // form), version 0 unsigned
+    val ctts = child(b, stbl._1, stbl._2, "ctts")
+    val (nCt, cts) =
+      if (ctts == null) (0, Array.empty[(Int, Long)])
+      else {
+        val v = b(ctts._1) & 0xff
+        require(v <= 1, s"MP4 ctts version $v unsupported")
+        val n = be32(b, ctts._1 + 4).toInt
+        (n, Array.tabulate(n) { i =>
+          val cnt = be32(b, ctts._1 + 8 + i * 8).toInt
+          val raw = be32(b, ctts._1 + 12 + i * 8)
+          (cnt, if (v == 1) raw.toInt.toLong else raw)
+        })
+      }
+
     // samples-per-chunk resolved from the stsc runs
     def samplesInChunk(c1: Int): Int = { // 1-based chunk index
       var spc = 0
@@ -137,9 +184,11 @@ object Mp4Index {
 
     val out = Vector.newBuilder[SampleLoc]
     var sample = 0
-    var pts = 0L
+    var dts = 0L
     var ttRun = 0
     var ttLeft = if (nTt > 0) tts(0)._1 else 0
+    var ctRun = 0
+    var ctLeft = if (nCt > 0) cts(0)._1 else 0
     var chunk = 0
     while (sample < nSamples) {
       require(chunk < nChunks,
@@ -148,23 +197,43 @@ object Mp4Index {
       var within = 0
       var off = chunkOff(chunk)
       while (within < spc && sample < nSamples) {
-        require(ttLeft > 0 || ttRun < nTt, "MP4 stts does not cover every sample")
-        if (ttLeft == 0) { ttRun += 1; ttLeft = tts(ttRun)._1 }
-        out += SampleLoc(sample, chunk, off, sizes(sample), pts)
-        pts += tts(ttRun)._2
+        // run-exhaustion walked with a loop so zero-count runs (legal,
+        // pointless, seen in the wild) are skipped instead of stalling,
+        // and exhaustion past the LAST run fails with the precise error
+        // rather than an index overrun
+        while (ttLeft == 0) {
+          ttRun += 1
+          require(ttRun < nTt, "MP4 stts does not cover every sample")
+          ttLeft = tts(ttRun)._1
+        }
+        val ctOff =
+          if (nCt == 0) 0L
+          else {
+            while (ctLeft == 0) {
+              ctRun += 1
+              require(ctRun < nCt, "MP4 ctts does not cover every sample")
+              ctLeft = cts(ctRun)._1
+            }
+            cts(ctRun)._2
+          }
+        val isSync = syncSet == null || syncSet.contains(sample)
+        out += SampleLoc(sample, chunk, off, sizes(sample),
+          dts, dts + ctOff, isSync)
+        dts += tts(ttRun)._2
         ttLeft -= 1
+        if (nCt > 0) ctLeft -= 1
         off += sizes(sample)
         sample += 1
         within += 1
       }
       chunk += 1
     }
-    out.result()
+    (out.result(), dts)
   }
 
   /** DataFrame operator: one row per sample of each container —
-    * (idCol, sample_idx, chunk_idx, offset, size, pts). Parse is
-    * executor-local; only the bounded index rows leave.
+    * (idCol, sample_idx, chunk_idx, offset, size, dts, pts, is_sync).
+    * Parse is executor-local; only the bounded index rows leave.
     */
   def sampleIndex(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val schema = StructType(Seq(
@@ -173,14 +242,98 @@ object Mp4Index {
       StructField("chunk_idx", IntegerType, nullable = false),
       StructField("offset", LongType, nullable = false),
       StructField("size", LongType, nullable = false),
-      StructField("pts", LongType, nullable = false)))
+      StructField("dts", LongType, nullable = false),
+      StructField("pts", LongType, nullable = false),
+      StructField("is_sync", BooleanType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val bIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
         parseSampleTable(r.getAs[Array[Byte]](bIdx)).map(s =>
-          Row(id, s.sampleIdx, s.chunkIdx, s.offset, s.size, s.pts))
+          Row(id, s.sampleIdx, s.chunkIdx, s.offset, s.size,
+            s.dts, s.pts, s.isSync))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** KEYFRAME sampling index — the actual entry point for a GPU decode
+    * stage: for each presentation tick t = 0, everyPts, 2*everyPts, ...
+    * below the track duration, the sync sample the decoder should seek to
+    * — the sync sample with the SMALLEST pts >= t (ties: smallest
+    * sample_idx; pts order, because presentation time is what a sampler
+    * targets and B-frame reordering makes dts order lie about it). Ticks
+    * with no sync sample at-or-after them emit nothing. One executor-local
+    * walk per container; output one bounded row per tick:
+    * (idCol, tick, sample_idx, pts, offset, size).
+    */
+  def keyframeIndex(
+      df: DataFrame, idCol: String, bytesCol: String, everyPts: Long): DataFrame = {
+    require(everyPts > 0, s"keyframeIndex: everyPts > 0, got $everyPts")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("tick", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("pts", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        // duration = total decode time (sum of stts deltas) = the dts the
+        // next sample WOULD start at, exact from the walk; ticks cover
+        // [0, duration)
+        val (samples, duration) = walkSampleTable(r.getAs[Array[Byte]](bIdx))
+        if (samples.isEmpty) Iterator.empty
+        else {
+          val sync = samples.filter(_.isSync)
+            .sortBy(s => (s.pts, s.sampleIdx)).toArray
+          if (sync.isEmpty) Iterator.empty
+          else Iterator.range(0L, duration, everyPts).flatMap { tick =>
+            // binary search: first sync sample with pts >= tick
+            var lo = 0
+            var hi = sync.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (sync(mid).pts >= tick) hi = mid else lo = mid + 1
+            }
+            if (lo >= sync.length) None
+            else {
+              val s = sync(lo)
+              Some(Row(id, tick, s.sampleIdx, s.pts, s.offset, s.size))
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Container DUP SIGNATURE at zero decode cost: the md5 of the
+    * per-sample size sequence (stsz) — re-muxing a stream (new
+    * interleave, new box order, different mdat padding) preserves the
+    * coded sample bytes and therefore their sizes, so re-muxed copies of
+    * one stream collide on this signature while distinct streams
+    * essentially never do. The standard cheap video-dedup signal when
+    * frame decode is out of scope. Output (idCol, n_samples, sig).
+    */
+  def sizeSignature(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sig", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val samples = parseSampleTable(r.getAs[Array[Byte]](bIdx))
+        md.reset()
+        md.update(samples.sortBy(_.sampleIdx).map(_.size)
+          .mkString(",").getBytes("US-ASCII"))
+        val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+        Row(r.getLong(idIdx), samples.length.toLong, hex)
       }
     }(Encoders.row(schema))
   }
@@ -193,11 +346,25 @@ object Mp4Index {
     *  - chunks of 3 samples (the last chunk may be partial -> a second
     *    stsc run, exercising the run walk)
     *  - stts: constant delta 100 + id%50 at timescale 600
+    *  - stss (r14): present unless id%3 == 0 (absent -> all-sync path);
+    *    when present, sync samples are i%3 == 0 (1-based 1, 4, 7, ...)
+    *  - ctts (r14): present unless id%5 == 0 (absent -> pts = dts); odd
+    *    ids carry VERSION 1 with signed offsets delta*((i%3) - 1) — the
+    *    B-frame-reordered H.264 shape, including negative offsets — and
+    *    even ids version 0 with unsigned offsets delta*(i%3); encoded as
+    *    per-sample runs (count 1), exercising the run walk
     *  - chunk offsets point into a real mdat carrying the payload bytes.
     * Layout: ftyp, mdat, moov (mdat FIRST so stco offsets are independent
     * of moov's variable table sizes — closed-form in nSamples alone).
+    *
+    * `remux = true` emits a RE-MUX of the SAME stream: identical sample
+    * sizes/timing tables, different container layout (a free box pads the
+    * front, so every chunk offset moves), different mdat payload bytes,
+    * and the opposite stco/co64 choice — the fixture for the
+    * [[sizeSignature]] dedup gate, which must collide re-muxes and ignore
+    * layout.
     */
-  def synthMp4(id: Long): Array[Byte] = {
+  def synthMp4(id: Long, remux: Boolean = false): Array[Byte] = {
     val n = (6 + id % 5).toInt
     val sizes = Array.tabulate(n)(i => (10 + (17 * id + 31 * i) % 90).toInt)
     val delta = (100 + id % 50).toInt
@@ -210,13 +377,20 @@ object Mp4Index {
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     // ftyp (24 bytes)
     be32(24); tag("ftyp"); tag("isom"); be32(512); tag("isom"); tag("iso2")
+    // remux variant: a 16-byte free box shifts every mdat offset
+    if (remux) { be32(16); tag("free"); be32(0); be32(0) }
     // mdat: header + payload
     val payload = sizes.sum
     be32(8L + payload); tag("mdat")
-    val mdatDataStart = 24 + 8
+    val mdatDataStart = (if (remux) 24 + 16 else 24) + 8
     sizes.zipWithIndex.foreach { case (sz, i) =>
       var k = 0
-      while (k < sz) { out.write((id + 7 * i + k).toInt & 0xff); k += 1 }
+      while (k < sz) {
+        // re-mux carries DIFFERENT bytes of the same sizes (a re-encode of
+        // headers/padding, not of the coded stream, would look like this)
+        out.write((if (remux) (3 * id + 13 * i + 5 * k) else (id + 7 * i + k)).toInt & 0xff)
+        k += 1
+      }
     }
     // chunk offsets: cumulative over whole chunks of 3
     val chunkOff = new Array[Long](nChunks)
@@ -251,9 +425,10 @@ object Mp4Index {
       else Seq(1L, 3L, 1L, nChunks.toLong, (n % 3).toLong, 1L)
     val stsc = box("stsc")(ints((0L +: (stscRuns.length / 3).toLong +: stscRuns): _*))
     // odd ids carry 64-bit chunk offsets (co64) so both offset-box paths
-    // run on real data; values are identical, only the width differs
+    // run on real data; values are identical, only the width differs.
+    // The remux flips the choice — same stream, opposite offset box.
     val stco =
-      if (id % 2 == 1) box("co64") {
+      if ((id % 2 == 1) != remux) box("co64") {
         val o = new ByteArrayOutputStream()
         o.write(ints(0L, nChunks.toLong))
         chunkOff.foreach { x =>
@@ -263,7 +438,33 @@ object Mp4Index {
       }
       else box("stco")(ints((0L +: nChunks.toLong +: chunkOff.toSeq): _*))
     val stts = box("stts")(ints(0L, 1L, n.toLong, delta.toLong))
-    val stbl = box("stbl")(stsz ++ stsc ++ stco ++ stts)
+    // stss: sync samples 1-based 1, 4, 7, ... unless id%3 == 0 (absent ->
+    // the all-sync default path)
+    val stssOpt: Option[Array[Byte]] =
+      if (id % 3 == 0) None
+      else {
+        val syncs = (0 until n).filter(_ % 3 == 0).map(i => (i + 1).toLong)
+        Some(box("stss")(ints((0L +: syncs.length.toLong +: syncs): _*)))
+      }
+    // ctts: per-sample composition offsets unless id%5 == 0 (absent ->
+    // pts = dts); odd ids use VERSION 1 (signed, (i%3 - 1)*delta — real
+    // negative offsets), even ids version 0 (unsigned, (i%3)*delta)
+    val cttsOpt: Option[Array[Byte]] =
+      if (id % 5 == 0) None
+      else if (id % 2 == 1) Some(box("ctts") {
+        val o = new ByteArrayOutputStream()
+        o.write(ints((1L << 24), n.toLong)) // version 1, flags 0
+        (0 until n).foreach { i =>
+          o.write(ints(1L, (((i % 3) - 1).toLong * delta) & 0xffffffffL))
+        }
+        o.toByteArray
+      })
+      else Some(box("ctts")(ints(
+        (0L +: n.toLong +:
+          (0 until n).flatMap(i => Seq(1L, (i % 3).toLong * delta))): _*)))
+    val stbl = box("stbl")(stsz ++ stsc ++ stco ++ stts ++
+      stssOpt.getOrElse(Array.empty[Byte]) ++
+      cttsOpt.getOrElse(Array.empty[Byte]))
     val minf = box("minf")(stbl)
     // mdhd: version 0, timescale 600, duration n*delta
     val mdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, n.toLong * delta))
@@ -284,5 +485,27 @@ object Mp4Index {
     df.mapPartitions { rows =>
       rows.map(r => Row(r.getLong(idIdx), synthMp4(r.getLong(idIdx))))
     }(Encoders.row(schema))
+  }
+
+  /** Re-mux dup corpus: every id's container (as [[synthMp4Payload]])
+    * plus, for ids divisible by 10, a RE-MUXED twin at
+    * `id + MediaDecode.TwinOffset` — same stream tables, different layout
+    * and payload bytes ([[synthMp4]] remux=true). The planted collision
+    * population for the [[sizeSignature]] exact-dup gate; closed-form so
+    * a SQL oracle recomputes every signature from `src = base id`.
+    */
+  def synthMp4RemuxCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    import org.apache.spark.sql.functions.col
+    val twins = df.filter(col(idCol) % 10 === 0).mapPartitions { rows =>
+      rows.map { r =>
+        val base = r.getLong(idIdx)
+        Row(base + MediaDecode.TwinOffset, synthMp4(base, remux = true))
+      }
+    }(Encoders.row(schema))
+    synthMp4Payload(df, idCol).unionByName(twins)
   }
 }

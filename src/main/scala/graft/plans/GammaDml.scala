@@ -284,22 +284,43 @@ case class GammaMergeCommand(
       // not-matched-by-source frames MUST bind to the PRE-merge snapshot:
       // their delete step runs AFTER the upsert batch commits, and with a
       // non-key ON condition a matched UPDATE can make freshly-updated
-      // rows "not matched by source" in the post-commit state — persist +
-      // force materialization here pins the split before anything writes
-      val tgtOnly =
+      // rows "not matched by source" in the post-commit state. The
+      // snapshot must be DURABLE, not cached (r13 advisory): persist()
+      // pins only cached blocks, and an executor lost after the upsert
+      // commits would recompute the left_anti from LINEAGE against the
+      // post-commit table — silently deleting the wrong rows. So the
+      // fully-evaluated action frames (plain named columns — the raw
+      // left_anti can't snapshot, its consumers are exprId-bound to the
+      // live relation) go through a temp parquet write + re-read, which
+      // severs the lineage for good; the directory dies in the finally.
+      // lives under the TABLE root, not a driver-local temp dir — on a
+      // real cluster the snapshot must sit on the shared filesystem the
+      // executors read
+      val snapDir =
         if (notMatchedBySourceActions.isEmpty) None
-        else Some(target.join(src, cond, "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else Some(s"${GammaDml.rootOf(rel)}/.merge_snap_${java.util.UUID.randomUUID}")
       try {
-        tgtOnly.foreach(_.foreach(_ => ()))
-        val (nUps, nDels) = tgtOnly.map(actionFrames(_, notMatchedBySourceActions,
-          carryTarget = true)).getOrElse((Nil, Nil))
+        val (nUps, nDels) = snapDir.map { dir =>
+          val tgtOnly = target.join(src, cond, "left_anti")
+          val (ups0, dels0) = actionFrames(tgtOnly, notMatchedBySourceActions,
+            carryTarget = true)
+          def pin(frames: Seq[DataFrame], tag: String): Seq[DataFrame] =
+            frames.zipWithIndex.map { case (f, i) =>
+              val p = s"$dir/${tag}_$i"
+              f.write.mode("overwrite").parquet(p)
+              session.read.parquet(p)
+            }
+          (pin(ups0, "ups"), pin(dels0, "dels"))
+        }.getOrElse((Nil, Nil))
 
         (mUps ++ iUps ++ nUps).reduceOption(_.unionByName(_))
           .foreach(t.addOrUpdate(_))
         (mDels ++ nDels).reduceOption(_.unionByName(_))
           .foreach(t.delete)
-      } finally tgtOnly.foreach(_.unpersist(false))
+      } finally snapDir.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(session.sessionState.newHadoopConf()).delete(p, true)
+      }
       Nil
     } finally joined.unpersist(false)
   }

@@ -12,6 +12,68 @@ class DedupTextSpec extends GraftSuite {
   private lazy val docs = spark.read.parquet(s"$sf0/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sf0/embeddings.parquet")
 
+  test("hammingPairs collapse: identical + near hashes, brute-equal; clusters path identical") {
+    // hash pool with PLANTED mass groups (many ids share a hash) and
+    // near-neighbors (1-2 bit flips) — the web-corpus shape the unique
+    // fixtures can't produce
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(24)(rnd.nextLong())
+    val rows = (0L until 400L).map { id =>
+      val b = bases(rnd.nextInt(bases.length))
+      val h = rnd.nextInt(4) match {
+        case 0 | 1 => b                                   // exact dup mass
+        case 2 => b ^ (1L << rnd.nextInt(64))             // 1-bit neighbor
+        case _ => b ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))
+      }
+      (id, h)
+    }
+    val df = rows.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", bits = 64, blocks = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === want, s"got ${got.size} want ${want.size}")
+    // cluster path: identical output to clustering the id-level pairs,
+    // on BOTH component engines (driver union-find and star-contraction)
+    val viaPairs = Dedup.duplicateClusters(
+      Dedup.hammingPairs(df, "id", "h").select("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val viaCollapse = Dedup.hammingClusters(df, "id", "h")
+      .as[(Long, Long)].collect().toMap
+    assert(viaCollapse === viaPairs)
+    val viaCollapseDist = Dedup.hammingClusters(df, "id", "h", maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaCollapseDist === viaPairs)
+    // an isolated multi-member hash (no cross-hash edge) still clusters
+    val lone = Seq((5L, 123L), (9L, 123L), (7L, 1L << 40)).toDF("id", "h")
+    assert(Dedup.hammingClusters(lone, "id", "h")
+      .as[(Long, Long)].collect().toMap === Map(5L -> 5L, 9L -> 5L))
+  }
+
+  test("hammingClusters: one 20k-member identical-fingerprint group costs one node, not 2e8 pairs") {
+    // the r13 hazard: identical fingerprints piled into one (block, key)
+    // bucket and the join output went quadratic. Collapsed, the blocked
+    // join sees ONE node for the whole group and the cluster output is
+    // linear in members.
+    val df = spark.range(20000).select(col("id"), lit(0x5a5a5a5aL).as("h"))
+    val t0 = System.nanoTime()
+    val clusters = Dedup.hammingClusters(df, "id", "h")
+    assert(clusters.count() === 20000L)
+    assert(clusters.agg(countDistinct(col("cluster"))).head().getLong(0) === 1L)
+    assert(clusters.agg(min(col("cluster"))).head().getLong(0) === 0L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60, f"collapse path took $sec%.1f s on one mass group")
+    // the fingerprint-level candidate join sees zero pairs (one node)
+    val sigs = df.select(col("id"), col("h").cast("long").as("sh"))
+    assert(Dedup.fingerprintPairs(sigs, 64, 4, 3).count() === 0L)
+    // and no all-pairs plan anywhere
+    val plan = clusters.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("duplicateClusters: chained pairs collapse to min-id components") {
     import spark.implicits._
     // 1-2-3 chained (1,3 never paired directly), 10-11 separate; docs with

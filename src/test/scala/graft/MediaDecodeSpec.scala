@@ -280,6 +280,24 @@ class MediaDecodeSpec extends GraftSuite {
     assert(e.getMessage.contains("sampling"))
   }
 
+  test("JPEG encode refuses out-of-range quants; worst-case content stays inside Annex K") {
+    import graft.media.JpegCodec
+    // a zero quant divides the FDCT into symbols past the Annex K tables
+    // — the old encoder looked up code 0 / length 0 and silently emitted
+    // a CORRUPT bitstream; the contract is a precise error at the edge
+    val px = Array.tabulate(16 * 16)(i =>
+      if ((i % 16 + i / 16) % 2 == 0) 0.toByte else 255.toByte)
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.encodeJpeg(Image(16, 16, 1, px), qDc = 1, qAc = 0))
+    assert(e.getMessage.contains("quant"))
+    // the symbol guard is not over-tight: a pixel-level checkerboard at
+    // qAc=1 is the max-energy case 8-bit input can produce (AC category
+    // 10 — the table's last row) and must still encode and decode
+    val ok = JpegCodec.encodeJpeg(Image(16, 16, 1, px), qDc = 1, qAc = 1)
+    val back = JpegCodec.decodeJpeg(ok)
+    assert(back.width === 16 && back.height === 16)
+  }
+
   test("multimodal near-dup: decode -> aHash -> banded Hamming finds the planted twins, never all-pairs") {
     val ids = (0L until 60L).toDF("doc_id")
     val corpus = MediaDecode.synthNearDupCorpus(ids, "doc_id")
@@ -307,6 +325,41 @@ class MediaDecodeSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"hammingPairs planned an all-pairs join:\n$plan")
+  }
+
+  test("audio fingerprint: distributed afp64 matches local recompute; planted twins pair") {
+    val ids = (0L until 80L).toDF("doc_id")
+    val corpus = MediaDecode.synthAudioNearDupCorpus(ids, "doc_id")
+    assert(corpus.count() === 88) // 80 bases + 8 twins
+    val fp = MediaDecode.audioFingerprint64(corpus, "doc_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local recompute from the generator closed form
+    def localFp(src: Long, pert: Boolean): Long = {
+      val n = (64 + src % 64).toInt
+      val e = new Array[Long](64)
+      for (i <- 0 until n) {
+        val v = ((17L * src + 29L * i) % 2001L) - 1000L +
+          (if (pert && i == 0) 100L else 0L)
+        e(i * 64 / n) += v * v
+      }
+      val mean = e.sum / 64
+      (0 until 64).foldLeft(0L)((b, i) => if (e(i) > mean) b | (1L << i) else b)
+    }
+    for (id <- 0L until 80L) assert(fp(id) === localFp(id, pert = false), s"id=$id")
+    for (id <- 0L until 80L by 10L)
+      assert(fp(id + MediaDecode.TwinOffset) === localFp(id, pert = true), s"twin $id")
+    // the +100 first-sample bump moves frame 0's energy (and the mean) a
+    // little: most twins stay inside the hamming radius...
+    val close = (0L until 80L by 10L).count(id =>
+      java.lang.Long.bitCount(fp(id) ^ fp(id + MediaDecode.TwinOffset)) <= 3)
+    assert(close >= 5, s"only $close/8 twins within hamming 3")
+    // ...and the pairs surface finds EXACTLY those (pigeonhole certainty
+    // at hamming < blocks; same-hash pairs via the collapse arm)
+    val pairs = graft.dedup.Dedup.hammingPairs(
+      MediaDecode.audioFingerprint64(corpus, "doc_id", "bytes"), "doc_id", "afp64")
+      .as[(Long, Long, Int)].collect()
+    val twinPairs = pairs.count { case (a, b, _) => b == a + MediaDecode.TwinOffset }
+    assert(twinPairs === close)
   }
 
   test("distributed one-pass stats match local decode over the fixture payloads") {

@@ -10,8 +10,8 @@ import graft.media.Mp4Index
 class Mp4IndexSpec extends GraftSuite {
   import spark.implicits._
 
-  test("sample table matches the fixture's closed form (stco and co64, multi-run stsc)") {
-    for (id <- 0L until 12L) { // even ids: stco; odd: co64
+  test("sample table matches the fixture's closed form (stco/co64, multi-run stsc, stss, ctts v0/v1)") {
+    for (id <- 0L until 30L) { // even ids: stco; odd: co64
       val locs = Mp4Index.parseSampleTable(Mp4Index.synthMp4(id))
       val n = (6 + id % 5).toInt
       assert(locs.size === n, s"id=$id")
@@ -23,13 +23,28 @@ class Mp4IndexSpec extends GraftSuite {
         assert(l.chunkIdx === i / 3)
         assert(l.size === sizes(i), s"id=$id i=$i")
         assert(l.offset === off, s"id=$id i=$i")
-        assert(l.pts === i * delta)
+        assert(l.dts === i * delta, s"id=$id i=$i")
+        // ctts: absent (pts = dts) for id%5 == 0; else v1 signed
+        // (i%3 - 1)*delta on odd ids, v0 unsigned (i%3)*delta on even
+        val ctOff =
+          if (id % 5 == 0) 0L
+          else if (id % 2 == 1) ((i % 3) - 1).toLong * delta
+          else (i % 3).toLong * delta
+        assert(l.pts === i * delta + ctOff, s"id=$id i=$i")
+        // stss: absent (all sync) for id%3 == 0; else sync iff i%3 == 0
+        assert(l.isSync === (id % 3 == 0 || i % 3 == 0), s"id=$id i=$i")
         off += sizes(i)
       }
       // the byte ranges really address the mdat payload the fixture wrote
       val bytes = Mp4Index.synthMp4(id)
       val first = locs.head
       assert((bytes(first.offset.toInt) & 0xff) === ((id + 0) & 0xff).toInt)
+      // the re-mux carries the SAME tables at shifted offsets: sizes,
+      // timing and sync flags identical, every chunk offset +16
+      val rm = Mp4Index.parseSampleTable(Mp4Index.synthMp4(id, remux = true))
+      assert(rm.map(l => (l.sampleIdx, l.size, l.dts, l.pts, l.isSync)) ===
+        locs.map(l => (l.sampleIdx, l.size, l.dts, l.pts, l.isSync)), s"id=$id")
+      assert(rm.map(_.offset) === locs.map(_.offset + 16), s"id=$id")
     }
   }
 
@@ -66,9 +81,131 @@ class Mp4IndexSpec extends GraftSuite {
         box("stts")(ints(0, 1, 4, 10)))
     out.write(box("moov")(box("trak")(box("mdia")(box("minf")(stbl)))))
     val locs = Mp4Index.parseSampleTable(out.toByteArray)
+    // no ctts -> pts = dts; no stss -> every sample sync
     assert(locs.map(l => (l.sampleIdx, l.chunkIdx, l.offset, l.size, l.pts)) ===
       Seq((0, 0, 24L, 20L, 0L), (1, 0, 44L, 20L, 10L),
         (2, 1, 64L, 20L, 20L), (3, 1, 84L, 20L, 30L)))
+    assert(locs.forall(l => l.pts == l.dts && l.isSync))
+  }
+
+  // shared minimal-container builder for the table-variant tests below
+  private def handBuilt(stblExtra: Array[Byte],
+      sttsRuns: Seq[Long] = Seq(4, 10)): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(16); tag("ftyp"); tag("isom"); be32(0)
+    be32(8 + 80); tag("mdat"); (0 until 80).foreach(out.write)
+    val stbl = box("stbl")(
+      box("stsz")(ints(0, 20, 4)) ++
+        box("stsc")(ints(0, 1, 1, 2, 1)) ++
+        box("stco")(ints(0, 2, 24, 64)) ++
+        box("stts")(ints((0L +: (sttsRuns.length / 2).toLong +: sttsRuns): _*)) ++
+        stblExtra)
+    out.write(box("moov")(box("trak")(box("mdia")(box("minf")(stbl)))))
+    out.toByteArray
+  }
+  private def box(name: String)(body: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val sz = 8 + body.length
+    o.write((sz >> 24) & 0xff); o.write((sz >> 16) & 0xff)
+    o.write((sz >> 8) & 0xff); o.write(sz & 0xff)
+    o.write(name.getBytes("US-ASCII")); o.write(body)
+    o.toByteArray
+  }
+  private def ints(vs: Long*): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    vs.foreach { x =>
+      o.write(((x >> 24) & 0xff).toInt); o.write(((x >> 16) & 0xff).toInt)
+      o.write(((x >> 8) & 0xff).toInt); o.write((x & 0xff).toInt)
+    }
+    o.toByteArray
+  }
+
+  test("zero-count stts/ctts runs are skipped; exhaustion fails precisely, never AIOOBE") {
+    // stts runs: (0, 99) zero-count, (4, 10) real — the zero run must be
+    // walked over without stalling or spending a sample
+    val zeroRun = handBuilt(Array.empty, sttsRuns = Seq(0, 99, 4, 10))
+    assert(Mp4Index.parseSampleTable(zeroRun).map(_.dts) === Seq(0L, 10L, 20L, 30L))
+    // stts covering only 3 of 4 samples: the old walk indexed past the
+    // runs array (raw ArrayIndexOutOfBounds); must be the precise error
+    val short = handBuilt(Array.empty, sttsRuns = Seq(3, 10))
+    val e = intercept[IllegalArgumentException](Mp4Index.parseSampleTable(short))
+    assert(e.getMessage.contains("stts does not cover"))
+    // same for a short ctts
+    val shortCt = handBuilt(box("ctts")(ints(0, 1, 2, 5)))
+    val e2 = intercept[IllegalArgumentException](Mp4Index.parseSampleTable(shortCt))
+    assert(e2.getMessage.contains("ctts does not cover"))
+  }
+
+  test("stss out of range and unsupported ctts version are refused") {
+    val badSync = handBuilt(box("stss")(ints(0, 1, 9))) // sample 9 of 4
+    val e = intercept[IllegalArgumentException](Mp4Index.parseSampleTable(badSync))
+    assert(e.getMessage.contains("stss"))
+    val badVer = handBuilt(box("ctts")(ints(2L << 24, 1, 4, 5)))
+    val e2 = intercept[IllegalArgumentException](Mp4Index.parseSampleTable(badVer))
+    assert(e2.getMessage.contains("ctts version"))
+  }
+
+  test("keyframeIndex: per tick, the sync sample with smallest pts >= tick (closed form)") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val kf = Mp4Index.keyframeIndex(
+      Mp4Index.synthMp4Payload(ids, "doc_id"), "doc_id", "bytes", everyPts = 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    // reference: recompute from the fixture closed form per doc
+    for (id <- 0L until 40L) {
+      val n = (6 + id % 5).toInt
+      val delta = 100 + id % 50
+      def ctOff(i: Int): Long =
+        if (id % 5 == 0) 0L
+        else if (id % 2 == 1) ((i % 3) - 1).toLong * delta
+        else (i % 3).toLong * delta
+      val sync = (0 until n).filter(i => id % 3 == 0 || i % 3 == 0)
+        .map(i => (i * delta + ctOff(i), i)).sorted
+      for (tick <- 0L until (n * delta) by 150L) {
+        val want = sync.find(_._1 >= tick)
+        val got = kf.get((id, tick))
+        assert(got === want.map { case (p, i) => (i, p) }, s"id=$id tick=$tick")
+      }
+      // no ticks beyond the duration leaked out
+      assert(!kf.keys.exists { case (d, t) => d == id && t >= n * delta })
+    }
+    // the plan is executor-local — no Exchange
+    val plan = Mp4Index.keyframeIndex(
+      Mp4Index.synthMp4Payload(ids, "doc_id"), "doc_id", "bytes", 150L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"keyframe index shuffled:\n$plan")
+  }
+
+  test("sizeSignature: re-muxes collide, distinct streams don't, md5 matches the closed form") {
+    val ids = (0L until 50L).toDF("doc_id")
+    val sigs = Mp4Index.sizeSignature(
+      Mp4Index.synthMp4RemuxCorpus(ids, "doc_id"), "doc_id", "bytes")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(sigs.size === 55) // 50 bases + 5 remux twins
+    for (base <- 0L until 50L by 10L) {
+      assert(sigs(base) === sigs(base + graft.media.MediaDecode.TwinOffset),
+        s"remux twin of $base did not collide")
+    }
+    // closed-form md5 of the size CSV (the oracle's arithmetic)
+    val id = 7L
+    val n = (6 + id % 5).toInt
+    val csv = (0 until n).map(i => 10 + (17 * id + 31 * i) % 90).mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(csv.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    assert(sigs(id)._2 === hex)
+    assert(sigs(0L)._2 !== sigs(1L)._2)
+    // ids congruent mod 90 share the whole size sequence (17 is a unit
+    // mod 90 and 90 % 5 == 0): real mass dup-groups, not just twins
+    val far = Mp4Index.sizeSignature(
+      Mp4Index.synthMp4Payload(Seq(3L, 93L, 183L, 4L).toDF("doc_id"), "doc_id"),
+      "doc_id", "bytes").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(far(3L) === far(93L) && far(93L) === far(183L))
+    assert(far(3L) !== far(4L))
   }
 
   test("malformed/truncated containers are refused with precise errors") {
