@@ -1633,6 +1633,35 @@ object SparkEntry {
       graft.media.Mp4Index.sampleIndex(payloads, "doc_id", "bytes")
     }),
 
+    // MP4 TRACK/CODEC metadata (r14): the "filter by codec/resolution
+    // BEFORE the decode stage" pass — stsd sample-entry walk (visual
+    // width/height, audio channels/sample-rate, mdhd timescale),
+    // executor-local, unknown codecs degrade to kind=other instead of
+    // killing the scan. Fixture codecs closed-form by id%3
+    // (avc1/hvc1/mp4a).
+    "q_media_mp4_codec" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4Payload(ids, "doc_id")
+      graft.media.Mp4Index.trackInfo(payloads, "doc_id", "bytes")
+    }),
+
+    // FRAGMENTED MP4 (r14): the DASH/HLS container shape — empty stbl,
+    // samples carried in moof/traf/trun movie fragments. The walk honors
+    // trex defaults, both tfhd addressing modes (explicit base-data-offset
+    // on even ids, default-base-is-moof on odd), tfdt base decode times
+    // (v0/v1, with REAL +1000/fragment gaps so honoring them is
+    // observable; absent on id%7==0 -> dts continues across fragments),
+    // per-sample vs first-sample-flags sync marking, and trun composition
+    // offsets (v1 signed on odd ids). Every box size is closed-form in id,
+    // so the oracle recomputes every absolute byte offset.
+    "q_media_mp4_fragmented" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4FragmentedPayload(ids, "doc_id")
+      graft.media.Mp4Index.sampleIndex(payloads, "doc_id", "bytes")
+    }),
+
     // MP4 KEYFRAME sampling (r14 — the "sample N keyframes per video"
     // entry point a GPU decode stage seeks by): stss sync flags + ctts
     // composition offsets (version 1 signed — the B-frame H.264 shape)
@@ -3678,6 +3707,82 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(sample_idx AS INT) AS sample_idx, chunk_idx,
         |       s."offset", CAST(sz AS BIGINT) AS size, CAST(dts AS BIGINT) AS dts,
         |       CAST(pts AS BIGINT) AS pts, is_sync
+        |FROM s""".stripMargin,
+
+    // stsd codec metadata re-derived closed-form from id%3 (avc1 / hvc1 /
+    // mp4a with arithmetic dims / audio params)
+    "q_media_mp4_codec" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'mp4a'
+        |       WHEN doc_id % 3 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            WHEN doc_id % 3 = 0 THEN 320 + 16 * (doc_id % 8)
+        |            ELSE 640 + 16 * (doc_id % 8) END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            WHEN doc_id % 3 = 0 THEN 240 + 16 * (doc_id % 5)
+        |            ELSE 360 + 16 * (doc_id % 5) END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE 0 END
+        |       AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16000 + 1000 * (doc_id % 8)
+        |            ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(600 AS BIGINT) AS timescale
+        |FROM documents""".stripMargin,
+
+    // the fragmented walk re-derived closed-form: every box size is
+    // arithmetic in (id, f, nf), so fragment starts are a window prefix
+    // sum over (moofsz + 8 + payload) and sample offsets a prefix sum of
+    // sizes within the fragment; dts honors the tfdt gap (+1000/fragment)
+    // unless id%7==0 (no tfdt -> continuous)
+    "q_media_mp4_fragmented" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |frags AS (
+        |  SELECT id, f.f AS f, 3 + (id + f.f) % 4 AS nf, 100 + id % 50 AS delta
+        |  FROM ids, generate_series(0, 3) f(f) WHERE f.f < 2 + id % 3),
+        |pay AS (
+        |  SELECT fr.id, fr.f,
+        |         sum(10 + (17*fr.id + 29*fr.f + 31*i.i) % 90) AS payload
+        |  FROM frags fr, generate_series(0, 5) i(i) WHERE i.i < fr.nf
+        |  GROUP BY fr.id, fr.f),
+        |fsz AS (
+        |  SELECT fr.id, fr.f, fr.nf, fr.delta, p.payload,
+        |    24 + 8
+        |      + CASE WHEN fr.id % 2 = 0 THEN 24 ELSE 16 END
+        |      + CASE WHEN fr.id % 7 = 0 THEN 0
+        |             WHEN fr.id % 2 = 1 THEN 20 ELSE 16 END
+        |      + (8 + 12 + CASE WHEN fr.id % 3 = 0 THEN 4 ELSE 0 END
+        |         + fr.nf * (4 + CASE WHEN fr.id % 3 <> 0 THEN 4 ELSE 0 END
+        |                      + CASE WHEN fr.id % 5 <> 0 THEN 4 ELSE 0 END))
+        |      AS moofsz
+        |  FROM frags fr JOIN pay p ON p.id = fr.id AND p.f = fr.f),
+        |fpos AS (
+        |  SELECT id, f, nf, delta, moofsz,
+        |    228 + COALESCE(sum(moofsz + 8 + payload) OVER (PARTITION BY id
+        |      ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS fragstart,
+        |    COALESCE(sum(nf) OVER (PARTITION BY id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbefore
+        |  FROM fsz),
+        |s0 AS (
+        |  SELECT p.*, i.i AS i,
+        |         10 + (17*p.id + 29*p.f + 31*i.i) % 90 AS sz
+        |  FROM fpos p, generate_series(0, 5) i(i) WHERE i.i < p.nf),
+        |s AS (
+        |  SELECT id, f, i, sz, cumbefore + i AS sample_idx,
+        |    fragstart + moofsz + 8 + COALESCE(sum(sz) OVER (PARTITION BY id, f
+        |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off,
+        |    CASE WHEN id % 7 = 0 THEN (cumbefore + i) * delta
+        |         ELSE cumbefore * delta + f * 1000 + i * delta END AS dts,
+        |    CASE WHEN id % 5 = 0 THEN 0
+        |         WHEN id % 2 = 1 THEN ((i % 3) - 1) * delta
+        |         ELSE (i % 3) * delta END AS ct,
+        |    CASE WHEN id % 3 = 0 THEN i = 0 ELSE i % 3 = 0 END AS is_sync
+        |  FROM s0)
+        |SELECT id AS doc_id, CAST(sample_idx AS INT) AS sample_idx,
+        |       CAST(f AS INT) AS chunk_idx, CAST(off AS BIGINT) AS "offset",
+        |       CAST(sz AS BIGINT) AS size, CAST(dts AS BIGINT) AS dts,
+        |       CAST(dts + ct AS BIGINT) AS pts, is_sync
         |FROM s""".stripMargin,
 
     // keyframe sampling re-derived closed-form: ticks every 150 units

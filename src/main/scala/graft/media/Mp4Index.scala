@@ -72,6 +72,30 @@ object Mp4Index {
     null
   }
 
+  /** Every child box with type `name` inside [from, to), in file order;
+    * entries are (boxStart, payloadStart, payloadEnd) — boxStart included
+    * because `default-base-is-moof` addressing is relative to the box
+    * HEADER, not its payload.
+    */
+  private def childrenOf(
+      b: Array[Byte], from: Int, to: Int, name: String): Vector[(Int, Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int, Int)]
+    var o = from
+    while (o + 8 <= to) {
+      val sz0 = be32(b, o)
+      val t = fourcc(b, o + 4)
+      val (hdr, sz) =
+        if (sz0 == 1L) (16, be64(b, o + 8))
+        else if (sz0 == 0L) (8, (to - o).toLong)
+        else (8, sz0)
+      require(sz >= hdr && o + sz <= to,
+        s"malformed MP4 box '$t' at $o: size $sz exceeds enclosing box")
+      if (t == name) out += ((o, o + hdr, o + sz.toInt))
+      o += sz.toInt
+    }
+    out.result()
+  }
+
   /** Parse the first video/media track's sample table. Supports stsz
     * (fixed or per-sample sizes), stsc runs, stco and co64, stts runs;
     * version-0 and version-1 full boxes where relevant. Fails loudly on
@@ -228,6 +252,121 @@ object Mp4Index {
       }
       chunk += 1
     }
+
+    // ---- movie fragments (fMP4 — ISO/IEC 14496-12 §8.8): DASH/HLS
+    // streams keep an EMPTY stbl and carry every sample in moof/traf/trun
+    // boxes interleaved with their mdat payloads. Samples append after
+    // whatever the stbl carried (usually nothing), dts continuing unless a
+    // tfdt pins the fragment's base decode time.
+    val moofs = childrenOf(b, 0, b.length, "moof")
+    if (moofs.nonEmpty) {
+      // trex (REQUIRED with fragments, §8.8.3): per-track defaults
+      val mvex = child(b, moov._1, moov._2, "mvex")
+      require(mvex != null, "fragmented MP4 (moof present) without moov/mvex")
+      val trex = child(b, mvex._1, mvex._2, "trex")
+      require(trex != null, "fragmented MP4 without mvex/trex defaults")
+      val trexDur = be32(b, trex._1 + 12)
+      val trexSize = be32(b, trex._1 + 16)
+      val trexFlags = be32(b, trex._1 + 20)
+
+      var fragDts = dts // continues from the stbl walk unless tfdt overrides
+      var fragChunk = nChunks
+      var sampleIdx = nSamples
+      moofs.foreach { case (moofStart, moofPay, moofEnd) =>
+        val trafs = childrenOf(b, moofPay, moofEnd, "traf")
+        require(trafs.nonEmpty, s"MP4 moof at $moofStart without a traf")
+        trafs.zipWithIndex.foreach { case ((_, trafPay, trafEnd), trafIdx) =>
+          // tfhd: track_ID + optional fields gated by flags (§8.8.7)
+          val tfhd = child(b, trafPay, trafEnd, "tfhd")
+          require(tfhd != null, "MP4 traf without tfhd")
+          val tfFlags = be32(b, tfhd._1) & 0xffffffL
+          var fo = tfhd._1 + 8 // past version/flags + track_ID
+          val baseDataOffset: Option[Long] =
+            if ((tfFlags & 0x1L) != 0) { val v = be64(b, fo); fo += 8; Some(v) }
+            else None
+          if ((tfFlags & 0x2L) != 0) fo += 4 // sample-description-index
+          val defDur =
+            if ((tfFlags & 0x8L) != 0) { val v = be32(b, fo); fo += 4; v }
+            else trexDur
+          val defSize =
+            if ((tfFlags & 0x10L) != 0) { val v = be32(b, fo); fo += 4; v }
+            else trexSize
+          val defFlags =
+            if ((tfFlags & 0x20L) != 0) { val v = be32(b, fo); fo += 4; v }
+            else trexFlags
+          val defaultBaseIsMoof = (tfFlags & 0x20000L) != 0
+          // base: explicit > default-base-is-moof > (first traf only) the
+          // moof start, per §8.8.7.1; later trafs without either would
+          // need the previous traf's data end — refuse precisely rather
+          // than guess
+          val base: Long = baseDataOffset.getOrElse {
+            require(defaultBaseIsMoof || trafIdx == 0,
+              "MP4 traf without base-data-offset or default-base-is-moof " +
+                "after the first traf of its moof")
+            moofStart.toLong
+          }
+
+          // tfdt (optional, §8.8.12): pins the fragment's base decode time
+          val tfdt = child(b, trafPay, trafEnd, "tfdt")
+          if (tfdt != null) {
+            val v = b(tfdt._1) & 0xff
+            require(v <= 1, s"MP4 tfdt version $v unsupported")
+            fragDts = if (v == 1) be64(b, tfdt._1 + 4) else be32(b, tfdt._1 + 4)
+          }
+
+          // truns (one or more, §8.8.8); data continues after the previous
+          // run's bytes when data-offset is absent
+          val truns = childrenOf(b, trafPay, trafEnd, "trun")
+          require(truns.nonEmpty, "MP4 traf without a trun")
+          var runData = base
+          truns.foreach { case (_, trPay, _) =>
+            val ver = b(trPay) & 0xff
+            require(ver <= 1, s"MP4 trun version $ver unsupported")
+            val trFlags = be32(b, trPay) & 0xffffffL
+            val n = be32(b, trPay + 4).toInt
+            require(n >= 0 && n < (1 << 24), s"implausible trun sample count $n")
+            var o = trPay + 8
+            if ((trFlags & 0x1L) != 0) { // data-offset (SIGNED 32-bit)
+              runData = base + be32(b, o).toInt
+              o += 4
+            }
+            val firstFlags: Long =
+              if ((trFlags & 0x4L) != 0) { val v = be32(b, o); o += 4; v }
+              else -1L
+            var off = runData
+            var i = 0
+            while (i < n) {
+              val sdur =
+                if ((trFlags & 0x100L) != 0) { val v = be32(b, o); o += 4; v }
+                else defDur
+              val ssize =
+                if ((trFlags & 0x200L) != 0) { val v = be32(b, o); o += 4; v }
+                else defSize
+              val sflags =
+                if ((trFlags & 0x400L) != 0) { val v = be32(b, o); o += 4; v }
+                else if (i == 0 && firstFlags >= 0) firstFlags
+                else defFlags
+              val ctOff =
+                if ((trFlags & 0x800L) != 0) {
+                  val raw = be32(b, o); o += 4
+                  if (ver == 1) raw.toInt.toLong else raw
+                } else 0L
+              // sample_is_non_sync_sample is bit 16 of sample_flags
+              val isSync = (sflags & 0x10000L) == 0
+              out += SampleLoc(sampleIdx, fragChunk, off, ssize,
+                fragDts, fragDts + ctOff, isSync)
+              off += ssize
+              fragDts += sdur
+              sampleIdx += 1
+              i += 1
+            }
+            runData = off
+          }
+          fragChunk += 1
+        }
+      }
+      return (out.result(), fragDts)
+    }
     (out.result(), dts)
   }
 
@@ -306,6 +445,88 @@ object Mp4Index {
             }
           }
         }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** TRACK/CODEC metadata from the stsd sample description (ISO/IEC
+    * 14496-12 §12.1.3 visual / §12.2.3 audio sample entries) — the
+    * "filter by codec/resolution BEFORE the decode stage" pass of a video
+    * pipeline: (codec fourcc, kind, width, height, channels, sample_rate,
+    * timescale from mdhd). Codec fourccs are classified by the public
+    * registered list (visual avc1/hvc1/hev1/vp08/vp09/av01/mp4v, audio
+    * mp4a/opus/ac-3/ec-3/flac/alac); anything else is kind='other' with
+    * zeroed fields — an unknown codec must not kill a 100 TB scan.
+    */
+  final case class TrackInfo(
+      codec: String, kind: String, width: Int, height: Int,
+      channels: Int, sampleRate: Int, timescale: Long)
+
+  private val VisualCodecs =
+    Set("avc1", "hvc1", "hev1", "vp08", "vp09", "av01", "mp4v")
+  private val AudioCodecs = Set("mp4a", "opus", "ac-3", "ec-3", "flac", "alac")
+
+  private[graft] def parseTrackInfo(b: Array[Byte]): TrackInfo = {
+    require(b.length >= 16 && {
+      val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
+    }, "not an ISO-BMFF container")
+    val moov = child(b, 0, b.length, "moov")
+    require(moov != null, "MP4 without a moov box")
+    val trak = child(b, moov._1, moov._2, "trak")
+    require(trak != null, "MP4 moov without a trak")
+    val mdia = child(b, trak._1, trak._2, "mdia")
+    require(mdia != null, "MP4 trak without mdia")
+    val mdhd = child(b, mdia._1, mdia._2, "mdhd")
+    require(mdhd != null, "MP4 mdia without mdhd")
+    val mdhdV = b(mdhd._1) & 0xff
+    val timescale =
+      if (mdhdV == 1) be32(b, mdhd._1 + 20) else be32(b, mdhd._1 + 12)
+    val minf = child(b, mdia._1, mdia._2, "minf")
+    require(minf != null, "MP4 mdia without minf")
+    val stbl = child(b, minf._1, minf._2, "stbl")
+    require(stbl != null, "MP4 minf without stbl")
+    val stsd = child(b, stbl._1, stbl._2, "stsd")
+    require(stsd != null, "MP4 stbl without stsd")
+    val nEntries = be32(b, stsd._1 + 4).toInt
+    require(nEntries >= 1, "MP4 stsd with zero sample entries")
+    // first sample entry box starts right after the stsd full-box header
+    val e = stsd._1 + 8
+    val codec = fourcc(b, e + 4)
+    if (VisualCodecs(codec)) {
+      // 8 box hdr + 6 reserved + 2 data_ref_idx + 16 pre_defined/reserved
+      val w = be32(b, e + 32) >>> 16
+      val h = be32(b, e + 32) & 0xffff
+      TrackInfo(codec, "video", w.toInt, h.toInt, 0, 0, timescale)
+    } else if (AudioCodecs(codec)) {
+      // 8 box hdr + 8 entry fields + 8 reserved -> channelcount(2)
+      // samplesize(2) pre_defined(2) reserved(2) samplerate(16.16)
+      val ch = (be32(b, e + 24) >>> 16).toInt
+      val sr = (be32(b, e + 32) >>> 16).toInt
+      TrackInfo(codec, "audio", 0, 0, ch, sr, timescale)
+    } else TrackInfo(codec, "other", 0, 0, 0, 0, timescale)
+  }
+
+  /** DataFrame operator: one row per container —
+    * (idCol, codec, kind, width, height, channels, sample_rate,
+    * timescale). Executor-local stsd walk; payload never shuffles.
+    */
+  def trackInfo(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("timescale", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val ti = parseTrackInfo(r.getAs[Array[Byte]](bIdx))
+        Row(r.getLong(idIdx), ti.codec, ti.kind, ti.width, ti.height,
+          ti.channels, ti.sampleRate, ti.timescale)
       }
     }(Encoders.row(schema))
   }
@@ -462,7 +683,31 @@ object Mp4Index {
       else Some(box("ctts")(ints(
         (0L +: n.toLong +:
           (0 until n).flatMap(i => Seq(1L, (i % 3).toLong * delta))): _*)))
-    val stbl = box("stbl")(stsz ++ stsc ++ stco ++ stts ++
+    // stsd (r14): closed-form codec metadata — id%3 picks avc1 / hvc1 /
+    // mp4a; full-width spec entries (VisualSampleEntry 86 B incl.
+    // compressorname, AudioSampleEntry 36 B) though the reader only needs
+    // the leading fields; codec config children (avcC etc.) deliberately
+    // absent — trackInfo is a metadata pass, not a decoder
+    val stsd = box("stsd")(ints(0L, 1L) ++ {
+      def entry(name: String, tail: Array[Byte]): Array[Byte] = box(name)(
+        Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++ tail)
+      if (id % 3 == 2) { // mp4a: reserved(8) ch(2) ss(2) pre(2) res(2) rate16.16
+        val ch = (1 + id % 2).toInt
+        val sr = (16000 + 1000 * (id % 8)).toInt
+        entry("mp4a", ints(0L, 0L) ++
+          Array[Byte]((ch >> 8).toByte, ch.toByte, 0, 16, 0, 0, 0, 0) ++
+          ints(sr.toLong << 16))
+      } else {
+        val codec = if (id % 3 == 0) "avc1" else "hvc1"
+        val w = (if (id % 3 == 0) 320 else 640) + 16 * (id % 8).toInt
+        val h = (if (id % 3 == 0) 240 else 360) + 16 * (id % 5).toInt
+        entry(codec, ints(0L, 0L, 0L, 0L, // pre_defined/reserved (16 B)
+          ((w.toLong << 16) | h), 0x00480000L, 0x00480000L, 0L) ++
+          Array[Byte](0, 1) ++ Array.fill[Byte](32)(0) ++
+          Array[Byte](0, 24, -1, -1)) // depth 24, pre_defined -1
+      }
+    })
+    val stbl = box("stbl")(stsd ++ stsz ++ stsc ++ stco ++ stts ++
       stssOpt.getOrElse(Array.empty[Byte]) ++
       cttsOpt.getOrElse(Array.empty[Byte]))
     val minf = box("minf")(stbl)
@@ -484,6 +729,142 @@ object Mp4Index {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
       rows.map(r => Row(r.getLong(idIdx), synthMp4(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+
+  /** Minimal spec-complete FRAGMENTED MP4 (fMP4, the DASH/HLS shape):
+    * empty stbl in moov, mvex/trex defaults, then F = 2 + id%3 movie
+    * fragments of moof(mfhd, traf(tfhd, tfdt?, trun)) + mdat — every table
+    * closed-form from `id` so a SQL oracle recomputes every sample row:
+    *  - fragment f carries nf = 3 + (id+f)%4 samples;
+    *    size(f,i) = 10 + (17*id + 29*f + 31*i) % 90
+    *  - durations ALWAYS from the trex default delta = 100 + id%50 (the
+    *    trun duration bit stays 0 — defaults are the common DASH shape)
+    *  - tfhd: even ids carry an explicit absolute base-data-offset; odd
+    *    ids default-base-is-moof with the trun data-offset spanning the
+    *    moof — both address the SAME mdat payload byte
+    *  - tfdt: present unless id%7 == 0 (absent -> dts continues across
+    *    fragments); version 1 (64-bit) on odd ids, version 0 on even; the
+    *    value introduces a REAL +1000-per-fragment gap, so honoring tfdt
+    *    is observable, not cosmetic
+    *  - trun: per-sample sizes always; per-sample flags (sync = i%3 == 0)
+    *    unless id%3 == 0, which instead sets first-sample-flags = sync
+    *    over non-sync trex defaults (the classic one-keyframe-per-segment
+    *    stream); composition offsets absent on id%5 == 0, VERSION 1
+    *    signed ((i%3)-1)*delta on odd ids, version 0 unsigned on even.
+    */
+  def synthMp4Fragmented(id: Long): Array[Byte] = {
+    val delta = (100 + id % 50).toInt
+    val nFrags = (2 + id % 3).toInt
+    val nf = Array.tabulate(nFrags)(f => (3 + (id + f) % 4).toInt)
+    val out = new ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32o(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def box(name: String)(body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      be32o(o, 8L + body.length); o.write(name.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); vs.foreach(be32o(o, _)); o.toByteArray
+    }
+    // ftyp (24) + moov (204, constant: empty stbl + trex) = data from 228
+    be32o(out, 24); tag("ftyp"); tag("isom"); be32o(out, 512); tag("isom"); tag("iso2")
+    // empty stbl (stsz fixed=0 count=0, zero-entry stsc/stco/stts) — the
+    // spec-required shape when all samples live in fragments
+    val stbl = box("stbl")(
+      box("stsz")(ints(0L, 0L, 0L)) ++ box("stsc")(ints(0L, 0L)) ++
+        box("stco")(ints(0L, 0L)) ++ box("stts")(ints(0L, 0L)))
+    val totalSamples = nf.sum
+    val mdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, totalSamples.toLong * delta))
+    val trak = box("trak")(box("mdia")(mdhd ++ box("minf")(stbl)))
+    val mvhd = box("mvhd")(ints(0L, 0L, 0L, 600L, totalSamples.toLong * delta))
+    // trex: track 1, desc 1, default duration = delta, size 0,
+    // flags = non-sync (0x10000) — sync comes from trun/first-sample flags
+    val mvex = box("mvex")(box("trex")(ints(0L, 1L, 1L, delta.toLong, 0L, 0x10000L)))
+    out.write(box("moov")(mvhd ++ trak ++ mvex))
+
+    var fragStart = out.size().toLong // 228
+    var cumSamples = 0
+    for (f <- 0 until nFrags) {
+      val n = nf(f)
+      val sizes = Array.tabulate(n)(i => (10 + (17 * id + 29 * f + 31 * i) % 90).toInt)
+      val perS = 4 + (if (id % 3 != 0) 4 else 0) + (if (id % 5 != 0) 4 else 0)
+      val trunSz = 8 + 12 + (if (id % 3 == 0) 4 else 0) + n * perS
+      val tfhdSz = if (id % 2 == 0) 24 else 16
+      val tfdtSz = if (id % 7 == 0) 0 else if (id % 2 == 1) 20 else 16
+      val moofSz = 8 + 16 + (8 + tfhdSz + tfdtSz + trunSz)
+      val dataStart = fragStart + moofSz + 8
+
+      val tfhd =
+        if (id % 2 == 0) box("tfhd") { // base-data-offset-present (u64)
+          val o = new ByteArrayOutputStream()
+          be32o(o, 0x1L); be32o(o, 1L)
+          be32o(o, dataStart >>> 32); be32o(o, dataStart & 0xffffffffL)
+          o.toByteArray
+        }
+        else box("tfhd")(ints(0x20000L, 1L)) // default-base-is-moof
+      val tfdtVal = cumSamples.toLong * delta + f.toLong * 1000
+      val tfdt: Array[Byte] =
+        if (id % 7 == 0) Array.empty
+        else if (id % 2 == 1) box("tfdt") { // version 1: 64-bit time
+          val o = new ByteArrayOutputStream()
+          be32o(o, 1L << 24)
+          be32o(o, tfdtVal >>> 32); be32o(o, tfdtVal & 0xffffffffL)
+          o.toByteArray
+        }
+        else box("tfdt")(ints(0L, tfdtVal))
+      val trun = box("trun") {
+        val o = new ByteArrayOutputStream()
+        val ver = if (id % 2 == 1) 1L else 0L
+        val flags = 0x1L | 0x200L |
+          (if (id % 3 != 0) 0x400L else 0x4L) |
+          (if (id % 5 != 0) 0x800L else 0L)
+        be32o(o, (ver << 24) | flags)
+        be32o(o, n.toLong)
+        // data offset is relative to the tfhd base: absolute base (even)
+        // -> 0; moof start (odd) -> past the whole moof + mdat header
+        be32o(o, if (id % 2 == 0) 0L else moofSz + 8L)
+        if (id % 3 == 0) be32o(o, 0L) // first-sample-flags: sync
+        for (i <- 0 until n) {
+          be32o(o, sizes(i).toLong)
+          if (id % 3 != 0) be32o(o, if (i % 3 == 0) 0L else 0x10000L)
+          if (id % 5 != 0) {
+            val ct =
+              if (id % 2 == 1) (((i % 3) - 1).toLong * delta) & 0xffffffffL
+              else (i % 3).toLong * delta
+            be32o(o, ct)
+          }
+        }
+        o.toByteArray
+      }
+      val traf = box("traf")(tfhd ++ tfdt ++ trun)
+      val moof = box("moof")(box("mfhd")(ints(0L, f + 1L)) ++ traf)
+      require(moof.length == moofSz,
+        s"fixture moof size drifted: built ${moof.length}, computed $moofSz")
+      out.write(moof)
+      be32o(out, 8L + sizes.sum); tag("mdat")
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        var k = 0
+        while (k < sz) { out.write((id + 11 * f + 7 * i + k).toInt & 0xff); k += 1 }
+      }
+      fragStart += moofSz + 8 + sizes.sum
+      cumSamples += n
+    }
+    out.toByteArray
+  }
+
+  /** Fixture frame: (idCol, bytes) of [[synthMp4Fragmented]] containers. */
+  def synthMp4FragmentedPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(idIdx), synthMp4Fragmented(r.getLong(idIdx))))
     }(Encoders.row(schema))
   }
 

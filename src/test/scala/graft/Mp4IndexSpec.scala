@@ -236,4 +236,115 @@ class Mp4IndexSpec extends GraftSuite {
     val plan = idx.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mp4 index parse shuffled:\n$plan")
   }
+
+  test("trackInfo: stsd codec metadata matches the closed form; unknown codec is kind=other") {
+    for (id <- 0L until 24L) {
+      val ti = Mp4Index.parseTrackInfo(Mp4Index.synthMp4(id))
+      assert(ti.timescale === 600L, s"id=$id")
+      if (id % 3 == 2) {
+        assert(ti.codec === "mp4a" && ti.kind === "audio", s"id=$id")
+        assert(ti.channels === 1 + (id % 2).toInt, s"id=$id")
+        assert(ti.sampleRate === 16000 + 1000 * (id % 8).toInt, s"id=$id")
+        assert(ti.width === 0 && ti.height === 0, s"id=$id")
+      } else {
+        assert(ti.codec === (if (id % 3 == 0) "avc1" else "hvc1"), s"id=$id")
+        assert(ti.kind === "video", s"id=$id")
+        assert(ti.width === (if (id % 3 == 0) 320 else 640) + 16 * (id % 8).toInt, s"id=$id")
+        assert(ti.height === (if (id % 3 == 0) 240 else 360) + 16 * (id % 5).toInt, s"id=$id")
+        assert(ti.channels === 0 && ti.sampleRate === 0, s"id=$id")
+      }
+    }
+    // an unregistered codec fourcc degrades to kind=other with zeroed
+    // fields — a 100 TB metadata scan must not die on one exotic file
+    val b = Mp4Index.synthMp4(0L) // avc1
+    val at = (b.length - 4 to 0 by -1).find(i =>
+      new String(b.slice(i, i + 4), "US-ASCII") == "avc1").get
+    val patched = b.clone()
+    "zzz1".getBytes("US-ASCII").copyToArray(patched, at)
+    val ti = Mp4Index.parseTrackInfo(patched)
+    assert(ti === Mp4Index.TrackInfo("zzz1", "other", 0, 0, 0, 0, 600L))
+    // the sample walk is UNAFFECTED by the stsd patch
+    assert(Mp4Index.parseSampleTable(patched).size ===
+      Mp4Index.parseSampleTable(b).size)
+  }
+
+  test("fragmented MP4 (moof/traf/trun) matches the fixture's closed form") {
+    // ids 0..209 cover every (id%2, id%3, id%5, id%7) class jointly:
+    // tfhd base modes, tfdt presence+version, per-sample vs first-sample
+    // flags, ctts v0/v1/absent
+    for (id <- 0L until 210L) {
+      val bytes = Mp4Index.synthMp4Fragmented(id)
+      val locs = Mp4Index.parseSampleTable(bytes)
+      val delta = 100 + id % 50
+      val nFrags = (2 + id % 3).toInt
+      val nf = Array.tabulate(nFrags)(f => (3 + (id + f) % 4).toInt)
+      assert(locs.size === nf.sum, s"id=$id")
+      var g = 0 // global sample index
+      var fragStart = 228L
+      for (f <- 0 until nFrags) {
+        val n = nf(f)
+        val sizes = Array.tabulate(n)(i => (10 + (17 * id + 29 * f + 31 * i) % 90).toLong)
+        val perS = 4 + (if (id % 3 != 0) 4 else 0) + (if (id % 5 != 0) 4 else 0)
+        val moofSz = 24 + 8 + (if (id % 2 == 0) 24 else 16) +
+          (if (id % 7 == 0) 0 else if (id % 2 == 1) 20 else 16) +
+          (8 + 12 + (if (id % 3 == 0) 4 else 0) + n * perS)
+        var off = fragStart + moofSz + 8
+        val cumBefore = nf.take(f).sum.toLong
+        for (i <- 0 until n) {
+          val l = locs(g)
+          assert(l.sampleIdx === g, s"id=$id f=$f i=$i")
+          assert(l.chunkIdx === f, s"id=$id f=$f i=$i")
+          assert(l.size === sizes(i), s"id=$id f=$f i=$i")
+          assert(l.offset === off, s"id=$id f=$f i=$i")
+          val dts =
+            if (id % 7 == 0) (cumBefore + i) * delta // no tfdt: continuous
+            else cumBefore * delta + f * 1000L + i * delta // tfdt gap honored
+          assert(l.dts === dts, s"id=$id f=$f i=$i")
+          val ct =
+            if (id % 5 == 0) 0L
+            else if (id % 2 == 1) ((i % 3) - 1).toLong * delta
+            else (i % 3).toLong * delta
+          assert(l.pts === dts + ct, s"id=$id f=$f i=$i")
+          val sync = if (id % 3 == 0) i == 0 else i % 3 == 0
+          assert(l.isSync === sync, s"id=$id f=$f i=$i")
+          // the range really addresses the fixture's mdat payload bytes
+          assert((bytes(l.offset.toInt) & 0xff) === ((id + 11 * f + 7 * i) & 0xff).toInt,
+            s"id=$id f=$f i=$i")
+          off += sizes(i)
+          g += 1
+        }
+        fragStart += moofSz + 8 + sizes.sum
+      }
+    }
+  }
+
+  test("fragmented MP4 without trex or with a bad later traf is refused precisely") {
+    val good = Mp4Index.synthMp4Fragmented(3L)
+    // strip mvex: rewrite its fourcc so trex resolution fails
+    val noTrex = good.clone()
+    val mvexAt = (0 until good.length - 4).find(i =>
+      new String(good.slice(i, i + 4), "US-ASCII") == "mvex").get
+    noTrex(mvexAt) = 'f'.toByte // "fvex" — unknown box, skipped
+    val e = intercept[IllegalArgumentException](Mp4Index.parseSampleTable(noTrex))
+    assert(e.getMessage.contains("mvex"))
+    // a truncated final fragment fails loudly, not with a silent short read
+    intercept[IllegalArgumentException](
+      Mp4Index.parseSampleTable(good.take(good.length - 4)))
+  }
+
+  test("keyframeIndex rides the fragmented walk: sync-sample seek over fMP4") {
+    // id=4: id%3=1 -> per-sample flags, sync every 3rd; id%7=4 -> tfdt
+    // gaps present; ticks target pts, so the gap shifts which sync wins
+    val df = Mp4Index.synthMp4FragmentedPayload(Seq(4L).toDF("doc_id"), "doc_id")
+    val rows = Mp4Index.keyframeIndex(df, "doc_id", "bytes", everyPts = 400L)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // every returned sample is sync and its pts >= its tick, minimal
+    val locs = Mp4Index.parseSampleTable(Mp4Index.synthMp4Fragmented(4L))
+    val sync = locs.filter(_.isSync).map(l => (l.pts, l.sampleIdx)).sorted
+    rows.foreach { case (tick, sIdx, pts) =>
+      val expect = sync.find(_._1 >= tick).get
+      assert((pts, sIdx) === expect, s"tick=$tick")
+    }
+  }
 }
