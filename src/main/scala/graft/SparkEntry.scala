@@ -1720,6 +1720,11 @@ object SparkEntry {
     // perturbed twin (first sample +100) for every 10th doc; the oracle
     // recomputes the ENTIRE pipeline — samples, frame energies, bits,
     // block keys, candidates, hamming — closed-form in SQL.
+    // GRAFT_MEDIA_NEARDUP_BLOCKS is the same LSH operating point the
+    // image gate documents: at 5M docs, 16-bit blocks put ~84 docs in
+    // every bucket (~1e9 candidates — measured: it spills the local disk)
+    // while 32-bit blocks collide ~birthday-rarely; the 1000x sweeps run
+    // blocks=2, and the oracle interpolates the SAME value.
     "q_media_audio_neardup" -> ((s, dir) => {
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
@@ -4965,7 +4970,8 @@ object SparkEntry {
         |  SELECT id + 1000000000000, id, 1 FROM ids WHERE id % 10 = 0),
         |samp AS (
         |  SELECT c.id, gi.i AS i, 64 + c.src % 64 AS n,
-        |         (17*c.src + 29*gi.i) % 2001 - 1000
+        |         ((c.src % 2003) * (gi.i+3) * (gi.i+3)
+        |           + (c.src % 1999) * (gi.i+5)) % 2003 - 1001
         |           + CASE WHEN c.pert = 1 AND gi.i = 0 THEN 100 ELSE 0 END AS v
         |  FROM corpus c, generate_series(0, 127) gi(i)
         |  WHERE gi.i < 64 + c.src % 64),

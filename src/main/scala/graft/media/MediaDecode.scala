@@ -388,30 +388,51 @@ object MediaDecode {
     bits
   }
 
-  /** Near-duplicate AUDIO corpus: every id's WAV (as
-    * [[synthAudioPayload]]) plus, for ids divisible by 10, a perturbed
-    * twin at `id + TwinOffset` whose FIRST sample is shifted by +100 —
-    * frame 0's energy (and the integer mean) move a little, so the twin's
-    * fingerprint lands within a couple of bits of its base. Closed-form
-    * so a SQL oracle recomputes every hash from the generator arithmetic.
+  /** Near-duplicate AUDIO corpus: every id's WAV plus, for ids divisible
+    * by 10, a perturbed twin at `id + TwinOffset` whose FIRST sample is
+    * shifted by +100 — frame 0's energy (and the integer mean) move a
+    * little, so the twin's fingerprint lands within a couple of bits of
+    * its base. Closed-form so a SQL oracle recomputes every hash from the
+    * generator arithmetic.
+    *
+    * Generator (r14): sample(i) = ((src%2003)·(i+3)² + (src%1999)·(i+5))
+    * mod 2003 − 1001 — src at TWO coprime moduli through a quadratic, so
+    * fingerprints are distinct across replica-scale corpora (measured:
+    * 300k/300k distinct). The first cut ((17·src + 29·i) mod 2001, with
+    * 29 | 2001) collapsed 5M docs onto ~10^4 fingerprints and the PAIR
+    * output — inherently quadratic in identical-hash group size — filled
+    * the local disk at the 1000× replica. Mass-duplicate corpora are the
+    * clusters surface ([[graft.dedup.Dedup.hammingClusters]], proven on
+    * the image dup-heavy gate); a pairs gate needs a corpus whose pair
+    * count is linear, which this generator guarantees.
     */
   def synthAudioNearDupCorpus(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("bytes", BinaryType, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
+    def wav(src: Long, pert: Boolean): Array[Byte] = {
+      val n = (64 + (src % 64)).toInt
+      val a = src % 2003
+      val c = src % 1999
+      val samples = Array.tabulate(n) { i =>
+        val v = (a * (i + 3) * (i + 3) + c * (i + 5)) % 2003 - 1001
+        (v + (if (pert && i == 0) 100L else 0L)).toShort
+      }
+      MediaCodecs.encodeWav(Audio((8000 + (src % 3) * 4000).toInt, 1, samples))
+    }
+    val bases = df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx); Row(id, wav(id, pert = false))
+      }
+    }(Encoders.row(schema))
     val twins = df.filter(col(idCol) % 10 === 0).mapPartitions { rows =>
       rows.map { r =>
         val base = r.getLong(idIdx)
-        val n = (64 + (base % 64)).toInt
-        val samples = Array.tabulate(n)(i =>
-          ((((17L * base + 29L * i) % 2001L) - 1000L)
-            + (if (i == 0) 100L else 0L)).toShort)
-        Row(base + TwinOffset, MediaCodecs.encodeWav(
-          Audio((8000 + (base % 3) * 4000).toInt, 1, samples)))
+        Row(base + TwinOffset, wav(base, pert = true))
       }
     }(Encoders.row(schema))
-    synthAudioPayload(df, idCol).unionByName(twins)
+    bases.unionByName(twins)
   }
 
   /** WAV decode + exact integer statistics in one pass:

@@ -338,8 +338,8 @@ class MediaDecodeSpec extends GraftSuite {
       val n = (64 + src % 64).toInt
       val e = new Array[Long](64)
       for (i <- 0 until n) {
-        val v = ((17L * src + 29L * i) % 2001L) - 1000L +
-          (if (pert && i == 0) 100L else 0L)
+        val v = ((src % 2003) * (i + 3) * (i + 3) + (src % 1999) * (i + 5)) % 2003 -
+          1001L + (if (pert && i == 0) 100L else 0L)
         e(i * 64 / n) += v * v
       }
       val mean = e.sum / 64
@@ -360,6 +360,27 @@ class MediaDecodeSpec extends GraftSuite {
       .as[(Long, Long, Int)].collect()
     val twinPairs = pairs.count { case (a, b, _) => b == a + MediaDecode.TwinOffset }
     assert(twinPairs === close)
+  }
+
+  test("audio fixture entropy: base fingerprints are distinct at scale (pair output stays linear)") {
+    // the r14 1000x sweep caught the first-cut generator ((17*src+29*i)
+    // % 2001, 29 | 2001) collapsing 5M docs onto ~1e4 fingerprints — the
+    // PAIR output is quadratic in identical-hash group size, so a pairs
+    // gate needs a corpus with distinct base hashes; mass-dup corpora
+    // belong to hammingClusters. Guard the generator's entropy directly.
+    def localFp(src: Long): Long = {
+      val n = (64 + src % 64).toInt
+      val e = new Array[Long](64)
+      for (i <- 0 until n) {
+        val v = ((src % 2003) * (i + 3) * (i + 3) + (src % 1999) * (i + 5)) % 2003 - 1001L
+        e(i * 64 / n) += v * v
+      }
+      val mean = e.sum / 64
+      (0 until 64).foldLeft(0L)((b, i) => if (e(i) > mean) b | (1L << i) else b)
+    }
+    val n = 50000
+    val distinct = (0L until n).map(localFp).distinct.size
+    assert(distinct >= n - 5, s"audio fingerprints collapsed: $distinct/$n distinct")
   }
 
   test("distributed one-pass stats match local decode over the fixture payloads") {

@@ -41,6 +41,11 @@ C4_JOIN="q_agg_salted,q_anti_join,q_semi_join,q_asof_join,q_asof_fwd_tol,q_asof_
 C5_VEC="q_embed_project,q_knn_cosine,q_knn_ip,q_knn_l2sqrt,q_knn_int8,q_knn_hamming,q_knn_filtered,q_knn_scorerange,q_int8_roundtrip,q_ivfflat_fullprobe,q_ivfpq_exactrank,q_ivfpq_opq_exactrank,q_ivfpq_recallnum,q_binaryivf_fullprobe,q_mmr_rerank,q_hybrid_rrf,q_vecs_roundtrip,q_vecs_export,q_sql_ann_rewrite,q_multi_model,q_vec_fusion,q_multivid,q_ivfpq_ann,q_hnsw_ann"
 C6_TABLE="q_table_e2e,q_table_int8,q_table_persisted,q_table_persisted_pq,q_binaryivf_lifecycle,q_point_lookup,q_scan_range,q_filter_range,q_term_all,q_term_notin,q_term_union,q_setops_pred,q_count_filter,q_live_count,q_delete_by_key,q_delete_by_query,q_upsert_state,q_tar_roundtrip"
 C7_STREAM="q_stream_dedup,q_stream_neardup,q_stream_heavy,q_stream_hll,q_stream_upsert"
+# r14: media decode/container gates (all checkable — closed-form oracles;
+# q_media_neardup_clusters is adjudicated by tools/cluster_oracle.py over
+# the EXCEPT-ALL-verified pairs, NOT by its recursive-CTE oracle, which is
+# sum(k^2) reach rows on a percolating graph)
+C8_MEDIA="q_media_decode,q_media_resize,q_media_jpeg,q_media_audio,q_media_audio_neardup,q_media_mp4_samples,q_media_mp4_keyframes,q_media_mp4_dupsig,q_media_mp4_fragmented,q_media_mp4_codec,q_media_neardup_dupheavy"
 
 run_chunk() {
   local name=$1 gates=$2
@@ -64,7 +69,7 @@ run_chunk() {
 
 # CHUNKS env selects a subset (resume after a mid-sweep failure without
 # re-paying completed chunks), e.g. CHUNKS="dedup select join"
-want() { [[ " ${CHUNKS:-text dedup select join vec table stream} " == *" $1 "* ]]; }
+want() { [[ " ${CHUNKS:-text dedup select join vec table stream media} " == *" $1 "* ]]; }
 want text   && run_chunk text   "$C1_TEXT"
 want dedup  && run_chunk dedup  "$C2_DEDUP"
 want select && run_chunk select "$C3_SELECT"
@@ -72,4 +77,5 @@ want join   && run_chunk join   "$C4_JOIN"
 want vec    && run_chunk vec    "$C5_VEC"
 want table  && run_chunk table  "$C6_TABLE"
 want stream && run_chunk stream "$C7_STREAM"
+want media  && run_chunk media  "$C8_MEDIA"
 echo "==== sweep complete"
