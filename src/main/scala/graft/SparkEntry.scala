@@ -1679,6 +1679,24 @@ object SparkEntry {
       graft.media.Mp4Index.keyframeIndex(payloads, "doc_id", "bytes", everyPts = 150L)
     }),
 
+    // EDIT-LIST keyframe sampling (r14): nearly every B-frame H.264 file
+    // carries an elst compensating the initial composition delay —
+    // presentation = pts - media_time, optionally behind a leading EMPTY
+    // edit inserting movie-timescale delay. Ticks live on the
+    // PRESENTATION timeline, so the seek target is the first sync sample
+    // with pts >= tick + shift. Fixture: same sample tables (mdat
+    // precedes moov, offsets unchanged) with v0 normal-only elst on
+    // id%3==0 (shift = delta), v1 empty+normal on id%3==1 (shift = delta
+    // - 2*(7+id%5), the 300-vs-600 timescale conversion observable), no
+    // edts on id%3==2 (in-corpus control). Multi-segment / rate edits
+    // are refused, spec-pinned.
+    "q_media_mp4_keyframes_edit" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4EditedPayload(ids, "doc_id")
+      graft.media.Mp4Index.keyframeIndex(payloads, "doc_id", "bytes", everyPts = 150L)
+    }),
+
     // Container-level VIDEO dedup at zero decode cost (r14): md5 over the
     // stsz sample-size sequence — re-muxing preserves coded sample bytes
     // and therefore sizes, so re-muxed copies collide while distinct
@@ -1699,6 +1717,48 @@ object SparkEntry {
         .filter(col("__cnt") > 1)
         .drop("__cnt")
       sigs.join(groups, Seq("sig")).select(col("doc_id"), col("sig"), col("group_id"))
+    }),
+
+    // MULTI-TRACK MP4 (r14): real containers carry >= 2 streams and audio
+    // is often muxed FIRST — indexing "the first trak" silently indexes
+    // the wrong stream. The fixture shares one mdat between an audio
+    // track (track 1, soun, chunks of 2, delta 1024, all-sync) muxed
+    // BEFORE the video track (track 2, vide, synthMp4's exact tables at
+    // audio-shifted offsets); trackSampleIndex emits EVERY track's
+    // samples with (track_id, handler), and the single-track surface is
+    // spec-proven to select the video stream. Oracle recomputes both
+    // tracks' rows closed-form.
+    "q_media_mp4_multitrack" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4MultiTrackPayload(ids, "doc_id")
+      graft.media.Mp4Index.trackSampleIndex(payloads, "doc_id", "bytes")
+    }),
+
+    // Per-track codec inventory (r14): trackInfoAll emits one stsd row
+    // per TRACK — the "which containers carry what, stream by stream"
+    // pass a single-track summary cannot answer. Fixture: track 1 mp4a
+    // (1+id%2 ch, 48 kHz, timescale 48000), track 2 avc1/hvc1 by parity
+    // with arithmetic dims at timescale 600.
+    "q_media_mp4_trackinfo" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4MultiTrackPayload(ids, "doc_id")
+      graft.media.Mp4Index.trackInfoAll(payloads, "doc_id", "bytes")
+    }),
+
+    // MULTI-TRACK FRAGMENTED MP4 (r14): the muxed-DASH shape — each moof
+    // carries one traf PER STREAM over a shared mdat, so the per-track
+    // walk must filter trafs by tfhd track_ID and use ITS trex defaults
+    // (audio: dur 512, sync; video: dur 100+id%50, non-sync with
+    // per-sample flags). Every box size is closed-form (header constant
+    // 638), so the oracle recomputes every absolute byte offset of both
+    // interleaved streams.
+    "q_media_mp4_frag_multitrack" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val payloads = graft.media.Mp4Index.synthMp4FragMultiTrackPayload(ids, "doc_id")
+      graft.media.Mp4Index.trackSampleIndex(payloads, "doc_id", "bytes")
     }),
 
     // REAL audio decode: WAV-PCM16 payloads from a closed-form sample
@@ -3809,6 +3869,31 @@ object SparkEntry {
         |       cand."offset", CAST(sz AS BIGINT) AS size
         |FROM cand WHERE rn = 1""".stripMargin,
 
+    // the edit-list shift re-derived closed-form (same sample CTE — the
+    // edits fixture changes only moov metadata, never the tables): ticks
+    // cover [0, duration - shift), seek = first sync pts >= tick + shift
+    "q_media_mp4_keyframes_edit" ->
+      s"""WITH $Mp4SampleCte,
+        |sh AS (
+        |  SELECT id, CASE WHEN id % 3 = 0 THEN 100 + id % 50
+        |              WHEN id % 3 = 1 THEN (100 + id % 50) - 2 * (7 + id % 5)
+        |              ELSE 0 END AS shift
+        |  FROM ids),
+        |ticks AS (
+        |  SELECT sh.id, 150 * k.k AS tick, sh.shift
+        |  FROM sh, generate_series(0, 12) k(k)
+        |  WHERE 150 * k.k < (6 + sh.id % 5) * (100 + sh.id % 50) - sh.shift),
+        |cand AS (
+        |  SELECT t.id, t.tick, s.sample_idx, s.pts, s."offset", s.sz,
+        |         row_number() OVER (PARTITION BY t.id, t.tick
+        |           ORDER BY s.pts, s.sample_idx) AS rn
+        |  FROM ticks t JOIN s ON s.id = t.id AND s.is_sync
+        |    AND s.pts >= t.tick + t.shift)
+        |SELECT id AS doc_id, CAST(tick AS BIGINT) AS tick,
+        |       CAST(sample_idx AS INT) AS sample_idx, CAST(pts AS BIGINT) AS pts,
+        |       cand."offset", CAST(sz AS BIGINT) AS size
+        |FROM cand WHERE rn = 1""".stripMargin,
+
     // size-sequence dup signature re-derived closed-form: md5 over the
     // comma-joined stsz sizes of src = base id (twins at id+1e12 reuse
     // the BASE id's tables); groups keyed by the full digest
@@ -3827,6 +3912,126 @@ object SparkEntry {
         |      FROM sigs GROUP BY sig)
         |SELECT s.id AS doc_id, s.sig, g.group_id
         |FROM sigs s JOIN g ON g.sig = s.sig WHERE g.cnt > 1""".stripMargin,
+
+    // both tracks of the shared-mdat container re-derived closed-form:
+    // audio rows (track 1: chunks of 2, dts 1024*i, all sync, offsets
+    // from 32) then video rows (track 2: synthMp4's tables with every
+    // offset shifted past the audio payload)
+    "q_media_mp4_multitrack" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |a0 AS (
+        |  SELECT id, i.i AS sample_idx, 8 + (13*id + 7*i.i) % 40 AS sz,
+        |         CAST(i.i // 2 AS INT) AS chunk_idx, i.i * 1024 AS dts
+        |  FROM ids, generate_series(0, 6) i(i) WHERE i.i < 4 + id % 3),
+        |apay AS (SELECT id, sum(sz) AS apay FROM a0 GROUP BY id),
+        |v0 AS (
+        |  SELECT id, i.i AS sample_idx, 10 + (17*id + 31*i.i) % 90 AS sz,
+        |         CAST(i.i // 3 AS INT) AS chunk_idx,
+        |         i.i * (100 + id % 50) AS dts,
+        |         i.i * (100 + id % 50) + CASE
+        |           WHEN id % 5 = 0 THEN 0
+        |           WHEN id % 2 = 1 THEN ((i.i % 3) - 1) * (100 + id % 50)
+        |           ELSE (i.i % 3) * (100 + id % 50) END AS pts,
+        |         (id % 3 = 0 OR i.i % 3 = 0) AS is_sync
+        |  FROM ids, generate_series(0, 10) i(i) WHERE i.i < 6 + id % 5)
+        |SELECT id AS doc_id, CAST(1 AS BIGINT) AS track_id, 'soun' AS handler,
+        |       CAST(sample_idx AS INT) AS sample_idx, chunk_idx,
+        |       CAST(32 + sum(sz) OVER (PARTITION BY id ORDER BY sample_idx
+        |         ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS "offset",
+        |       CAST(sz AS BIGINT) AS size, CAST(dts AS BIGINT) AS dts,
+        |       CAST(dts AS BIGINT) AS pts, TRUE AS is_sync
+        |FROM a0
+        |UNION ALL
+        |SELECT v0.id AS doc_id, CAST(2 AS BIGINT) AS track_id, 'vide' AS handler,
+        |       CAST(v0.sample_idx AS INT) AS sample_idx, v0.chunk_idx,
+        |       CAST(32 + p.apay + sum(v0.sz) OVER (PARTITION BY v0.id
+        |         ORDER BY v0.sample_idx ROWS UNBOUNDED PRECEDING) - v0.sz
+        |         AS BIGINT) AS "offset",
+        |       CAST(v0.sz AS BIGINT) AS size, CAST(v0.dts AS BIGINT) AS dts,
+        |       CAST(v0.pts AS BIGINT) AS pts, v0.is_sync
+        |FROM v0 JOIN apay p ON v0.id = p.id""".stripMargin,
+
+    // per-track stsd metadata re-derived closed-form: audio track 1 then
+    // the parity-picked video track 2
+    "q_media_mp4_trackinfo" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents)
+        |SELECT id AS doc_id, CAST(1 AS BIGINT) AS track_id,
+        |       'soun' AS handler, 'mp4a' AS codec, 'audio' AS kind,
+        |       CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |       CAST(1 + id % 2 AS INT) AS channels,
+        |       CAST(48000 AS INT) AS sample_rate,
+        |       CAST(48000 AS BIGINT) AS timescale
+        |FROM ids
+        |UNION ALL
+        |SELECT id AS doc_id, CAST(2 AS BIGINT) AS track_id,
+        |       'vide' AS handler,
+        |       CASE WHEN id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+        |       'video' AS kind,
+        |       CAST(320 + 16 * (id % 8) AS INT) AS width,
+        |       CAST(240 + 16 * (id % 5) AS INT) AS height,
+        |       CAST(0 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+        |       CAST(600 AS BIGINT) AS timescale
+        |FROM ids""".stripMargin,
+
+    // both interleaved fragmented streams re-derived closed-form: box
+    // sizes are arithmetic in (na, nv), fragment data starts a prefix sum
+    // over (moofsz + 8 + apay + vpay) from the constant 638 header, audio
+    // samples precede video in each mdat, and dts is per-track cumulative
+    // (512/sample audio, vdelta video — trex defaults, no tfdt)
+    "q_media_mp4_frag_multitrack" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |frags AS (
+        |  SELECT id, f.f AS f, 2 + (id + f.f) % 3 AS na,
+        |         3 + (id + f.f) % 4 AS nv, 100 + id % 50 AS vdelta
+        |  FROM ids, generate_series(0, 3) f(f) WHERE f.f < 2 + id % 3),
+        |asz AS (
+        |  SELECT fr.id, fr.f, i.i AS i,
+        |         8 + (11*fr.id + 5*fr.f + 7*i.i) % 30 AS sz
+        |  FROM frags fr, generate_series(0, 4) i(i) WHERE i.i < fr.na),
+        |vsz AS (
+        |  SELECT fr.id, fr.f, i.i AS i,
+        |         10 + (17*fr.id + 29*fr.f + 31*i.i) % 90 AS sz
+        |  FROM frags fr, generate_series(0, 6) i(i) WHERE i.i < fr.nv),
+        |pay AS (
+        |  SELECT fr.id, fr.f, fr.na, fr.nv, fr.vdelta, a.apay, v.vpay,
+        |         112 + 4*fr.na + 8*fr.nv AS moofsz
+        |  FROM frags fr
+        |  JOIN (SELECT id, f, sum(sz) AS apay FROM asz GROUP BY id, f) a
+        |    ON fr.id = a.id AND fr.f = a.f
+        |  JOIN (SELECT id, f, sum(sz) AS vpay FROM vsz GROUP BY id, f) v
+        |    ON fr.id = v.id AND fr.f = v.f),
+        |fs AS (
+        |  SELECT *,
+        |    638 + sum(moofsz + 8 + apay + vpay) OVER (PARTITION BY id
+        |      ORDER BY f ROWS UNBOUNDED PRECEDING)
+        |      - (moofsz + 8 + apay + vpay) + moofsz + 8 AS datastart,
+        |    sum(na) OVER (PARTITION BY id ORDER BY f
+        |      ROWS UNBOUNDED PRECEDING) - na AS acum,
+        |    sum(nv) OVER (PARTITION BY id ORDER BY f
+        |      ROWS UNBOUNDED PRECEDING) - nv AS vcum
+        |  FROM pay)
+        |SELECT s.id AS doc_id, CAST(1 AS BIGINT) AS track_id,
+        |       'soun' AS handler, CAST(fs.acum + s.i AS INT) AS sample_idx,
+        |       CAST(s.f AS INT) AS chunk_idx,
+        |       CAST(fs.datastart + sum(s.sz) OVER (PARTITION BY s.id, s.f
+        |         ORDER BY s.i ROWS UNBOUNDED PRECEDING) - s.sz
+        |         AS BIGINT) AS "offset",
+        |       CAST(s.sz AS BIGINT) AS size,
+        |       CAST((fs.acum + s.i) * 512 AS BIGINT) AS dts,
+        |       CAST((fs.acum + s.i) * 512 AS BIGINT) AS pts, TRUE AS is_sync
+        |FROM asz s JOIN fs ON s.id = fs.id AND s.f = fs.f
+        |UNION ALL
+        |SELECT s.id AS doc_id, CAST(2 AS BIGINT) AS track_id,
+        |       'vide' AS handler, CAST(fs.vcum + s.i AS INT) AS sample_idx,
+        |       CAST(s.f AS INT) AS chunk_idx,
+        |       CAST(fs.datastart + fs.apay + sum(s.sz) OVER (PARTITION BY
+        |         s.id, s.f ORDER BY s.i ROWS UNBOUNDED PRECEDING) - s.sz
+        |         AS BIGINT) AS "offset",
+        |       CAST(s.sz AS BIGINT) AS size,
+        |       CAST((fs.vcum + s.i) * fs.vdelta AS BIGINT) AS dts,
+        |       CAST((fs.vcum + s.i) * fs.vdelta AS BIGINT) AS pts,
+        |       (s.i % 3 = 0) AS is_sync
+        |FROM vsz s JOIN fs ON s.id = fs.id AND s.f = fs.f""".stripMargin,
 
     // decoded-JPEG pixels re-derived closed-form: pixel (x,y) of doc id
     // is the 8x8-tile value (31*id + 7*(x/8) + 13*(y/8)) % 256 (flat

@@ -96,7 +96,131 @@ object Mp4Index {
     out.result()
   }
 
-  /** Parse the first video/media track's sample table. Supports stsz
+  /** Per-track handle from one moov walk: 1-based file order, track_ID
+    * (tkhd; file order when tkhd is absent — minimal fixtures and some
+    * in-the-wild muxers omit it), handler fourcc (hdlr; "" when absent),
+    * and the mdia/stbl payload ranges the per-track walks read from.
+    */
+  final case class TrakMeta(
+      order: Int, trackId: Long, handler: String,
+      trakFrom: Int, trakTo: Int,
+      mdiaFrom: Int, mdiaTo: Int, stblFrom: Int, stblTo: Int)
+
+  /** Walk moov once and return every trak's metadata in file order.
+    * Real containers carry >= 2 traks (audio is often muxed FIRST), so
+    * every public operator goes through this + [[selectTrack]] instead of
+    * grabbing the first trak.
+    */
+  private[graft] def parseTraks(b: Array[Byte]): ((Int, Int), Vector[TrakMeta]) = {
+    require(b.length >= 16 && {
+      val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
+    }, "not an ISO-BMFF container")
+    val moov = child(b, 0, b.length, "moov")
+    require(moov != null, "MP4 without a moov box")
+    val traks = childrenOf(b, moov._1, moov._2, "trak")
+    require(traks.nonEmpty, "MP4 moov without a trak")
+    val metas = traks.zipWithIndex.map { case ((_, tFrom, tTo), i) =>
+      val tkhd = child(b, tFrom, tTo, "tkhd")
+      val trackId: Long =
+        if (tkhd == null) (i + 1).toLong
+        else {
+          val v = b(tkhd._1) & 0xff
+          require(v <= 1, s"MP4 tkhd version $v unsupported")
+          // v0: verflags(4) + creation(4) + modification(4) -> track_ID;
+          // v1 widens the two times to 64-bit
+          if (v == 1) be32(b, tkhd._1 + 20) else be32(b, tkhd._1 + 12)
+        }
+      val mdia = child(b, tFrom, tTo, "mdia")
+      require(mdia != null, "MP4 trak without mdia")
+      val hdlr = child(b, mdia._1, mdia._2, "hdlr")
+      // hdlr payload: verflags(4) + pre_defined(4) + handler_type fourcc
+      val handler = if (hdlr == null) "" else fourcc(b, hdlr._1 + 8)
+      val minf = child(b, mdia._1, mdia._2, "minf")
+      require(minf != null, "MP4 mdia without minf")
+      val stbl = child(b, minf._1, minf._2, "stbl")
+      require(stbl != null, "MP4 minf without stbl")
+      TrakMeta(i + 1, trackId, handler, tFrom, tTo,
+        mdia._1, mdia._2, stbl._1, stbl._2)
+    }
+    (moov, metas)
+  }
+
+  /** Video-first selection for the single-track operator surface: the
+    * first trak whose handler is `vide`, else the first trak (covers
+    * single-track files and minimal containers with no hdlr at all). A
+    * sampler pointed at "the video" must not index the audio stream just
+    * because it was muxed first.
+    */
+  private def selectTrack(traks: Vector[TrakMeta]): TrakMeta =
+    traks.find(_.handler == "vide").getOrElse(traks.head)
+
+  /** EDIT LIST (trak/edts/elst, ISO/IEC 14496-12 §8.6.6) — the
+    * presentation-time shift a sampler must honor: composition times are
+    * delayed by the initial ctts offset, and nearly every B-frame H.264
+    * file carries an elst compensating it (presentation = pts -
+    * media_time), optionally behind a leading EMPTY edit (media_time -1)
+    * that inserts movie-timescale delay. Returns the signed media-
+    * timescale amount to SUBTRACT from pts: `media_time - empty_duration
+    * * mediaTs / movieTs` (floor — sub-tick residue is a player concern,
+    * not a sampler's). 0 when no edts. The general multi-segment /
+    * rate-changing forms re-sequence playback; a sampler cannot honor
+    * them without a full timeline map, so they are REFUSED precisely
+    * rather than silently mis-timed.
+    */
+  private[graft] def parseEditShift(
+      b: Array[Byte], moov: (Int, Int), meta: TrakMeta): Long = {
+    val edts = child(b, meta.trakFrom, meta.trakTo, "edts")
+    if (edts == null) return 0L
+    val elst = child(b, edts._1, edts._2, "elst")
+    require(elst != null, "MP4 edts without elst")
+    val v = b(elst._1) & 0xff
+    require(v <= 1, s"MP4 elst version $v unsupported")
+    val n = be32(b, elst._1 + 4).toInt
+    require(n >= 1, "MP4 elst with zero entries")
+    require(n <= 2,
+      s"MP4 elst with $n segments — multi-segment edit lists re-sequence " +
+        "playback and are not representable as a presentation shift")
+    val entrySz = if (v == 1) 20 else 12
+    def entry(i: Int): (Long, Long, Long) = { // (segDur movieTs, mediaTime mediaTs, rate16.16)
+      val o = elst._1 + 8 + i * entrySz
+      if (v == 1) (be64(b, o), be64(b, o + 8), be32(b, o + 16))
+      else (be32(b, o), be32(b, o + 4).toInt.toLong, be32(b, o + 8))
+    }
+    val entries = (0 until n).map(entry)
+    entries.foreach { case (_, _, rate) =>
+      require(rate == 0x10000L,
+        f"MP4 elst media_rate 0x$rate%x != 1.0 — dwell/rate edits are not " +
+          "representable as a presentation shift")
+    }
+    val (emptyDur, normal) = entries match {
+      case Seq((_, m, _)) =>
+        require(m >= 0, "MP4 elst single entry is an empty edit (media_time -1)")
+        (0L, m)
+      case Seq((d, -1L, _), (_, m, _)) =>
+        require(m >= 0, "MP4 elst second entry is an empty edit too")
+        (d, m)
+      case _ =>
+        throw new IllegalArgumentException(
+          "MP4 elst two-entry form must be [empty edit, normal edit]")
+    }
+    if (emptyDur == 0L) normal
+    else {
+      // empty-edit duration is in MOVIE timescale; convert via mvhd + mdhd
+      val mvhd = child(b, moov._1, moov._2, "mvhd")
+      require(mvhd != null, "MP4 elst empty edit without moov/mvhd timescale")
+      val mv = b(mvhd._1) & 0xff
+      require(mv <= 1, s"MP4 mvhd version $mv unsupported")
+      val movieTs = if (mv == 1) be32(b, mvhd._1 + 20) else be32(b, mvhd._1 + 12)
+      require(movieTs > 0, "MP4 mvhd timescale 0")
+      val mdhd = child(b, meta.mdiaFrom, meta.mdiaTo, "mdhd")
+      require(mdhd != null, "MP4 mdia without mdhd")
+      val dv = b(mdhd._1) & 0xff
+      val mediaTs = if (dv == 1) be32(b, mdhd._1 + 20) else be32(b, mdhd._1 + 12)
+      normal - emptyDur * mediaTs / movieTs
+    }
+  }
+
+  /** Parse the selected (video-first) track's sample table. Supports stsz
     * (fixed or per-sample sizes), stsc runs, stco and co64, stts runs;
     * version-0 and version-1 full boxes where relevant. Fails loudly on
     * truncation or inconsistent tables (counts that do not reconcile).
@@ -109,19 +233,36 @@ object Mp4Index {
     * sample would start at.
     */
   private[graft] def walkSampleTable(b: Array[Byte]): (Seq[SampleLoc], Long) = {
-    require(b.length >= 16 && {
-      val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
-    }, "not an ISO-BMFF container")
-    val moov = child(b, 0, b.length, "moov")
-    require(moov != null, "MP4 without a moov box")
-    val trak = child(b, moov._1, moov._2, "trak")
-    require(trak != null, "MP4 moov without a trak")
-    val mdia = child(b, trak._1, trak._2, "mdia")
-    require(mdia != null, "MP4 trak without mdia")
-    val minf = child(b, mdia._1, mdia._2, "minf")
-    require(minf != null, "MP4 mdia without minf")
-    val stbl = child(b, minf._1, minf._2, "stbl")
-    require(stbl != null, "MP4 minf without stbl")
+    val (moov, traks) = parseTraks(b)
+    walkTrack(b, moov, selectTrack(traks), multi = traks.length > 1)
+  }
+
+  /** One track's complete sample walk: its stbl, then (when the container
+    * is fragmented) every trun addressing it. `multi` gates traf/trex
+    * filtering by track_ID — single-trak containers keep the lenient
+    * behavior (all trafs belong to the track, tkhd optional) so minimal
+    * fixtures and single-stream files parse unchanged.
+    */
+  private def walkTrack(
+      b: Array[Byte], moov: (Int, Int), meta: TrakMeta,
+      multi: Boolean): (Seq[SampleLoc], Long) = {
+    val (samples, dts, nSamples, nChunks) = walkStbl(b, meta.stblFrom, meta.stblTo)
+    val moofs = childrenOf(b, 0, b.length, "moof")
+    if (moofs.isEmpty) (samples, dts)
+    else {
+      val filter = if (multi) Some(meta.trackId) else None
+      val (fragSamples, endDts) =
+        walkFragments(b, moov, moofs, dts, nSamples, nChunks, filter)
+      (samples ++ fragSamples, endDts)
+    }
+  }
+
+  /** The stbl walk: (samples, end dts, nSamples, nChunks) — the counts
+    * seed the fragment walk's sample/chunk numbering.
+    */
+  private def walkStbl(
+      b: Array[Byte], stblFrom: Int, stblTo: Int): (Vector[SampleLoc], Long, Int, Int) = {
+    val stbl = (stblFrom, stblTo)
 
     // stsz: full box; sample_size != 0 -> fixed; else per-sample table
     val stsz = child(b, stbl._1, stbl._2, "stsz")
@@ -252,33 +393,61 @@ object Mp4Index {
       }
       chunk += 1
     }
+    (out.result(), dts, nSamples, nChunks)
+  }
 
-    // ---- movie fragments (fMP4 — ISO/IEC 14496-12 §8.8): DASH/HLS
-    // streams keep an EMPTY stbl and carry every sample in moof/traf/trun
-    // boxes interleaved with their mdat payloads. Samples append after
-    // whatever the stbl carried (usually nothing), dts continuing unless a
-    // tfdt pins the fragment's base decode time.
-    val moofs = childrenOf(b, 0, b.length, "moof")
-    if (moofs.nonEmpty) {
-      // trex (REQUIRED with fragments, §8.8.3): per-track defaults
-      val mvex = child(b, moov._1, moov._2, "mvex")
-      require(mvex != null, "fragmented MP4 (moof present) without moov/mvex")
-      val trex = child(b, mvex._1, mvex._2, "trex")
-      require(trex != null, "fragmented MP4 without mvex/trex defaults")
-      val trexDur = be32(b, trex._1 + 12)
-      val trexSize = be32(b, trex._1 + 16)
-      val trexFlags = be32(b, trex._1 + 20)
+  /** Movie fragments (fMP4 — ISO/IEC 14496-12 §8.8): DASH/HLS streams
+    * keep an EMPTY stbl and carry every sample in moof/traf/trun boxes
+    * interleaved with their mdat payloads. Samples append after whatever
+    * the stbl carried (usually nothing), dts continuing unless a tfdt
+    * pins the fragment's base decode time. `track = Some(id)` walks only
+    * the trafs (and the trex defaults) addressing that track_ID — the
+    * multi-track form, where fragments of several streams interleave;
+    * `None` keeps the single-track leniency (every traf belongs to the
+    * one stream, whatever its declared ID).
+    */
+  private def walkFragments(
+      b: Array[Byte], moov: (Int, Int), moofs: Vector[(Int, Int, Int)],
+      startDts: Long, startSample: Int, startChunk: Int,
+      track: Option[Long]): (Vector[SampleLoc], Long) = {
+    val out = Vector.newBuilder[SampleLoc]
+    // trex (REQUIRED with fragments, §8.8.3): per-track defaults
+    val mvex = child(b, moov._1, moov._2, "mvex")
+    require(mvex != null, "fragmented MP4 (moof present) without moov/mvex")
+    val trex = track match {
+      case None =>
+        val t = child(b, mvex._1, mvex._2, "trex")
+        require(t != null, "fragmented MP4 without mvex/trex defaults")
+        t
+      case Some(tid) =>
+        val t = childrenOf(b, mvex._1, mvex._2, "trex")
+          .find { case (_, pay, _) => be32(b, pay + 4) == tid }
+        require(t.isDefined, s"fragmented MP4 without a trex for track $tid")
+        (t.get._2, t.get._3)
+    }
+    val trexDur = be32(b, trex._1 + 12)
+    val trexSize = be32(b, trex._1 + 16)
+    val trexFlags = be32(b, trex._1 + 20)
 
-      var fragDts = dts // continues from the stbl walk unless tfdt overrides
-      var fragChunk = nChunks
-      var sampleIdx = nSamples
-      moofs.foreach { case (moofStart, moofPay, moofEnd) =>
+    var fragDts = startDts // continues from the stbl walk unless tfdt overrides
+    var fragChunk = startChunk
+    var sampleIdx = startSample
+    moofs.foreach { case (moofStart, moofPay, moofEnd) =>
         val trafs = childrenOf(b, moofPay, moofEnd, "traf")
         require(trafs.nonEmpty, s"MP4 moof at $moofStart without a traf")
-        trafs.zipWithIndex.foreach { case ((_, trafPay, trafEnd), trafIdx) =>
-          // tfhd: track_ID + optional fields gated by flags (§8.8.7)
+        // tfhd first (track_ID + optional fields gated by flags, §8.8.7);
+        // the track filter drops other streams' trafs while KEEPING the
+        // positional index — the §8.8.7.1 first-traf base-offset rule is
+        // about file position within the moof, not position among this
+        // track's trafs
+        val mine = trafs.zipWithIndex.map { case ((_, trafPay, trafEnd), trafIdx) =>
           val tfhd = child(b, trafPay, trafEnd, "tfhd")
           require(tfhd != null, "MP4 traf without tfhd")
+          (trafPay, trafEnd, trafIdx, tfhd)
+        }.filter { case (_, _, _, tfhd) =>
+          track.forall(_ == be32(b, tfhd._1 + 4))
+        }
+        mine.foreach { case (trafPay, trafEnd, trafIdx, tfhd) =>
           val tfFlags = be32(b, tfhd._1) & 0xffffffL
           var fo = tfhd._1 + 8 // past version/flags + track_ID
           val baseDataOffset: Option[Long] =
@@ -364,10 +533,20 @@ object Mp4Index {
           }
           fragChunk += 1
         }
-      }
-      return (out.result(), fragDts)
     }
-    (out.result(), dts)
+    (out.result(), fragDts)
+  }
+
+  /** Every track's complete walk — (meta, samples, track duration) in
+    * file order. The multi-track surface behind [[trackSampleIndex]].
+    */
+  private[graft] def walkAllTracks(
+      b: Array[Byte]): Vector[(TrakMeta, Seq[SampleLoc], Long)] = {
+    val (moov, traks) = parseTraks(b)
+    traks.map { m =>
+      val (samples, dur) = walkTrack(b, moov, m, multi = traks.length > 1)
+      (m, samples, dur)
+    }
   }
 
   /** DataFrame operator: one row per sample of each container —
@@ -396,15 +575,54 @@ object Mp4Index {
     }(Encoders.row(schema))
   }
 
+  /** MULTI-TRACK sample index: one row per sample of EVERY track —
+    * (idCol, track_id, handler, sample_idx, chunk_idx, offset, size, dts,
+    * pts, is_sync). Real containers interleave >= 2 streams (audio is
+    * often muxed first); [[sampleIndex]] answers "index the video", this
+    * answers "index everything" — the pass a pipeline runs when it wants
+    * the audio samples too (speech corpora) or a per-stream inventory.
+    * Same scale shape: executor-local parse, bounded rows out.
+    */
+  def trackSampleIndex(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("track_id", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("pts", LongType, nullable = false),
+      StructField("is_sync", BooleanType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        walkAllTracks(r.getAs[Array[Byte]](bIdx)).flatMap { case (m, samples, _) =>
+          samples.map(s =>
+            Row(id, m.trackId, m.handler, s.sampleIdx, s.chunkIdx,
+              s.offset, s.size, s.dts, s.pts, s.isSync))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** KEYFRAME sampling index — the actual entry point for a GPU decode
     * stage: for each presentation tick t = 0, everyPts, 2*everyPts, ...
-    * below the track duration, the sync sample the decoder should seek to
-    * — the sync sample with the SMALLEST pts >= t (ties: smallest
-    * sample_idx; pts order, because presentation time is what a sampler
-    * targets and B-frame reordering makes dts order lie about it). Ticks
-    * with no sync sample at-or-after them emit nothing. One executor-local
-    * walk per container; output one bounded row per tick:
-    * (idCol, tick, sample_idx, pts, offset, size).
+    * below the track's presentation duration, the sync sample the decoder
+    * should seek to — the sync sample with the SMALLEST presentation time
+    * >= t (ties: smallest sample_idx; presentation order, because that is
+    * what a sampler targets and B-frame reordering makes dts order lie
+    * about it). Presentation time honors the track's EDIT LIST
+    * ([[parseEditShift]]): pts - shift, the composition-delay
+    * compensation nearly every B-frame H.264 file carries; without edts
+    * the shift is 0 and presentation = pts. Ticks with no sync sample
+    * at-or-after them emit nothing. One executor-local walk per
+    * container; output one bounded row per tick:
+    * (idCol, tick, sample_idx, pts, offset, size) — pts stays the MEDIA
+    * composition time (the seekable quantity; tick is presentation).
     */
   def keyframeIndex(
       df: DataFrame, idCol: String, bytesCol: String, everyPts: Long): DataFrame = {
@@ -421,22 +639,29 @@ object Mp4Index {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
         // duration = total decode time (sum of stts deltas) = the dts the
-        // next sample WOULD start at, exact from the walk; ticks cover
-        // [0, duration)
-        val (samples, duration) = walkSampleTable(r.getAs[Array[Byte]](bIdx))
+        // next sample WOULD start at, exact from the walk. Ticks live on
+        // the PRESENTATION timeline: the elst shift (0 without edts) maps
+        // presentation t to composition pts = t + shift, so ticks cover
+        // [0, duration - shift) and the seek target is the first sync
+        // sample with pts >= tick + shift.
+        val (moov, traks) = parseTraks(bytes)
+        val sel = selectTrack(traks)
+        val (samples, duration) = walkTrack(bytes, moov, sel, traks.length > 1)
+        val shift = parseEditShift(bytes, moov, sel)
         if (samples.isEmpty) Iterator.empty
         else {
           val sync = samples.filter(_.isSync)
             .sortBy(s => (s.pts, s.sampleIdx)).toArray
           if (sync.isEmpty) Iterator.empty
-          else Iterator.range(0L, duration, everyPts).flatMap { tick =>
-            // binary search: first sync sample with pts >= tick
+          else Iterator.range(0L, duration - shift, everyPts).flatMap { tick =>
+            // binary search: first sync sample with pts >= tick + shift
             var lo = 0
             var hi = sync.length
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
-              if (sync(mid).pts >= tick) hi = mid else lo = mid + 1
+              if (sync(mid).pts >= tick + shift) hi = mid else lo = mid + 1
             }
             if (lo >= sync.length) None
             else {
@@ -467,24 +692,17 @@ object Mp4Index {
   private val AudioCodecs = Set("mp4a", "opus", "ac-3", "ec-3", "flac", "alac")
 
   private[graft] def parseTrackInfo(b: Array[Byte]): TrackInfo = {
-    require(b.length >= 16 && {
-      val t = fourcc(b, 4); t == "ftyp" || t == "moov" || t == "mdat"
-    }, "not an ISO-BMFF container")
-    val moov = child(b, 0, b.length, "moov")
-    require(moov != null, "MP4 without a moov box")
-    val trak = child(b, moov._1, moov._2, "trak")
-    require(trak != null, "MP4 moov without a trak")
-    val mdia = child(b, trak._1, trak._2, "mdia")
-    require(mdia != null, "MP4 trak without mdia")
-    val mdhd = child(b, mdia._1, mdia._2, "mdhd")
+    val (_, traks) = parseTraks(b)
+    parseTrackInfoAt(b, selectTrack(traks))
+  }
+
+  private def parseTrackInfoAt(b: Array[Byte], meta: TrakMeta): TrackInfo = {
+    val mdhd = child(b, meta.mdiaFrom, meta.mdiaTo, "mdhd")
     require(mdhd != null, "MP4 mdia without mdhd")
     val mdhdV = b(mdhd._1) & 0xff
     val timescale =
       if (mdhdV == 1) be32(b, mdhd._1 + 20) else be32(b, mdhd._1 + 12)
-    val minf = child(b, mdia._1, mdia._2, "minf")
-    require(minf != null, "MP4 mdia without minf")
-    val stbl = child(b, minf._1, minf._2, "stbl")
-    require(stbl != null, "MP4 minf without stbl")
+    val stbl = (meta.stblFrom, meta.stblTo)
     val stsd = child(b, stbl._1, stbl._2, "stsd")
     require(stsd != null, "MP4 stbl without stsd")
     val nEntries = be32(b, stsd._1 + 4).toInt
@@ -527,6 +745,38 @@ object Mp4Index {
         val ti = parseTrackInfo(r.getAs[Array[Byte]](bIdx))
         Row(r.getLong(idIdx), ti.codec, ti.kind, ti.width, ti.height,
           ti.channels, ti.sampleRate, ti.timescale)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Per-TRACK codec metadata: one row per track of every container —
+    * [[trackInfo]]'s columns plus (track_id, handler). The inventory pass
+    * over multi-stream files ("which containers carry opus audio next to
+    * av01 video?") that a single-track summary cannot answer.
+    */
+  def trackInfoAll(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("track_id", LongType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("timescale", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val b = r.getAs[Array[Byte]](bIdx)
+        parseTraks(b)._2.map { m =>
+          val ti = parseTrackInfoAt(b, m)
+          Row(id, m.trackId, m.handler, ti.codec, ti.kind, ti.width,
+            ti.height, ti.channels, ti.sampleRate, ti.timescale)
+        }
       }
     }(Encoders.row(schema))
   }
@@ -584,8 +834,18 @@ object Mp4Index {
     * and the opposite stco/co64 choice — the fixture for the
     * [[sizeSignature]] dedup gate, which must collide re-muxes and ignore
     * layout.
+    *
+    * `edits = true` adds an EDIT LIST (and drops the movie timescale to
+    * 300, half the 600 media timescale, so the empty-edit conversion is
+    * observable): id%3 == 0 a v0 single normal edit with media_time =
+    * delta (the classic composition-delay form, shift = delta); id%3 ==
+    * 1 a v1 [empty edit of 7 + id%5 movie ticks, normal media_time =
+    * delta] (shift = delta - 2*(7 + id%5)); id%3 == 2 no edts (in-corpus
+    * control, shift = 0). Sample tables and mdat offsets are UNCHANGED
+    * (mdat precedes moov), so the same closed-form oracle covers both.
     */
-  def synthMp4(id: Long, remux: Boolean = false): Array[Byte] = {
+  def synthMp4(
+      id: Long, remux: Boolean = false, edits: Boolean = false): Array[Byte] = {
     val n = (6 + id % 5).toInt
     val sizes = Array.tabulate(n)(i => (10 + (17 * id + 31 * i) % 90).toInt)
     val delta = (100 + id % 50).toInt
@@ -714,8 +974,28 @@ object Mp4Index {
     // mdhd: version 0, timescale 600, duration n*delta
     val mdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, n.toLong * delta))
     val mdia = box("mdia")(mdhd ++ minf)
-    val trak = box("trak")(mdia)
-    val mvhd = box("mvhd")(ints(0L, 0L, 0L, 600L, n.toLong * delta))
+    // elst (edits fixture): v0 normal-only on id%3==0, v1 empty+normal on
+    // id%3==1, absent on id%3==2; movie timescale 300 (below), media 600
+    val edts: Array[Byte] =
+      if (!edits || id % 3 == 2) Array.empty
+      else if (id % 3 == 0)
+        box("edts")(box("elst")(ints(
+          0L, 1L, n.toLong * delta * 300 / 600, delta.toLong, 0x10000L)))
+      else {
+        val emptyDur = 7 + id % 5 // movie ticks
+        val o = new ByteArrayOutputStream()
+        o.write(ints(1L << 24, 2L)) // version 1, two entries
+        o.write(ints(0L, emptyDur)) // u64 segment_duration
+        o.write(ints(0xffffffffL, 0xffffffffL)) // s64 media_time = -1
+        o.write(ints(0x10000L))
+        o.write(ints(0L, n.toLong * delta * 300 / 600)) // u64 seg dur
+        o.write(ints(0L, delta.toLong)) // s64 media_time = delta
+        o.write(ints(0x10000L))
+        box("edts")(box("elst")(o.toByteArray))
+      }
+    val trak = box("trak")(edts ++ mdia)
+    val mvhd = box("mvhd")(ints(
+      0L, 0L, 0L, if (edits) 300L else 600L, n.toLong * delta))
     val moov = box("moov")(mvhd ++ trak)
     out.write(moov)
     out.toByteArray
@@ -729,6 +1009,179 @@ object Mp4Index {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
       rows.map(r => Row(r.getLong(idIdx), synthMp4(r.getLong(idIdx))))
+    }(Encoders.row(schema))
+  }
+
+  /** Fixture frame: (idCol, bytes) of [[synthMp4]] edits-variant
+    * containers (elst per id%3 — see the generator doc).
+    */
+  def synthMp4EditedPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r =>
+        Row(r.getLong(idIdx), synthMp4(r.getLong(idIdx), edits = true)))
+    }(Encoders.row(schema))
+  }
+
+  /** MULTI-TRACK fixture — the real-world "audio muxed FIRST" shape: one
+    * mdat shared by an audio track (track_ID 1, hdlr `soun`, mdhd
+    * timescale 48000) and a video track (track_ID 2, hdlr `vide`,
+    * timescale 600), audio trak FIRST in moov so video-first selection is
+    * observable, every table closed-form from `id`:
+    *  - audio: na = 4 + id%3 samples; size(i) = 8 + (13*id + 7*i) % 40;
+    *    chunks of 2 (partial last chunk -> second stsc run); stts constant
+    *    delta 1024; no stss (audio frames are all sync), no ctts; stco
+    *  - video: EXACTLY [[synthMp4]]'s tables (sizes/chunking/stts/stss/
+    *    ctts/stco-vs-co64 rules), so its sample rows match the single-trak
+    *    fixture's with every offset shifted by the audio payload; stsd is
+    *    avc1 (even ids) / hvc1 (odd) with arithmetic dims
+    *  - mdat carries ALL audio bytes then ALL video bytes (data from
+    *    offset 32, audio chunk offsets first, video offsets + audio
+    *    payload).
+    */
+  def synthMp4MultiTrack(id: Long): Array[Byte] = {
+    val na = (4 + id % 3).toInt
+    val aSizes = Array.tabulate(na)(i => (8 + (13 * id + 7 * i) % 40).toInt)
+    val naChunks = (na + 1) / 2
+    val nv = (6 + id % 5).toInt
+    val vSizes = Array.tabulate(nv)(i => (10 + (17 * id + 31 * i) % 90).toInt)
+    val vDelta = (100 + id % 50).toInt
+    val nvChunks = (nv + 2) / 3
+    val out = new ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32o(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def box(name: String)(body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      be32o(o, 8L + body.length); o.write(name.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); vs.foreach(be32o(o, _)); o.toByteArray
+    }
+    // ftyp (24) + mdat header (8) -> data at 32
+    be32o(out, 24); tag("ftyp"); tag("isom"); be32o(out, 512); tag("isom"); tag("iso2")
+    val aPayload = aSizes.sum
+    val vPayload = vSizes.sum
+    be32o(out, 8L + aPayload + vPayload); tag("mdat")
+    aSizes.zipWithIndex.foreach { case (sz, i) =>
+      var k = 0
+      while (k < sz) { out.write((id + 5 * i + k).toInt & 0xff); k += 1 }
+    }
+    vSizes.zipWithIndex.foreach { case (sz, i) =>
+      var k = 0
+      while (k < sz) { out.write((id + 7 * i + k).toInt & 0xff); k += 1 }
+    }
+    // chunk offsets: audio from 32, video after the whole audio payload
+    def chunkOffsets(start: Long, sizes: Array[Int], perChunk: Int): Array[Long] = {
+      val nc = (sizes.length + perChunk - 1) / perChunk
+      val offs = new Array[Long](nc)
+      var acc = start
+      var s = 0
+      for (c <- 0 until nc) {
+        offs(c) = acc
+        var j = 0
+        while (j < perChunk && s < sizes.length) { acc += sizes(s); s += 1; j += 1 }
+      }
+      offs
+    }
+    val aOffs = chunkOffsets(32L, aSizes, 2)
+    val vOffs = chunkOffsets(32L + aPayload, vSizes, 3)
+    // full-width tkhd (84-byte v0 payload; the reader needs track_ID) and
+    // minimal hdlr (verflags + pre_defined + handler + reserved + name)
+    def tkhd(trackId: Long, dur: Long): Array[Byte] = box("tkhd")(
+      ints(0L, 0L, 0L, trackId, 0L, dur) ++ Array.fill[Byte](60)(0))
+    def hdlr(handler: String): Array[Byte] = box("hdlr")(
+      ints(0L, 0L) ++ handler.getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    def stscBox(n: Int, perChunk: Int, nc: Int): Array[Byte] = {
+      val runs: Seq[Long] =
+        if (n % perChunk == 0) Seq(1L, perChunk.toLong, 1L)
+        else Seq(1L, perChunk.toLong, 1L, nc.toLong, (n % perChunk).toLong, 1L)
+      box("stsc")(ints((0L +: (runs.length / 3).toLong +: runs): _*))
+    }
+    def entry(name: String, tail: Array[Byte]): Array[Byte] = box(name)(
+      Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++ tail)
+
+    // ---- audio trak (FIRST in moov, as real muxers often emit)
+    val aStsd = box("stsd")(ints(0L, 1L) ++ {
+      val ch = (1 + id % 2).toInt
+      entry("mp4a", ints(0L, 0L) ++
+        Array[Byte]((ch >> 8).toByte, ch.toByte, 0, 16, 0, 0, 0, 0) ++
+        ints(48000L << 16))
+    })
+    val aStbl = box("stbl")(aStsd ++
+      box("stsz")(ints((0L +: 0L +: na.toLong +: aSizes.map(_.toLong).toSeq): _*)) ++
+      stscBox(na, 2, naChunks) ++
+      box("stco")(ints((0L +: naChunks.toLong +: aOffs.toSeq): _*)) ++
+      box("stts")(ints(0L, 1L, na.toLong, 1024L)))
+    val aMdhd = box("mdhd")(ints(0L, 0L, 0L, 48000L, na.toLong * 1024))
+    val trakA = box("trak")(tkhd(1L, na.toLong * 1024) ++
+      box("mdia")(aMdhd ++ hdlr("soun") ++ box("minf")(aStbl)))
+
+    // ---- video trak: synthMp4's tables over the shifted offsets
+    val vStsd = box("stsd")(ints(0L, 1L) ++ {
+      val codec = if (id % 2 == 0) "avc1" else "hvc1"
+      val w = 320 + 16 * (id % 8).toInt
+      val h = 240 + 16 * (id % 5).toInt
+      entry(codec, ints(0L, 0L, 0L, 0L,
+        ((w.toLong << 16) | h), 0x00480000L, 0x00480000L, 0L) ++
+        Array[Byte](0, 1) ++ Array.fill[Byte](32)(0) ++
+        Array[Byte](0, 24, -1, -1))
+    })
+    val vStco =
+      if (id % 2 == 1) box("co64") {
+        val o = new ByteArrayOutputStream()
+        o.write(ints(0L, nvChunks.toLong))
+        vOffs.foreach { x => be32o(o, x >>> 32); be32o(o, x & 0xffffffffL) }
+        o.toByteArray
+      }
+      else box("stco")(ints((0L +: nvChunks.toLong +: vOffs.toSeq): _*))
+    val vStss: Array[Byte] =
+      if (id % 3 == 0) Array.empty
+      else {
+        val syncs = (0 until nv).filter(_ % 3 == 0).map(i => (i + 1).toLong)
+        box("stss")(ints((0L +: syncs.length.toLong +: syncs): _*))
+      }
+    val vCtts: Array[Byte] =
+      if (id % 5 == 0) Array.empty
+      else if (id % 2 == 1) {
+        val o = new ByteArrayOutputStream()
+        be32o(o, 1L << 24)
+        be32o(o, nv.toLong)
+        (0 until nv).foreach { i =>
+          be32o(o, 1L); be32o(o, (((i % 3) - 1).toLong * vDelta) & 0xffffffffL)
+        }
+        box("ctts")(o.toByteArray)
+      }
+      else box("ctts")(ints(
+        (0L +: nv.toLong +:
+          (0 until nv).flatMap(i => Seq(1L, (i % 3).toLong * vDelta))): _*))
+    val vStbl = box("stbl")(vStsd ++
+      box("stsz")(ints((0L +: 0L +: nv.toLong +: vSizes.map(_.toLong).toSeq): _*)) ++
+      stscBox(nv, 3, nvChunks) ++ vStco ++
+      box("stts")(ints(0L, 1L, nv.toLong, vDelta.toLong)) ++ vStss ++ vCtts)
+    val vMdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, nv.toLong * vDelta))
+    val trakV = box("trak")(tkhd(2L, nv.toLong * vDelta) ++
+      box("mdia")(vMdhd ++ hdlr("vide") ++ box("minf")(vStbl)))
+
+    val mvhd = box("mvhd")(ints(0L, 0L, 0L, 600L, nv.toLong * vDelta))
+    out.write(box("moov")(mvhd ++ trakA ++ trakV))
+    out.toByteArray
+  }
+
+  /** Fixture frame: (idCol, bytes) of [[synthMp4MultiTrack]] containers. */
+  def synthMp4MultiTrackPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(idIdx), synthMp4MultiTrack(r.getLong(idIdx))))
     }(Encoders.row(schema))
   }
 
@@ -855,6 +1308,121 @@ object Mp4Index {
       cumSamples += n
     }
     out.toByteArray
+  }
+
+  /** MULTI-TRACK fragmented fixture — the muxed-DASH/smooth-streaming
+    * shape: each moof carries TWO trafs (audio track 1 FIRST, then video
+    * track 2) over one shared mdat, so a per-track walk must filter trafs
+    * by tfhd track_ID and pick ITS trex defaults. Closed-form from `id`:
+    *  - moov: audio trak (tkhd 1, hdlr soun, ts 48000) then video trak
+    *    (tkhd 2, hdlr vide, ts 600), both with empty stbls; mvex carries
+    *    trex(1, dur 512, flags sync) and trex(2, dur 100+id%50, flags
+    *    non-sync). Header is CONSTANT: data starts at 638.
+    *  - fragment f of F = 2 + id%3: na = 2 + (id+f)%3 audio samples of
+    *    size 8 + (11*id + 5*f + 7*i) % 30, then nv = 3 + (id+f)%4 video
+    *    samples of size 10 + (17*id + 29*f + 31*i) % 90, back to back in
+    *    the mdat; both trafs default-base-is-moof with explicit trun
+    *    data-offsets; audio sync from trex defaults, video per-sample
+    *    flags (sync at i%3 == 0); durations from trex; no tfdt (dts
+    *    continues per track across fragments — the single-track fixture
+    *    covers tfdt).
+    */
+  def synthMp4FragMultiTrack(id: Long): Array[Byte] = {
+    val vDelta = (100 + id % 50).toInt
+    val nFrags = (2 + id % 3).toInt
+    val out = new ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32o(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def box(name: String)(body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      be32o(o, 8L + body.length); o.write(name.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); vs.foreach(be32o(o, _)); o.toByteArray
+    }
+    be32o(out, 24); tag("ftyp"); tag("isom"); be32o(out, 512); tag("isom"); tag("iso2")
+    val emptyStbl = box("stbl")(
+      box("stsz")(ints(0L, 0L, 0L)) ++ box("stsc")(ints(0L, 0L)) ++
+        box("stco")(ints(0L, 0L)) ++ box("stts")(ints(0L, 0L)))
+    def trak(trackId: Long, handler: String, timescale: Long): Array[Byte] =
+      box("trak")(
+        box("tkhd")(ints(0L, 0L, 0L, trackId, 0L, 0L) ++ Array.fill[Byte](60)(0)) ++
+          box("mdia")(
+            box("mdhd")(ints(0L, 0L, 0L, timescale, 0L)) ++
+              box("hdlr")(ints(0L, 0L) ++ handler.getBytes("US-ASCII") ++
+                Array.fill[Byte](13)(0)) ++
+              box("minf")(emptyStbl)))
+    val mvex = box("mvex")(
+      box("trex")(ints(0L, 1L, 1L, 512L, 0L, 0L)) ++
+        box("trex")(ints(0L, 2L, 1L, vDelta.toLong, 0L, 0x10000L)))
+    val mvhd = box("mvhd")(ints(0L, 0L, 0L, 600L, 0L))
+    out.write(box("moov")(mvhd ++ trak(1L, "soun", 48000L) ++
+      trak(2L, "vide", 600L) ++ mvex))
+    require(out.size() == 638,
+      s"fixture header drifted: ${out.size()} != 638 (oracle literal)")
+
+    var fragStart = 638L
+    for (f <- 0 until nFrags) {
+      val na = (2 + (id + f) % 3).toInt
+      val aSizes = Array.tabulate(na)(i => (8 + (11 * id + 5 * f + 7 * i) % 30).toInt)
+      val nv = (3 + (id + f) % 4).toInt
+      val vSizes = Array.tabulate(nv)(i => (10 + (17 * id + 29 * f + 31 * i) % 90).toInt)
+      val moofSz = 112 + 4 * na + 8 * nv
+      val apay = aSizes.sum
+      // trafA: tfhd default-base-is-moof; trun data-offset + sizes only
+      val trafA = box("traf")(
+        box("tfhd")(ints(0x20000L, 1L)) ++
+          box("trun") {
+            val o = new ByteArrayOutputStream()
+            be32o(o, 0x1L | 0x200L); be32o(o, na.toLong)
+            be32o(o, moofSz + 8L)
+            aSizes.foreach(sz => be32o(o, sz.toLong))
+            o.toByteArray
+          })
+      // trafV: + per-sample flags (sync at i%3 == 0 over non-sync trex)
+      val trafV = box("traf")(
+        box("tfhd")(ints(0x20000L, 2L)) ++
+          box("trun") {
+            val o = new ByteArrayOutputStream()
+            be32o(o, 0x1L | 0x200L | 0x400L); be32o(o, nv.toLong)
+            be32o(o, moofSz + 8L + apay)
+            vSizes.zipWithIndex.foreach { case (sz, i) =>
+              be32o(o, sz.toLong)
+              be32o(o, if (i % 3 == 0) 0L else 0x10000L)
+            }
+            o.toByteArray
+          })
+      val moof = box("moof")(box("mfhd")(ints(0L, f + 1L)) ++ trafA ++ trafV)
+      require(moof.length == moofSz,
+        s"fixture moof size drifted: built ${moof.length}, computed $moofSz")
+      out.write(moof)
+      be32o(out, 8L + apay + vSizes.sum); tag("mdat")
+      aSizes.zipWithIndex.foreach { case (sz, i) =>
+        var k = 0
+        while (k < sz) { out.write((id + 5 * f + 3 * i + k).toInt & 0xff); k += 1 }
+      }
+      vSizes.zipWithIndex.foreach { case (sz, i) =>
+        var k = 0
+        while (k < sz) { out.write((id + 11 * f + 7 * i + k).toInt & 0xff); k += 1 }
+      }
+      fragStart += moofSz + 8 + apay + vSizes.sum
+    }
+    out.toByteArray
+  }
+
+  /** Fixture frame: (idCol, bytes) of [[synthMp4FragMultiTrack]]. */
+  def synthMp4FragMultiTrackPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(idIdx), synthMp4FragMultiTrack(r.getLong(idIdx))))
+    }(Encoders.row(schema))
   }
 
   /** Fixture frame: (idCol, bytes) of [[synthMp4Fragmented]] containers. */

@@ -347,4 +347,222 @@ class Mp4IndexSpec extends GraftSuite {
       assert((pts, sIdx) === expect, s"tick=$tick")
     }
   }
+
+  test("multi-track: video-first selection skips the audio trak muxed first") {
+    for (id <- 0L until 30L) {
+      val multi = Mp4Index.synthMp4MultiTrack(id)
+      val single = Mp4Index.parseSampleTable(Mp4Index.synthMp4(id))
+      val na = (4 + id % 3).toInt
+      val aPay = (0 until na).map(i => 8 + (13 * id + 7 * i) % 40).sum
+      // the selected track is the VIDEO trak: synthMp4's exact tables,
+      // every offset shifted past the audio payload sharing the mdat
+      val sel = Mp4Index.parseSampleTable(multi)
+      assert(sel.map(l => (l.sampleIdx, l.chunkIdx, l.size, l.dts, l.pts, l.isSync)) ===
+        single.map(l => (l.sampleIdx, l.chunkIdx, l.size, l.dts, l.pts, l.isSync)), s"id=$id")
+      assert(sel.map(_.offset) === single.map(_.offset + aPay), s"id=$id")
+      // trackInfo selects the video stream too — audio-first mux must not
+      // make the codec pass report mp4a
+      val ti = Mp4Index.parseTrackInfo(multi)
+      assert(ti.kind === "video", s"id=$id")
+      assert(ti.codec === (if (id % 2 == 0) "avc1" else "hvc1"), s"id=$id")
+      assert(ti.width === 320 + 16 * (id % 8).toInt, s"id=$id")
+      assert(ti.timescale === 600L, s"id=$id")
+    }
+  }
+
+  test("trackSampleIndex: every track's samples with track_id/handler (closed form)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val df = Mp4Index.synthMp4MultiTrackPayload(ids, "doc_id")
+    val rows = Mp4Index.trackSampleIndex(df, "doc_id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9)))
+    for (id <- 0L until 20L) {
+      val na = (4 + id % 3).toInt
+      val aSizes = Array.tabulate(na)(i => (8 + (13 * id + 7 * i) % 40).toLong)
+      val audio = rows.filter(r => r._1 == id && r._2 == 1L).sortBy(_._4)
+      assert(audio.length === na, s"id=$id")
+      var off = 32L
+      audio.zipWithIndex.foreach { case (r, i) =>
+        assert(r._3 === "soun")
+        assert(r._5 === i / 2, s"id=$id i=$i")       // chunks of 2
+        assert(r._6 === off, s"id=$id i=$i")
+        assert(r._7 === aSizes(i), s"id=$id i=$i")
+        assert(r._8 === i * 1024L, s"id=$id i=$i")   // dts
+        assert(r._9 === i * 1024L, s"id=$id i=$i")   // pts (no ctts)
+        assert(r._10, s"id=$id i=$i")                // audio all sync
+        off += aSizes(i)
+      }
+      val video = rows.filter(r => r._1 == id && r._2 == 2L).sortBy(_._4)
+      val expect = Mp4Index.parseSampleTable(Mp4Index.synthMp4MultiTrack(id))
+      assert(video.map(r => (r._4, r._6, r._7, r._8, r._9, r._10)).toSeq ===
+        expect.map(l => (l.sampleIdx, l.offset, l.size, l.dts, l.pts, l.isSync)),
+        s"id=$id")
+      assert(video.forall(_._3 == "vide"), s"id=$id")
+    }
+  }
+
+  test("trackInfoAll: one codec row per track") {
+    val df = Mp4Index.synthMp4MultiTrackPayload(Seq(3L, 4L).toDF("doc_id"), "doc_id")
+    val rows = Mp4Index.trackInfoAll(df, "doc_id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getInt(7), r.getInt(8), r.getLong(9))).sortBy(r => (r._1, r._2))
+    assert(rows.length === 4)
+    // track 1 = mp4a audio at 48 kHz; track 2 = video by id parity
+    assert(rows(0) === ((3L, 1L, "soun", "mp4a", "audio", 2, 48000, 48000L)))
+    assert(rows(1)._4 === "hvc1"); assert(rows(1)._5 === "video")
+    assert(rows(2) === ((4L, 1L, "soun", "mp4a", "audio", 1, 48000, 48000L)))
+    assert(rows(3)._4 === "avc1"); assert(rows(3)._8 === 600L)
+  }
+
+  test("fragmented multi-track: per-track trex defaults and traf filtering (closed form)") {
+    for (id <- 0L until 20L) {
+      val b = Mp4Index.synthMp4FragMultiTrack(id)
+      val tracks = Mp4Index.walkAllTracks(b)
+      assert(tracks.map(_._1.trackId) === Vector(1L, 2L), s"id=$id")
+      val nFrags = (2 + id % 3).toInt
+      val vDelta = 100 + id % 50
+      // replay the fixture's closed form fragment by fragment
+      var fragStart = 638L
+      var aDts = 0L
+      var vDts = 0L
+      var aIdx = 0
+      var vIdx = 0
+      val expA = Vector.newBuilder[(Int, Int, Long, Long, Long, Boolean)]
+      val expV = Vector.newBuilder[(Int, Int, Long, Long, Long, Boolean)]
+      for (f <- 0 until nFrags) {
+        val na = (2 + (id + f) % 3).toInt
+        val aSizes = Array.tabulate(na)(i => (8 + (11 * id + 5 * f + 7 * i) % 30).toLong)
+        val nv = (3 + (id + f) % 4).toInt
+        val vSizes = Array.tabulate(nv)(i => (10 + (17 * id + 29 * f + 31 * i) % 90).toLong)
+        val moofSz = 112 + 4 * na + 8 * nv
+        val dataStart = fragStart + moofSz + 8
+        var off = dataStart
+        for (i <- 0 until na) {
+          expA += ((aIdx, f, off, aSizes(i), aDts, true))
+          off += aSizes(i); aDts += 512L; aIdx += 1
+        }
+        for (i <- 0 until nv) {
+          expV += ((vIdx, f, off, vSizes(i), vDts, i % 3 == 0))
+          off += vSizes(i); vDts += vDelta; vIdx += 1
+        }
+        fragStart = off
+      }
+      def got(t: (Mp4Index.TrakMeta, Seq[Mp4Index.SampleLoc], Long)) =
+        t._2.map(l => (l.sampleIdx, l.chunkIdx, l.offset, l.size, l.dts, l.isSync)).toVector
+      assert(got(tracks(0)) === expA.result(), s"id=$id audio")
+      assert(got(tracks(1)) === expV.result(), s"id=$id video")
+      // pts = dts throughout (no trun composition offsets here)
+      assert(tracks.flatMap(_._2).forall(l => l.pts == l.dts), s"id=$id")
+      // the single-track surface selects the VIDEO stream
+      assert(Mp4Index.parseSampleTable(b).map(_.size) ===
+        expV.result().map(_._4), s"id=$id")
+      // track durations: per-track dts end
+      assert(tracks(0)._3 === aDts, s"id=$id")
+      assert(tracks(1)._3 === vDts, s"id=$id")
+    }
+  }
+
+  test("edit lists: presentation shift honored by keyframeIndex (closed form)") {
+    def shiftOf(id: Long): Long = {
+      val delta = 100 + id % 50
+      if (id % 3 == 0) delta
+      else if (id % 3 == 1) delta - 2 * (7 + id % 5)
+      else 0L
+    }
+    for (id <- 0L until 30L) {
+      val b = Mp4Index.synthMp4(id, edits = true)
+      // the edit list changes only moov metadata — tables and offsets are
+      // byte-identical to the plain fixture (mdat precedes moov)
+      assert(Mp4Index.parseSampleTable(b) ===
+        Mp4Index.parseSampleTable(Mp4Index.synthMp4(id)), s"id=$id")
+      val (moov, traks) = Mp4Index.parseTraks(b)
+      assert(Mp4Index.parseEditShift(b, moov, traks.head) === shiftOf(id), s"id=$id")
+    }
+    val df = Mp4Index.synthMp4EditedPayload((0L until 30L).toDF("doc_id"), "doc_id")
+    val rows = Mp4Index.keyframeIndex(df, "doc_id", "bytes", everyPts = 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    for (id <- 0L until 30L) {
+      val delta = 100 + id % 50
+      val n = 6 + id % 5
+      val shift = shiftOf(id)
+      val sync = Mp4Index.parseSampleTable(Mp4Index.synthMp4(id, edits = true))
+        .filter(_.isSync).map(l => (l.pts, l.sampleIdx)).sorted
+      val got = rows.filter(_._1 == id).sortBy(_._2)
+      // ticks cover the PRESENTATION range [0, n*delta - shift); each
+      // seeks the first sync sample at presentation time >= tick, i.e.
+      // pts >= tick + shift
+      val expTicks = Iterator.range(0L, n * delta - shift, 150L)
+        .filter(t => sync.exists(_._1 >= t + shift)).toSeq
+      assert(got.map(_._2).toSeq === expTicks, s"id=$id")
+      got.foreach { case (_, tick, sIdx, pts) =>
+        val e = sync.find(_._1 >= tick + shift).get
+        assert((pts, sIdx) === e, s"id=$id tick=$tick")
+      }
+    }
+  }
+
+  test("malformed/unrepresentable edit lists are refused precisely") {
+    def box(name: String)(body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      def be32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      be32(8L + body.length); o.write(name.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      vs.foreach { v =>
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      o.toByteArray
+    }
+    def container(edtsBody: Array[Byte]): Array[Byte] =
+      box("moov")(box("mvhd")(ints(0L, 0L, 0L, 300L, 0L)) ++
+        box("trak")(box("edts")(edtsBody) ++
+          box("mdia")(box("mdhd")(ints(0L, 0L, 0L, 600L, 0L)) ++
+            box("minf")(box("stbl")(Array.empty[Byte])))))
+    def shiftOf(edtsBody: Array[Byte]): Long = {
+      val b = container(edtsBody)
+      val (moov, traks) = Mp4Index.parseTraks(b)
+      Mp4Index.parseEditShift(b, moov, traks.head)
+    }
+    def refuse(edtsBody: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](shiftOf(edtsBody))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    // the representable forms parse (sanity for the helpers)
+    assert(shiftOf(box("elst")(ints(0L, 1L, 0L, 40L, 0x10000L))) === 40L)
+    assert(shiftOf(box("elst")(ints(0L, 2L, 9L, 0xffffffffL, 0x10000L,
+      0L, 40L, 0x10000L))) === 40L - 9 * 600 / 300)
+    refuse(Array.empty, "edts without elst")
+    refuse(box("elst")(ints(0L, 0L)), "zero entries")
+    refuse(box("elst")(ints(0L, 1L, 0L, 40L, 0x20000L)), "media_rate")
+    refuse(box("elst")(ints(0L, 3L, 0L, 40L, 0x10000L, 0L, 40L, 0x10000L,
+      0L, 40L, 0x10000L)), "multi-segment")
+    refuse(box("elst")(ints(0L, 1L, 0L, 0xffffffffL, 0x10000L)),
+      "single entry is an empty edit")
+    refuse(box("elst")(ints(0L, 2L, 0L, 40L, 0x10000L, 0L, 40L, 0x10000L)),
+      "must be [empty edit, normal edit]")
+    refuse(box("elst")(ints(0L, 2L, 9L, 0xffffffffL, 0x10000L,
+      0L, 0xffffffffL, 0x10000L)), "second entry is an empty edit too")
+    refuse(box("elst")(ints(2L << 24, 1L, 0L, 40L, 0x10000L)),
+      "elst version 2 unsupported")
+  }
+
+  test("fragmented multi-track without a trex for a track is refused precisely") {
+    val b = Mp4Index.synthMp4FragMultiTrack(1L)
+    // retarget the SECOND trex (track 2) at track 3: scan for the trex
+    // fourcc and overwrite its track_ID field
+    val idxs = (0 until b.length - 4).filter(o =>
+      b(o) == 't' && b(o + 1) == 'r' && b(o + 2) == 'e' && b(o + 3) == 'x')
+    assert(idxs.length === 2)
+    val bad = b.clone()
+    bad(idxs(1) + 4 + 4 + 3) = 3 // payload: verflags(4) then track_ID
+    val e = intercept[IllegalArgumentException](Mp4Index.walkAllTracks(bad))
+    assert(e.getMessage.contains("without a trex for track 2"))
+  }
 }
