@@ -1735,6 +1735,27 @@ object SparkEntry {
       graft.media.Mp4Index.trackSampleIndex(payloads, "doc_id", "bytes")
     }),
 
+    // VIDEO CLIP detection (r14): a clip re-muxed from a longer stream
+    // keeps the cut range's coded sample bytes, so its stsz size SEQUENCE
+    // is a contiguous run inside the source's — the container-level
+    // answer to "which of these short videos are cuts of corpus videos",
+    // at zero decode cost. Width-4 shingle equi-join proposes candidates,
+    // a re-join verifies slice equality (linear window rows, sequences
+    // never duplicated per window, plan free of cartesian joins —
+    // spec-pinned). The fixture plants a [1, 5+id%2) cut of every 7th
+    // doc over ENTROPY sizes (two coprime moduli through a quadratic —
+    // the plain fixture's arithmetic-progression sizes would collapse
+    // every window to ~90 classes and percolate chance matches, the
+    // audio-fixture lesson); chance containments at the replica stay
+    // bounded and BOTH sides compute them, so the oracle is exact.
+    "q_media_mp4_clip" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val corpus = graft.media.Mp4Index.synthMp4EntropyPayload(ids, "doc_id")
+      val clips = graft.media.Mp4Index.synthMp4ClipPayload(ids, "doc_id")
+      graft.media.Mp4Index.clipPairs(clips, corpus, "doc_id", "bytes", minLen = 4)
+    }),
+
     // Per-track codec inventory (r14): trackInfoAll emits one stsd row
     // per TRACK — the "which containers carry what, stream by stream"
     // pass a single-track summary cannot answer. Fixture: track 1 mp4a
@@ -3950,6 +3971,41 @@ object SparkEntry {
         |       CAST(v0.sz AS BIGINT) AS size, CAST(v0.dts AS BIGINT) AS dts,
         |       CAST(v0.pts AS BIGINT) AS pts, v0.is_sync
         |FROM v0 JOIN apay p ON v0.id = p.id""".stripMargin,
+
+    // clip containment re-derived closed-form: clip lists (entropy sizes
+    // at base positions 1..len) joined against every corpus window of the
+    // same length on LIST equality — chance matches included on both
+    // sides by construction
+    "q_media_mp4_clip" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |base AS (SELECT id AS doc, id AS src, 6 + id % 5 AS n FROM ids),
+        |clips AS (
+        |  SELECT id + 1000000000000 AS doc, id AS src, 4 + id % 2 AS n
+        |  FROM ids WHERE id % 7 = 0),
+        |bsz AS (
+        |  SELECT doc, i.i AS i,
+        |         10 + (((src % 3001) * (i.i+3) * (i.i+3)
+        |                + (src % 2999) * (i.i+5) * (i.i+5)) % 3001) % 900 AS v
+        |  FROM base, generate_series(0, 10) i(i) WHERE i.i < n),
+        |csz AS (
+        |  SELECT doc, i.i AS i,
+        |         10 + (((src % 3001) * (i.i+1+3) * (i.i+1+3)
+        |                + (src % 2999) * (i.i+1+5) * (i.i+1+5)) % 3001) % 900 AS v
+        |  FROM clips, generate_series(0, 5) i(i) WHERE i.i < n),
+        |bl AS (
+        |  SELECT s.doc, b.n, list(s.v ORDER BY s.i) AS ls
+        |  FROM bsz s JOIN base b ON s.doc = b.doc GROUP BY s.doc, b.n),
+        |cl AS (
+        |  SELECT s.doc, c.n, list(s.v ORDER BY s.i) AS ls
+        |  FROM csz s JOIN clips c ON s.doc = c.doc GROUP BY s.doc, c.n),
+        |wins AS (
+        |  SELECT bl.doc AS cid, p.p AS pos, L.l AS len,
+        |         list_slice(bl.ls, p.p + 1, p.p + L.l) AS w
+        |  FROM bl, generate_series(0, 9) p(p), (VALUES (4), (5)) L(l)
+        |  WHERE p.p + L.l <= bl.n)
+        |SELECT cl.doc AS clip_id, w.cid AS container_id,
+        |       CAST(w.pos AS INT) AS pos
+        |FROM cl JOIN wins w ON w.len = cl.n AND w.w = cl.ls""".stripMargin,
 
     // per-track stsd metadata re-derived closed-form: audio track 1 then
     // the parity-picked video track 2

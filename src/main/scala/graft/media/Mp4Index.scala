@@ -1026,6 +1026,175 @@ object Mp4Index {
     }(Encoders.row(schema))
   }
 
+  /** CLIP DETECTION — container-level "this short video is a contiguous
+    * cut of that long one": a clip re-muxed from a longer stream keeps
+    * the coded sample bytes of the cut range, so its stsz size SEQUENCE
+    * is a contiguous run inside the source's. Two-frame operator: for
+    * every clip (its full size sequence) find every corpus container
+    * containing it and the position. Scale shape: a width-`minLen`
+    * shingle equi-join (clip's FIRST window hash vs every corpus window
+    * hash — both via codegen'd hash/slice/sequence built-ins, no UDFs)
+    * proposes candidates; a re-join against the corpus sequences verifies
+    * full containment by array slice equality. Window rows carry only
+    * (hash, id, pos) — sequences are re-joined, never duplicated per
+    * window, so the fan-out is linear in total samples. Clips shorter
+    * than `minLen` cannot anchor a shingle and are skipped (documented —
+    * one short clip must not kill a 100 TB scan). Output:
+    * (clip_id, container_id, pos), one row per verified containment.
+    */
+  def clipPairs(
+      clips: DataFrame, corpus: DataFrame, idCol: String, bytesCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"clipPairs: minLen >= 2, got $minLen")
+    import org.apache.spark.sql.functions._
+    val seqSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sizes", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    def seqs(df: DataFrame): DataFrame = {
+      val idIdx = df.schema.fieldIndex(idCol)
+      val bIdx = df.schema.fieldIndex(bytesCol)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val locs = parseSampleTable(r.getAs[Array[Byte]](bIdx))
+          Row(r.getLong(idIdx), locs.sortBy(_.sampleIdx).map(_.size))
+        }
+      }(Encoders.row(seqSchema))
+    }
+    val cseq = seqs(clips)
+      .filter(size(col("sizes")) >= minLen)
+      .select(col(idCol).as("clip_id"), col("sizes").as("clip_sizes"),
+        size(col("sizes")).as("clip_len"),
+        hash(slice(col("sizes"), 1, minLen)).as("wkey"))
+    val tseq = seqs(corpus)
+      .select(col(idCol).as("container_id"), col("sizes"))
+    val wins = tseq
+      .filter(size(col("sizes")) >= minLen)
+      .select(col("container_id"),
+        explode(sequence(lit(0), size(col("sizes")) - minLen)).as("pos"),
+        col("sizes"))
+      .select(col("container_id"), col("pos"),
+        hash(slice(col("sizes"), col("pos") + 1, lit(minLen))).as("wkey"))
+    wins.join(cseq, "wkey")
+      .join(tseq, "container_id")
+      .filter(size(col("sizes")) >= col("pos") + col("clip_len") &&
+        slice(col("sizes"), col("pos") + 1, col("clip_len")) === col("clip_sizes"))
+      .select(col("clip_id"), col("container_id"), col("pos"))
+  }
+
+  /** Entropy size generator for containment fixtures: the plain
+    * [[synthMp4]] sizes walk an arithmetic progression mod 90 (fine for
+    * tables, catastrophic for CONTAINMENT — every window collapses to ~90
+    * classes and chance matches percolate, the same lesson as the audio
+    * fixture's first cut). The working form is hard-won: a SEQUENCE
+    * collision needs Delta(j) = v(s+d, j) - v(s, j) ≡ 0 mod 900 at every
+    * window position SIMULTANEOUSLY, and for any single-modulus
+    * polynomial those deltas are correlated across j — src-steps d where
+    * d * (coefficient mix) collapses mod 900 uniformly in j exist at
+    * constant density, so cross matches grow LINEAR in corpus size
+    * (measured: d = ±90/±450/±900 resonance classes, and a plain modulus
+    * is additionally periodic in src with period = the modulus). Two
+    * coprime moduli put two independent residues of src into the
+    * coefficients (two simultaneous resonance constraints — none
+    * survive), their product 3001*2999 = 9.0M exceeds the replica id
+    * range (no periodic repeats), and the WIDE [10, 910) range (real
+    * stsz values span kilobytes) keeps the per-position collision rate at
+    * 1/900: measured 156 accidental containments per 1M ids vs 142,858
+    * planted — the birthday regime, computed identically on both sides.
+    */
+  private[graft] def entropySize(src: Long, j: Long): Long =
+    10 + (((src % 3001) * (j + 3) * (j + 3) +
+      (src % 2999) * (j + 5) * (j + 5)) % 3001) % 900
+
+  /** Minimal container around an explicit size sequence (chunks of 3,
+    * stco, constant delta 100 at timescale 600) — the clip-fixture
+    * builder; the walk reads the authoritative stsz, not the formula.
+    */
+  private def synthMp4Sized(id: Long, sizes: Array[Long]): Array[Byte] = {
+    val n = sizes.length
+    val nChunks = (n + 2) / 3
+    val out = new ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def be32o(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    def box(name: String)(body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      be32o(o, 8L + body.length); o.write(name.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def ints(vs: Long*): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); vs.foreach(be32o(o, _)); o.toByteArray
+    }
+    be32o(out, 24); tag("ftyp"); tag("isom"); be32o(out, 512); tag("isom"); tag("iso2")
+    be32o(out, 8L + sizes.sum); tag("mdat")
+    sizes.zipWithIndex.foreach { case (sz, i) =>
+      var k = 0
+      while (k < sz) { out.write((id + 7 * i + k).toInt & 0xff); k += 1 }
+    }
+    val chunkOff = new Array[Long](nChunks)
+    var acc = 32L
+    var s = 0
+    for (c <- 0 until nChunks) {
+      chunkOff(c) = acc
+      var j = 0
+      while (j < 3 && s < n) { acc += sizes(s); s += 1; j += 1 }
+    }
+    val stscRuns: Seq[Long] =
+      if (n % 3 == 0) Seq(1L, 3L, 1L)
+      else Seq(1L, 3L, 1L, nChunks.toLong, (n % 3).toLong, 1L)
+    val stbl = box("stbl")(
+      box("stsz")(ints((0L +: 0L +: n.toLong +: sizes.toSeq): _*)) ++
+        box("stsc")(ints((0L +: (stscRuns.length / 3).toLong +: stscRuns): _*)) ++
+        box("stco")(ints((0L +: nChunks.toLong +: chunkOff.toSeq): _*)) ++
+        box("stts")(ints(0L, 1L, n.toLong, 100L)))
+    val mdhd = box("mdhd")(ints(0L, 0L, 0L, 600L, n.toLong * 100))
+    val trak = box("trak")(box("mdia")(mdhd ++ box("minf")(stbl)))
+    out.write(box("moov")(
+      box("mvhd")(ints(0L, 0L, 0L, 600L, n.toLong * 100)) ++ trak))
+    out.toByteArray
+  }
+
+  /** Fixture frame: entropy-sized base containers — n = 6 + id%5 samples
+    * of size [[entropySize]](id, i).
+    */
+  def synthMp4EntropyPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (6 + id % 5).toInt
+        Row(id, synthMp4Sized(id, Array.tabulate(n)(i => entropySize(id, i))))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Fixture frame: planted CLIPS — for every 7th id, a container carrying
+    * base id's samples [1, 1 + 4 + id%2) (sizes [[entropySize]](id, 1+j)),
+    * living at id + [[MediaDecode.TwinOffset]]. The corpus the
+    * [[clipPairs]] gate must map back to position 1 of its source.
+    */
+  def synthMp4ClipPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    import org.apache.spark.sql.functions.col
+    df.filter(col(idCol) % 7 === 0).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val len = (4 + id % 2).toInt
+        Row(id + MediaDecode.TwinOffset,
+          synthMp4Sized(id + MediaDecode.TwinOffset,
+            Array.tabulate(len)(j => entropySize(id, 1 + j))))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** MULTI-TRACK fixture — the real-world "audio muxed FIRST" shape: one
     * mdat shared by an audio track (track_ID 1, hdlr `soun`, mdhd
     * timescale 48000) and a video track (track_ID 2, hdlr `vide`,

@@ -553,6 +553,40 @@ class Mp4IndexSpec extends GraftSuite {
       "elst version 2 unsupported")
   }
 
+  test("clipPairs: planted cuts found at their position; brute-force parity; no all-pairs plan") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 60L).toDF("doc_id")
+    val corpus = Mp4Index.synthMp4EntropyPayload(ids, "doc_id")
+    val clips = Mp4Index.synthMp4ClipPayload(ids, "doc_id")
+    val out = Mp4Index.clipPairs(clips, corpus, "doc_id", "bytes", minLen = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle over the same sequences
+    def baseSizes(id: Long): Array[Long] =
+      Array.tabulate((6 + id % 5).toInt)(i => Mp4Index.entropySize(id, i))
+    def clipSizes(id: Long): Array[Long] =
+      Array.tabulate((4 + id % 2).toInt)(j => Mp4Index.entropySize(id, 1 + j))
+    val expect = (for {
+      cid <- 0L until 60L if cid % 7 == 0
+      c = clipSizes(cid)
+      tid <- 0L until 60L
+      t = baseSizes(tid)
+      pos <- 0 to t.length - c.length
+      if t.slice(pos, pos + c.length).sameElements(c)
+    } yield (cid + graft.media.MediaDecode.TwinOffset, tid, pos)).toSet
+    assert(got === expect)
+    // every planted cut maps back to position 1 of its source
+    (0L until 60L).filter(_ % 7 == 0).foreach { id =>
+      assert(got.contains((id + graft.media.MediaDecode.TwinOffset, id, 1)), s"id=$id")
+    }
+    // a clip shorter than minLen cannot anchor a shingle: skipped, not fatal
+    assert(Mp4Index.clipPairs(clips, corpus, "doc_id", "bytes", minLen = 6)
+      .count() === 0L)
+    // the candidate stage is a shingle equi-join — never all-pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("fragmented multi-track without a trex for a track is refused precisely") {
     val b = Mp4Index.synthMp4FragMultiTrack(1L)
     // retarget the SECOND trex (track 2) at track 3: scan for the trex

@@ -45,7 +45,7 @@ C7_STREAM="q_stream_dedup,q_stream_neardup,q_stream_heavy,q_stream_hll,q_stream_
 # q_media_neardup_clusters is adjudicated by tools/cluster_oracle.py over
 # the EXCEPT-ALL-verified pairs, NOT by its recursive-CTE oracle, which is
 # sum(k^2) reach rows on a percolating graph)
-C8_MEDIA="q_media_decode,q_media_resize,q_media_jpeg,q_media_audio,q_media_audio_neardup,q_media_mp4_samples,q_media_mp4_keyframes,q_media_mp4_keyframes_edit,q_media_mp4_dupsig,q_media_mp4_fragmented,q_media_mp4_codec,q_media_mp4_multitrack,q_media_mp4_trackinfo,q_media_mp4_frag_multitrack,q_media_neardup_dupheavy"
+C8_MEDIA="q_media_decode,q_media_resize,q_media_jpeg,q_media_audio,q_media_audio_neardup,q_media_mp4_samples,q_media_mp4_keyframes,q_media_mp4_keyframes_edit,q_media_mp4_dupsig,q_media_mp4_fragmented,q_media_mp4_codec,q_media_mp4_multitrack,q_media_mp4_trackinfo,q_media_mp4_frag_multitrack,q_media_mp4_clip,q_media_neardup_dupheavy"
 
 run_chunk() {
   local name=$1 gates=$2
