@@ -1710,8 +1710,11 @@ object SparkEntry {
       val ids = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
       val corpus = graft.media.Mp4Index.synthMp4RemuxCorpus(ids, "doc_id")
+      // materialize once: sigs feeds BOTH the group census and the member
+      // join — unmaterialized, every container parses twice
       val sigs = graft.media.Mp4Index.sizeSignature(corpus, "doc_id", "bytes")
         .select(col("doc_id"), col("sig"))
+        .localCheckpoint(true)
       val groups = sigs.groupBy(col("sig"))
         .agg(min(col("doc_id")).as("group_id"), count(lit(1)).as("__cnt"))
         .filter(col("__cnt") > 1)
@@ -3890,20 +3893,27 @@ object SparkEntry {
         |       cand."offset", CAST(sz AS BIGINT) AS size
         |FROM cand WHERE rn = 1""".stripMargin,
 
-    // the edit-list shift re-derived closed-form (same sample CTE — the
-    // edits fixture changes only moov metadata, never the tables): ticks
-    // cover [0, duration - shift), seek = first sync pts >= tick + shift
+    // the edit-list shift + end-trim re-derived closed-form (same sample
+    // CTE — the edits fixture changes only moov metadata, never the
+    // tables): ticks cover [0, min(duration - shift, cap)) where cap is
+    // the id%3==0 trimming segment_duration converted movie->media,
+    // seek = first sync pts >= tick + shift
     "q_media_mp4_keyframes_edit" ->
       s"""WITH $Mp4SampleCte,
         |sh AS (
         |  SELECT id, CASE WHEN id % 3 = 0 THEN 100 + id % 50
         |              WHEN id % 3 = 1 THEN (100 + id % 50) - 2 * (7 + id % 5)
-        |              ELSE 0 END AS shift
+        |              ELSE 0 END AS shift,
+        |         CASE WHEN id % 3 = 0
+        |              THEN 2 * (((4 + id % 5) * (100 + id % 50)) // 2)
+        |              ELSE NULL END AS cap
         |  FROM ids),
         |ticks AS (
         |  SELECT sh.id, 150 * k.k AS tick, sh.shift
         |  FROM sh, generate_series(0, 12) k(k)
-        |  WHERE 150 * k.k < (6 + sh.id % 5) * (100 + sh.id % 50) - sh.shift),
+        |  WHERE 150 * k.k < LEAST(
+        |    (6 + sh.id % 5) * (100 + sh.id % 50) - sh.shift,
+        |    COALESCE(sh.cap, 9223372036854775807))),
         |cand AS (
         |  SELECT t.id, t.tick, s.sample_idx, s.pts, s."offset", s.sz,
         |         row_number() OVER (PARTITION BY t.id, t.tick

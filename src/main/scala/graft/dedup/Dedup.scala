@@ -286,7 +286,10 @@ object Dedup {
       bits: Int = 64, blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
     // materialize once: the (id, sh) frame feeds the collapse, both
     // expansion joins and the same-hash self-join — unmaterialized, an
-    // expensive upstream (image decode) would re-run per plan reference
+    // expensive upstream (image decode) would re-run per plan reference.
+    // Not unpersisted here (the returned frame is lazy and still needs
+    // it); ContextCleaner reclaims the checkpoint once callers drop the
+    // frame — unpersist explicitly for deterministic release
     val sigs = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
       .localCheckpoint(true)
     val fp = fingerprintPairs(sigs, bits, blocks, maxHamming)

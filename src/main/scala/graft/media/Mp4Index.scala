@@ -159,18 +159,22 @@ object Mp4Index {
     * delayed by the initial ctts offset, and nearly every B-frame H.264
     * file carries an elst compensating it (presentation = pts -
     * media_time), optionally behind a leading EMPTY edit (media_time -1)
-    * that inserts movie-timescale delay. Returns the signed media-
-    * timescale amount to SUBTRACT from pts: `media_time - empty_duration
-    * * mediaTs / movieTs` (floor — sub-tick residue is a player concern,
-    * not a sampler's). 0 when no edts. The general multi-segment /
-    * rate-changing forms re-sequence playback; a sampler cannot honor
-    * them without a full timeline map, so they are REFUSED precisely
-    * rather than silently mis-timed.
+    * that inserts movie-timescale delay. Returns (shift, cap): the signed
+    * media-timescale amount to SUBTRACT from pts — `media_time -
+    * empty_duration * mediaTs / movieTs` (floor — sub-tick residue is a
+    * player concern, not a sampler's) — and the PRESENTATION-duration cap
+    * from the normal edit's segment_duration (movie-timescale, converted;
+    * an END-TRIMMING edit removes tail content, and a sampler emitting
+    * seek rows past the trim would drive decodes of frames the edit cut;
+    * segment_duration 0 = to-the-end = no cap). (0, no-cap) when no edts.
+    * The general multi-segment / rate-changing forms re-sequence
+    * playback; a sampler cannot honor them without a full timeline map,
+    * so they are REFUSED precisely rather than silently mis-timed.
     */
-  private[graft] def parseEditShift(
-      b: Array[Byte], moov: (Int, Int), meta: TrakMeta): Long = {
+  private[graft] def parseEdit(
+      b: Array[Byte], moov: (Int, Int), meta: TrakMeta): (Long, Long) = {
     val edts = child(b, meta.trakFrom, meta.trakTo, "edts")
-    if (edts == null) return 0L
+    if (edts == null) return (0L, Long.MaxValue)
     val elst = child(b, edts._1, edts._2, "elst")
     require(elst != null, "MP4 edts without elst")
     val v = b(elst._1) & 0xff
@@ -192,22 +196,23 @@ object Mp4Index {
         f"MP4 elst media_rate 0x$rate%x != 1.0 — dwell/rate edits are not " +
           "representable as a presentation shift")
     }
-    val (emptyDur, normal) = entries match {
-      case Seq((_, m, _)) =>
+    val (emptyDur, normal, segDur) = entries match {
+      case Seq((d, m, _)) =>
         require(m >= 0, "MP4 elst single entry is an empty edit (media_time -1)")
-        (0L, m)
-      case Seq((d, -1L, _), (_, m, _)) =>
+        (0L, m, d)
+      case Seq((d, -1L, _), (d2, m, _)) =>
         require(m >= 0, "MP4 elst second entry is an empty edit too")
-        (d, m)
+        (d, m, d2)
       case _ =>
         throw new IllegalArgumentException(
           "MP4 elst two-entry form must be [empty edit, normal edit]")
     }
-    if (emptyDur == 0L) normal
+    if (emptyDur == 0L && segDur == 0L) (normal, Long.MaxValue)
     else {
-      // empty-edit duration is in MOVIE timescale; convert via mvhd + mdhd
+      // empty-edit delay and segment_duration are in MOVIE timescale;
+      // convert via mvhd + mdhd
       val mvhd = child(b, moov._1, moov._2, "mvhd")
-      require(mvhd != null, "MP4 elst empty edit without moov/mvhd timescale")
+      require(mvhd != null, "MP4 elst timescale conversion without moov/mvhd")
       val mv = b(mvhd._1) & 0xff
       require(mv <= 1, s"MP4 mvhd version $mv unsupported")
       val movieTs = if (mv == 1) be32(b, mvhd._1 + 20) else be32(b, mvhd._1 + 12)
@@ -215,10 +220,17 @@ object Mp4Index {
       val mdhd = child(b, meta.mdiaFrom, meta.mdiaTo, "mdhd")
       require(mdhd != null, "MP4 mdia without mdhd")
       val dv = b(mdhd._1) & 0xff
+      require(dv <= 1, s"MP4 mdhd version $dv unsupported")
       val mediaTs = if (dv == 1) be32(b, mdhd._1 + 20) else be32(b, mdhd._1 + 12)
-      normal - emptyDur * mediaTs / movieTs
+      (normal - emptyDur * mediaTs / movieTs,
+        if (segDur == 0L) Long.MaxValue else segDur * mediaTs / movieTs)
     }
   }
+
+  /** The shift half of [[parseEdit]]. */
+  private[graft] def parseEditShift(
+      b: Array[Byte], moov: (Int, Int), meta: TrakMeta): Long =
+    parseEdit(b, moov, meta)._1
 
   /** Parse the selected (video-first) track's sample table. Supports stsz
     * (fixed or per-sample sizes), stsc runs, stco and co64, stts runs;
@@ -643,19 +655,20 @@ object Mp4Index {
         // duration = total decode time (sum of stts deltas) = the dts the
         // next sample WOULD start at, exact from the walk. Ticks live on
         // the PRESENTATION timeline: the elst shift (0 without edts) maps
-        // presentation t to composition pts = t + shift, so ticks cover
-        // [0, duration - shift) and the seek target is the first sync
-        // sample with pts >= tick + shift.
+        // presentation t to composition pts = t + shift, and an
+        // end-trimming segment_duration caps it, so ticks cover
+        // [0, min(duration - shift, cap)) and the seek target is the
+        // first sync sample with pts >= tick + shift.
         val (moov, traks) = parseTraks(bytes)
         val sel = selectTrack(traks)
         val (samples, duration) = walkTrack(bytes, moov, sel, traks.length > 1)
-        val shift = parseEditShift(bytes, moov, sel)
+        val (shift, cap) = parseEdit(bytes, moov, sel)
         if (samples.isEmpty) Iterator.empty
         else {
           val sync = samples.filter(_.isSync)
             .sortBy(s => (s.pts, s.sampleIdx)).toArray
           if (sync.isEmpty) Iterator.empty
-          else Iterator.range(0L, duration - shift, everyPts).flatMap { tick =>
+          else Iterator.range(0L, (duration - shift).min(cap), everyPts).flatMap { tick =>
             // binary search: first sync sample with pts >= tick + shift
             var lo = 0
             var hi = sync.length
@@ -700,6 +713,7 @@ object Mp4Index {
     val mdhd = child(b, meta.mdiaFrom, meta.mdiaTo, "mdhd")
     require(mdhd != null, "MP4 mdia without mdhd")
     val mdhdV = b(mdhd._1) & 0xff
+    require(mdhdV <= 1, s"MP4 mdhd version $mdhdV unsupported")
     val timescale =
       if (mdhdV == 1) be32(b, mdhd._1 + 20) else be32(b, mdhd._1 + 12)
     val stbl = (meta.stblFrom, meta.stblTo)
@@ -838,11 +852,15 @@ object Mp4Index {
     * `edits = true` adds an EDIT LIST (and drops the movie timescale to
     * 300, half the 600 media timescale, so the empty-edit conversion is
     * observable): id%3 == 0 a v0 single normal edit with media_time =
-    * delta (the classic composition-delay form, shift = delta); id%3 ==
-    * 1 a v1 [empty edit of 7 + id%5 movie ticks, normal media_time =
-    * delta] (shift = delta - 2*(7 + id%5)); id%3 == 2 no edts (in-corpus
-    * control, shift = 0). Sample tables and mdat offsets are UNCHANGED
-    * (mdat precedes moov), so the same closed-form oracle covers both.
+    * delta (the classic composition-delay form, shift = delta) AND an
+    * end-trimming segment_duration of (n-2)*delta/2 movie ticks
+    * (presentation cap 2*floor((n-2)*delta/2), below the (n-1)*delta
+    * presentation end — honoring the trim is observable); id%3 == 1 a v1
+    * [empty edit of 7 + id%5 movie ticks, normal media_time = delta]
+    * (shift = delta - 2*(7 + id%5), full-length segment_duration — no
+    * trim); id%3 == 2 no edts (in-corpus control, shift = 0). Sample
+    * tables and mdat offsets are UNCHANGED (mdat precedes moov), so the
+    * same closed-form oracle covers both.
     */
   def synthMp4(
       id: Long, remux: Boolean = false, edits: Boolean = false): Array[Byte] = {
@@ -979,8 +997,11 @@ object Mp4Index {
     val edts: Array[Byte] =
       if (!edits || id % 3 == 2) Array.empty
       else if (id % 3 == 0)
+        // segment_duration END-TRIMS: (n-2)*delta of presentation in movie
+        // ticks (cap_media = 2*floor((n-2)*delta/2) < the (n-1)*delta
+        // presentation end, so honoring the trim is observable)
         box("edts")(box("elst")(ints(
-          0L, 1L, n.toLong * delta * 300 / 600, delta.toLong, 0x10000L)))
+          0L, 1L, (n - 2).toLong * delta / 2, delta.toLong, 0x10000L)))
       else {
         val emptyDur = 7 + id % 5 // movie ticks
         val o = new ByteArrayOutputStream()
@@ -1066,8 +1087,13 @@ object Mp4Index {
       .select(col(idCol).as("clip_id"), col("sizes").as("clip_sizes"),
         size(col("sizes")).as("clip_len"),
         hash(slice(col("sizes"), 1, minLen)).as("wkey"))
+    // materialize once (the hammingPairs pattern): the corpus sequences
+    // feed BOTH the window derivation and the verify re-join, and
+    // unmaterialized the full container parse would run twice; released
+    // by ContextCleaner once the returned frame is dereferenced
     val tseq = seqs(corpus)
       .select(col(idCol).as("container_id"), col("sizes"))
+      .localCheckpoint(true)
     val wins = tseq
       .filter(size(col("sizes")) >= minLen)
       .select(col("container_id"),

@@ -296,26 +296,34 @@ case class GammaMergeCommand(
       // lives under the TABLE root, not a driver-local temp dir — on a
       // real cluster the snapshot must sit on the shared filesystem the
       // executors read
+      // ... and the same hazard holds for MATCHED deletes: mDels binds to
+      // the persist()ed `joined`, but t.delete runs AFTER the upsert batch
+      // commits — lost cache blocks would recompute the inner join against
+      // the post-commit table, where freshly-updated rows match
+      // differently. Every delete frame consumed post-commit gets pinned.
       val snapDir =
-        if (notMatchedBySourceActions.isEmpty) None
+        if (notMatchedBySourceActions.isEmpty && mDels.isEmpty) None
         else Some(s"${GammaDml.rootOf(rel)}/.merge_snap_${java.util.UUID.randomUUID}")
       try {
-        val (nUps, nDels) = snapDir.map { dir =>
-          val tgtOnly = target.join(src, cond, "left_anti")
-          val (ups0, dels0) = actionFrames(tgtOnly, notMatchedBySourceActions,
-            carryTarget = true)
-          def pin(frames: Seq[DataFrame], tag: String): Seq[DataFrame] =
-            frames.zipWithIndex.map { case (f, i) =>
-              val p = s"$dir/${tag}_$i"
-              f.write.mode("overwrite").parquet(p)
-              session.read.parquet(p)
-            }
-          (pin(ups0, "ups"), pin(dels0, "dels"))
-        }.getOrElse((Nil, Nil))
+        def pin(dir: String, frames: Seq[DataFrame], tag: String): Seq[DataFrame] =
+          frames.zipWithIndex.map { case (f, i) =>
+            val p = s"$dir/${tag}_$i"
+            f.write.mode("overwrite").parquet(p)
+            session.read.parquet(p)
+          }
+        val (nUps, nDels) = (snapDir, notMatchedBySourceActions) match {
+          case (Some(dir), as) if as.nonEmpty =>
+            val tgtOnly = target.join(src, cond, "left_anti")
+            val (ups0, dels0) = actionFrames(tgtOnly, as, carryTarget = true)
+            (pin(dir, ups0, "ups"), pin(dir, dels0, "dels"))
+          case _ => (Nil, Nil)
+        }
+        val mDelsPinned =
+          if (mDels.isEmpty) Nil else pin(snapDir.get, mDels, "mdels")
 
         (mUps ++ iUps ++ nUps).reduceOption(_.unionByName(_))
           .foreach(t.addOrUpdate(_))
-        (mDels ++ nDels).reduceOption(_.unionByName(_))
+        (mDelsPinned ++ nDels).reduceOption(_.unionByName(_))
           .foreach(t.delete)
       } finally snapDir.foreach { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)

@@ -463,12 +463,24 @@ class Mp4IndexSpec extends GraftSuite {
     }
   }
 
-  test("edit lists: presentation shift honored by keyframeIndex (closed form)") {
+  test("edit lists: presentation shift + end-trim honored by keyframeIndex (closed form)") {
     def shiftOf(id: Long): Long = {
       val delta = 100 + id % 50
       if (id % 3 == 0) delta
       else if (id % 3 == 1) delta - 2 * (7 + id % 5)
       else 0L
+    }
+    // id%3==0 carries an end-trimming segment_duration: presentation cap
+    // 2*floor((n-2)*delta/2), strictly below the (n-1)*delta end. Shape
+    // id%3==1 writes a FULL-LENGTH segment_duration — its cap
+    // 2*floor(n*delta/2) is real but never binds (the shift alone ends
+    // presentation earlier); no edts -> no cap at all.
+    def capOf(id: Long): Long = {
+      val delta = 100 + id % 50
+      val n = 6 + id % 5
+      if (id % 3 == 0) 2 * ((n - 2) * delta / 2)
+      else if (id % 3 == 1) 2 * (n * delta / 2)
+      else Long.MaxValue
     }
     for (id <- 0L until 30L) {
       val b = Mp4Index.synthMp4(id, edits = true)
@@ -477,7 +489,8 @@ class Mp4IndexSpec extends GraftSuite {
       assert(Mp4Index.parseSampleTable(b) ===
         Mp4Index.parseSampleTable(Mp4Index.synthMp4(id)), s"id=$id")
       val (moov, traks) = Mp4Index.parseTraks(b)
-      assert(Mp4Index.parseEditShift(b, moov, traks.head) === shiftOf(id), s"id=$id")
+      assert(Mp4Index.parseEdit(b, moov, traks.head) ===
+        ((shiftOf(id), capOf(id))), s"id=$id")
     }
     val df = Mp4Index.synthMp4EditedPayload((0L until 30L).toDF("doc_id"), "doc_id")
     val rows = Mp4Index.keyframeIndex(df, "doc_id", "bytes", everyPts = 150L)
@@ -489,10 +502,12 @@ class Mp4IndexSpec extends GraftSuite {
       val sync = Mp4Index.parseSampleTable(Mp4Index.synthMp4(id, edits = true))
         .filter(_.isSync).map(l => (l.pts, l.sampleIdx)).sorted
       val got = rows.filter(_._1 == id).sortBy(_._2)
-      // ticks cover the PRESENTATION range [0, n*delta - shift); each
-      // seeks the first sync sample at presentation time >= tick, i.e.
-      // pts >= tick + shift
-      val expTicks = Iterator.range(0L, n * delta - shift, 150L)
+      // ticks cover the PRESENTATION range [0, min(n*delta - shift, cap));
+      // each seeks the first sync sample at presentation time >= tick,
+      // i.e. pts >= tick + shift
+      val end = (n * delta - shift).min(capOf(id))
+      assert(id % 3 != 0 || end < n * delta - shift, s"id=$id trim observable")
+      val expTicks = Iterator.range(0L, end, 150L)
         .filter(t => sync.exists(_._1 >= t + shift)).toSeq
       assert(got.map(_._2).toSeq === expTicks, s"id=$id")
       got.foreach { case (_, tick, sIdx, pts) =>
