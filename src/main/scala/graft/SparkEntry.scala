@@ -94,15 +94,33 @@ object SparkEntry {
     val (lo, n) = (bounds.getLong(0), bounds.getLong(1) + 1)
     val step = math.max(1L, (n - lo + nSlices - 1) / nSlices)
     val base = System.currentTimeMillis() - nSlices * 60000L
+    // ONE source pass writes every slice (was one filtered pass per slice —
+    // nSlices full scans of the source table per stream gate): the slice id
+    // is the same contiguous-range arithmetic as the old per-slice filters
+    // (integral `div`, so membership is bit-identical), partitionBy splits
+    // the dirs, and the explicit repartition keeps ~one file per slice.
+    // Intra-slice row order changes (shuffle vs pipelined filter) — every
+    // stream gate is intra-batch order independent by contract (min-id /
+    // distinct.sorted / max-rho / last-wins-by-_seq / superset+recount).
+    df.withColumn("__slice",
+        expr(s"(`$idCol` - ${lo}L) div ${step}L").cast("int"))
+      .repartition(nSlices, col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(s"$root/all")
+    val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     (0 until nSlices).foreach { i =>
+      val src = new org.apache.hadoop.fs.Path(s"$root/all/__slice=$i")
       val dir = s"$root/slice$i"
-      df.filter(col(idCol) >= lo + i * step && col(idCol) < lo + (i + 1) * step)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-      val ft = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p, ft)
+      if (fs.exists(src)) {
+        if (!fs.rename(src, new org.apache.hadoop.fs.Path(dir)))
+          throw new java.io.IOException(s"rename $src -> $dir failed")
+        val ft = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+          java.nio.file.Files.setLastModifiedTime(p, ft)
+        }
       }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/all"), true)
     s.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$root/slice*")
   }
@@ -1286,10 +1304,16 @@ object SparkEntry {
     "q_ngram_jaccard_lsh" -> ((s, dir) => {
       GraftSession.prepare(s)
       val docs = t(s, dir, "documents")
+      // ONE shingle pass for both arms: LSH-verify and the AllPairs
+      // adjudication arm consume the identical (id, sorted-hashed-shingles)
+      // frame, and the arms materialize as separate actions in the verdict
+      // — unshared, the corpus was re-shingled once per arm
+      val toks = graft.dedup.Dedup.withShingles(docs, "doc_id", "text", 3)
+        .localCheckpoint(true)
       val lsh = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
-        threshold = 0.4, numHashes = 32, bands = 16)
+        threshold = 0.4, numHashes = 32, bands = 16, sharedToks = Some(toks))
       val brute = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        threshold = 0.4)
+        threshold = 0.4, sharedToks = Some(toks))
       graft.operators.GateVerdicts.pairsVerdict(s, lsh, brute,
         recallFloorMilli = 900)
     }),
@@ -2213,9 +2237,13 @@ object SparkEntry {
         .limit(QueryBudget).select(
           col("doc_id").as("qid"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qtext"))
+      // materialized ONCE (k-bounded: nq x 20 rows): the text arm feeds BOTH
+      // fusions, and those materialize as separate actions inside the
+      // verdict — unmaterialized, the whole BM25 pipeline (postings explode,
+      // df stats, top-k) executed once per action
       val textArm = graft.text.TextIndex.rankHits(
         graft.text.TextIndex.bm25(ix, qt, "qid", "qtext", k = 20),
-        "qid", "id", "score_micro", ascending = false)
+        "qid", "id", "score_micro", ascending = false).localCheckpoint(true)
       val qs = e.filter(col("vec_id") % 97 === 0).orderBy(col("vec_id"))
         .limit(QueryBudget)
         .select(col("vec_id"), col("embedding"))

@@ -68,7 +68,13 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // materialized ONCE before the self-join: the two join sides are NOT
+    // recognized as a common subtree (no ReusedExchange — plan-verified),
+    // so unmaterialized the numHashes-per-shingle signature kernel ran
+    // twice per action. The pin is (id, band, key) — linear in corpus,
+    // bands rows per doc, no text.
     val banded = bandKeys(df, idCol, textCol, numHashes, bands, shingleN)
+      .localCheckpoint(true)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -181,9 +187,16 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, sharedToks: Option[DataFrame] = None): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val toks = withShingles(df, idCol, textCol, shingleN)
+    // `sharedToks`: a MATERIALIZED (id, toks) frame from [[withShingles]]
+    // at the same shingleN — lets a gate running several arms over the
+    // same corpus (LSH + exact adjudication) pay the shingle pass once.
+    // Unshared, the frame is checkpointed HERE: it feeds both verify-join
+    // sides and the two subtrees are not exchange-reused (plan-verified),
+    // so the corpus was re-shingled twice per action.
+    val toks = sharedToks.getOrElse(
+      withShingles(df, idCol, textCol, shingleN).localCheckpoint(true))
     val pairs = cands
       .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
       .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
@@ -355,7 +368,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       blockCol: Option[String] = None,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      sharedToks: Option[DataFrame] = None): DataFrame = {
     // materialize the shingle pass ONCE: it feeds 4 plan references
     // (prefix explode + both verify-join sides), and the executed plan
     // does NOT reuse the exchange across them (plan-asserted in PlanSpec)
@@ -366,9 +380,14 @@ object Dedup {
     if (reliable) require(
       df.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "ngramJaccardPairs(reliable=true) needs sparkContext.setCheckpointDir")
-    val toks0 = withShingles(df, idCol, textCol, shingleN)
-    val toks = if (reliable) toks0.checkpoint(eager = true)
-               else toks0.localCheckpoint(true)
+    // `sharedToks` contract: ALREADY materialized (checkpointed) by the
+    // caller — the multi-reference hazard the comment above describes is
+    // the caller's to have closed
+    val toks = sharedToks.getOrElse {
+      val toks0 = withShingles(df, idCol, textCol, shingleN)
+      if (reliable) toks0.checkpoint(eager = true)
+      else toks0.localCheckpoint(true)
+    }
     // AllPairs prefix under the DOCUMENT-FREQUENCY global order (Bayardo,
     // Ma & Srikant, WWW'07 §3): the prefix-filter lemma — J(x,y) ≥ t ⇒
     // the prefixes share a token — holds for ANY fixed total order over
@@ -394,10 +413,15 @@ object Dedup {
         prefLen.as("__plen")), Seq("id"))
       .filter(col("__rn") <= col("__plen"))
       .select(col("id"), col("tok"))
-    val pref = blockCol match {
+    // materialized ONCE before the self-join (same no-ReusedExchange
+    // rationale as the LSH band keys): unmaterialized, the df-stats
+    // groupBy + per-doc window sort ran twice per action. (id, tok[,
+    // block]) prefix rows only — strictly smaller than the exploded
+    // token frame.
+    val pref = (blockCol match {
       case Some(b) => prefBase.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
       case None    => prefBase
-    }
+    }).localCheckpoint(true)
     val joinCond = blockCol
       .map(b => col("x.tok") === col("y.tok") && col(s"x.$b") === col(s"y.$b"))
       .getOrElse(col("x.tok") === col("y.tok")) && col("x.id") < col("y.id")
@@ -482,10 +506,15 @@ object Dedup {
       exactHits: Boolean = false,
       broadcastEval: Boolean = true): DataFrame = {
     import graft.sketch.Sketches
-    val evalGrams = withShingles(
+    val evalGrams0 = withShingles(
         evalDocs.select(col(evalTextCol)).withColumn("__eid", monotonically_increasing_id()),
         "__eid", evalTextCol, shingleN, hashChars)
       .select(explode(col("toks")).as("g")).distinct()
+    // gate mode consumes the eval grams twice (sketch build + exact-mark
+    // broadcast) — materialize the distinct set once; production mode
+    // (exactHits=false) consumes it once and skips the pin
+    val evalGrams =
+      if (exactHits) evalGrams0.localCheckpoint(true) else evalGrams0
     val words = Sketches.bloomWords(evalGrams, col("g"), mBits, k)
     val docGrams = withShingles(docs, idCol, textCol, shingleN, hashChars)
       .select(col("id"), explode(col("toks")).as("g"))

@@ -38,8 +38,14 @@ object FuzzyJoin {
     * the gate would catch this proof being wrong.
     */
   def editDistance1Pairs(df: DataFrame, strCol: String): DataFrame = {
+    // vocab feeds the deletion explode AND the insert-side identity join;
+    // del feeds THREE join sides. Neither pair of references is
+    // exchange-reused, so unmaterialized the distinct shuffle ran twice
+    // and the deletion explode three times per action. Both frames are
+    // the operator's own working set (distinct values, x(len+1) variants)
+    // — materialize each once.
     val vocab = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(true)
     // deletions WITH their position (1-based substring algebra: drop
     // position i = prefix of length i-1 + suffix from i+1)
     val delsP = transform(sequence(lit(1), length(col("s"))),
@@ -48,6 +54,7 @@ object FuzzyJoin {
         col("s").substr(i + 1, length(col("s")))).as("v")))
     val del = vocab.select(col("s"), explode(delsP).as("e"))
       .select(col("s"), col("e.v").as("v"), col("e.p").as("p"))
+      .localCheckpoint(true)
     val subs = del.as("x").join(del.as("y"),
         col("x.v") === col("y.v") && col("x.p") === col("y.p") &&
           col("x.s") < col("y.s"))

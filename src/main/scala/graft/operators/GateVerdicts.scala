@@ -47,8 +47,16 @@ object GateVerdicts {
   def knnVerdict(
       s: SparkSession, approx: DataFrame, exact: DataFrame,
       k: Int, recallFloorMilli: Long): DataFrame = {
+    // materialize each arm ONCE: the stats below are several independent
+    // actions (agg, count, join-count, distinct-count), and without a
+    // checkpoint every action re-executes the arm's ENTIRE upstream plan —
+    // index build + search / BM25 + fusion ran 2-3x per gate. The
+    // checkpointed frames are k-bounded (nq x k rows), so the pin is tiny
+    // at any scale.
     val a = approx.select(col(approx.columns(0)).as("qid"), col(approx.columns(1)).as("id"))
+      .localCheckpoint(true)
     val e = exact.select(col(exact.columns(0)).as("qid"), col(exact.columns(1)).as("id"))
+      .localCheckpoint(true)
     val perQuery = a.groupBy("qid").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("nq"), min("n").as("lo"), max("n").as("hi"))
       .head()
@@ -71,8 +79,12 @@ object GateVerdicts {
   def pairsVerdict(
       s: SparkSession, lsh: DataFrame, brute: DataFrame,
       recallFloorMilli: Long): DataFrame = {
-    val l = lsh.select("a", "b")
-    val b = brute.select("a", "b")
+    // materialize each arm ONCE (same rationale as knnVerdict): count +
+    // except are separate actions, and unmaterialized each re-ran the full
+    // candidate join + verify. The checkpointed frames are the
+    // threshold-filtered pair sets — the operator's own output size.
+    val l = lsh.select("a", "b").localCheckpoint(true)
+    val b = brute.select("a", "b").localCheckpoint(true)
     val nLsh = l.count()
     val nBrute = b.count()
     val notInBrute = l.except(b).count()
@@ -94,12 +106,16 @@ object GateVerdicts {
   def dedupVerdict(
       s: SparkSession, allIds: DataFrame, keptIds: DataFrame,
       bruteLoserIds: DataFrame, recallFloorMilli: Long): DataFrame = {
-    val all = allIds.toDF("id")
-    val kept = keptIds.toDF("id")
-    val bruteLosers = bruteLoserIds.toDF("id")
+    // materialize each id set ONCE (same rationale as knnVerdict): `kept`
+    // is the full semantic-dedup pipeline (k-means + in-cluster pairs) and
+    // was re-executed by every action below. Id projections only — one
+    // narrow column pinned, distributed across executors.
+    val all = allIds.toDF("id").localCheckpoint(true)
+    val kept = keptIds.toDF("id").localCheckpoint(true)
+    val bruteLosers = bruteLoserIds.toDF("id").localCheckpoint(true)
     val total = all.count()
     val keptN = kept.count()
-    val semLosers = all.except(kept)
+    val semLosers = all.except(kept).localCheckpoint(true)
     val semN = semLosers.count()
     val violations = semLosers.except(bruteLosers).count()
     val bruteN = bruteLosers.count()

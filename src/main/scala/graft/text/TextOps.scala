@@ -484,7 +484,10 @@ object TextOps {
       .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("chunk_hash"))
-    val bounded = docChunk.join(rare, "chunk_hash")
+    // materialized ONCE before the self-join: the two sides are not
+    // exchange-reused, so unmaterialized the chunking pass + distinct +
+    // df-filter subtree executed twice per action. (hash, id) rows only.
+    val bounded = docChunk.join(rare, "chunk_hash").localCheckpoint(true)
     val a = bounded.select(col("chunk_hash"), col(idCol).as("doc_a"))
     val b = bounded.select(col("chunk_hash"), col(idCol).as("doc_b"))
     a.join(b, Seq("chunk_hash"))
