@@ -68,6 +68,17 @@ object Bench {
     // later (re-)runs degrade (r6's q_dedup_keep_best: 1.8 s first run,
     // ~8 s repeats IN-SUITE, yet flat when run in isolation).
     def sweepBlocks(): Unit = {
+      // r14 opt round: GC alone no longer keeps up — the materialize-once
+      // pins (band keys, verdict arms, model stats) raised the number of
+      // checkpointed RDDs per gate, and over 159 gates ContextCleaner's
+      // GC-driven release lagged enough that storage pressure degraded
+      // LATER gates 2-10x (measured: q_decontam_window 0.8 s in a 45-gate
+      // run vs 4.0 s late in the full suite, on a 2x slower host epoch).
+      // Every block still registered after a run belongs to a COMPLETED
+      // invocation — gates rebuild all frames from disk inputs per call,
+      // nothing spans invocations — so explicit unpersist is safe and
+      // deterministic where the GC sweep was best-effort.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
       // give ContextCleaner's async unpersists a beat to land
       Thread.sleep(50)

@@ -44,6 +44,10 @@ object Verify {
         val prepNote = if (prep > 0.005) f" (prep $prep%.2f s)" else ""
         System.err.println(
           f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s" + prepNote)
+        // release completed-gate blocks (same in-suite degradation guard
+        // as Bench.sweepBlocks — gates rebuild every frame per invocation,
+        // so everything still registered is garbage)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
       catch { case e: Throwable =>
         // A thrown query must FAIL the round, not vanish from it: write a

@@ -257,6 +257,11 @@ object Dedup {
       s"fingerprintPairs: need bits % blocks == 0 within 64, got $bits/$blocks")
     val w = bits / blocks
     val mask = if (w == 64) -1L else (1L << w) - 1
+    // NOT checkpointed (measured, r14 opt round): pinning the collapse
+    // groupBy cost 1.5-2.5x at sf0.1 — the checkpointed frame loses its
+    // logical statistics (ExistingRDD), which defeats broadcast planning
+    // in the blocked join downstream, and the extra materialization action
+    // outweighs re-running one shuffle over the already-checkpointed sigs.
     val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("rid"))
     val blocked = reps.select(col("rid"), col("sh"),
         explode(array((0 until blocks).map { b =>

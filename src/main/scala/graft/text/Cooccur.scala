@@ -48,9 +48,16 @@ object Cooccur {
         |     j -> struct(element_at(__ws, j) as a, element_at(__ws, j + __d) as b)),
         |   array())""".stripMargin)).as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    // materialized ONCE each: pairCounts feeds the totals aggregate AND
+    // the kept-join (its subtree is the windowed pair explode — the
+    // expensive pass), uni feeds totals plus BOTH unigram joins (a and b
+    // key differently, so no exchange reuse). Pins: distinct co-occurring
+    // pairs and the vocabulary.
     val pairCounts = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val uni = docs.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = pairCounts.agg(sum(col("c_ab")).as("__P"))
       .crossJoin(uni.agg(sum(col("c")).as("__T")))
     val kept = pairCounts.filter(col("c_ab") >= minCount)

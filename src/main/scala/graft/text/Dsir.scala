@@ -58,7 +58,10 @@ object Dsir {
       buckets: Int): DataFrame = {
     val s = target.sparkSession
     def side(docs: DataFrame, cCol: String, nCol: String): DataFrame = {
-      val counts = bucketCounts(docs, textCol, buckets)
+      // materialized ONCE (≤ buckets rows): the totals aggregate and the
+      // dense join both reference the counts, whose subtree is a full
+      // corpus gram pass — unmaterialized it ran twice per side
+      val counts = bucketCounts(docs, textCol, buckets).localCheckpoint(true)
       val total = counts.agg(sum(col("c")).as(nCol))
       s.range(buckets).select(col("id").as("bucket"))
         .join(counts, Seq("bucket"), "left")
@@ -85,6 +88,8 @@ object Dsir {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("__cr"),
         count(when(col("__t"), lit(1))).as("__ct"))
+      // materialized ONCE (≤ buckets rows; same rationale as model())
+      .localCheckpoint(true)
     val totals = counts.agg(
       sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
     val dense = s.range(buckets).select(col("id").as("bucket"))

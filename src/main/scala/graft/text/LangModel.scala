@@ -29,9 +29,14 @@ object LangModel {
     * TakeOrdered (no single-partition window).
     */
   def train(docs: DataFrame, textCol: String, maxBigrams: Int): DataFrame = {
+    // materialized ONCE: both the head-context aggregation and the top-k
+    // cut derive from the bigram counts, and the two references are not
+    // exchange-reused — unmaterialized, the corpus bigram explode+count
+    // ran twice per model build. Vocabulary-sized pin.
     val grams = docs
       .select(explode(TextOps.rawNgrams(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val heads = grams
       .groupBy(element_at(split(col("gram"), " "), 1).as("__w1"))
       .agg(sum(col("c2")).as("c1"))

@@ -72,6 +72,15 @@ object TextIndex {
   def build(
       docs: DataFrame, idCol: String, textCol: String,
       maxDfRatio: Double = 0.5): BuiltIndex = {
+    // TERM STATS are materialized once (vocabulary-sized pin): stats
+    // derive from the postings, so a query plan referencing both (every
+    // bm25/topKeywords call does) otherwise re-executed the corpus
+    // tokenize+explode+aggregate subtree once per stats reference — the
+    // subtrees are not exchange-reused. The POSTINGS themselves stay
+    // lazy: a measured postings checkpoint (row-format block store of the
+    // full inverted index) cost MORE than recomputing the cheap
+    // tokenize+agg pass — bm25 gates regressed 2-3x — so only the small
+    // frame is pinned and the big one is recomputed per reference.
     val post = postings(docs, idCol, textCol)
     val st = docs.agg(
       count(lit(1)).as("n"),
@@ -79,6 +88,7 @@ object TextIndex {
     val n = st.getLong(0)
     val dlSum = if (st.isNullAt(1)) 0L else st.getLong(1)
     val stats = post.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     BuiltIndex(post, stats, n, dlSum, maxDfRatio)
   }
 
@@ -254,7 +264,11 @@ object TextIndex {
       k: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val posts = positionalPostings(docs, idCol, textCol)
+    // materialized ONCE: seededCandidates references the positional
+    // postings three times (term counts, seeds, doc positions) in one
+    // plan, and the subtrees are not exchange-reused — unmaterialized,
+    // the corpus was tokenized+posexploded three times per action
+    val posts = positionalPostings(docs, idCol, textCol).localCheckpoint(true)
     val qtoks = queries.select(
       col(qidCol).as("__qid"), TextOps.tokens(col(qphraseCol)).as("__qt"))
     val cand = seededCandidates(posts, qtoks)
@@ -338,7 +352,11 @@ object TextIndex {
     require(window >= 1, s"window must be >= 1 (got $window)")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val posts = positionalPostings(docs, idCol, textCol)
+    // materialized ONCE: seededCandidates references the positional
+    // postings three times (term counts, seeds, doc positions) in one
+    // plan, and the subtrees are not exchange-reused — unmaterialized,
+    // the corpus was tokenized+posexploded three times per action
+    val posts = positionalPostings(docs, idCol, textCol).localCheckpoint(true)
     val qtoks = queries.select(col(qidCol).as("__qid"),
       array_distinct(TextOps.tokens(col(qtextCol))).as("__qt"))
     val cand = seededCandidates(posts, qtoks)
@@ -484,9 +502,13 @@ object TextIndex {
       max(when(col("__fld") === i, col("__tf"))).as(s"__tf$i"),
       max(when(col("__fld") === i, col("__dl"))).as(s"__dl$i"))
     }
+    // same shape as [[build]]: the vocabulary-sized stats are pinned, the
+    // big pivoted postings stay lazy (a postings checkpoint measured
+    // slower than recomputing the pivot pass)
     val pivoted = perField.groupBy(col("__term"), col("__doc"))
       .agg(aggs.head, aggs.tail: _*)
     val stats = pivoted.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     val st = docs.agg(count(lit(1)).as("n"),
       fields.zipWithIndex.map { case (f, i) =>
         sum(size(TextOps.tokens(col(f.textCol))).cast("long")).as(s"__s$i")
