@@ -37,8 +37,15 @@ object PlanDump {
       buf.setLength(0); execSeen = 0
       val df = SparkEntry.queries(g)(spark, dir)
       val n = df.count()
-      // let straggling listener events land before snapshotting
-      Thread.sleep(500)
+      // drain the listener bus deterministically before snapshotting —
+      // a fixed sleep lost straggling events under load (r14 advice);
+      // waitUntilEmpty is private[spark], hence reflection, with the old
+      // sleep as fallback
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(500) }
       val plans = buf.synchronized(buf.toString)
       val fin = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -6,6 +6,9 @@ package graft
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(32)
+    // scratch A/B switch: PROF_AQE=0 disables AQE for the whole run
+    sys.env.get("PROF_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", (v != "0").toString))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

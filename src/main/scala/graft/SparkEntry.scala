@@ -83,7 +83,7 @@ object SparkEntry {
     * the other stream gates are arrival-order independent and just get
     * the production ingest shape.
     */
-  private def sliceStream(
+  private[graft] def sliceStream(
       s: SparkSession, df: DataFrame, idCol: String,
       nSlices: Int): DataFrame = graft.core.PrepClock.time {
     // PrepClock: slice writes are stream-INGEST fixture cost, not the
@@ -114,10 +114,18 @@ object SparkEntry {
       if (fs.exists(src)) {
         if (!fs.rename(src, new org.apache.hadoop.fs.Path(dir)))
           throw new java.io.IOException(s"rename $src -> $dir failed")
-        val ft = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
-        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
-          java.nio.file.Files.setLastModifiedTime(p, ft)
-        }
+      } else {
+        // an id range with no rows still gets a slice dir with one
+        // schema-only parquet file, so the microbatch count matches the
+        // old per-slice writer (one extra empty batch), instead of the
+        // slice silently disappearing (r14 verdict #5)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            df.schema)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      val ft = java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, ft)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/all"), true)

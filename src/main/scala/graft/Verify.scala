@@ -46,7 +46,9 @@ object Verify {
           f"[verify] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s" + prepNote)
         // release completed-gate blocks (same in-suite degradation guard
         // as Bench.sweepBlocks — gates rebuild every frame per invocation,
-        // so everything still registered is garbage)
+        // so everything still registered is garbage). IndexCatalog.clear
+        // makes the registry invariant explicit (r14 advice #1).
+        graft.plans.IndexCatalog.clear()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
       catch { case e: Throwable =>

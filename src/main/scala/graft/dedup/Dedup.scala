@@ -68,13 +68,12 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    // materialized ONCE before the self-join: the two join sides are NOT
-    // recognized as a common subtree (no ReusedExchange — plan-verified),
-    // so unmaterialized the numHashes-per-shingle signature kernel ran
-    // twice per action. The pin is (id, band, key) — linear in corpus,
-    // bands rows per doc, no text.
+    // NOT pinned (r15, reverting an r14 localCheckpoint): the self-join
+    // sides do re-run the signature kernel twice, but the paired in-suite
+    // benches showed the pin (eager store + ExistingRDD stats loss in the
+    // downstream join) costing more than the recompute
+    // (q_dedup_clusters 1.80->3.65 s in the r14 pair).
     val banded = bandKeys(df, idCol, textCol, numHashes, bands, shingleN)
-      .localCheckpoint(true)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -159,6 +158,25 @@ object Dedup {
     }(Encoders.row(schema))
   }
 
+  /** Cheap shape assert on a caller-provided `sharedToks` frame (r14
+    * advice #2): the semantic contract (same shingleN/hashChars/
+    * distinctGrams as the callee's internal [[withShingles]], already
+    * materialized) cannot be checked from the frame, but the (id, toks:
+    * array<long>) shape can — a caller passing some other frame fails
+    * fast here instead of silently skewing Jaccard verification.
+    */
+  private def requireToksShape(df: DataFrame, who: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ok = df.columns.sameElements(Array("id", "toks")) &&
+      (df.schema("toks").dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+    require(ok, s"$who(sharedToks): expected a withShingles frame " +
+      s"(id, toks: array<bigint>), got ${df.schema.simpleString}")
+    df
+  }
+
   /** Pairwise Jaccard over joined sorted-shingle rows, as a partition
     * kernel: `array_intersect`/`array_union` fall out of codegen here and
     * build a hash set PER PAIR (milliseconds each); the sorted linear merge
@@ -187,16 +205,19 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4,
-      shingleN: Int = 3, sharedToks: Option[DataFrame] = None): DataFrame = {
+      shingleN: Int = 3, sharedToks: Option[DataFrame] = None,
+      reliable: Boolean = false): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleN)
     // `sharedToks`: a MATERIALIZED (id, toks) frame from [[withShingles]]
     // at the same shingleN — lets a gate running several arms over the
     // same corpus (LSH + exact adjudication) pay the shingle pass once.
     // Unshared, the frame is checkpointed HERE: it feeds both verify-join
     // sides and the two subtrees are not exchange-reused (plan-verified),
-    // so the corpus was re-shingled twice per action.
-    val toks = sharedToks.getOrElse(
-      withShingles(df, idCol, textCol, shingleN).localCheckpoint(true))
+    // so the corpus was re-shingled twice per action. `reliable` switches
+    // to a fault-tolerant checkpoint (graft.core.Pin contract).
+    val toks = sharedToks.map(requireToksShape(_, "minhashPairs"))
+      .getOrElse(graft.core.Pin(
+        withShingles(df, idCol, textCol, shingleN), reliable, "minhashPairs"))
     val pairs = cands
       .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
       .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
@@ -387,12 +408,13 @@ object Dedup {
       "ngramJaccardPairs(reliable=true) needs sparkContext.setCheckpointDir")
     // `sharedToks` contract: ALREADY materialized (checkpointed) by the
     // caller — the multi-reference hazard the comment above describes is
-    // the caller's to have closed
-    val toks = sharedToks.getOrElse {
-      val toks0 = withShingles(df, idCol, textCol, shingleN)
-      if (reliable) toks0.checkpoint(eager = true)
-      else toks0.localCheckpoint(true)
-    }
+    // the caller's to have closed. Shape-asserted (r14 advice #2).
+    val toks = sharedToks.map(requireToksShape(_, "ngramJaccardPairs"))
+      .getOrElse {
+        val toks0 = withShingles(df, idCol, textCol, shingleN)
+        if (reliable) toks0.checkpoint(eager = true)
+        else toks0.localCheckpoint(true)
+      }
     // AllPairs prefix under the DOCUMENT-FREQUENCY global order (Bayardo,
     // Ma & Srikant, WWW'07 §3): the prefix-filter lemma — J(x,y) ≥ t ⇒
     // the prefixes share a token — holds for ANY fixed total order over
@@ -418,15 +440,15 @@ object Dedup {
         prefLen.as("__plen")), Seq("id"))
       .filter(col("__rn") <= col("__plen"))
       .select(col("id"), col("tok"))
-    // materialized ONCE before the self-join (same no-ReusedExchange
-    // rationale as the LSH band keys): unmaterialized, the df-stats
-    // groupBy + per-doc window sort ran twice per action. (id, tok[,
-    // block]) prefix rows only — strictly smaller than the exploded
-    // token frame.
-    val pref = (blockCol match {
+    // NOT pinned (r15, reverting an r14 localCheckpoint): the self-join
+    // does re-run the df-stats groupBy + window twice, but the paired
+    // in-suite benches showed the pin costing ~1.8x more than the
+    // recompute (q_ngram_jaccard 3.15->5.38 s in the r14 pair; driver
+    // PERF agreed at 0.56x).
+    val pref = blockCol match {
       case Some(b) => prefBase.join(df.select(col(idCol).as("id"), col(b)), Seq("id"))
       case None    => prefBase
-    }).localCheckpoint(true)
+    }
     val joinCond = blockCol
       .map(b => col("x.tok") === col("y.tok") && col(s"x.$b") === col(s"y.$b"))
       .getOrElse(col("x.tok") === col("y.tok")) && col("x.id") < col("y.id")

@@ -46,17 +46,20 @@ object GateVerdicts {
     */
   def knnVerdict(
       s: SparkSession, approx: DataFrame, exact: DataFrame,
-      k: Int, recallFloorMilli: Long): DataFrame = {
+      k: Int, recallFloorMilli: Long, reliable: Boolean = false): DataFrame = {
     // materialize each arm ONCE: the stats below are several independent
     // actions (agg, count, join-count, distinct-count), and without a
     // checkpoint every action re-executes the arm's ENTIRE upstream plan —
     // index build + search / BM25 + fusion ran 2-3x per gate. The
     // checkpointed frames are k-bounded (nq x k rows), so the pin is tiny
-    // at any scale.
-    val a = approx.select(col(approx.columns(0)).as("qid"), col(approx.columns(1)).as("id"))
-      .localCheckpoint(true)
-    val e = exact.select(col(exact.columns(0)).as("qid"), col(exact.columns(1)).as("id"))
-      .localCheckpoint(true)
+    // at any scale. `reliable` switches the pins to fault-tolerant
+    // checkpoints for cluster runs (graft.core.Pin contract).
+    val a = graft.core.Pin(
+      approx.select(col(approx.columns(0)).as("qid"), col(approx.columns(1)).as("id")),
+      reliable, "knnVerdict")
+    val e = graft.core.Pin(
+      exact.select(col(exact.columns(0)).as("qid"), col(exact.columns(1)).as("id")),
+      reliable, "knnVerdict")
     val perQuery = a.groupBy("qid").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("nq"), min("n").as("lo"), max("n").as("hi"))
       .head()
@@ -78,13 +81,13 @@ object GateVerdicts {
     */
   def pairsVerdict(
       s: SparkSession, lsh: DataFrame, brute: DataFrame,
-      recallFloorMilli: Long): DataFrame = {
+      recallFloorMilli: Long, reliable: Boolean = false): DataFrame = {
     // materialize each arm ONCE (same rationale as knnVerdict): count +
     // except are separate actions, and unmaterialized each re-ran the full
     // candidate join + verify. The checkpointed frames are the
     // threshold-filtered pair sets — the operator's own output size.
-    val l = lsh.select("a", "b").localCheckpoint(true)
-    val b = brute.select("a", "b").localCheckpoint(true)
+    val l = graft.core.Pin(lsh.select("a", "b"), reliable, "pairsVerdict")
+    val b = graft.core.Pin(brute.select("a", "b"), reliable, "pairsVerdict")
     val nLsh = l.count()
     val nBrute = b.count()
     val notInBrute = l.except(b).count()
@@ -105,17 +108,18 @@ object GateVerdicts {
     */
   def dedupVerdict(
       s: SparkSession, allIds: DataFrame, keptIds: DataFrame,
-      bruteLoserIds: DataFrame, recallFloorMilli: Long): DataFrame = {
+      bruteLoserIds: DataFrame, recallFloorMilli: Long,
+      reliable: Boolean = false): DataFrame = {
     // materialize each id set ONCE (same rationale as knnVerdict): `kept`
     // is the full semantic-dedup pipeline (k-means + in-cluster pairs) and
     // was re-executed by every action below. Id projections only — one
     // narrow column pinned, distributed across executors.
-    val all = allIds.toDF("id").localCheckpoint(true)
-    val kept = keptIds.toDF("id").localCheckpoint(true)
-    val bruteLosers = bruteLoserIds.toDF("id").localCheckpoint(true)
+    val all = graft.core.Pin(allIds.toDF("id"), reliable, "dedupVerdict")
+    val kept = graft.core.Pin(keptIds.toDF("id"), reliable, "dedupVerdict")
+    val bruteLosers = graft.core.Pin(bruteLoserIds.toDF("id"), reliable, "dedupVerdict")
     val total = all.count()
     val keptN = kept.count()
-    val semLosers = all.except(kept).localCheckpoint(true)
+    val semLosers = graft.core.Pin(all.except(kept), reliable, "dedupVerdict")
     val semN = semLosers.count()
     val violations = semLosers.except(bruteLosers).count()
     val bruteN = bruteLosers.count()

@@ -58,10 +58,11 @@ object Dsir {
       buckets: Int): DataFrame = {
     val s = target.sparkSession
     def side(docs: DataFrame, cCol: String, nCol: String): DataFrame = {
-      // materialized ONCE (≤ buckets rows): the totals aggregate and the
-      // dense join both reference the counts, whose subtree is a full
-      // corpus gram pass — unmaterialized it ran twice per side
-      val counts = bucketCounts(docs, textCol, buckets).localCheckpoint(true)
+      // NOT pinned (r15, reverting an r14 localCheckpoint): the totals
+      // aggregate and the dense join both reference the counts, but the
+      // paired in-suite benches showed the pin (eager store + stats loss)
+      // costing ~2.4x more than re-running the bucket aggregate twice.
+      val counts = bucketCounts(docs, textCol, buckets)
       val total = counts.agg(sum(col("c")).as(nCol))
       s.range(buckets).select(col("id").as("bucket"))
         .join(counts, Seq("bucket"), "left")
@@ -88,8 +89,7 @@ object Dsir {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("__cr"),
         count(when(col("__t"), lit(1))).as("__ct"))
-      // materialized ONCE (≤ buckets rows; same rationale as model())
-      .localCheckpoint(true)
+      // NOT pinned (r15, reverting r14; same adjudication as model())
     val totals = counts.agg(
       sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
     val dense = s.range(buckets).select(col("id").as("bucket"))

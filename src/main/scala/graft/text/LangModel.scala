@@ -29,14 +29,16 @@ object LangModel {
     * TakeOrdered (no single-partition window).
     */
   def train(docs: DataFrame, textCol: String, maxBigrams: Int): DataFrame = {
-    // materialized ONCE: both the head-context aggregation and the top-k
-    // cut derive from the bigram counts, and the two references are not
-    // exchange-reused — unmaterialized, the corpus bigram explode+count
-    // ran twice per model build. Vocabulary-sized pin.
+    // NOT pinned (r15, reverting an r14 localCheckpoint): both the
+    // head-context aggregation and the top-k cut reference these counts,
+    // but the paired in-suite benches (driver PERF_r14 and the builder's
+    // own pre/post pair) showed the eager row-format store + rescan +
+    // ExistingRDD stats loss costing ~2-2.8x MORE than recomputing the
+    // vocabulary-sized aggregate twice. Two cheap references don't earn
+    // a pin.
     val grams = docs
       .select(explode(TextOps.rawNgrams(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint(true)
     val heads = grams
       .groupBy(element_at(split(col("gram"), " "), 1).as("__w1"))
       .agg(sum(col("c2")).as("c1"))

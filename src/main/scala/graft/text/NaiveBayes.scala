@@ -40,21 +40,18 @@ object NaiveBayes {
   def train(docs: DataFrame, textCol: String, classCol: String): Model = {
     val toks = docs.select(col(classCol).as("__cls"),
       TextOps.tokens(col(textCol)).as("__toks"))
-    // both count frames are materialized ONCE: termClass feeds the
-    // vocabulary-size action AND the weight projection (and classTotals'
-    // consts are referenced by two broadcasts at classify time) — each
-    // reference otherwise re-ran the corpus tokenize+count subtree.
-    // Pins are vocabulary x classes and class-count sized.
+    // NOT pinned (r15, reverting two r14 localCheckpoints): termClass and
+    // classTotals each have two references, but the paired in-suite
+    // benches showed the pins costing ~1.8x more than the recompute
+    // (q_nb_classify 1.84->3.31 s in the builder's own r14 pair).
     val termClass = toks
       .select(col("__cls"), explode(col("__toks")).as("__term"))
       .groupBy(col("__term"), col("__cls"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
     // per-class totals and priors (class-count-sized aggregations)
     val classTotals = toks.groupBy(col("__cls")).agg(
       count(lit(1)).as("__nc"),
       sum(size(col("__toks")).cast("long")).as("__tc"))
-      .localCheckpoint(true)
     val n = docs.count()
     val v = termClass.select(col("__term")).distinct().count()
     val consts = classTotals.select(

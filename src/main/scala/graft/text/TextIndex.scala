@@ -71,7 +71,7 @@ object TextIndex {
     */
   def build(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDfRatio: Double = 0.5): BuiltIndex = {
+      maxDfRatio: Double = 0.5, reliable: Boolean = false): BuiltIndex = {
     // TERM STATS are materialized once (vocabulary-sized pin): stats
     // derive from the postings, so a query plan referencing both (every
     // bm25/topKeywords call does) otherwise re-executed the corpus
@@ -87,8 +87,9 @@ object TextIndex {
       sum(size(TextOps.tokens(col(textCol))).cast("long")).as("dlsum")).head()
     val n = st.getLong(0)
     val dlSum = if (st.isNullAt(1)) 0L else st.getLong(1)
-    val stats = post.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-      .localCheckpoint(true)
+    val stats = graft.core.Pin(
+      post.groupBy(col("__term")).agg(count(lit(1)).as("__df")),
+      reliable, "TextIndex.build")
     BuiltIndex(post, stats, n, dlSum, maxDfRatio)
   }
 
@@ -261,14 +262,16 @@ object TextIndex {
   def phraseSearch(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qphraseCol: String,
-      k: Int): DataFrame = {
+      k: Int, reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // materialized ONCE: seededCandidates references the positional
     // postings three times (term counts, seeds, doc positions) in one
     // plan, and the subtrees are not exchange-reused — unmaterialized,
-    // the corpus was tokenized+posexploded three times per action
-    val posts = positionalPostings(docs, idCol, textCol).localCheckpoint(true)
+    // the corpus was tokenized+posexploded three times per action.
+    // `reliable` = fault-tolerant checkpoint (graft.core.Pin contract).
+    val posts = graft.core.Pin(
+      positionalPostings(docs, idCol, textCol), reliable, "phraseSearch")
     val qtoks = queries.select(
       col(qidCol).as("__qid"), TextOps.tokens(col(qphraseCol)).as("__qt"))
     val cand = seededCandidates(posts, qtoks)
@@ -348,15 +351,17 @@ object TextIndex {
   def proximitySearch(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      window: Int, k: Int): DataFrame = {
+      window: Int, k: Int, reliable: Boolean = false): DataFrame = {
     require(window >= 1, s"window must be >= 1 (got $window)")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // materialized ONCE: seededCandidates references the positional
     // postings three times (term counts, seeds, doc positions) in one
     // plan, and the subtrees are not exchange-reused — unmaterialized,
-    // the corpus was tokenized+posexploded three times per action
-    val posts = positionalPostings(docs, idCol, textCol).localCheckpoint(true)
+    // the corpus was tokenized+posexploded three times per action.
+    // `reliable` = fault-tolerant checkpoint (graft.core.Pin contract).
+    val posts = graft.core.Pin(
+      positionalPostings(docs, idCol, textCol), reliable, "proximitySearch")
     val qtoks = queries.select(col(qidCol).as("__qid"),
       array_distinct(TextOps.tokens(col(qtextCol))).as("__qt"))
     val cand = seededCandidates(posts, qtoks)
@@ -486,7 +491,7 @@ object TextIndex {
     */
   def buildF(
       docs: DataFrame, idCol: String, fields: Seq[FieldSpec],
-      maxDfRatio: Double = 0.5): BuiltIndexF = {
+      maxDfRatio: Double = 0.5, reliable: Boolean = false): BuiltIndexF = {
     require(fields.nonEmpty, "need at least one field")
     val fieldToks = array(fields.zipWithIndex.map { case (f, i) =>
       struct(lit(i).as("f"), TextOps.tokens(col(f.textCol)).as("ts"))
@@ -507,8 +512,9 @@ object TextIndex {
     // slower than recomputing the pivot pass)
     val pivoted = perField.groupBy(col("__term"), col("__doc"))
       .agg(aggs.head, aggs.tail: _*)
-    val stats = pivoted.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-      .localCheckpoint(true)
+    val stats = graft.core.Pin(
+      pivoted.groupBy(col("__term")).agg(count(lit(1)).as("__df")),
+      reliable, "TextIndex.buildF")
     val st = docs.agg(count(lit(1)).as("n"),
       fields.zipWithIndex.map { case (f, i) =>
         sum(size(TextOps.tokens(col(f.textCol))).cast("long")).as(s"__s$i")
