@@ -326,8 +326,17 @@ class GammaTable private (
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // repartition by bucket so each bucket dir gets ~1 file instead of one
     // per upstream shuffle partition (shuffle-partitions x buckets tiny
-    // files per version is a small-files problem at any scale)
-    val base = df.withColumn("_bp", col(BucketCol)).repartition(col("_bp"))
+    // files per version is a small-files problem at any scale). The task
+    // count is the AFFECTED-bucket count capped at the session's shuffle
+    // width, not the raw shuffle width: hash-by-bucket puts every bucket's
+    // rows in one task, so tasks beyond the bucket count are always empty —
+    // pure scheduler overhead on every commit (and AQE, which would
+    // coalesce them, is off for the write action below). Scale-adaptive in
+    // both directions: a small delta commit runs |buckets| tasks, a full-
+    // table rewrite stays at the configured shuffle width.
+    val shufW = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val writeTasks = math.max(1, math.min(buckets.size, shufW))
+    val base = df.withColumn("_bp", col(BucketCol)).repartition(writeTasks, col("_bp"))
     val internal = Set(DocidCol, DeletedCol, BucketCol, VersionCol, "_bp")
     val statCols = base.schema.fields.zipWithIndex.collect {
       case (f, i) if !internal(f.name) && (f.dataType match {
@@ -645,7 +654,16 @@ class GammaTable private (
     val k = keys.select(col(keys.columns.head).as(key)).distinct()
       .withColumn(BucketCol, bucketOf(col(key), meta0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val affected = k.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+    // ONE job (r15, guide §2 driver round-trips): materialize the cache
+    // AND fold the distinct bucket set per partition — the old
+    // select.distinct().collect() paid a second shuffle (plus its AQE
+    // stage jobs) for a set bounded by nBuckets at any scale
+    val affected = k.select(col(BucketCol)).rdd
+      .mapPartitions { it =>
+        val s = scala.collection.mutable.HashSet.empty[Long]
+        it.foreach(r => s += r.getLong(0))
+        Iterator(s.toArray)
+      }.collect().flatten.distinct.sorted.toIndexedSeq
     // empty key set: currentPaths(Nil) means "all buckets", so an explicit
     // no-op guard is required — a full-table rewrite for zero deletes is
     // the worst possible outcome at scale
